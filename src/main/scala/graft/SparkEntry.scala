@@ -1,13 +1,94 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Renko, RenkoModes, ToRws}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one implemented operator from SURVEY.md §2 (plus
+  * the beyond-reference pipeline operators). Queries with a DuckDB-equivalent
+  * formulation also appear in `oracleSql` with IDENTICAL output column names
+  * and a deterministic total ORDER BY.
+  */
 object SparkEntry {
+
+  /** The driver may hand us a session built without nano-timestamp support;
+    * `events.parquet` stores TIMESTAMP(NANOS) which Spark 4 rejects unless
+    * read as epoch-ns Long. Session-settable, so apply defensively.
+    */
+  private def ensureConf(s: SparkSession): Unit =
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events table as a single-series tick stream: ts (epoch ns) + value. */
+  private def eventTicks(s: SparkSession, dir: String): DataFrame = {
+    ensureConf(s)
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("ts").as("datetime"), col("value").as("close"))
+  }
+
+  /** events as one tick series per event_type (multi-series scan). */
+  private def eventTicksByType(s: SparkSession, dir: String): DataFrame = {
+    ensureConf(s)
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("ts").as("datetime"), col("value").as("close"))
+  }
+
+  private val EventBrick = 25.0
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val ticks = eventTicks(spark, "/root/testdata/sf0.001")
+    RenkoModes.project(Renko.fromTicks(ticks, EventBrick, tsUnit = "ns"), "wicks")
+  }
+
+  private def renkoMode(mode: String): (SparkSession, String) => DataFrame =
+    (s, dir) => RenkoModes.project(
+      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), mode)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- the renko stateful scan (SURVEY §2.1) + mode views (§2.2): the
+    // --- scan is a sequential recurrence, not SQL-expressible → rows-only
+    "renko_wicks" -> renkoMode("wicks"),
+    "renko_normal" -> renkoMode("normal"),
+    "renko_nongap" -> renkoMode("nongap"),
+    "renko_reverse_wicks" -> renkoMode("reverse-wicks"),
+    "renko_reverse_nongap" -> renkoMode("reverse-nongap"),
+    "renko_fake_r_wicks" -> renkoMode("fake-r-wicks"),
+    "renko_fake_r_nongap" -> renkoMode("fake-r-nongap"),
+    "renko_multi_series" -> ((s, dir) => RenkoModes.project(
+      Renko.fromTicks(eventTicksByType(s, dir), EventBrick,
+        symbolCol = Some("event_type"), tsUnit = "ns"), "wicks")),
+    "renko_to_rws" -> ((s, dir) => ToRws.toRws(
+      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick)),
+
+    // --- relational operators (SURVEY §2.2-2.5), DuckDB-oracle-backed
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the renko scan family (ordered
+    * stateful recurrence — not SQL-expressible) → driver records a weaker
+    * rows-only check; those operators are instead validated bit-exactly
+    * against reference-generated goldens in src/test (GoldenBatchSpec).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

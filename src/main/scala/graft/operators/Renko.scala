@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.core.{Brick, RenkoEngine}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One input tick, normalized: per-series key, epoch-µs time, price. */
+final case class Tick(symbol: String, t: Long, price: Double)
+
+/** One output brick row: series key + the 19-column wide record
+  * (reference `renkodf.py:60-67`). `datetime_us` is epoch µs; the public
+  * DataFrame surface converts it to a proper TIMESTAMP column.
+  */
+final case class BrickRow(
+    symbol: String,
+    datetime_us: Long,
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    volume: Long,
+    direction: Int,
+    is_reversal: Int,
+    tick_index_open: Long,
+    tick_index_close: Long,
+    normal_high: Double,
+    normal_low: Double,
+    nongap_open: Double,
+    reverse_nongap_open: Double,
+    reverse_fake_nongap_open: Double,
+    reverse_high: Double,
+    reverse_low: Double,
+    fake_high: Double,
+    fake_low: Double)
+
+/** Batch renko: ordered stateful scan over tick series → wide brick table.
+  *
+  * Spark-first design: the scan is inherently sequential *within* a series
+  * (the fold is not associative, so no partial/final split exists), but
+  * embarrassingly parallel *across* series. We therefore shuffle once on the
+  * series key (`groupByKey`) and let Spark's secondary sort
+  * (`flatMapSortedGroups`) order each series by time inside the exchange —
+  * no extra sort pass, no global sort, and at cluster scale parallelism =
+  * number of series. Column pruning to exactly (symbol, datetime, close)
+  * happens *before* the typed operator because Catalyst cannot push a
+  * projection through `flatMapGroups`.
+  *
+  * Capability match: reference `Renko.__init__`/`_create_renko`
+  * (`/root/reference/src/renkodf/renkodf.py:16-252`), generalized from one
+  * hard-coded series to N keyed series. Unlike the reference there is no
+  * pre-allocated capacity (`divide_by`, `renkodf.py:75`) — bricks stream out
+  * of an iterator, so large gaps cannot overflow (deliberate deviation from
+  * a reference limitation, not a semantics change).
+  */
+object Renko {
+
+  implicit private val tickEnc: Encoder[Tick] = Encoders.product[Tick]
+  implicit private val brickEnc: Encoder[BrickRow] = Encoders.product[BrickRow]
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** Columns of the wide brick table, in reference order (renkodf.py:60-67),
+    * with the series key prepended.
+    */
+  val wideColumns: Seq[String] = Seq(
+    "symbol", "datetime", "open", "high", "low", "close", "volume",
+    "direction", "is_reversal", "tick_index_open", "tick_index_close",
+    "normal_high", "normal_low", "nongap_open",
+    "reverse_nongap_open", "reverse_fake_nongap_open",
+    "reverse_high", "reverse_low", "fake_high", "fake_low")
+
+  /** Build the wide brick table from a tick DataFrame.
+    *
+    * @param df          input ticks; needs `closeCol` and `datetimeCol`
+    *                    (TIMESTAMP, or integer epoch interpreted per
+    *                    `tsUnit`); extra columns are pruned
+    * @param brickSize   brick height, > 0
+    * @param symbolCol   optional series-key column; None = single series
+    *                    (the reference's shape)
+    * @param tsUnit      unit of an integer datetime column: D|s|ms|us|ns
+    * @param dropFirst   reference drops every brick sharing the first
+    *                    emitted timestamp (renkodf.py:69); disable to keep
+    *                    them
+    */
+  def fromTicks(
+      df: DataFrame,
+      brickSize: Double,
+      symbolCol: Option[String] = None,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true): DataFrame = {
+    require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    require(df.columns.contains(closeCol), s"Column '$closeCol' doesn't exist!")
+    require(df.columns.contains(datetimeCol), s"Column '$datetimeCol' doesn't exist!")
+
+    val symExpr: Column = symbolCol.map(c => col(c).cast(StringType)).getOrElse(lit(""))
+    val ticks = df
+      .select(
+        symExpr.as("symbol"),
+        toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
+        col(closeCol).cast(DoubleType).as("price"))
+      .as[Tick]
+
+    val bricks: Dataset[BrickRow] = ticks
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("t")) { (sym: String, it: Iterator[Tick]) =>
+        scanSeries(sym, it, brickSize, dropFirst)
+      }
+
+    widen(bricks.toDF())
+  }
+
+  /** Epoch-µs conversion for the supported datetime representations. The
+    * reference's `ts_unit ∈ {D, s, ms, us, ns}` (renkodf.py:454-455) applies
+    * to integer columns; TIMESTAMP columns carry their own unit.
+    */
+  private[graft] def toEpochMicros(dt: DataType, c: Column, tsUnit: String): Column = dt match {
+    case _: TimestampType => unix_micros(c)
+    case _: TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _: DateType => unix_micros(c.cast(TimestampType))
+    case _: NumericType =>
+      tsUnit match {
+        case "D" => c.cast(LongType) * lit(86400000000L)
+        case "s" => c.cast(LongType) * lit(1000000L)
+        case "ms" => c.cast(LongType) * lit(1000L)
+        case "us" => c.cast(LongType)
+        // integer division via decimal: epoch-ns (~1.7e18) exceeds a double's
+        // 2^53 exact range, so `/` (fractional divide) would corrupt low bits
+        case "ns" => (c.cast(DecimalType(38, 0)) / lit(1000)).cast(LongType)
+        case u => throw new IllegalArgumentException(s"ts_unit '$u' not in D|s|ms|us|ns")
+      }
+    case other => throw new IllegalArgumentException(s"unsupported datetime type $other")
+  }
+
+  /** Convert internal epoch-µs rows into the public wide DataFrame with a
+    * TIMESTAMP `datetime` column, reference column order.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val cols = wideColumns.map {
+      case "datetime" => timestamp_micros(col("datetime_us")).as("datetime")
+      case c => col(c)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Scan one ordered series. Lazy: pulls ticks and yields bricks without
+    * materializing either side, so a series larger than memory still scans
+    * in O(state). Implements the reference's drop-first-label epilogue
+    * (renkodf.py:69): *every* brick carrying the first emitted timestamp is
+    * dropped — with a multi-brick first gap this can legally produce an
+    * empty series.
+    */
+  private[graft] def scanSeries(
+      sym: String,
+      ticks: Iterator[Tick],
+      brickSize: Double,
+      dropFirst: Boolean): Iterator[BrickRow] = {
+    if (!ticks.hasNext) return Iterator.empty
+    val eng = new RenkoEngine(brickSize)
+    eng.initAnchor(ticks.next().price)
+
+    val raw: Iterator[Brick] = new Iterator[Brick] {
+      private val buf = new ArrayBuffer[Brick](4)
+      private var pos = 0
+      private var i = 0L // reference loop index; first tick was i = 0
+
+      override def hasNext: Boolean = {
+        while (pos >= buf.length && ticks.hasNext) {
+          buf.clear(); pos = 0
+          val t = ticks.next()
+          i += 1
+          eng.step(t.t, t.price, i, buf)
+        }
+        pos < buf.length
+      }
+      override def next(): Brick = {
+        if (!hasNext) throw new NoSuchElementException
+        val b = buf(pos); pos += 1; b
+      }
+    }
+
+    var firstTs = Long.MinValue
+    var haveFirst = false
+    raw
+      .filter { b =>
+        if (!haveFirst) { firstTs = b.ts; haveFirst = true }
+        !(dropFirst && b.ts == firstTs)
+      }
+      .map(toRow(sym, _))
+  }
+
+  private def toRow(sym: String, b: Brick): BrickRow = BrickRow(
+    symbol = sym,
+    datetime_us = b.ts,
+    open = b.open, high = b.high, low = b.low, close = b.close,
+    volume = b.volume, direction = b.direction, is_reversal = b.isReversal,
+    tick_index_open = b.tickIndexOpen, tick_index_close = b.tickIndexClose,
+    normal_high = b.normalHigh, normal_low = b.normalLow,
+    nongap_open = b.nongapOpen,
+    reverse_nongap_open = b.reverseNongapOpen,
+    reverse_fake_nongap_open = b.reverseFakeNongapOpen,
+    reverse_high = b.reverseHigh, reverse_low = b.reverseLow,
+    fake_high = b.fakeHigh, fake_low = b.fakeLow)
+}
