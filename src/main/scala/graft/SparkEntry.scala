@@ -1,7 +1,8 @@
 package graft
 
 import graft.operators.{Renko, RenkoModes, ToRws}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.{PriceEvent, RenkoWS}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +35,18 @@ object SparkEntry {
       .select(col("event_type"), col("ts").as("datetime"), col("value").as("close"))
   }
 
+  /** events as a PriceEvent stream (timestamp in epoch µs). */
+  private def priceEvents(s: SparkSession, dir: String): Dataset[PriceEvent] = {
+    ensureConf(s)
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    ev.select(
+        lit("").as("symbol"),
+        Renko.toEpochMicros(ev.schema("ts").dataType, col("ts"), "ns").as("timestamp"),
+        col("value").as("price"))
+      .as[PriceEvent]
+  }
+
   private val EventBrick = 25.0
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -62,6 +75,20 @@ object SparkEntry {
         symbolCol = Some("event_type"), tsUnit = "ns"), "wicks")),
     "renko_to_rws" -> ((s, dir) => ToRws.toRws(
       Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick)),
+
+    // --- streaming surface (SURVEY §2.8), exercised in batch-replay form
+    // --- (same engine the flatMapGroupsWithState operator wraps)
+    "renko_ws_replay" -> ((s, dir) => RenkoWS.replay(priceEvents(s, dir), EventBrick).toDF()),
+    "renko_ws_resume" -> ((s, dir) => {
+      // checkpoint at the median event time, resume, emit the post-splice bricks
+      val ticks = eventTicks(s, dir)
+      val cut = ticks.selectExpr("percentile_approx(datetime, 0.5)").collect()(0).getLong(0)
+      val headWide = Renko.fromTicks(ticks.filter(col("datetime") <= cut), EventBrick, tsUnit = "ns")
+      val init = RenkoWS.stateFromCheckpoint(ToRws.toRws(headWide, EventBrick)).collect().toMap
+      import s.implicits._
+      val tail = priceEvents(s, dir).filter(_.timestamp > cut / 1000)
+      RenkoWS.replay(tail, EventBrick, initialState = init).toDF()
+    }),
 
     // --- relational operators (SURVEY §2.2-2.5), DuckDB-oracle-backed
     "q1_agg" -> ((s, dir) => {

@@ -1,0 +1,287 @@
+package graft.streaming
+
+import graft.core.{Brick, PyMath, RenkoEngine, RenkoSnapshot}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One incoming price event: series key + integer timestamp (unit declared by
+  * the caller, reference `ts_unit`) + price.
+  */
+final case class PriceEvent(symbol: String, timestamp: Long, price: Double)
+
+/** Streaming brick row — the reference RenkoWS table (`renkodf.py:489-496`):
+  * wide table minus tick indices, integer `timestamp` instead of datetime.
+  */
+final case class WsBrick(
+    symbol: String,
+    timestamp: Long,
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    volume: Long,
+    direction: Int,
+    is_reversal: Int,
+    normal_high: Double,
+    normal_low: Double,
+    nongap_open: Double,
+    reverse_nongap_open: Double,
+    reverse_fake_nongap_open: Double,
+    reverse_high: Double,
+    reverse_low: Double,
+    fake_high: Double,
+    fake_low: Double)
+
+/** Per-key streaming state: the renko accumulator plus the last observed
+  * event (needed by the forming-brick/animate view).
+  */
+final case class WsState(
+    brickSize: Double,
+    lastRenko: Double,
+    lastDirection: Int,
+    wickMin: Double,
+    wickMax: Double,
+    volume: Long,
+    lastTs: Long,
+    lastPrice: Double)
+
+/** Streaming renko: the reference's `RenkoWS` (`renkodf.py:423-858`)
+  * re-expressed as Structured Streaming.
+  *
+  * `bricks` runs on a streaming Dataset via `flatMapGroupsWithState`
+  * (Append, no timeout — renko is price-driven, there is no event-time
+  * completeness to wait for); `replay` is the batch-identical fold used for
+  * backfills and tests. Both wrap the same `RenkoEngine` the batch operator
+  * uses, so batch ≡ stream holds by construction.
+  *
+  * Reference-faithful details: the first event of a fresh key synthesizes an
+  * initial brick at the grid anchor with `volume=1, direction=1,
+  * is_reversal=1` and all mode columns at the anchor (`renkodf.py:468-499`),
+  * and — consequence of that synthetic row — the post-init state starts with
+  * direction +1, not 0 (`renkodf.py:508`). Resume from a `to_rws` checkpoint
+  * rehydrates wick/volume from the last checkpoint row's close
+  * (`renkodf.py:504-508`), reproducing the reference's documented
+  * one-row splice divergence (`test/test_ws_ext.py:39-58`).
+  *
+  * Deviation from the reference (documented): no `gap_tolerance` cap — the
+  * reference overflows its pre-allocated arrays past 200 gap bricks per
+  * event; we emit unbounded.
+  */
+object RenkoWS {
+
+  implicit private val evEnc: Encoder[PriceEvent] = Encoders.product[PriceEvent]
+  implicit private val brickEnc: Encoder[WsBrick] = Encoders.product[WsBrick]
+  implicit private val stateEnc: Encoder[WsState] = Encoders.product[WsState]
+  implicit private val keyedStateEnc: Encoder[(String, WsState)] =
+    Encoders.tuple(Encoders.STRING, Encoders.product[WsState])
+  implicit private val stringEnc: Encoder[String] = Encoders.STRING
+
+  // ---------------------------------------------------------------- batch
+
+  /** Batch-mode replay (ordered fold per key), optionally from checkpoint
+    * state. Emission-identical to feeding the events through `bricks`.
+    */
+  def replay(
+      events: Dataset[PriceEvent],
+      brickSize: Double,
+      initialState: Map[String, WsState] = Map.empty): Dataset[WsBrick] = {
+    val init = events.sparkSession.sparkContext.broadcast(initialState)
+    events
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("timestamp")) { (sym: String, it: Iterator[PriceEvent]) =>
+        val (_, out) = processSorted(sym, it.toSeq, init.value.get(sym), brickSize)
+        out.iterator
+      }
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  /** Streaming renko over a streaming Dataset of events. Within each
+    * micro-batch, a key's events are applied in timestamp order (the
+    * reference assumes in-order arrival; late data is undefined behavior
+    * there too, SURVEY §2.6).
+    */
+  def bricks(
+      events: Dataset[PriceEvent],
+      brickSize: Double,
+      initialState: Option[Dataset[(String, WsState)]] = None): Dataset[WsBrick] = {
+    val grouped = events.groupByKey(_.symbol)
+    val fn = (sym: String, it: Iterator[PriceEvent], state: GroupState[WsState]) => {
+      val evs = it.toArray.sortBy(_.timestamp)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val (next, out) = processSorted(sym, evs.toIndexedSeq, state.getOption, brickSize)
+        state.update(next)
+        out.iterator
+      }
+    }
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
+  /** Rehydrate per-key initial state from a `to_rws` checkpoint table
+    * (reference `renkodf.py:465,504-508`: brick_size from the table, wick
+    * min/max and last_renko all reset to the last row's close).
+    */
+  def stateFromCheckpoint(rws: DataFrame): Dataset[(String, WsState)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("timestamp").desc)
+    val last = rws
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("symbol", "brick_size", "close", "direction", "volume", "timestamp")
+    last.map { r =>
+      val close = r.getAs[Double]("close")
+      r.getAs[String]("symbol") -> WsState(
+        brickSize = r.getAs[Double]("brick_size"),
+        lastRenko = close,
+        lastDirection = r.getAs[Number]("direction").intValue(),
+        wickMin = close,
+        wickMax = close,
+        volume = r.getAs[Number]("volume").longValue(),
+        lastTs = r.getAs[Number]("timestamp").longValue(),
+        lastPrice = close)
+    }
+  }
+
+  // ------------------------------------------------------------ the fold
+
+  /** Apply a sorted run of events for one key. Returns (new state, emitted
+    * rows). A fresh key consumes its first event as the anchor and emits the
+    * synthetic initial brick.
+    */
+  private[graft] def processSorted(
+      sym: String,
+      evs: Seq[PriceEvent],
+      st: Option[WsState],
+      brickSize: Double): (WsState, Seq[WsBrick]) = {
+    val out = new ArrayBuffer[WsBrick]()
+    val bs = st.map(_.brickSize).getOrElse(brickSize)
+    val eng = new RenkoEngine(bs)
+    var idx = 0
+    var lastTs = 0L
+    var lastPrice = 0.0
+
+    st match {
+      case Some(s) =>
+        eng.restore(RenkoSnapshot(s.lastRenko, s.lastDirection, s.wickMin, s.wickMax, s.volume, 1L, 1L))
+        lastTs = s.lastTs
+        lastPrice = s.lastPrice
+      case None =>
+        val first = evs.head
+        val anchor = PyMath.floorDiv(first.price, bs) * bs
+        eng.initAt(anchor, 1) // synthetic row has direction 1 (renkodf.py:471,508)
+        out += initialBrick(sym, first.timestamp, anchor)
+        lastTs = first.timestamp
+        lastPrice = first.price
+        idx = 1
+    }
+
+    val buf = new ArrayBuffer[Brick](4)
+    while (idx < evs.length) {
+      val e = evs(idx)
+      buf.clear()
+      eng.step(e.timestamp, e.price, 0L, buf)
+      buf.foreach(b => out += toWsBrick(sym, b))
+      lastTs = e.timestamp
+      lastPrice = e.price
+      idx += 1
+    }
+
+    val snap = eng.snapshot
+    val next = WsState(bs, snap.lastRenko, snap.lastDirection, snap.wickMin,
+      snap.wickMax, snap.volume, lastTs, lastPrice)
+    (next, out.toSeq)
+  }
+
+  /** The synthetic first row: every price column at the anchor
+    * (renkodf.py:468-499).
+    */
+  private def initialBrick(sym: String, ts: Long, anchor: Double): WsBrick =
+    WsBrick(sym, ts, anchor, anchor, anchor, anchor, 1L, 1, 1,
+      anchor, anchor, anchor, anchor, anchor, anchor, anchor, anchor, anchor)
+
+  private def toWsBrick(sym: String, b: Brick): WsBrick =
+    WsBrick(sym, b.ts, b.open, b.high, b.low, b.close, b.volume, b.direction,
+      b.isReversal, b.normalHigh, b.normalLow, b.nongapOpen,
+      b.reverseNongapOpen, b.reverseFakeNongapOpen,
+      b.reverseHigh, b.reverseLow, b.fakeHigh, b.fakeLow)
+
+  // ------------------------------------------------------------- animate
+
+  /** Live-chart view: completed bricks of one key (mode-projected, with the
+    * integer `timestamp` column) plus ONE synthetic forming brick computed
+    * from the live state (reference `renko_animate`, `renkodf.py:767-858`).
+    *
+    * Retention is a non-destructive view here: when the completed length
+    * reaches `maxLen`, the oldest `maxLen - keep` rows are omitted from the
+    * returned frame (the reference destructively deletes them from its
+    * internal frame, `renkodf.py:855-856` — same visible window, but our
+    * engine's state/results remain append-only).
+    */
+  def animate(
+      completedMode: DataFrame,
+      state: WsState,
+      mode: String = "wicks",
+      maxLen: Int = 500,
+      keep: Int = 250): DataFrame = {
+    val spark = completedMode.sparkSession
+    val lastRows = completedMode.orderBy(col("timestamp").desc).limit(1).collect()
+    val n = completedMode.count()
+
+    val wsPrice = state.lastPrice
+    var o = wsPrice
+    var h = if (mode != "normal") state.wickMax else wsPrice
+    var l = if (mode != "normal") state.wickMin else wsPrice
+    val c = wsPrice
+
+    if (lastRows.nonEmpty) {
+      val last = lastRows(0)
+      val lastClose = last.getAs[Double]("close")
+      val lastOpen = last.getAs[Double]("open")
+      val nongapRule = Set("nongap", "reverse-nongap", "fake-r-nongap").contains(mode)
+      if (lastClose > lastOpen) { // last brick UP (renkodf.py:825-834)
+        if (wsPrice > lastClose) {
+          o = if (nongapRule) state.wickMin else lastClose
+          if (mode == "normal") l = lastClose
+        } else if (wsPrice < lastOpen) {
+          o = if (nongapRule) state.wickMax else lastOpen
+          if (mode == "normal") h = lastOpen
+        }
+      } else { // last brick DOWN (renkodf.py:836-845)
+        if (wsPrice < lastClose) {
+          o = if (nongapRule) state.wickMax else lastClose
+          if (mode == "normal") h = lastClose
+        } else if (wsPrice > lastOpen) {
+          o = if (nongapRule) state.wickMin else lastOpen
+          if (mode == "normal") l = lastOpen
+        }
+      }
+    }
+    val dir = if (c > o) 1 else if (c < o) -1 else 0
+
+    import spark.implicits._
+    val forming = Seq((state.lastTs, o, h, l, c, state.volume, dir, 0))
+      .toDF("timestamp", "open", "high", "low", "close", "volume", "direction", "is_reversal")
+    val formingAligned = forming.select(completedMode.columns.map {
+      case "symbol" => lit(completedMode.select("symbol").head(1).headOption.map(_.getString(0)).getOrElse("")).as("symbol")
+      case c => col(c)
+    }.toSeq: _*)
+
+    val retained =
+      if (maxLen != 0 && n >= maxLen)
+        completedMode.orderBy(col("timestamp").desc).limit((n - (maxLen - keep)).toInt).orderBy(col("timestamp"))
+      else completedMode
+    retained.unionByName(formingAligned)
+  }
+}
