@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{Renko, RenkoModes, ToRws}
+import graft.operators.{Dedup, Multimodal, Renko, RenkoModes, Similarity, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -99,7 +100,152 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+    }),
+    "q2_filter_sort" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+    "q3_join_broadcast" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q4_multijoin" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q5_window_topk" -> ((s, dir) => {
+      ensureConf(s)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+    "q6_window_lag" -> ((s, dir) => {
+      ensureConf(s)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_value").isNotNull)
+        .select(col("event_id"), col("user_id"), (col("value") - col("prev_value")).as("value_diff"))
+        .orderBy(col("event_id"))
+    }),
+    "q7_union_distinct" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val a = ev.filter(col("event_type") === "purchase")
+      val b = ev.filter(col("value") > 400)
+      a.unionByName(b).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+    "q8_semijoin" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      orders.join(li.filter(col("l_quantity") >= 49), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q9_antijoin" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q10_tail" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("event_id"), col("event_type"), col("value"),
+          (col("ts").cast("decimal(38,0)") / lit(1000000)).cast("long").as("ts_ms"))
+        .orderBy(col("ts_ms").desc)
+        .limit(10)
+    }),
+    "q11_agg_stats" -> ((s, dir) => {
+      ensureConf(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- deduplication (beyond-reference pipeline operators)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 7)
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.topCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 20)),
+
+    // --- similarity search
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- text analysis
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("fingerprint"))),
+
+    // --- multimodal plumbing
+    "mm_media_meta" -> ((s, dir) =>
+      Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("media_type"),
+          col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+        .orderBy(col("doc_id"))),
+    "mm_decode_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF().orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +254,8 @@ object SparkEntry {
     * rows-only check; those operators are instead validated bit-exactly
     * against reference-generated goldens in src/test (GoldenBatchSpec).
     */
+  private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -116,6 +264,165 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_multijoin" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q5_window_topk" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q6_window_lag" ->
+      """SELECT event_id, user_id, value - prev_value AS value_diff FROM (
+        |  SELECT event_id, user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q7_union_distinct" ->
+      """SELECT event_type, count(*) AS n_rows, count(DISTINCT user_id) AS n_users FROM (
+        |  SELECT * FROM events WHERE event_type = 'purchase'
+        |  UNION
+        |  SELECT * FROM events WHERE value > 400)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q8_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q9_antijoin" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_tail" ->
+      """SELECT event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |ORDER BY ts_ms DESC, event_id DESC LIMIT 10""".stripMargin,
+    "q11_agg_stats" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $Tok AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM tok WHERE len(w) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding)+1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 9) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+        |  FROM s)
+        |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($Tok)) AS BIGINT) AS n_unique_tokens,
+         |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stopword_cnt
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, n_unique_tokens, stopword_cnt,
+         |  CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+         |    + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter($Tok, t -> t IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter($Tok, t -> t IN ('el','la','los','y'))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter($Tok, t -> t IN ('le','les','et','une'))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter($Tok, t -> t IN ('de5','le5','shi4'))) AS BIGINT) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
+         |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[A-Za-z]+$$'))) AS BIGINT) AS n_words_alpha,
+         |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_numbers
+         |FROM (SELECT doc_id, $Tok AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |  FROM documents)
+        |SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_docs
+        |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

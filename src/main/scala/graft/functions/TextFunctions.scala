@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the pipeline operators — all built-in Catalyst
+  * expressions (codegen'd), no UDFs. Each helper has an exactly-equivalent
+  * ANSI/DuckDB formulation used by the oracle SQL in SparkEntry, so results
+  * hash-match across engines.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (regex `\s+` on trimmed text). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles (distinct), n=3: `w_i w_i+1 w_i+2`. Caller filters
+    * out docs with fewer than 3 tokens.
+    */
+  def wordShingles3(c: Column): Column = {
+    val w = tokens(c)
+    array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+  }
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, squeeze whitespace.
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Deterministic document fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizedText(c))
+
+  /** Count of tokens drawn from a fixed marker set. */
+  def markerCount(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers.map(m => m: Any): _*)))
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Language marker tokens (n-gram heuristic langid). The prediction is a
+    * deterministic argmax with a fixed tie-break order — the contract is
+    * determinism and cross-engine equality, not linguistic accuracy.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "zh" -> Seq("de5", "le5", "shi4")) // romanized placeholders; corpus is latin
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * Scale design (the point of running this on Spark at all):
+  *  - exact dedup is one hash-partitioned aggregation on the text key —
+  *    map-side partial aggregation applies, no driver involvement;
+  *  - n-gram Jaccard joins on individual shingles, which distributes far
+  *    better than any pairwise scheme (word 3-grams are near-unique, so the
+  *    shingle join has no hot keys; a pairwise cross join would be O(n²));
+  *  - MinHash/LSH reduces candidate generation to an equi-join on
+  *    (band, bandHash) — the standard sub-quadratic path at corpus scale —
+  *    then verifies candidates with exact Jaccard so precision is exact;
+  *  - SimHash pairs join on 16-bit signature chunks (pigeonhole: hamming
+  *    distance ≤ 3 ⇒ at least one of 4 chunks equal), then verify with
+  *    `bit_count(xor)`.
+  *
+  * All expressions are built-in Catalyst functions (whole-stage codegen).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: keep the smallest id per identical text.
+    * Output: (doc_id BIGINT — the keeper, n_copies BIGINT).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(size(tokens(col(textCol))) >= 3)
+      .select(col(idCol).as("doc_id"), explode(wordShingles3(col(textCol))).as("s"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs (word 3-grams).
+    * Output: (id_a, id_b, jaccard DOUBLE) for jaccard >= threshold.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    jaccardOfSharedShingles(sh, threshold, None)
+  }
+
+  /** Shared-shingle counting + Jaccard for (doc_id, s) pairs, optionally
+    * restricted to a candidate pair set (id_a, id_b).
+    */
+  private def jaccardOfSharedShingles(
+      sh: DataFrame,
+      threshold: Double,
+      candidates: Option[DataFrame]): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("s"))
+    val b = sh.select(col("doc_id").as("id_b"), col("s"))
+    val sharedAll = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+    val sharedPairs = candidates match {
+      case Some(c) => sharedAll.join(c, Seq("id_a", "id_b"), "left_semi")
+      case None => sharedAll
+    }
+    val shared = sharedPairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    shared
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
+
+  /** MinHash signature parameters: numHashes = bands * rowsPerBand linear
+    * permutations over a 64-bit base shingle hash. Seeds are fixed so
+    * results are deterministic.
+    */
+  final case class MinHashParams(bands: Int = 16, rowsPerBand: Int = 4) {
+    def numHashes: Int = bands * rowsPerBand
+  }
+
+  /** MinHash + LSH near-duplicate detection, verified: generate candidate
+    * pairs from LSH band collisions (sub-quadratic), then compute exact
+    * Jaccard on candidates only. Output: (id_a, id_b, jaccard) — same shape
+    * as `ngramJaccardPairs` but scalable to corpora where the full shingle
+    * self-join is too expensive at low thresholds.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val candidates = minhashCandidates(sh, params)
+    jaccardOfSharedShingles(sh, threshold, Some(candidates))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
+  private[graft] def minhashCandidates(sh: DataFrame, params: MinHashParams): DataFrame = {
+    // base hash folded into [0, 2^31) so the linear permutations below stay
+    // inside Long range (ANSI mode rejects wrap-around arithmetic)
+    val h = pmod(xxhash64(col("s")), lit(2147483647L))
+    val sigCols: Seq[Column] = (0 until params.numHashes).map { i =>
+      min(h * lit(2L * i + 1234567891L) + lit(98176543L * i + 7L)).as(s"m$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // one row per band: bucket key = hash of the band's signature slice
+    val bandRows: Seq[Column] = (0 until params.bands).map { b =>
+      val slice = (0 until params.rowsPerBand).map(r => col(s"m${b * params.rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandRows: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash per document over token hashes.
+    * Output: (doc_id, simhash BIGINT).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)).as(s"b$j")
+    }
+    val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // disjoint bit contributions sum to the bitwise OR (incl. the sign bit)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxHamming (< 8
+    * required: candidate join on eight 8-bit chunks — pigeonhole: hamming
+    * <= 7 flipped bits cannot touch all 8 chunks, so at least one chunk
+    * matches exactly). Output: (id_a, id_b, hamming INT).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < 8, "chunk-join candidate generation requires maxHamming < 8")
+    val sigs = simhash(docs, idCol, textCol)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map { k =>
+        struct(lit(k).as("k"), shiftrightunsigned(col("simhash"), 8 * k).bitwiseAND(lit(0xFFL)).as("chunk"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.k").as("k"), col("c.chunk").as("chunk"))
+    val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    chunks.as("x").join(chunks.as("y"), Seq("k", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), ham.as("hamming"))
+      .filter(col("hamming") <= lit(maxHamming))
+      .distinct()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Extracted features for one media payload. `embedding` is the stubbed
+  * "model output" — deterministic bytes-derived floats standing in for a real
+  * encoder.
+  */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    checksum: String,
+    mean_byte: Double,
+    byte_histogram: Array[Long],
+    embedding: Array[Float])
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in batches.
+  *
+  * The actual decode kernel is STUBBED (this environment has no image/audio
+  * codecs): `decodeStub` derives deterministic features from raw bytes where
+  * a real pipeline would decode pixels / PCM frames. Everything around the
+  * stub — binary columns, metadata struct, batch-shaped `mapPartitions`
+  * (mirroring the arrow-batch shape a vectorized UDF would see), output
+  * schema with an embedding column — is real Spark plumbing and is tested.
+  *
+  * Scale notes: payloads never shuffle (features are extracted in the scan
+  * stage); batch size bounds peak memory per task; the feature table is the
+  * only thing downstream operators (dedup, ANN) ever join on.
+  */
+object Multimodal {
+
+  implicit private val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** Wrap a text corpus as fake media rows: (doc_id, media_type, payload
+    * BINARY, meta STRUCT). Stands in for reading real image/audio bytes.
+    */
+  def asMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      // deterministic fake modality assignment
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        md5(col(textCol)).as("checksum")).as("meta"))
+
+  /** Batched feature extraction over binary payloads. The per-batch loop is
+    * where a vectorized decode (pixels → resize → encoder) would run; the
+    * stub computes deterministic byte statistics + a fake 8-dim embedding.
+    */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch-shaped kernel: one call per batch, like an arrow UDF
+          batch.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) }
+        }
+      }
+  }
+
+  /** STUB decode kernel — deterministic features from raw bytes. A real
+    * implementation would decode the payload (JPEG/PCM/frames) here.
+    */
+  private[graft] def decodeStub(id: Long, mediaType: String, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length
+    val hist = new Array[Long](4)
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      hist(b >>> 6) += 1
+      sum += b
+      i += 1
+    }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    val emb = new Array[Float](8)
+    var j = 0
+    while (j < 8) {
+      // fold every 8th byte into one embedding lane
+      var acc = 0L
+      var k = j
+      while (k < n) { acc = acc * 31L + (bytes(k) & 0xFF); k += 8 }
+      emb(j) = ((acc % 1000L).toFloat) / 1000.0f
+      j += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+    MediaFeatures(id, mediaType, n.toLong, checksum, mean, hist, emb)
+  }
+}

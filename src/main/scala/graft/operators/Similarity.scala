@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design: the query set is small and broadcast (no shuffle of the
+  * corpus); norms are computed once per vector in the scan projection; the
+  * per-query top-k uses a window over (query, score) which shuffles only
+  * (corpus × |queries|) score rows, never the vectors themselves. The LSH
+  * variant buckets the corpus by deterministic random-hyperplane signatures
+  * so each query only scores its own bucket — the 100 TB path, where the
+  * brute-force cross product is no longer affordable.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cos_sim) — cos_sim rounded to
+    * 9 dp for cross-engine reproducibility.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nv"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"))
+    val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v"), col("nq"), col("nv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic random-hyperplane signature: `numPlanes` sign bits. Plane
+    * coefficients are derived from xxhash64(plane, dim) mapped to [-0.5, 0.5)
+    * — fixed, engine-independent, no stored model.
+    */
+  private def planeSignature(vec: org.apache.spark.sql.Column, numPlanes: Int) = {
+    val planeDots = (0 until numPlanes).map { p =>
+      // dot(v, plane_p) where plane_p[i] = frac(xxhash64(p, i)) - 0.5
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x.cast("double") *
+            ((pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5))),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    planeDots.zipWithIndex.map { case (d, j) =>
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: corpus and queries are signed with the same
+    * hyperplanes; each query scores only vectors sharing its bucket.
+    * Output: (query_id, rank, neighbor_id, cos_sim) — approximate (recall
+    * < 1), which is the trade the bucket join buys at scale.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nv"), planeSignature(col(vecCol), numPlanes).as("bucket"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"), planeSignature(col(vecCol), numPlanes).as("bucket"))
+    val scored = corpus.join(broadcast(qs), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v"), col("nq"), col("nv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: global top-N most similar
+    * distinct pairs. Output: (id_a, id_b, cos_sim).
+    */
+  def topCosinePairs(
+      emb: DataFrame,
+      topN: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = emb.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+    val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 9).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: quality scoring, language ID,
+  * token statistics, document fingerprinting. Single-pass, per-row
+  * projections — embarrassingly parallel, fully codegen'd, no shuffle except
+  * where an aggregation is the point (fingerprint groups).
+  *
+  * Every computation here has an exactly-equivalent DuckDB formulation
+  * (same operation order on doubles, same regexes) for the oracle.
+  */
+object TextAnalysis {
+
+  /** Per-document quality features + a deterministic quality score.
+    * Output: (doc_id, n_chars, n_tokens, n_unique_tokens, stopword_cnt,
+    * ttr, stopword_ratio, quality_score).
+    */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = size(tokens(t)).cast("long")
+    val nUniq = size(array_distinct(tokens(t))).cast("long")
+    val stop = markerCount(t, StopwordsEn).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      nUniq.as("n_unique_tokens"),
+      stop.as("stopword_cnt"))
+      .withColumn("ttr", col("n_unique_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stopword_ratio", col("stopword_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+          + col("ttr") * lit(0.4)
+          + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2))
+  }
+
+  /** Heuristic language ID via marker-token counts with a fixed argmax
+    * tie-break order. Output: (doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang).
+    */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = docs.select(
+      (col(idCol).as("doc_id") +:
+        LangMarkers.map { case (lang, markers) => markerCount(t, markers).cast("long").as(s"s_$lang") }): _*)
+    val langs = LangMarkers.map(_._1)
+    // argmax with ties resolved by declaration order (en first)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
+      val later = langs.drop(i + 1)
+      if (later.isEmpty) rest
+      else {
+        val maxLater =
+          if (later.size == 1) col(s"s_${later.head}")
+          else greatest(later.map(l => col(s"s_$l")): _*)
+        when(col(s"s_$lang") >= maxLater, lit(lang)).otherwise(rest)
+      }
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Token statistics. Output: (doc_id, n_tokens, n_unique_tokens,
+    * n_words_alpha, n_numbers) — `n_words_alpha`/`n_numbers` count tokens by
+    * a BPE-ish character-class regex.
+    */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_unique_tokens"),
+      size(filter(w, t => t.rlike("^[A-Za-z]+$"))).cast("long").as("n_words_alpha"),
+      size(filter(w, t => t.rlike("^[0-9]+$"))).cast("long").as("n_numbers"))
+  }
+
+  /** Normalized-text fingerprint groups (md5 of canonical form): near-exact
+    * dedup robust to case/punctuation. Output: (fingerprint, doc_id — the
+    * keeper, n_docs).
+    */
+  def fingerprintGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_docs"))
+      .select(col("fingerprint"), col("doc_id"), col("n_docs"))
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Validation for the pipeline operators without a SQL oracle (MinHash/LSH,
+  * SimHash, ANN) — cross-checked against their exact counterparts — plus the
+  * multimodal plumbing.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+  test("minhash LSH: verified pairs are a high-recall subset of exact jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-duplicates")
+    // precision is exact by construction (candidates are jaccard-verified)
+    assert(lsh.subsetOf(exact), s"LSH returned non-duplicate pairs: ${lsh.diff(exact)}")
+    // recall: 16 bands x 4 rows at j>=0.8 detects with p ~ 1-(1-j^4)^16 > 0.999
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: near-duplicate docs collide, pair search finds planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // measured: >=0.9-jaccard pairs sit at hamming 0-6 on this corpus, and
+    // the 8-chunk pigeonhole join guarantees detection through hamming 7
+    val recall = exact.intersect(sim).size.toDouble / exact.size
+    assert(recall >= 0.95, s"simhash recall $recall")
+    // and the signature is a deterministic function of the text
+    val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == sigs2)
+  }
+
+  test("LSH ANN: neighbors are genuine (scores match brute force), recall reported") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, 5).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must carry the true cosine score for that pair
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(allScores.contains(key) && allScores(key) == r.getDouble(3),
+        s"LSH score mismatch for $key")
+    }
+    val hit = lsh.count(r => bf.contains((r.getLong(0), r.getLong(2))))
+    info(s"LSH ANN recall@5 = $hit/${bf.size} (bucketed, approximate by design)")
+  }
+
+  test("dedup_exact keeps one representative per distinct text") {
+    val total = docs.count()
+    val kept = Dedup.exact(docs)
+    assert(kept.agg(sum("n_copies")).collect()(0).getLong(0) == total)
+    assert(kept.count() == docs.select("text").distinct().count())
+  }
+
+  test("multimodal: binary payload -> batched stub decode, deterministic features") {
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, batchSize = 32).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.filter(col("doc_id") === 0).collect()(0)
+    // checksum equals md5 of the utf-8 text — the blob round-trips intact
+    val txt = docs.filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f.checksum == md)
+    assert(f.n_bytes == txt.getBytes("UTF-8").length.toLong)
+    assert(f.byte_histogram.sum == f.n_bytes)
+    assert(f.embedding.length == 8)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, batchSize = 7)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(again.checksum == f.checksum && again.mean_byte == f.mean_byte
+      && again.embedding.sameElements(f.embedding))
+  }
+
+  test("text analysis sanity: quality/langid/token stats shapes") {
+    val q = TextAnalysis.quality(docs)
+    assert(q.count() == docs.count())
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    val l = TextAnalysis.langId(docs)
+    assert(l.select("pred_lang").distinct().collect().map(_.getString(0)).toSet.subsetOf(
+      Set("en", "de", "es", "fr", "zh")))
+    val t = TextAnalysis.tokenStats(docs)
+    assert(t.filter(col("n_words_alpha") + col("n_numbers") > col("n_tokens")).count() == 0)
+  }
+}
