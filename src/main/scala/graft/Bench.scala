@@ -1,9 +1,64 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Renko, RenkoModes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR (driver runs at
+  * sf0.1) plus two synthetic renko workloads sized to the reference's
+  * perf_backtest (14.7M ticks → BASELINE.md: 12.65 s single-thread):
+  *  - renko_14m_1series: one series = sequential scan, measures per-core
+  *    scan throughput against the reference's number;
+  *  - renko_14m_32series: same volume split across 32 series = the scale
+  *    path (parallelism = #series), measures the distributed layout.
+  * Tick synthesis is elementwise (sin sweep + hash jitter) — no window, no
+  * shuffle — so the measurement is dominated by the scan itself.
+  */
 object Bench {
+
+  /** Synthetic tick table: n ticks over `series` keys, elementwise price. */
+  private def synthTicks(spark: SparkSession, n: Long, series: Int): DataFrame =
+    spark.range(n).select(
+      pmod(col("id"), lit(series)).cast("string").as("symbol"),
+      col("id").as("datetime"), // epoch µs
+      (lit(200.0)
+        + lit(50.0) * sin(col("id").cast("double") / lit(5000.0))
+        + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
+        ).as("close"))
+
+  private def headline(sfDir: String): Seq[(String, SparkSession => DataFrame)] = {
+    def q(name: String): SparkSession => DataFrame = s => SparkEntry.queries(name)(s, sfDir)
+    Seq[(String, SparkSession => DataFrame)](
+      "q1_agg" -> q("q1_agg"),
+      "q4_multijoin" -> q("q4_multijoin"),
+      "q5_window_topk" -> q("q5_window_topk"),
+      "renko_wicks" -> q("renko_wicks"),
+      "renko_multi_series" -> q("renko_multi_series"),
+      "renko_ws_replay" -> q("renko_ws_replay"),
+      "dedup_exact" -> q("dedup_exact"),
+      "dedup_ngram_jaccard" -> q("dedup_ngram_jaccard"),
+      "dedup_minhash_lsh" -> q("dedup_minhash_lsh"),
+      "dedup_simhash" -> q("dedup_simhash"),
+      "sim_topk_bruteforce" -> q("sim_topk_bruteforce"),
+      "sim_topk_lsh" -> q("sim_topk_lsh"),
+      "text_quality" -> q("text_quality"),
+      "text_fingerprint" -> q("text_fingerprint"),
+      "mm_decode_features" -> q("mm_decode_features"),
+      "renko_14m_1series" -> (s => RenkoModes.project(
+        Renko.fromTicks(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"), "wicks")),
+      "renko_14m_32series" -> (s => RenkoModes.project(
+        Renko.fromTicks(synthTicks(s, 14700000L, 32), 1.0,
+          symbolCol = Some("symbol"), tsUnit = "us"), "wicks")),
+      // pre-ordered input (range output is globally id-ordered): no exchange,
+      // no sort — pure scan throughput, the bucketed-table path at scale
+      "renko_14m_sorted_scan" -> (s => RenkoModes.project(
+        Renko.fromSortedTicks(synthTicks(s, 14700000L, 1).coalesce(1), 1.0, tsUnit = "us"), "wicks"))
+    )
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,14 +67,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // untimed actions to absorb session/JIT/codegen warmup, incl. the typed
+    // shuffle+sort+scan path the renko workloads use
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
+    Renko.fromTicks(synthTicks(spark, 200000L, 2), 1.0,
+      symbolCol = Some("symbol"), tsUnit = "us").count()
+
+    val results = headline(sfDir).map { case (name, mk) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try mk(spark).count() catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s  ($n rows)")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,11 +15,19 @@ object TextFunctions {
 
   /** Word n-gram shingles (distinct), n=3: `w_i w_i+1 w_i+2`. Caller filters
     * out docs with fewer than 3 tokens.
+    *
+    * Implementation note: built from `arrays_zip` of three shifted slices
+    * rather than `element_at` inside the lambda — a lambda that indexes the
+    * tokenization expression re-evaluates the regex split PER ELEMENT
+    * (measured ~10x slowdown on the shingle stage); the zip form evaluates
+    * it a constant number of times per row.
     */
   def wordShingles3(c: Column): Column = {
     val w = tokens(c)
-    array_distinct(transform(sequence(lit(1), size(w) - 2),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val n = size(w) - 2
+    array_distinct(transform(
+      arrays_zip(slice(w, lit(1), n), slice(w, lit(2), n), slice(w, lit(3), n)),
+      t => concat_ws(" ", t.getField("0"), t.getField("1"), t.getField("2"))))
   }
 
   /** Canonical normalization for fingerprinting: lowercase, strip

@@ -56,8 +56,17 @@ object Dedup {
       threshold: Double,
       candidates: Option[DataFrame]): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("s"))
-    val b = sh.select(col("doc_id").as("id_b"), col("s"))
+    // with a candidate set, prune the shingle table to involved docs BEFORE
+    // the self-join — verification then touches only the candidates' rows
+    // instead of re-materializing the full pairwise expansion
+    val (aSh, bSh) = candidates match {
+      case Some(c) =>
+        (sh.join(c.select(col("id_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"),
+          sh.join(c.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+      case None => (sh, sh)
+    }
+    val a = aSh.select(col("doc_id").as("id_a"), col("s"))
+    val b = bSh.select(col("doc_id").as("id_b"), col("s"))
     val sharedAll = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
     val sharedPairs = candidates match {
       case Some(c) => sharedAll.join(c, Seq("id_a", "id_b"), "left_semi")

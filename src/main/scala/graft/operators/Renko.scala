@@ -113,6 +113,88 @@ object Renko {
     widen(bricks.toDF())
   }
 
+  /** Zero-shuffle fast path for pre-ordered input (the reference assumes
+    * time-ordered ticks too, SURVEY §2.3): no exchange, no sort — each
+    * partition is scanned directly, with consecutive runs of the same series
+    * key treated as independent series.
+    *
+    * Contract: rows are time-ordered within each partition and every series
+    * is contiguous within one partition. Single series: pass the data through
+    * `coalesce(1)` (order-preserving) or store it as one sorted file. At
+    * cluster scale this is the bucketed-table path — tick tables bucketed by
+    * symbol and sorted by time renko-scan with NO shuffle at all.
+    */
+  def fromSortedTicks(
+      df: DataFrame,
+      brickSize: Double,
+      symbolCol: Option[String] = None,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true): DataFrame = {
+    require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    require(df.columns.contains(closeCol), s"Column '$closeCol' doesn't exist!")
+    require(df.columns.contains(datetimeCol), s"Column '$datetimeCol' doesn't exist!")
+    val symExpr: Column = symbolCol.map(c => col(c).cast(StringType)).getOrElse(lit(""))
+    val ticks = df
+      .select(
+        symExpr.as("symbol"),
+        toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
+        col(closeCol).cast(DoubleType).as("price"))
+      .as[Tick]
+    widen(ticks.mapPartitions(it => scanPartition(it, brickSize, dropFirst)).toDF())
+  }
+
+  /** Scan one pre-ordered partition: split into consecutive same-symbol runs
+    * and scan each run as an independent series, lazily, in one flat
+    * iterator (no per-series iterator nesting).
+    */
+  private[graft] def scanPartition(
+      it: Iterator[Tick],
+      brickSize: Double,
+      dropFirst: Boolean): Iterator[BrickRow] = {
+    val in = it.buffered
+    new Iterator[BrickRow] {
+      private val buf = new ArrayBuffer[Brick](8)
+      private var pos = 0
+      private var eng: RenkoEngine = null
+      private var sym: String = null
+      private var i = 0L
+      private var firstTs = Long.MinValue
+      private var haveFirst = false
+
+      override def hasNext: Boolean = {
+        while (pos >= buf.length) {
+          if (!in.hasNext) return false
+          if (eng == null || in.head.symbol != sym) {
+            // next series begins: its first tick only sets the anchor
+            sym = in.head.symbol
+            eng = new RenkoEngine(brickSize)
+            eng.initAnchor(in.next().price)
+            i = 0L
+            haveFirst = false
+          } else {
+            val t = in.next()
+            i += 1
+            buf.clear(); pos = 0
+            eng.step(t.t, t.price, i, buf)
+            if (buf.nonEmpty) {
+              if (!haveFirst) { firstTs = buf(0).ts; haveFirst = true }
+              // reference drop-first-label rule (renkodf.py:69)
+              if (dropFirst) buf.filterInPlace(_.ts != firstTs)
+            }
+          }
+        }
+        true
+      }
+      override def next(): BrickRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val b = buf(pos); pos += 1
+        toRow(sym, b)
+      }
+    }
+  }
+
   /** Epoch-µs conversion for the supported datetime representations. The
     * reference's `ts_unit ∈ {D, s, ms, us, ns}` (renkodf.py:454-455) applies
     * to integer columns; TIMESTAMP columns carry their own unit.

@@ -93,7 +93,7 @@ object RenkoWS {
     events
       .groupByKey(_.symbol)
       .flatMapSortedGroups(col("timestamp")) { (sym: String, it: Iterator[PriceEvent]) =>
-        val (_, out) = processSorted(sym, it.toSeq, init.value.get(sym), brickSize)
+        val (_, out) = processSorted(sym, it.toArray.toIndexedSeq, init.value.get(sym), brickSize)
         out.iterator
       }
   }
@@ -162,7 +162,7 @@ object RenkoWS {
     */
   private[graft] def processSorted(
       sym: String,
-      evs: Seq[PriceEvent],
+      evs: IndexedSeq[PriceEvent], // indexed: the loop below does evs(idx)
       st: Option[WsState],
       brickSize: Double): (WsState, Seq[WsBrick]) = {
     val out = new ArrayBuffer[WsBrick]()

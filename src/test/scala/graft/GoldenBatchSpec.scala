@@ -78,6 +78,19 @@ class GoldenBatchSpec extends SparkTestBase {
     assertMatchesGolden(wide, s"$golden/events_sf0001_b25_bytype_wide.parquet")
   }
 
+  test("fromSortedTicks zero-shuffle path: bit-exact on pre-ordered input") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val single = base.select(col("ts").as("datetime"), col("value").as("close"))
+      .orderBy("datetime").coalesce(1)
+    assertMatchesGolden(Renko.fromSortedTicks(single, 25.0, tsUnit = "ns"),
+      s"$golden/events_sf0001_b25_wide.parquet")
+    val multi = base.select(col("event_type"), col("ts").as("datetime"), col("value").as("close"))
+      .orderBy("event_type", "datetime").coalesce(1)
+    assertMatchesGolden(
+      Renko.fromSortedTicks(multi, 25.0, symbolCol = Some("event_type"), tsUnit = "ns"),
+      s"$golden/events_sf0001_b25_bytype_wide.parquet")
+  }
+
   test("mode projections: column mapping and shape") {
     val wide = eurgbpWide
     for (mode <- RenkoModes.all) {

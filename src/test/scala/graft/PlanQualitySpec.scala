@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Renko
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan assertions: the properties that keep these operators fast
+  * at 100 TB — column pruning into the scan, predicate pushdown, broadcast
+  * joins for small dimensions, shuffle counts — are checked here so a
+  * regression in plan shape fails CI, not a production run.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("renko scan: only (datetime, close) reach the parquet reader") {
+    val ticks = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").as("datetime"), col("value").as("close"))
+    val plan = formatted(Renko.fromTicks(ticks, 25.0, tsUnit = "ns"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ts") && readSchema.contains("value"),
+      s"expected pruned scan of ts+value, got: $readSchema")
+    // the wide events schema (event_type, props, user_id) must NOT be read
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"column pruning failed before the typed operator: $readSchema")
+  }
+
+  test("q2 filter pushdown reaches the lineitem scan") {
+    val plan = formatted(SparkEntry.queries("q2_filter_sort")(spark, sf))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity") || pushed.contains("l_shipdate"),
+      s"expected pushed filters, got: $pushed")
+  }
+
+  test("q3/q4: small dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p3 = formatted(SparkEntry.queries("q3_join_broadcast")(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), "q3 should broadcast customer")
+    val p4 = formatted(SparkEntry.queries("q4_multijoin")(spark, sf))
+    assert(p4.contains("BroadcastHashJoin"), "q4 should broadcast dims")
+  }
+
+  test("renko fromSortedTicks plans with zero exchanges") {
+    val ticks = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").as("datetime"), col("value").as("close"))
+      .orderBy("datetime").coalesce(1).cache()
+    ticks.count()
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum
+    }
+    val plan = Renko.fromSortedTicks(ticks, 25.0, tsUnit = "ns").queryExecution.executedPlan
+    assert(countShuffles(plan) == 0, s"sorted path must not shuffle:\n$plan")
+    ticks.unpersist()
+  }
+
+  test("whole-stage codegen covers the relational operators") {
+    // AQE reveals codegen stages only in the executed plan
+    def executedPlanString(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen stages render as "*(n) Operator" in the plan tree
+    val q1 = executedPlanString("q1_agg")
+    assert(q1.contains("*(1)"), s"q1 should run in whole-stage codegen:\n$q1")
+    assert(q1.contains("partial_sum"), "q1 should do map-side partial aggregation")
+    assert(executedPlanString("text_quality").contains("*(1)"),
+      "text_quality should run in whole-stage codegen")
+  }
+}
