@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Renko, RenkoModes, Similarity, TextAnalysis, ToRws}
+import graft.operators.{Dedup, Multimodal, Renko, RenkoModes, SeriesCompare, Similarity, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -106,7 +106,9 @@ object SparkEntry {
         .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00"))
           && col("l_quantity") > 45)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
+        // a total order needs the full tuple
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
         .limit(100)
     }),
     "q3_join_broadcast" -> ((s, dir) => {
@@ -199,6 +201,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q12_series_compare" -> ((s, dir) => {
+      // reference Series.compare: positional diff of two aligned runs
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val left = ev.select(col("ts"), col("value"))
+      val right = ev.select(col("ts"),
+        when(col("event_type") === "click", col("value") * 2).otherwise(col("value")).as("value"))
+      SeriesCompare.compare(left, right, "value", Seq("ts")).orderBy(col("pos"))
+    }),
+    "q13_round" -> ((s, dir) => {
+      // reference scalar rounding (comparison_ctrader.ipynb: round(x, 5))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") / lit(7.0), 5).as("rounded_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("rounded_price"))
+        .limit(200)
+    }),
+    "renko_by_user" -> ((s, dir) => {
+      // wide multi-series scan: one independent renko per user_id (~150
+      // parallel series — the scale axis at cluster size)
+      ensureConf(s)
+      val ticks = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts").as("datetime"), col("value").as("close"))
+      RenkoModes.project(Renko.fromTicks(ticks, EventBrick,
+        symbolCol = Some("user_id"), tsUnit = "ns"), "wicks")
+    }),
+
     // --- deduplication (beyond-reference pipeline operators)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
@@ -269,7 +298,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |LIMIT 100""".stripMargin,
     "q3_join_broadcast" ->
       """SELECT c_mktsegment,
@@ -324,6 +353,18 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q12_series_compare" ->
+      """WITH l AS (
+        |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY ts) AS pos,
+        |    CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS other
+        |  FROM events)
+        |SELECT l.pos, self, other FROM l JOIN r ON l.pos = r.pos
+        |WHERE self != other ORDER BY l.pos""".stripMargin,
+    "q13_round" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice / 7.0, 5) AS rounded_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, rounded_price LIMIT 200""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
