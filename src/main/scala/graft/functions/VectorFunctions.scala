@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product as double. */
+  /** Dot product as double — native codegen'd expression (no intermediate
+    * product array per row); bit-identical to `dotHof`.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.dotNative(a, b)
+
+  /** Dot product via built-in higher-order functions — same numerics, used
+    * as a cross-check for the native expression.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

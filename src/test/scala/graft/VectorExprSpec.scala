@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.functions.expressions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd dot product: bit-identical to the higher-order-function
+  * form (and therefore to the DuckDB oracle), interpreted and codegen paths.
+  */
+class VectorExprSpec extends SparkTestBase {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+  test("graft_dot == zip_with/aggregate fold, bit-exact on all pairs of first 50") {
+    val a = emb.filter(col("vec_id") < 50).select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") < 50).select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        VectorExpressions.dotNative(col("va"), col("vb")).as("native"),
+        VectorFunctions.dotHof(col("va"), col("vb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("type checking rejects non-numeric arrays") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val err = intercept[Exception] {
+      docs.select(VectorExpressions.dotNative(split(col("text"), " "), split(col("text"), " "))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_dot") ||
+      err.getMessage.contains("DATATYPE_MISMATCH") || err.getMessage.contains("array"))
+  }
+
+  test("double arrays and mixed float/double work") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(VectorExpressions.dotNative(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+}
