@@ -201,6 +201,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q14_rollup" -> ((s, dir) => {
+      // grouping sets come free from Catalyst (SURVEY §2.6) — exercised so
+      // the engine demonstrably supports them
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    "q15_except" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.filter(col("value") > 400).select(col("event_id"), col("user_id"))
+        .exceptAll(ev.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id")))
+        .orderBy(col("event_id"))
+    }),
+    "q16_intersect" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("value") < 50).select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -353,6 +376,22 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q14_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q15_except" ->
+      """SELECT event_id, user_id FROM events WHERE value > 400
+        |EXCEPT ALL
+        |SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q16_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE value < 50
+        |ORDER BY user_id""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (
         |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),
