@@ -254,6 +254,9 @@ object SparkEntry {
     // --- deduplication (beyond-reference pipeline operators)
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    // plain shingle join beats prefix filtering below ~10^5 docs (the freq
+    // ranking overhead dominates); ngramJaccardPairsPrefix is the
+    // result-identical large-corpus path (equivalence-tested)
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.5)
         .orderBy(col("id_a"), col("id_b"))),

@@ -82,6 +82,44 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
   }
 
+  /** Exact n-gram Jaccard with prefix filtering (PPJoin-style, public
+    * set-similarity-join literature): sort each doc's shingles by global
+    * document frequency (rarest first) and keep only the first
+    * `n - ceil(t*n) + 1` as join keys. Soundness: J(A,B) >= t implies the
+    * overlap c >= ceil(t*|A|) (since J >= t forces |B| >= t*|A|), so a
+    * qualifying pair cannot avoid A's prefix — candidates generated this way
+    * are COMPLETE, and exact verification keeps precision exact. The join
+    * keys are the rarest shingles, which collapses the self-join output by
+    * orders of magnitude versus joining on every shingle — the 100 TB path
+    * for exact (non-LSH) thresholds.
+    * Output: identical to `ngramJaccardPairs`.
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, idCol, textCol)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = sh
+      .join(freq, Seq("s"))
+      .withColumn("r", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+      .select(col("doc_id"), col("s"), col("n"))
+    val candidates = prefix.as("x").join(prefix.as("y"), Seq("s"))
+      .filter(col("x.doc_id") < col("y.doc_id")
+        // size filter: J >= t forces t*na <= nb <= na/t
+        && col("y.n") >= ceil(lit(threshold) * col("x.n"))
+        && col("y.n") <= floor(col("x.n") / lit(threshold)))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    jaccardOfSharedShingles(sh, threshold, Some(candidates))
+  }
+
   /** MinHash signature parameters: numHashes = bands * rowsPerBand linear
     * permutations over a 64-bit base shingle hash. Seeds are fixed so
     * results are deterministic.

@@ -59,6 +59,16 @@ class PipelineSpec extends SparkTestBase {
     info(s"LSH ANN recall@5 = $hit/${bf.size} (bucketed, approximate by design)")
   }
 
+  test("prefix-filtered exact jaccard == plain exact jaccard (complete candidates)") {
+    for (t <- Seq(0.5, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = Dedup.ngramJaccardPairsPrefix(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefixed == plain, s"threshold $t: prefix filter changed the result")
+    }
+  }
+
   test("dedup_exact keeps one representative per distinct text") {
     val total = docs.count()
     val kept = Dedup.exact(docs)
