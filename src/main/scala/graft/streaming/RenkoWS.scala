@@ -36,6 +36,33 @@ final case class WsBrick(
     fake_high: Double,
     fake_low: Double)
 
+/** `WsBrick` plus an `is_forming` flag: rows from `bricksWithForming`.
+  * Completed bricks carry `is_forming = 0`; one forming-state row per key
+  * per micro-batch carries `is_forming = 1` with (timestamp, close) = last
+  * event, (high, low) = running wick accumulators, volume = in-progress
+  * count.
+  */
+final case class FormingWsBrick(
+    symbol: String,
+    timestamp: Long,
+    open: Double,
+    high: Double,
+    low: Double,
+    close: Double,
+    volume: Long,
+    direction: Int,
+    is_reversal: Int,
+    is_forming: Int,
+    normal_high: Double,
+    normal_low: Double,
+    nongap_open: Double,
+    reverse_nongap_open: Double,
+    reverse_fake_nongap_open: Double,
+    reverse_high: Double,
+    reverse_low: Double,
+    fake_high: Double,
+    fake_low: Double)
+
 /** Per-key streaming state: the renko accumulator plus the last observed
   * event (needed by the forming-brick/animate view).
   */
@@ -127,6 +154,78 @@ object RenkoWS {
       case None =>
         grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
     }
+  }
+
+  /** Streaming variant that also emits one FORMING-state row per key per
+    * micro-batch (flagged `is_forming = 1`): timestamp/close carry the last
+    * event, high/low the running wick accumulators, volume the in-progress
+    * count. Downstream, `animateFromStream` reconstructs the reference's
+    * `renko_animate` frame for any mode from completed rows + the latest
+    * forming row — the state never needs to leave the state store by any
+    * other channel (SURVEY §3.2's "emit via the state handler").
+    */
+  def bricksWithForming(
+      events: Dataset[PriceEvent],
+      brickSize: Double,
+      initialState: Option[Dataset[(String, WsState)]] = None): Dataset[FormingWsBrick] = {
+    val grouped = events.groupByKey(_.symbol)
+    implicit val enc: Encoder[FormingWsBrick] = Encoders.product[FormingWsBrick]
+    val fn = (sym: String, it: Iterator[PriceEvent], state: GroupState[WsState]) => {
+      val evs = it.toArray.sortBy(_.timestamp)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val (next, out) = processSorted(sym, evs.toIndexedSeq, state.getOption, brickSize)
+        state.update(next)
+        val completed = out.map(b => FormingWsBrick(
+          b.symbol, b.timestamp, b.open, b.high, b.low, b.close, b.volume,
+          b.direction, b.is_reversal, is_forming = 0,
+          b.normal_high, b.normal_low, b.nongap_open, b.reverse_nongap_open,
+          b.reverse_fake_nongap_open, b.reverse_high, b.reverse_low,
+          b.fake_high, b.fake_low))
+        val forming = FormingWsBrick(
+          sym, next.lastTs, next.lastPrice, next.wickMax, next.wickMin,
+          next.lastPrice, next.volume, 0, 0, is_forming = 1,
+          next.lastPrice, next.lastPrice, next.lastPrice, next.lastPrice,
+          next.lastPrice, next.lastPrice, next.lastPrice, next.lastPrice,
+          next.lastPrice)
+        (completed :+ forming).iterator
+      }
+    }
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
+  /** Reconstruct the reference `renko_animate(mode)` frame for one key from
+    * a `bricksWithForming` sink table: completed bricks mode-projected, plus
+    * the forming brick derived from the LATEST forming row (the reference's
+    * open/wick adjustment rules, renkodf.py:795-853).
+    */
+  def animateFromStream(
+      sink: DataFrame,
+      mode: String = "wicks",
+      maxLen: Int = 500,
+      keep: Int = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val completedWide = sink.filter(col("is_forming") === 0).drop("is_forming")
+    val latestForming = sink.filter(col("is_forming") === 1)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("symbol")).orderBy(col("timestamp").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("symbol"), col("timestamp"), col("close").as("price"),
+        col("high").as("wick_max"), col("low").as("wick_min"), col("volume"))
+      .collect()
+    val completedMode = graft.operators.RenkoModes.project(completedWide, mode)
+    if (latestForming.isEmpty) return completedMode
+    val f = latestForming(0)
+    val state = WsState(0.0, 0.0, 0, f.getAs[Double]("wick_min"), f.getAs[Double]("wick_max"),
+      f.getAs[Long]("volume"), f.getAs[Long]("timestamp"), f.getAs[Double]("price"))
+    animate(completedMode, state, mode, maxLen, keep)
   }
 
   /** Rehydrate per-key initial state from a `to_rws` checkpoint table

@@ -131,6 +131,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("bricksWithForming: animate reconstructed entirely from the stream sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = us30Events.collect()
+    val stream = MemoryStream[PriceEvent]
+    val q = RenkoWS.bricksWithForming(stream.toDS(), 5).writeStream
+      .format("memory").queryName("ws_forming").outputMode("append").start()
+    try {
+      val chunks = events.grouped(events.length / 3 + 1).toSeq
+      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val sink = spark.table("ws_forming").cache()
+    // completed rows equal the replay table exactly
+    val completed = normalizeWs(sink.filter(col("is_forming") === 0))
+    assertRowsEqual(completed, normalizeWs(replayed.toDF()), "forming-completed")
+    // one forming row per micro-batch; animate from the sink matches the
+    // reference-golden animate frame for every mode
+    assert(sink.filter(col("is_forming") === 1).count() == 3)
+    val (state, _) = RenkoWS.processSorted("US30", events.toIndexedSeq, None, 5)
+    for (mode <- RenkoModes.all) {
+      val fromStream = RenkoWS.animateFromStream(sink, mode, maxLen = 0)
+        .select(col("timestamp").cast("long"), col("open"), col("high"), col("low"),
+          col("close"), col("volume").cast("long"), col("direction").cast("long"),
+          col("is_reversal").cast("long")).collect()
+      val name = mode.replace("-", "_")
+      val want = spark.read.parquet(s"$golden/us30_animate_$name.parquet")
+        .select(col("timestamp").cast("long"), col("open"), col("high"), col("low"),
+          col("close"), col("volume").cast("long"), col("direction").cast("long"),
+          col("is_reversal").cast("long")).collect()
+      assertRowsEqual(fromStream, want, s"animateFromStream $mode")
+    }
+    sink.unpersist()
+  }
+
   test("animate retention view: maxLen/keep window") {
     val events = us30Events.collect().toIndexedSeq
     val (state, _) = RenkoWS.processSorted("US30", events, None, 5)
