@@ -266,6 +266,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 7)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.5))
+        .orderBy(col("doc_id"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.topCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 20)),
 
@@ -278,6 +282,11 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_topk_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -426,6 +435,29 @@ object SparkEntry {
          |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, $Tok AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+         |  FROM tok WHERE len(w) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+         |bidir AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, l) AS (
+         |  SELECT src, src FROM bidir
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.n)
+         |SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

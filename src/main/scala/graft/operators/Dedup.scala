@@ -168,6 +168,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair set: collapse pairs
+    * into duplicate GROUPS (what a production dedup actually keeps/drops).
+    * Min-label propagation: every node starts labeled with itself; each
+    * round every node takes the minimum label in its neighborhood; converges
+    * in O(diameter) rounds — near-dup clusters are small and dense, so this
+    * is a handful of small shuffles regardless of corpus size (the label
+    * table only contains nodes that appear in some pair).
+    * Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    * component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      next.count()
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash per document over token hashes.
     * Output: (doc_id, simhash BIGINT).
     */

@@ -59,6 +59,31 @@ class PipelineSpec extends SparkTestBase {
     info(s"LSH ANN recall@5 = $hit/${bf.size} (bucketed, approximate by design)")
   }
 
+  test("IVF ANN: exact scores, recall reported; clusters partition the pair graph") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(allScores.contains(key) && allScores(key) == r.getDouble(3))
+    }
+    val bf = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(s"IVF recall@5 = ${ivf.count(r => bf((r.getLong(0), r.getLong(2))))}/${bf.size}")
+
+    // connected components: labels form a valid partition of the pair graph
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).cache()
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(cc(r.getLong(0)) == cc(r.getLong(1)), "paired docs share a cluster")
+    }
+    cc.foreach { case (_, label) => assert(cc(label) == label, "cluster ids are roots") }
+    pairs.unpersist()
+  }
+
   test("prefix-filtered exact jaccard == plain exact jaccard (complete candidates)") {
     for (t <- Seq(0.5, 0.8)) {
       val plain = Dedup.ngramJaccardPairs(docs, t)
