@@ -224,6 +224,20 @@ object SparkEntry {
         .intersect(ev.filter(col("value") < 50).select(col("user_id")))
         .orderBy(col("user_id"))
     }),
+    "q17_time_window" -> ((s, dir) => {
+      // event-time tumbling window (beyond reference: renko is price-driven,
+      // but the engine supports time-driven aggregation too — the streaming
+      // form with a watermark is exercised in WindowedStreamSpec)
+      ensureConf(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("event_time", timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start_ms"), col("event_type"))
+    }),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -306,6 +320,10 @@ object SparkEntry {
       Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("media_type"),
           col("meta.n_bytes").as("n_bytes"), col("meta.checksum").as("checksum"))
+        .orderBy(col("doc_id"))),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("media_type"), col("n_frames"), col("first_frame_checksum"))
         .orderBy(col("doc_id"))),
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
@@ -404,6 +422,12 @@ object SparkEntry {
         |INTERSECT
         |SELECT user_id FROM events WHERE value < 50
         |ORDER BY user_id""".stripMargin,
+    "q17_time_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (
         |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),

@@ -48,6 +48,34 @@ object Multimodal {
         octet_length(col(textCol)).cast("long").as("n_bytes"),
         md5(col(textCol)).as("checksum")).as("meta"))
 
+  /** Frame sampling over a binary payload (the video/audio pattern: take
+    * every `stride`-th window of `frameLen` bytes, at most `maxFrames`) —
+    * pure Catalyst expressions, the payload never leaves the scan stage. A
+    * real pipeline would hand each frame to a decoder; the frame *slicing*
+    * plumbing here is the production shape.
+    * Output: (doc_id, media_type, n_frames, frames ARRAY<BINARY>,
+    * first_frame_checksum).
+    */
+  def frameSample(
+      media: DataFrame,
+      frameLen: Int = 32,
+      stride: Int = 64,
+      maxFrames: Int = 8): DataFrame = {
+    val n = octet_length(col("payload"))
+    val maxStart = floor((n - lit(frameLen)).cast("double") / lit(stride)).cast("long")
+    val frames = when(n >= frameLen,
+      transform(
+        sequence(lit(0L), least(maxStart, lit(maxFrames - 1L))),
+        i => substring(col("payload"), (i * stride + 1).cast("int"), lit(frameLen))))
+      .otherwise(array())
+    media.select(
+      col("doc_id"), col("media_type"),
+      frames.as("frames"))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+      .withColumn("first_frame_checksum",
+        when(col("n_frames") > 0, md5(element_at(col("frames"), 1))).otherwise(lit(null)))
+  }
+
   /** Batched feature extraction over binary payloads. The per-batch loop is
     * where a vectorized decode (pixels → resize → encoder) would run; the
     * stub computes deterministic byte statistics + a fake 8-dim embedding.

@@ -122,6 +122,26 @@ class PipelineSpec extends SparkTestBase {
       && again.embedding.sameElements(f.embedding))
   }
 
+  test("multimodal frame sampling: exact slicing of the payload") {
+    val media = Multimodal.asMedia(docs)
+    val fr = Multimodal.frameSample(media, frameLen = 32, stride = 64, maxFrames = 8)
+    val row = fr.filter(col("doc_id") === 0).collect()(0)
+    val txt = docs.filter(col("doc_id") === 0).select("text").collect()(0).getString(0)
+    val bytes = txt.getBytes("UTF-8")
+    val expectFrames = math.min(8, (bytes.length - 32) / 64 + 1)
+    assert(row.getAs[Long]("n_frames") == expectFrames.toLong)
+    val frames = row.getSeq[Array[Byte]](row.fieldIndex("frames"))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.length == 32)
+      assert(f.sameElements(bytes.slice(i * 64, i * 64 + 32)), s"frame $i slices wrong bytes")
+    }
+    // short payloads produce zero frames, not an error
+    import spark.implicits._
+    val tiny = Multimodal.frameSample(
+      Multimodal.asMedia(Seq((99L, "ab")).toDF("doc_id", "text")))
+    assert(tiny.collect()(0).getAs[Long]("n_frames") == 0L)
+  }
+
   test("text analysis sanity: quality/langid/token stats shapes") {
     val q = TextAnalysis.quality(docs)
     assert(q.count() == docs.count())
