@@ -41,6 +41,9 @@ object Bench {
       "dedup_simhash" -> q("dedup_simhash"),
       "sim_topk_bruteforce" -> q("sim_topk_bruteforce"),
       "sim_topk_lsh" -> q("sim_topk_lsh"),
+      "sim_topk_ivf" -> q("sim_topk_ivf"),
+      "dedup_clusters" -> q("dedup_clusters"),
+      "q17_time_window" -> q("q17_time_window"),
       "text_quality" -> q("text_quality"),
       "text_fingerprint" -> q("text_fingerprint"),
       "mm_decode_features" -> q("mm_decode_features"),

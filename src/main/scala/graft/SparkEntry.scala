@@ -238,6 +238,24 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("window_start_ms"), col("event_type"))
     }),
+    "q18_sessionize" -> ((s, dir) => {
+      // sessionization via gaps-and-islands (30-min inactivity gap) — the
+      // training-data-pipeline form of session windows, SQL-oracle-able
+      ensureConf(s)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          ((min(col("ts")).cast("decimal(38,0)") / lit(1000000)).cast("long")).as("start_ms"),
+          ((max(col("ts")).cast("decimal(38,0)") / lit(1000000)).cast("long")).as("end_ms"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -428,6 +446,22 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q18_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (
         |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),
