@@ -329,6 +329,9 @@ object SparkEntry {
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowedFingerprints(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),
@@ -584,6 +587,28 @@ object SparkEntry {
          |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_numbers
          |FROM (SELECT doc_id, $Tok AS w FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "text_winnow" ->
+      """WITH h AS (
+        |  SELECT doc_id, i,
+        |    (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 1
+        |     + CAST(ascii(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substr(text, CAST(i+2 AS INT), 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substr(text, CAST(i+3 AS INT), 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substr(text, CAST(i+4 AS INT), 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substr(text, CAST(i+5 AS INT), 1)) AS BIGINT) * 28629151
+        |     + CAST(ascii(substr(text, CAST(i+6 AS INT), 1)) AS BIGINT) * 887503681
+        |     + CAST(ascii(substr(text, CAST(i+7 AS INT), 1)) AS BIGINT) * 27512614111) % 2147483647 AS kh
+        |  FROM documents, unnest(range(1, length(text) - 6)) AS t(i)
+        |  WHERE length(text) >= 8
+        |), w AS (
+        |  SELECT doc_id,
+        |    min(kh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    i, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM h
+        |), d AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3)
+        |SELECT doc_id, count(*) AS n_fps, sum(fp) AS fp_sum
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH fp AS (
         |  SELECT doc_id,
