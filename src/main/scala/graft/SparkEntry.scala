@@ -76,6 +76,11 @@ object SparkEntry {
         symbolCol = Some("event_type"), tsUnit = "ns"), "wicks")),
     "renko_to_rws" -> ((s, dir) => ToRws.toRws(
       Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick)),
+    "renko_sorted_scan" -> ((s, dir) => {
+      // zero-shuffle fast path on pre-ordered input (bucketed-layout shape)
+      val sorted = eventTicks(s, dir).orderBy(col("datetime")).coalesce(1)
+      RenkoModes.project(Renko.fromSortedTicks(sorted, EventBrick, tsUnit = "ns"), "wicks")
+    }),
 
     // --- streaming surface (SURVEY §2.8), exercised in batch-replay form
     // --- (same engine the flatMapGroupsWithState operator wraps)
