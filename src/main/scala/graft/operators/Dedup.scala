@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large text corpora.
   *
@@ -140,7 +141,10 @@ object Dedup {
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // the shingle table feeds signature generation AND candidate
+    // verification — persist it so tokenization runs once (Spark's
+    // ContextCleaner unpersists when the plan becomes unreachable)
+    val sh = shingles(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashCandidates(sh, params)
     jaccardOfSharedShingles(sh, threshold, Some(candidates))
   }
@@ -179,13 +183,18 @@ object Dedup {
     * component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the pair set is usually an expensive similarity join — evaluate once
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
+    // labels only ever decrease, so the label sum is a convergence witness —
+    // one aggregate per round instead of a count plus a diff join
+    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -195,17 +204,15 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
-      next.count()
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
+      val sumNow = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
