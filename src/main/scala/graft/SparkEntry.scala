@@ -190,7 +190,9 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
       ev.select(col("event_id"), col("event_type"), col("value"),
           (col("ts").cast("decimal(38,0)") / lit(1000000)).cast("long").as("ts_ms"))
-        .orderBy(col("ts_ms").desc)
+        // ts_ms is ns truncated to ms, so ties are plausible at larger scale
+        // factors — tie-break on event_id exactly like the oracle
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
         .limit(10)
     }),
     "q11_agg_stats" -> ((s, dir) => {
@@ -351,9 +353,19 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
         .select(col("doc_id"), col("media_type"), col("n_frames"), col("first_frame_checksum"))
         .orderBy(col("doc_id"))),
-    "mm_decode_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
-        .toDF().orderBy(col("doc_id")))
+    "mm_decode_features" -> ((s, dir) => {
+      // scalar projection of the feature struct: the driver's comparator
+      // sorts columns with pandas, which cannot hash raw array columns —
+      // histogram lanes and embedding lanes are exported as scalars
+      // (embedding × 1000 recovers the stub's exact integer lane value)
+      val f = Multimodal.extractFeatures(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))).toDF()
+      val histCols = (0 until 4).map(k => element_at(col("byte_histogram"), k + 1).as(s"hist_$k"))
+      val embCols = (0 until 8).map(j =>
+        round(element_at(col("embedding"), j + 1).cast("double") * 1000).cast("long").as(s"emb${j}_x1000"))
+      f.select(Seq(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
+        col("mean_byte")) ++ histCols ++ embCols: _*)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,8 +476,8 @@ object SparkEntry {
         |  FROM o),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM m)
         |SELECT user_id, sid, count(*) AS n_events,
         |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
@@ -612,7 +624,7 @@ object SparkEntry {
         |    i, count(*) OVER (PARTITION BY doc_id) AS n
         |  FROM h
         |), d AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3)
-        |SELECT doc_id, count(*) AS n_fps, sum(fp) AS fp_sum
+        |SELECT doc_id, count(*) AS n_fps, CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH fp AS (
@@ -626,6 +638,33 @@ object SparkEntry {
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // decode stub replica: byte == codepoint because the corpus is ASCII
+    // (verified: max codepoint 121 at sf0.01 and sf0.1); lane accumulator is
+    // (acc*31 + byte) % 1000000007 exactly as Multimodal.decodeStub
+    "mm_decode_features" -> {
+      val histCols = (0 until 4).map(k =>
+        s"  CAST(len(list_filter(codes, x -> x // 64 = $k)) AS BIGINT) AS hist_$k").mkString(",\n")
+      val embCols = (0 until 8).map(j =>
+        s"""  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(${j + 1}, strlen(text)+1, 8),
+           |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+           |    (a,b) -> (a*31+b) % 1000000007) % 1000 AS BIGINT) AS emb${j}_x1000""".stripMargin)
+        .mkString(",\n")
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |    list_transform(range(1, strlen(text)+1),
+         |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  md5(text) AS checksum,
+         |  CASE WHEN strlen(text) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(codes) AS DOUBLE) / strlen(text) END AS mean_byte,
+         |$histCols,
+         |$embCols
+         |FROM c ORDER BY doc_id""".stripMargin
+    }
   )
 }

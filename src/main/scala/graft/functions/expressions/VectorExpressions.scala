@@ -18,11 +18,17 @@ import org.apache.spark.sql.types._
   * intermediate product array per row (the higher-order-function form
   * allocates an `ArrayData` of products for every pair, which is the hot
   * allocation in the ANN inner loop).
+  *
+  * Null contract, also matching the HOF form: length mismatch → NULL
+  * (zip_with pads the shorter side with nulls, which nulls the sum) and any
+  * NULL element → NULL (null product propagates through the fold).
   */
 case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // NULL is produced for non-null inputs too (length mismatch, null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
@@ -47,10 +53,15 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left).get, elemType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(a, ta, i) * get(b, tb, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += get(a, ta, i) * get(b, tb, i)
+      i += 1
+    }
     s
   }
 
@@ -65,12 +76,17 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ${getter(a, ta, i)} * ${getter(b, tb, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${getter(a, ta, i)} * ${getter(b, tb, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

@@ -16,9 +16,9 @@ import org.apache.spark.storage.StorageLevel
   *  - MinHash/LSH reduces candidate generation to an equi-join on
   *    (band, bandHash) — the standard sub-quadratic path at corpus scale —
   *    then verifies candidates with exact Jaccard so precision is exact;
-  *  - SimHash pairs join on 16-bit signature chunks (pigeonhole: hamming
-  *    distance ≤ 3 ⇒ at least one of 4 chunks equal), then verify with
-  *    `bit_count(xor)`.
+  *  - SimHash pairs join on eight 8-bit signature chunks (pigeonhole:
+  *    hamming distance ≤ 7 ⇒ at least one of 8 chunks equal), then verify
+  *    with `bit_count(xor)`.
   *
   * All expressions are built-in Catalyst functions (whole-stage codegen).
   */
@@ -154,8 +154,13 @@ object Dedup {
     // base hash folded into [0, 2^31) so the linear permutations below stay
     // inside Long range (ANSI mode rejects wrap-around arithmetic)
     val h = pmod(xxhash64(col("s")), lit(2147483647L))
+    // the mod-prime reduction is what makes each of the 64 permutations an
+    // independent hash — min(a_i*h + b_i) without it is monotone in h, so
+    // every component would collapse to a function of the single minimum
+    // shingle hash and the LSH band S-curve would degenerate to ~J
     val sigCols: Seq[Column] = (0 until params.numHashes).map { i =>
-      min(h * lit(2L * i + 1234567891L) + lit(98176543L * i + 7L)).as(s"m$i")
+      min(pmod(h * lit(2L * i + 1234567891L) + lit(98176543L * i + 7L),
+        lit(2147483647L))).as(s"m$i")
     }
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // one row per band: bucket key = hash of the band's signature slice

@@ -111,10 +111,11 @@ object Multimodal {
     val emb = new Array[Float](8)
     var j = 0
     while (j < 8) {
-      // fold every 8th byte into one embedding lane
+      // fold every 8th byte into one embedding lane; mod-prime keeps the
+      // accumulator positive and overflow-free (and thus SQL-replicable)
       var acc = 0L
       var k = j
-      while (k < n) { acc = acc * 31L + (bytes(k) & 0xFF); k += 8 }
+      while (k < n) { acc = (acc * 31L + (bytes(k) & 0xFF)) % 1000000007L; k += 8 }
       emb(j) = ((acc % 1000L).toFloat) / 1000.0f
       j += 1
     }
