@@ -47,8 +47,11 @@ object Bench {
       "text_quality" -> q("text_quality"),
       "text_fingerprint" -> q("text_fingerprint"),
       "mm_decode_features" -> q("mm_decode_features"),
+      // single large series, unsorted input: parallel range-sort + sync-point
+      // stitched scan (fromTicksParallel) — the sequential fromTicks path
+      // would pay a 1-task sort of all 14.7M rows here
       "renko_14m_1series" -> (s => RenkoModes.project(
-        Renko.fromTicks(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"), "wicks")),
+        Renko.fromTicksParallel(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"), "wicks")),
       "renko_14m_32series" -> (s => RenkoModes.project(
         Renko.fromTicks(synthTicks(s, 14700000L, 32), 1.0,
           symbolCol = Some("symbol"), tsUnit = "us"), "wicks")),

@@ -1,0 +1,191 @@
+package graft
+
+/** DuckDB oracle SQL for the LSH/ANN pipeline operators whose hashing is
+  * deliberately SQL-replicable: MinHash+LSH dedup, SimHash dedup, the
+  * hyperplane-LSH ANN bucket search, IVF ANN, and binary frame sampling.
+  *
+  * Hash parity contracts (mirrors of the Scala expressions):
+  *  - `TextFunctions.polyHash`: left fold `(acc*mult + code) mod prime` over
+  *    codepoints (corpus is ASCII, so byte == codepoint).
+  *  - MinHash permutation i: `(h*(2i+1234567891) + (98176543i+7)) mod 2^31-1`
+  *    (`Dedup.minhashCandidates`); band key is `concat_ws('_', band, slice)`.
+  *  - SimHash: 62-bit `poly31 + poly131·2^31` token hash
+  *    (`Dedup.simhash`), eight 8-bit chunk join (`Dedup.simhashPairs`).
+  *  - Hyperplane coefficient: `lcg(p,i) = ((p·1000003+i)·2654435761+12345)
+  *    mod 10^6, /1e6 − 0.5` (`Similarity.planeSignature`).
+  *  - Dot products fold in index order, widened to double — DuckDB
+  *    `list_sum(list_transform(...))` matches (verified round 1).
+  */
+object PipelineOracleSql {
+
+  private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
+
+  /** polyHash(s) over a SQL string expression. */
+  private def ph(s: String, mult: Long = 31L, prime: Long = 2147483647L): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, strlen($s)+1),
+       |        i -> CAST(ascii(substr($s, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (a,b) -> (a*$mult+b) % $prime)""".stripMargin
+
+  /** MinHash+LSH verified pairs at threshold 0.8, 16 bands x 4 rows. */
+  def minhashLsh: String = {
+    val numHashes = 64
+    val sigCols = (0 until numHashes).map { i =>
+      s"    min((h * ${2L * i + 1234567891L} + ${98176543L * i + 7L}) % 2147483647) AS m$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until 16).map { b =>
+      val slice = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $b AS band, concat_ws('_', $b, $slice) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $Tok AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM tok WHERE len(w) >= 3
+       |), hh AS (
+       |  SELECT doc_id, s, ${ph("s")} AS h
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |$sigCols
+       |  FROM hh GROUP BY doc_id
+       |), buckets AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash near-duplicate pairs, hamming <= 7 via 8x8-bit chunk join. */
+  def simhashPairs: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($Tok) AS t FROM documents
+       |), hh AS (
+       |  SELECT doc_id,
+       |    ${ph("t")}
+       |    + ${ph("t", mult = 131L, prime = 2147483629L)} * 2147483648 AS h
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id, u.j,
+       |    sum(CASE WHEN (h >> CAST(u.j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+       |  FROM hh, unnest(range(${graft.operators.Dedup.SimhashBits})) AS u(j)
+       |  GROUP BY doc_id, u.j
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bs >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |), chunks AS (
+       |  SELECT doc_id, simhash, u.k, (simhash >> CAST(8*u.k AS INT)) & 255 AS chunk
+       |  FROM sig, unnest(range(8)) AS u(k)
+       |)
+       |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM chunks x JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val Nrm =
+    """sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))""".stripMargin
+
+  /** Hyperplane-LSH bucketed top-k ANN (8 planes, queries vec_id < 10, k=5). */
+  def lshTopK: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
+       |), sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, u.p,
+       |      list_sum(list_transform(range(1, len(e.embedding)+1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) *
+       |             (CAST(((u.p*1000003 + (i-1)) * 2654435761 + 12345) % 1000000 AS DOUBLE)
+       |              / 1000000.0 - 0.5))) AS d
+       |    FROM embeddings e, unnest(range(8)) AS u(p))
+       |  GROUP BY vec_id
+       |), nb AS (
+       |  SELECT n.vec_id, n.embedding, n.nrm, s.bucket FROM n JOIN sig s ON s.vec_id = n.vec_id
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM nb c JOIN nb q ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** IVF top-k ANN: nlist=16 lowest-id centroids, nprobe=4, k=5. */
+  def ivfTopK: String =
+    s"""WITH n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c WHERE n.id < 10)
+       |  WHERE crank <= 4
+       |), scored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM ca c JOIN qa q ON q.cid = c.cid AND c.id != q.id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM scored)
+       |SELECT DISTINCT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** Frame sampling metadata over the text-as-bytes payload (ASCII corpus:
+    * byte == char): frameLen=32, stride=64, maxFrames=8.
+    */
+  def frameSample: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    CASE WHEN strlen(text) >= 32
+       |         THEN least(CAST(floor(CAST(strlen(text) - 32 AS DOUBLE) / 64) AS BIGINT), 7) + 1
+       |         ELSE 0 END AS n_frames,
+       |    text
+       |  FROM documents)
+       |SELECT doc_id, media_type, n_frames,
+       |  CASE WHEN n_frames > 0 THEN md5(substr(text, 1, 32)) ELSE NULL END AS first_frame_checksum
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  def entries: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhashPairs,
+    "sim_topk_lsh" -> lshTopK,
+    "sim_topk_ivf" -> ivfTopK,
+    "mm_frame_sample" -> frameSample)
+}

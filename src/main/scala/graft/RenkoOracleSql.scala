@@ -1,0 +1,278 @@
+package graft
+
+/** DuckDB oracle SQL for the renko scan family.
+  *
+  * The renko fold is an ordered stateful recurrence, so the oracle drives a
+  * recursive CTE — but a NAIVE per-tick recursion carrying the full
+  * accumulator state is slow and DuckDB-fragile. Two structural tricks keep
+  * it exact and fast:
+  *
+  *  1. The recursion carries only the minimal trajectory `(sym, i, lr, ld)`
+  *     (last brick close + direction). Everything else — wick extremes,
+  *     volumes, per-brick columns — is reconstructed RELATIONALLY afterwards:
+  *     between emissions the state is constant, so segment aggregates
+  *     (min/max price, tick counts) recover the accumulators exactly.
+  *  2. Bricks emitted by one tick are expanded closed-form (not one
+  *     recursion step per brick). Closes advance on the exact brick grid
+  *     (`anchor + k*brickSize`, all doubles exact for this corpus), so the
+  *     closed form is bit-identical to the engine's sequential adds.
+  *
+  * Numerics match `graft.core.RenkoEngine` operation-for-operation:
+  * `n = (price - lastRenko) * (1/brickSize)`, truncation toward zero, the
+  * CPython floor-division anchor (positive-price branch), and the µs
+  * truncation of epoch-ns timestamps. Float literals use e-notation because
+  * DuckDB parses `25.0` as DECIMAL, and lateral aliases never shadow a FROM
+  * column (DuckDB silently prefers the column, shifting state by one row).
+  */
+object RenkoOracleSql {
+
+  /** (open, high, low) source columns per mode — RenkoModes.sources. */
+  private val modeSources: Map[String, (String, String, String)] = Map(
+    "wicks" -> (("open", "high", "low")),
+    "normal" -> (("open", "normal_high", "normal_low")),
+    "nongap" -> (("nongap_open", "high", "low")),
+    "reverse-wicks" -> (("open", "reverse_high", "reverse_low")),
+    "reverse-nongap" -> (("reverse_nongap_open", "reverse_high", "reverse_low")),
+    "fake-r-wicks" -> (("open", "fake_high", "fake_low")),
+    "fake-r-nongap" -> (("reverse_fake_nongap_open", "fake_high", "fake_low")))
+
+  /** events as a single anonymous series: (sym, te epoch-µs, price). */
+  val eventsSrc: String =
+    "SELECT '' AS sym, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS te, value AS price FROM events"
+
+  private val B = "25e0" // EventBrick as an exact DOUBLE literal
+
+  /** The CTE chain computing wide bricks for one tick source.
+    *
+    * @param p         CTE name prefix (two chains can coexist, cf. resume)
+    * @param src       SQL yielding (sym, te BIGINT µs, price DOUBLE)
+    * @param initLd    starting direction: batch 0, RenkoWS fresh start 1
+    * @param ticksBase 0 = tick 0 is the anchor (consumed, not stepped);
+    *                  1 = every tick is stepped (resume from a checkpoint)
+    * @param istate    when ticksBase=1: name of a CTE with per-series initial
+    *                  state columns (sym, lr0, ld0, w0, vol0)
+    */
+  def wideCtes(p: String, src: String, initLd: Int = 0, ticksBase: Int = 0,
+      istate: Option[String] = None): String = {
+    val rnOff = if (ticksBase == 0) "- 1" else ""
+    val aprIdx = 2 - ticksBase
+    val traj0 = istate match {
+      case Some(ist) =>
+        s"""${p}traj0 AS (
+           |  SELECT sym, 0::BIGINT AS i, lr0 AS lr, ld0 AS ld, w0 AS w0x, vol0 AS v0x FROM $ist
+           |),""".stripMargin
+      case None =>
+        s"""${p}anchor AS (
+           |  SELECT t.sym,
+           |    CASE WHEN dv - floor(dv) > 0.5e0 THEN floor(dv) + 1 ELSE floor(dv) END * $B AS av
+           |  FROM (SELECT sym, (price - fmod(price, $B)) / $B AS dv FROM ${p}ticks WHERE i = 0) t
+           |),
+           |${p}traj0 AS (
+           |  SELECT sym, 0::BIGINT AS i, av AS lr, $initLd AS ld, av AS w0x, 1::BIGINT AS v0x
+           |  FROM ${p}anchor
+           |),""".stripMargin
+    }
+    s"""${p}ticks AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (PARTITION BY sym ORDER BY te) $rnOff AS BIGINT) AS i,
+       |         te, price
+       |  FROM ($src)
+       |),
+       |${p}packed AS MATERIALIZED (
+       |  SELECT sym, list(price ORDER BY i) AS apr, max(i) AS mxi FROM ${p}ticks GROUP BY sym
+       |),
+       |$traj0
+       |${p}traj AS (
+       |  SELECT sym, i, lr, ld FROM ${p}traj0
+       |  UNION ALL
+       |  SELECT sym2 AS sym, i2 AS i, lr2 AS lr, ld2 AS ld
+       |  FROM (
+       |    SELECT
+       |      s.sym AS sym2,
+       |      s.i + 1 AS i2,
+       |      p.apr[CAST(s.i + $aprIdx AS INT)] AS px,
+       |      (px - s.lr) * (1e0/$B) AS nn,
+       |      (abs(nn) >= 1e0) AS crossed,
+       |      CASE WHEN px - s.lr > 0 THEN 1 ELSE -1 END AS dirx,
+       |      (dirx * s.ld >= 0) AS samedir,
+       |      CASE WHEN crossed AND NOT samedir AND abs(nn) >= 2e0 THEN 1 ELSE 0 END AS rv,
+       |      CASE WHEN NOT crossed THEN 0::BIGINT
+       |           WHEN samedir THEN CAST(abs(trunc(nn)) AS BIGINT)
+       |           WHEN rv = 1 THEN CAST(abs(trunc(nn - 2*dirx)) AS BIGINT)
+       |           ELSE 0::BIGINT END AS ns,
+       |      (rv + ns > 0) AS em,
+       |      CASE WHEN em THEN s.lr + dirx*(2*rv + ns)*$B ELSE s.lr END AS lr2,
+       |      CASE WHEN em THEN dirx ELSE s.ld END AS ld2
+       |    FROM ${p}traj s JOIN ${p}packed p ON p.sym = s.sym
+       |    WHERE s.i + 1 <= p.mxi
+       |  )
+       |),
+       |${p}em0 AS (
+       |  SELECT sym, i AS ei, lr, ld AS dir, lag(lr) OVER ${p}w AS prev_lr, lag(ld) OVER ${p}w AS prev_ld
+       |  FROM ${p}traj WINDOW ${p}w AS (PARTITION BY sym ORDER BY i)
+       |),
+       |${p}em1 AS (
+       |  SELECT sym, ei, lr, dir, prev_lr, prev_ld,
+       |    lag(ei, 1, 0::BIGINT) OVER (PARTITION BY sym ORDER BY ei) AS prev_ei
+       |  FROM ${p}em0 WHERE lr != prev_lr
+       |),
+       |${p}em2 AS (
+       |  SELECT e.*, t.te AS ets,
+       |    CAST(round(abs(e.lr - e.prev_lr) / $B) AS BIGINT) AS totb,
+       |    CASE WHEN e.prev_ld * e.dir < 0 THEN 1 ELSE 0 END AS rev,
+       |    totb - 2*rev + CASE WHEN rev = 1 THEN 1 ELSE 0 END AS nbricks,
+       |    nbricks - rev AS nsame,
+       |    e.ei - e.prev_ei + (CASE WHEN e.prev_ei = 0 THEN
+       |      (SELECT t0.v0x FROM ${p}traj0 t0 WHERE t0.sym = e.sym) ELSE 1 END) AS evol,
+       |    CASE WHEN e.prev_ei = 0 THEN 1 ELSE e.prev_ei END AS etopen
+       |  FROM ${p}em1 e JOIN ${p}ticks t ON t.sym = e.sym AND t.i = e.ei
+       |),
+       |${p}em3 AS (
+       |  SELECT e.*,
+       |    CASE WHEN e.prev_ei = 0 THEN (SELECT t0.w0x FROM ${p}traj0 t0 WHERE t0.sym = e.sym)
+       |         WHEN lag(e.nsame) OVER ${p}v = 0 THEN lag(e.lr - e.dir*$B) OVER ${p}v
+       |         ELSE lag(e.lr) OVER ${p}v END AS wreset
+       |  FROM ${p}em2 e WINDOW ${p}v AS (PARTITION BY e.sym ORDER BY e.ei)
+       |),
+       |${p}seg AS (
+       |  SELECT e.sym, e.ei, min(t.price) AS smn, max(t.price) AS smx
+       |  FROM ${p}em3 e JOIN ${p}ticks t ON t.sym = e.sym AND t.i > e.prev_ei AND t.i <= e.ei
+       |  GROUP BY e.sym, e.ei
+       |),
+       |${p}emx AS (
+       |  SELECT e.*, least(e.wreset, s.smn) AS ewmin, greatest(e.wreset, s.smx) AS ewmax
+       |  FROM ${p}em3 e JOIN ${p}seg s ON s.sym = e.sym AND s.ei = e.ei
+       |),
+       |${p}bricks AS (
+       |  SELECT
+       |    st.sym, st.ei AS i, u.j, st.ets,
+       |    (st.rev = 1 AND u.j = 0) AS is_rev_b,
+       |    (st.dir = 1) AS isup,
+       |    st.prev_lr + st.dir * (CASE WHEN is_rev_b THEN 2 ELSE 2*st.rev + (u.j - st.rev + 1) END) * $B AS close,
+       |    close - st.dir*$B AS open,
+       |    CASE WHEN u.j = 0 THEN st.ewmin
+       |         WHEN u.j = 1 AND st.rev = 1 THEN st.prev_lr + st.dir*$B
+       |         ELSE open END AS bwmin,
+       |    CASE WHEN u.j = 0 THEN st.ewmax
+       |         WHEN u.j = 1 AND st.rev = 1 THEN st.prev_lr + st.dir*$B
+       |         ELSE open END AS bwmax,
+       |    CASE WHEN isup THEN bwmin ELSE bwmax END AS wick,
+       |    CASE WHEN isup THEN close ELSE wick END AS high,
+       |    CASE WHEN isup THEN wick ELSE close END AS low,
+       |    CASE WHEN isup THEN close ELSE open END AS normal_high,
+       |    CASE WHEN isup THEN open ELSE close END AS normal_low,
+       |    CASE WHEN (isup AND open > low) OR (NOT isup AND open < high) THEN wick ELSE open END AS nongap_open,
+       |    CASE WHEN u.j = 0 THEN st.evol ELSE 1::BIGINT END AS volume,
+       |    st.dir AS direction,
+       |    CASE WHEN is_rev_b THEN 1 ELSE 0 END AS is_reversal,
+       |    CASE WHEN u.j = 0 THEN st.etopen ELSE st.ei END AS tick_index_open,
+       |    st.ei AS tick_index_close,
+       |    CASE WHEN is_rev_b THEN nongap_open ELSE open END AS reverse_nongap_open,
+       |    CASE WHEN is_rev_b THEN st.prev_lr ELSE open END AS reverse_fake_nongap_open,
+       |    CASE WHEN is_rev_b THEN high ELSE normal_high END AS reverse_high,
+       |    CASE WHEN is_rev_b THEN low ELSE normal_low END AS reverse_low,
+       |    CASE WHEN is_rev_b AND NOT isup THEN st.prev_lr ELSE normal_high END AS fake_high,
+       |    CASE WHEN is_rev_b AND isup THEN st.prev_lr ELSE normal_low END AS fake_low
+       |  FROM ${p}emx st, unnest(range(CAST(st.nbricks AS BIGINT))) AS u(j)
+       |),
+       |${p}firstts AS (SELECT sym, min(ets) AS fts FROM ${p}bricks GROUP BY sym)""".stripMargin
+  }
+
+  /** Batch mode-projected oracle (drop-first rule applied). */
+  def modeOracle(mode: String, src: String = eventsSrc): String = {
+    val (o, h, l) = modeSources(mode)
+    s"""WITH RECURSIVE ${wideCtes("", src)}
+       |SELECT b.sym AS symbol, make_timestamp(b.ets) AS datetime,
+       |  $o AS open, $h AS high, $l AS low, close, volume, direction, is_reversal,
+       |  tick_index_open, tick_index_close
+       |FROM bricks b JOIN firstts f ON f.sym = b.sym
+       |WHERE b.ets != f.fts
+       |ORDER BY b.sym, b.i, b.j""".stripMargin
+  }
+
+  /** `to_rws` checkpoint projection oracle. */
+  def toRwsOracle: String =
+    s"""WITH RECURSIVE ${wideCtes("", eventsSrc)}
+       |SELECT b.sym AS symbol, open, high, low, close, volume, direction, is_reversal,
+       |  normal_high, normal_low, nongap_open, reverse_nongap_open,
+       |  reverse_fake_nongap_open, reverse_high, reverse_low, fake_high, fake_low,
+       |  $B AS brick_size, b.ets AS timestamp
+       |FROM bricks b JOIN firstts f ON f.sym = b.sym
+       |WHERE b.ets != f.fts
+       |ORDER BY b.sym, b.i, b.j""".stripMargin
+
+  private val wsCols =
+    """open, high, low, close, volume, direction, is_reversal, normal_high,
+      |normal_low, nongap_open, reverse_nongap_open, reverse_fake_nongap_open,
+      |reverse_high, reverse_low, fake_high, fake_low""".stripMargin
+
+  /** RenkoWS fresh replay: synthetic initial brick at the anchor, starting
+    * direction +1, NO drop-first, integer µs `timestamp` column.
+    */
+  def wsReplayOracle: String =
+    s"""WITH RECURSIVE ${wideCtes("", eventsSrc, initLd = 1)}
+       |SELECT symbol, timestamp, $wsCols FROM (
+       |  SELECT a.sym AS symbol, t.te AS timestamp, a.av AS open, a.av AS high,
+       |    a.av AS low, a.av AS close, 1::BIGINT AS volume, 1 AS direction,
+       |    1 AS is_reversal, a.av AS normal_high, a.av AS normal_low,
+       |    a.av AS nongap_open, a.av AS reverse_nongap_open,
+       |    a.av AS reverse_fake_nongap_open, a.av AS reverse_high,
+       |    a.av AS reverse_low, a.av AS fake_high, a.av AS fake_low,
+       |    -1::BIGINT AS oi, 0::BIGINT AS oj
+       |  FROM anchor a JOIN ticks t ON t.sym = a.sym AND t.i = 0
+       |  UNION ALL
+       |  SELECT b.sym, b.ets, open, high, low, close, volume,
+       |    direction, is_reversal, normal_high, normal_low, nongap_open,
+       |    reverse_nongap_open, reverse_fake_nongap_open, reverse_high, reverse_low,
+       |    fake_high, fake_low, b.i, b.j
+       |  FROM bricks b)
+       |ORDER BY symbol, oi, oj""".stripMargin
+
+  /** Checkpoint/resume splice: batch-compute the head (epoch-ns ≤ midpoint),
+    * rehydrate state from the checkpoint's LAST brick (wick/renko reset to
+    * its close — the reference's documented approximate splice), replay the
+    * tail events (epoch-µs > midpoint/1000) from that state.
+    */
+  def wsResumeOracle: String = {
+    val cutNs = "(SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 FROM events)"
+    val headSrc = s"SELECT '' AS sym, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS te, value AS price " +
+      s"FROM events WHERE epoch_ns(ts) <= $cutNs"
+    val tailSrc = s"SELECT '' AS sym, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS te, value AS price " +
+      s"FROM events WHERE epoch_ns(ts) // 1000 > $cutNs // 1000"
+    s"""WITH RECURSIVE ${wideCtes("h_", headSrc)},
+       |istate AS (
+       |  SELECT sym, close AS lr0, direction AS ld0, close AS w0, volume AS vol0
+       |  FROM (
+       |    SELECT b.*, row_number() OVER (PARTITION BY b.sym ORDER BY b.i DESC, b.j DESC) AS rn
+       |    FROM h_bricks b JOIN h_firstts f ON f.sym = b.sym
+       |    WHERE b.ets != f.fts)
+       |  WHERE rn = 1
+       |),
+       |${wideCtes("", tailSrc, ticksBase = 1, istate = Some("istate"))}
+       |SELECT b.sym AS symbol, b.ets AS timestamp, $wsCols
+       |FROM bricks b
+       |ORDER BY b.sym, b.i, b.j""".stripMargin
+  }
+
+  /** All renko-family oracle entries, keyed by SparkEntry.queries name. */
+  def entries: Map[String, String] = {
+    val eventsByType =
+      "SELECT event_type AS sym, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS te, value AS price FROM events"
+    val eventsByUser =
+      "SELECT CAST(user_id AS VARCHAR) AS sym, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS te, value AS price FROM events"
+    Map(
+      "renko_wicks" -> modeOracle("wicks"),
+      "renko_normal" -> modeOracle("normal"),
+      "renko_nongap" -> modeOracle("nongap"),
+      "renko_reverse_wicks" -> modeOracle("reverse-wicks"),
+      "renko_reverse_nongap" -> modeOracle("reverse-nongap"),
+      "renko_fake_r_wicks" -> modeOracle("fake-r-wicks"),
+      "renko_fake_r_nongap" -> modeOracle("fake-r-nongap"),
+      "renko_sorted_scan" -> modeOracle("wicks"),
+      "renko_parallel_scan" -> modeOracle("wicks"),
+      "renko_multi_series" -> modeOracle("wicks", src = eventsByType),
+      "renko_by_user" -> modeOracle("wicks", src = eventsByUser),
+      "renko_to_rws" -> toRwsOracle,
+      "renko_ws_replay" -> wsReplayOracle,
+      "renko_ws_resume" -> wsResumeOracle)
+  }
+}

@@ -56,9 +56,19 @@ object SparkEntry {
     RenkoModes.project(Renko.fromTicks(ticks, EventBrick, tsUnit = "ns"), "wicks")
   }
 
+  /** Deterministic total order for brick outputs: bricks of one tick share a
+    * timestamp, and within the tick emission order is monotone in
+    * close*direction — so (symbol, ts, close*direction) reproduces emission
+    * order (timestamps have no µs ties in this corpus: verified sf0.001-0.1).
+    */
+  private def emissionOrdered(df: DataFrame): DataFrame = {
+    val ts = if (df.columns.contains("datetime")) col("datetime") else col("timestamp")
+    df.orderBy(col("symbol"), ts, (col("close") * col("direction")).asc)
+  }
+
   private def renkoMode(mode: String): (SparkSession, String) => DataFrame =
-    (s, dir) => RenkoModes.project(
-      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), mode)
+    (s, dir) => emissionOrdered(RenkoModes.project(
+      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), mode))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -71,29 +81,41 @@ object SparkEntry {
     "renko_reverse_nongap" -> renkoMode("reverse-nongap"),
     "renko_fake_r_wicks" -> renkoMode("fake-r-wicks"),
     "renko_fake_r_nongap" -> renkoMode("fake-r-nongap"),
-    "renko_multi_series" -> ((s, dir) => RenkoModes.project(
+    "renko_multi_series" -> ((s, dir) => emissionOrdered(RenkoModes.project(
       Renko.fromTicks(eventTicksByType(s, dir), EventBrick,
-        symbolCol = Some("event_type"), tsUnit = "ns"), "wicks")),
-    "renko_to_rws" -> ((s, dir) => ToRws.toRws(
-      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick)),
+        symbolCol = Some("event_type"), tsUnit = "ns"), "wicks"))),
+    "renko_to_rws" -> ((s, dir) => emissionOrdered(ToRws.toRws(
+      Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick))),
     "renko_sorted_scan" -> ((s, dir) => {
       // zero-shuffle fast path on pre-ordered input (bucketed-layout shape)
       val sorted = eventTicks(s, dir).orderBy(col("datetime")).coalesce(1)
-      RenkoModes.project(Renko.fromSortedTicks(sorted, EventBrick, tsUnit = "ns"), "wicks")
+      emissionOrdered(
+        RenkoModes.project(Renko.fromSortedTicks(sorted, EventBrick, tsUnit = "ns"), "wicks"))
     }),
+    "renko_parallel_scan" -> ((s, dir) =>
+      // single-series parallel execution strategy (range-sort + sync-point
+      // stitched scan) — same operator semantics, checked against the same
+      // recursive-CTE oracle as renko_wicks
+      emissionOrdered(RenkoModes.project(
+        Renko.fromTicksParallel(eventTicks(s, dir), EventBrick, tsUnit = "ns",
+          numPartitions = 8), "wicks"))),
 
     // --- streaming surface (SURVEY §2.8), exercised in batch-replay form
     // --- (same engine the flatMapGroupsWithState operator wraps)
-    "renko_ws_replay" -> ((s, dir) => RenkoWS.replay(priceEvents(s, dir), EventBrick).toDF()),
+    "renko_ws_replay" -> ((s, dir) =>
+      emissionOrdered(RenkoWS.replay(priceEvents(s, dir), EventBrick).toDF())),
     "renko_ws_resume" -> ((s, dir) => {
-      // checkpoint at the median event time, resume, emit the post-splice bricks
+      // checkpoint at the timespan midpoint, resume, emit the post-splice
+      // bricks (midpoint = integer mean of min/max epoch-ns — exact and
+      // engine-independent, unlike a percentile sketch)
       val ticks = eventTicks(s, dir)
-      val cut = ticks.selectExpr("percentile_approx(datetime, 0.5)").collect()(0).getLong(0)
+      val mm = ticks.agg(min(col("datetime")), max(col("datetime"))).collect()(0)
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
       val headWide = Renko.fromTicks(ticks.filter(col("datetime") <= cut), EventBrick, tsUnit = "ns")
       val init = RenkoWS.stateFromCheckpoint(ToRws.toRws(headWide, EventBrick)).collect().toMap
       import s.implicits._
       val tail = priceEvents(s, dir).filter(_.timestamp > cut / 1000)
-      RenkoWS.replay(tail, EventBrick, initialState = init).toDF()
+      emissionOrdered(RenkoWS.replay(tail, EventBrick, initialState = init).toDF())
     }),
 
     // --- relational operators (SURVEY §2.2-2.5), DuckDB-oracle-backed
@@ -286,8 +308,8 @@ object SparkEntry {
       ensureConf(s)
       val ticks = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("ts").as("datetime"), col("value").as("close"))
-      RenkoModes.project(Renko.fromTicks(ticks, EventBrick,
-        symbolCol = Some("user_id"), tsUnit = "ns"), "wicks")
+      emissionOrdered(RenkoModes.project(Renko.fromTicks(ticks, EventBrick,
+        symbolCol = Some("user_id"), tsUnit = "ns"), "wicks"))
     }),
 
     // --- deduplication (beyond-reference pipeline operators)
@@ -369,14 +391,16 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the renko scan family (ordered
-    * stateful recurrence — not SQL-expressible) → driver records a weaker
-    * rows-only check; those operators are instead validated bit-exactly
-    * against reference-generated goldens in src/test (GoldenBatchSpec).
+    * the same parquet tables. The renko scan family (ordered stateful
+    * recurrence) is covered by recursive-CTE oracles generated in
+    * RenkoOracleSql; the renko operators are additionally validated
+    * bit-exactly against reference-generated goldens in src/test
+    * (GoldenBatchSpec).
     */
   private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    RenkoOracleSql.entries ++ PipelineOracleSql.entries ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

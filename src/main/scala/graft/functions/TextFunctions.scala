@@ -30,6 +30,25 @@ object TextFunctions {
       t => concat_ws(" ", t.getField("0"), t.getField("1"), t.getField("2"))))
   }
 
+  /** 31-bit polynomial string hash: left fold of character codes,
+    * `acc = (acc*mult + code) mod prime`. Weaker mixing than xxhash64 but
+    * exactly replicable in ANSI SQL (`list_reduce` over codepoints in
+    * DuckDB), which makes every operator built on it oracle-checkable; the
+    * fold stays in [0, prime) so Spark 4 ANSI mode never sees overflow.
+    * Dispatches to a native codegen'd expression (byte walk, no per-string
+    * char array); `polyHashHof` is the built-in-function formulation kept as
+    * a bit-equality cross-check.
+    */
+  def polyHash(c: Column, mult: Long = 31L, prime: Long = 2147483647L): Column =
+    graft.functions.expressions.StringExpressions.polyHashNative(c, mult, prime)
+
+  /** Higher-order-function form of `polyHash` — same fold, same bits. */
+  def polyHashHof(c: Column, mult: Long = 31L, prime: Long = 2147483647L): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * lit(mult) + x, lit(prime)))
+
   /** Canonical normalization for fingerprinting: lowercase, strip
     * non-alphanumerics, squeeze whitespace.
     */

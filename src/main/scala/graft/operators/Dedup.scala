@@ -151,9 +151,11 @@ object Dedup {
 
   /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
   private[graft] def minhashCandidates(sh: DataFrame, params: MinHashParams): DataFrame = {
-    // base hash folded into [0, 2^31) so the linear permutations below stay
-    // inside Long range (ANSI mode rejects wrap-around arithmetic)
-    val h = pmod(xxhash64(col("s")), lit(2147483647L))
+    // base hash: 31-bit polynomial fold (SQL-replicable, so the whole LSH
+    // pipeline is DuckDB-oracle-checkable) — stays in [0, 2^31) so the
+    // linear permutations below stay inside Long range (ANSI mode rejects
+    // wrap-around arithmetic)
+    val h = polyHash(col("s"))
     // the mod-prime reduction is what makes each of the 64 permutations an
     // independent hash — min(a_i*h + b_i) without it is monotone in h, so
     // every component would collapse to a function of the single minimum
@@ -163,10 +165,12 @@ object Dedup {
         lit(2147483647L))).as(s"m$i")
     }
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // one row per band: bucket key = hash of the band's signature slice
+    // one row per band: bucket key = the band's signature slice verbatim
+    // (concat_ws, collision-free in practice and engine-independent — an
+    // opaque hash here would block the DuckDB oracle)
     val bandRows: Seq[Column] = (0 until params.bands).map { b =>
       val slice = (0 until params.rowsPerBand).map(r => col(s"m${b * params.rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      struct(lit(b).as("band"), concat_ws("_", slice: _*).as("bucket"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandRows: _*)).as("bb"))
@@ -187,11 +191,42 @@ object Dedup {
     * Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
     * component.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      localEdgeThreshold: Long = 4000000L): DataFrame = {
     // the pair set is usually an expensive similarity join — evaluate once
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val distinctPairs = p.select(col("id_a"), col("id_b")).distinct().cache()
+    val nEdges = distinctPairs.count()
+    if (nEdges <= localEdgeThreshold) {
+      // near-dup pair sets are normally tiny relative to the corpus (the
+      // expensive part is the similarity join that PRODUCED them, not the
+      // clustering) — below the threshold a driver-side union-find is exact
+      // and replaces O(diameter) label-propagation shuffle rounds with one
+      // collect of (id, id) longs. Past the threshold (edge set too big for
+      // one machine) the distributed propagation below takes over.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = distinctPairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val out = parent.keys.toSeq.map(k => (k, find(k)))
+      distinctPairs.unpersist(); p.unpersist()
+      return out.toDF("doc_id", "cluster_id")
+    }
+    val edges = distinctPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(distinctPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -217,22 +252,31 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    distinctPairs.unpersist()
     p.unpersist()
     labels
   }
 
-  /** 64-bit SimHash per document over token hashes.
+  /** Bit width of the SimHash signature: two independent 31-bit polynomial
+    * token hashes concatenated — 62 bits instead of xxhash64's 64, traded
+    * for exact SQL replicability (the DuckDB oracle recomputes signatures
+    * bit-for-bit). The 8x8-bit chunk join still covers all signature bits.
+    */
+  val SimhashBits: Int = 62
+
+  /** 62-bit SimHash per document over token hashes.
     * Output: (doc_id, simhash BIGINT).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      .withColumn("h",
+        polyHash(col("t")) + polyHash(col("t"), mult = 131L, prime = 2147483629L) * lit(2147483648L))
+    val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)).as(s"b$j")
     }
     val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    // disjoint bit contributions sum to the bitwise OR (incl. the sign bit)
-    val sig = (0 until 64).map { j =>
+    // disjoint bit contributions sum to the bitwise OR
+    val sig = (0 until SimhashBits).map { j =>
       when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     agged.select(col("doc_id"), sig.as("simhash"))

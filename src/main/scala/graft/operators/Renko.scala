@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.{Brick, RenkoEngine}
+import graft.core.{Brick, RenkoEngine, RenkoSnapshot}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -146,6 +146,208 @@ object Renko {
         col(closeCol).cast(DoubleType).as("price"))
       .as[Tick]
     widen(ticks.mapPartitions(it => scanPartition(it, brickSize, dropFirst)).toDF())
+  }
+
+  /** Partition execution plan for the parallel scan's second pass:
+    * `syncIdx = Long.MaxValue` marks a partition fully replayed on the
+    * driver (no suffix work).
+    */
+  private final case class Plan(pidx: Int, syncIdx: Long, syncSnap: RenkoSnapshot, offset: Long)
+
+  /** Summary of one range partition from the parallel scan's first pass. */
+  private final case class PartSummary(
+      pidx: Int,
+      nTicks: Long,
+      prefixTs: Array[Long],
+      prefixPrice: Array[Double],
+      // own-replay snapshot AFTER each prefix tick, local tick indices;
+      // null slot = that tick emitted nothing under the own replay
+      prefixEmitSnap: Array[RenkoSnapshot],
+      exit: RenkoSnapshot,
+      exitStarted: Boolean)
+
+  /** Parallel scan for ONE large series — the 100 TB path when the data is a
+    * single symbol (where `fromTicks` degenerates to a 1-task sort + scan).
+    *
+    * Renko's fold is not associative, but it SYNCHRONIZES: when a tick emits
+    * a brick, the post-tick state is fully determined by that tick and the
+    * emission (`volume = 1`, `tickOpen = tickClose = i`, wick reset to the
+    * brick boundary, `lastRenko`/`direction` from the brick) — the entry
+    * state only influences a short prefix. So:
+    *
+    *  1. range-partition by time and sort each partition IN PARALLEL;
+    *  2. job 1: each partition replays its own ticks from a fresh anchor and
+    *     reports (first `prefixCap` ticks, per-tick emission snapshots, exit
+    *     state) — tiny summaries, bricks are not materialized;
+    *  3. the driver chains exact entry states across partitions, replaying
+    *     only each partition's prefix until the true trajectory and the
+    *     own-replay both emit at the same tick with identical state (the
+    *     sync point) — typically a handful of ticks;
+    *  4. job 2: each partition restores the synced snapshot and re-scans
+    *     only its suffix in parallel; driver-computed prefix bricks (a few
+    *     per partition) are unioned in.
+    *
+    * Output is bit-identical to `fromTicks` (verified by ParallelScanSpec);
+    * if some partition never synchronizes within its prefix (pathologically
+    * flat prices), the method falls back to the sequential `fromTicks`.
+    */
+  def fromTicksParallel(
+      df: DataFrame,
+      brickSize: Double,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true,
+      numPartitions: Int = 0,
+      prefixCap: Int = 4096): DataFrame = {
+    require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+
+    val ticks = df
+      .select(
+        toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
+        col(closeCol).cast(DoubleType).as("price"))
+      .repartitionByRange(p, col("t"))
+      .sortWithinPartitions(col("t"))
+      .select(col("t"), col("price"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+
+    // job 1: per-partition own replay → summaries (small; bricks discarded)
+    val summaries = ticks.as[(Long, Double)].rdd
+      .mapPartitionsWithIndex { (pidx, it) =>
+        val pts = new ArrayBuffer[Long](64)
+        val pps = new ArrayBuffer[Double](64)
+        val snaps = new ArrayBuffer[RenkoSnapshot](64)
+        val eng = new RenkoEngine(brickSize)
+        val buf = new ArrayBuffer[Brick](4)
+        var n = 0L
+        var i = -1L
+        while (it.hasNext) {
+          val (ts, price) = it.next()
+          n += 1; i += 1
+          if (i == 0L) {
+            eng.initAnchor(price)
+            if (i < prefixCap) { pts += ts; pps += price; snaps += null }
+          } else {
+            buf.clear()
+            val emitted = eng.step(ts, price, i, buf)
+            if (i < prefixCap) {
+              pts += ts; pps += price
+              snaps += (if (emitted > 0) eng.snapshot else null)
+            }
+          }
+        }
+        Iterator.single(PartSummary(pidx, n, pts.toArray, pps.toArray, snaps.toArray,
+          if (n > 0) eng.snapshot else null, n > 0))
+      }
+      .collect()
+      .sortBy(_.pidx)
+
+    // driver: chain exact entry states, replay prefixes, find sync points
+    val prefixBricks = new ArrayBuffer[BrickRow]()
+    val plans = new ArrayBuffer[Plan]()
+    var offset = 0L
+    var entry: Option[RenkoSnapshot] = None
+    var fellBack = false
+    for (s <- summaries if !fellBack && s.nTicks > 0) {
+      val eng = new RenkoEngine(brickSize)
+      entry.foreach(eng.restore)
+      val buf = new ArrayBuffer[Brick](4)
+      var j = 0
+      var sync = -1L
+      while (sync < 0 && j < s.prefixTs.length) {
+        if (j == 0 && entry.isEmpty) {
+          eng.initAnchor(s.prefixPrice(0))
+        } else {
+          buf.clear()
+          val emitted = eng.step(s.prefixTs(j), s.prefixPrice(j), offset + j, buf)
+          buf.foreach(b => prefixBricks += toRow("", b))
+          val own = s.prefixEmitSnap(j)
+          if (emitted > 0 && own != null) {
+            val d = eng.snapshot
+            // local-vs-global tick indices differ by `offset`; emission at j
+            // sets tickOpen = tickClose = j in each basis, so compare the
+            // price-state fields and the index fields modulo offset
+            if (d.lastRenko == own.lastRenko && d.lastDirection == own.lastDirection &&
+                d.wickMin == own.wickMin && d.wickMax == own.wickMax &&
+                d.volume == own.volume &&
+                d.tickOpen == own.tickOpen + offset && d.tickClose == own.tickClose + offset)
+              sync = j
+          }
+        }
+        j += 1
+      }
+      if (sync < 0 && s.nTicks <= s.prefixTs.length) {
+        // short partition: the driver replayed it fully — exact, no suffix
+        plans += Plan(s.pidx, Long.MaxValue, null, offset)
+        entry = Some(eng.snapshot)
+      } else if (sync < 0) {
+        fellBack = true // prefix exhausted without sync — sequential fallback
+      } else {
+        plans += Plan(s.pidx, sync, s.prefixEmitSnap(sync.toInt), offset)
+        entry = Some(RenkoSnapshot(
+          s.exit.lastRenko, s.exit.lastDirection, s.exit.wickMin, s.exit.wickMax,
+          s.exit.volume, s.exit.tickOpen + offset, s.exit.tickClose + offset))
+      }
+      offset += s.nTicks
+    }
+    if (fellBack) {
+      ticks.unpersist()
+      return fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst)
+    }
+
+    // job 2: suffix scan per partition from the synced snapshot
+    val planByPidx = plans.map(pl => pl.pidx -> pl).toMap
+    val bcPlans = spark.sparkContext.broadcast(planByPidx)
+    val suffixRdd = ticks.as[(Long, Double)].rdd
+      .mapPartitionsWithIndex { (pidx, it) =>
+        bcPlans.value.get(pidx) match {
+          case None => Iterator.empty
+          case Some(pl) if pl.syncIdx == Long.MaxValue => Iterator.empty
+          case Some(pl) =>
+            val eng = new RenkoEngine(brickSize)
+            eng.restore(pl.syncSnap)
+            var j = 0L
+            val skipped = it.dropWhile { _ => val keep = j <= pl.syncIdx; if (keep) j += 1; keep }
+            val buf = new ArrayBuffer[Brick](4)
+            new Iterator[BrickRow] {
+              private var pos = 0
+              override def hasNext: Boolean = {
+                while (pos >= buf.length) {
+                  if (!skipped.hasNext) return false
+                  val (ts, price) = skipped.next()
+                  buf.clear(); pos = 0
+                  eng.step(ts, price, j, buf)
+                  j += 1
+                }
+                true
+              }
+              override def next(): BrickRow = {
+                if (!hasNext) throw new NoSuchElementException
+                val b = buf(pos); pos += 1
+                // shift local tick indices into the global basis
+                toRow("", b.copy(
+                  tickIndexOpen = b.tickIndexOpen + pl.offset,
+                  tickIndexClose = b.tickIndexClose + pl.offset))
+              }
+            }
+        }
+      }
+
+    val prefixDf = spark.createDataset(prefixBricks.toSeq)(brickEnc).toDF()
+    val suffixDf = spark.createDataFrame(suffixRdd)
+    val all = widen(prefixDf.unionByName(suffixDf))
+    if (!dropFirst) all
+    else {
+      // ts is nondecreasing in emission order, so the first emitted brick's
+      // timestamp is the global minimum — reference drop rule (renkodf.py:69)
+      val fts = all.agg(min(col("datetime")).as("__fts"))
+      all.join(broadcast(fts), col("datetime") === col("__fts"), "left_anti")
+    }
   }
 
   /** Scan one pre-ordered partition: split into consecutive same-symbol runs

@@ -43,16 +43,19 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits. Plane
-    * coefficients are derived from xxhash64(plane, dim) mapped to [-0.5, 0.5)
-    * — fixed, engine-independent, no stored model.
+    * coefficients come from a fixed integer LCG over (plane, dim) mapped to
+    * [-0.5, 0.5) — engine-independent, no stored model, and exactly
+    * replicable in ANSI SQL (pure integer arithmetic, unlike xxhash64),
+    * which makes the bucketed search DuckDB-oracle-checkable.
     */
   private def planeSignature(vec: org.apache.spark.sql.Column, numPlanes: Int) = {
     val planeDots = (0 until numPlanes).map { p =>
-      // dot(v, plane_p) where plane_p[i] = frac(xxhash64(p, i)) - 0.5
+      // dot(v, plane_p) where plane_p[i] = lcg(p, i)/1e6 - 0.5
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
           x.cast("double") *
-            ((pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / lit(1000000.0)) - lit(0.5))),
+            ((pmod((lit(p.toLong * 1000003L) + i) * lit(2654435761L) + lit(12345L), lit(1000000L))
+              .cast("double") / lit(1000000.0)) - lit(0.5))),
         lit(0.0), (acc, x) => acc + x)
     }
     planeDots.zipWithIndex.map { case (d, j) =>

@@ -234,7 +234,12 @@ object RenkoWS {
     */
   def stateFromCheckpoint(rws: DataFrame): Dataset[(String, WsState)] = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("symbol")).orderBy(col("timestamp").desc)
+    // bricks emitted by one tick share a timestamp; within the tick, emission
+    // order is monotone in close*direction, so the tie-break below picks the
+    // truly LAST brick (the reference reads .iat[-1] on an emission-ordered
+    // frame, renkodf.py:504-508) instead of an arbitrary same-ts row
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("timestamp").desc, (col("close") * col("direction")).desc)
     val last = rws
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

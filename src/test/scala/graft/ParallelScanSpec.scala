@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Renko
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `fromTicksParallel` (range-partitioned parallel sort + sync-point
+  * stitched scan) must be BIT-IDENTICAL to the sequential `fromTicks` on
+  * every workload — the parallelization is an execution strategy, not a
+  * semantics change. Covers: random walks (frequent sync), flat series
+  * (fallback path), gappy jumps (multi-brick emissions at partition
+  * boundaries), tiny inputs (fewer rows than partitions), and the events
+  * fixture.
+  */
+class ParallelScanSpec extends SparkTestBase {
+
+  private def assertSame(df: DataFrame, brick: Double, parts: Int, cap: Int = 4096): Unit = {
+    val seqOut = Renko.fromTicks(df, brick)
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    val parOut = Renko.fromTicksParallel(df, brick, numPartitions = parts, prefixCap = cap)
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    assert(seqOut.length == parOut.length,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
+    seqOut.zip(parOut).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs:\n  seq=$a\n  par=$b")
+    }
+  }
+
+  private def walk(n: Int, jumpEvery: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    var p = 100.0
+    (0 until n).map { i =>
+      p += (rnd.nextDouble() - 0.5) * 2.0
+      if (jumpEvery > 0 && i % jumpEvery == jumpEvery - 1) p += (if (rnd.nextBoolean()) 30.0 else -30.0)
+      (i.toLong * 1000L, p)
+    }.toDF("datetime", "close")
+  }
+
+  test("random walk: parallel == sequential, several partition counts") {
+    val df = walk(20000)
+    for (parts <- Seq(2, 7, 16)) assertSame(df, 1.0, parts)
+  }
+
+  test("gappy walk (multi-brick emissions at boundaries)") {
+    assertSame(walk(8000, jumpEvery = 500), 1.0, 8)
+  }
+
+  test("flat series: prefix never syncs -> sequential fallback, still exact") {
+    import spark.implicits._
+    // price pinned inside one brick: no emission ever, bricks are empty
+    val df = (0 until 5000).map(i => (i.toLong, 100.0 + (i % 3) * 0.1)).toDF("datetime", "close")
+    assertSame(df, 1.0, 4, cap = 64)
+  }
+
+  test("flat-then-moving: sync outside a small prefix cap falls back") {
+    import spark.implicits._
+    val df = (0 until 4000).map { i =>
+      val p = if (i % 1000 < 990) 100.0 else 100.0 + (i % 10) * 3.0
+      (i.toLong, p)
+    }.toDF("datetime", "close")
+    assertSame(df, 1.0, 4, cap = 8)
+  }
+
+  test("tiny input: fewer ticks than partitions") {
+    import spark.implicits._
+    val df = Seq((0L, 100.0), (1L, 103.5), (2L, 96.2), (3L, 108.0))
+      .toDF("datetime", "close")
+    assertSame(df, 1.0, 8)
+  }
+
+  test("events fixture at sf0.001, ns unit") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").as("datetime"), col("value").as("close"))
+    val seqOut = Renko.fromTicks(ev, 25.0, tsUnit = "ns")
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc).collect()
+    val parOut = Renko.fromTicksParallel(ev, 25.0, tsUnit = "ns", numPartitions = 4)
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc).collect()
+    assert(seqOut.length == parOut.length)
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+  }
+}

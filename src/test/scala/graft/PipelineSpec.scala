@@ -152,4 +152,15 @@ class PipelineSpec extends SparkTestBase {
     val t = TextAnalysis.tokenStats(docs)
     assert(t.filter(col("n_words_alpha") + col("n_numbers") > col("n_tokens")).count() == 0)
   }
+
+  test("connected components: driver union-find == distributed label propagation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).cache()
+    val local = Dedup.connectedComponents(pairs).orderBy("doc_id").collect()
+    val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = -1L)
+      .orderBy("doc_id").collect()
+    assert(local.nonEmpty && local.length == dist.length)
+    local.zip(dist).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    pairs.unpersist()
+  }
 }

@@ -41,4 +41,20 @@ class VectorExprSpec extends SparkTestBase {
     val r = df.select(VectorExpressions.dotNative(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(r == 32.0)
   }
+
+  test("graft_polyhash == split/transform/aggregate fold, both prime sets") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val rows = docs.select(
+        TextFunctions.polyHash(col("text")).as("n31"),
+        TextFunctions.polyHashHof(col("text")).as("h31"),
+        TextFunctions.polyHash(col("text"), mult = 131L, prime = 2147483629L).as("n131"),
+        TextFunctions.polyHashHof(col("text"), mult = 131L, prime = 2147483629L).as("h131"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
 }
