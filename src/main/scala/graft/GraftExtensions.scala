@@ -1,11 +1,15 @@
 package graft
 
-import graft.functions.expressions.FloatVectorDot
-import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.expressions.{FloatVectorDot, PolyHash}
+import graft.operators.{Renko, RenkoModes}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Session extensions: exposes graft's custom Catalyst expressions to SQL.
+/** Session extensions: exposes graft's custom Catalyst expressions and the
+  * renko operator to SQL.
   *
   * Usage:
   * {{{
@@ -13,15 +17,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   *   ...
   * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
+  * spark.sql("SELECT * FROM graft_renko('ticks', 0.0003, 'wicks')")
   * }}}
   *
   * Registered functions:
   *  - `graft_dot(array<float|double>, array<float|double>) -> double` —
   *    native codegen'd dot product (see [[graft.functions.expressions.FloatVectorDot]]).
+  *  - `graft_polyhash(string) -> bigint` — the SQL-replicable polynomial
+  *    hash the LSH operators build on (see [[graft.functions.expressions.PolyHash]]).
+  *  - `graft_renko(table, brick_size [, mode [, symbol_col [, ts_unit]]])` —
+  *    table-valued function over a tick table/view: the full renko scan
+  *    with a mode projection, as a composable SQL relation (SURVEY §7.3's
+  *    optional SQL surface). Argument literals only; `symbol_col = ''`
+  *    means single series.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftDot)
+    ext.injectFunction(GraftExtensions.graftPolyHash)
+    ext.injectTableFunction(GraftExtensions.graftRenko)
   }
 }
 
@@ -32,5 +46,49 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_dot expects exactly 2 arguments")
       FloatVectorDot(children.head, children(1))
+    })
+
+  private[graft] val graftPolyHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_polyhash"),
+    new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 3,
+        "graft_polyhash expects (string [, mult [, prime]])")
+      def longArg(i: Int, default: Long): Long =
+        if (children.length > i) children(i).eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_polyhash: argument ${i + 1} must be an integer literal, got $other")
+        } else default
+      PolyHash(children.head, longArg(1, 31L), longArg(2, 2147483647L))
+    })
+
+  private def stringLit(e: Expression, what: String): String = e.eval() match {
+    case u: UTF8String => u.toString
+    case other => throw new IllegalArgumentException(
+      s"graft_renko: $what must be a string literal, got $other")
+  }
+
+  private[graft] val graftRenko: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_renko"),
+    new ExpressionInfo(Renko.getClass.getName, "graft_renko"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 2 && children.length <= 5,
+        "graft_renko expects (table, brick_size [, mode [, symbol_col [, ts_unit]]])")
+      val table = stringLit(children(0), "table")
+      val brick = children(1).eval() match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_renko: brick_size must be a numeric literal, got $other")
+      }
+      val mode = if (children.length >= 3) stringLit(children(2), "mode") else "wicks"
+      val symbolCol =
+        if (children.length >= 4) Some(stringLit(children(3), "symbol_col")).filter(_.nonEmpty)
+        else None
+      val tsUnit = if (children.length >= 5) stringLit(children(4), "ts_unit") else "us"
+      val spark = SparkSession.active
+      val wide = Renko.fromTicks(spark.table(table), brick, symbolCol = symbolCol, tsUnit = tsUnit)
+      RenkoModes.project(wide, mode).queryExecution.logical
     })
 }

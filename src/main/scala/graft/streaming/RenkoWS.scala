@@ -332,6 +332,13 @@ object RenkoWS {
     * returned frame (the reference destructively deletes them from its
     * internal frame, `renkodf.py:855-856` — same visible window, but our
     * engine's state/results remain append-only).
+    *
+    * Documented deviation (one call): the reference computes the returned
+    * frame BEFORE deleting, so on the exact call where the threshold is
+    * first reached its return is still untrimmed and the trim only shows on
+    * the next call; this view applies the window on the same call. All
+    * subsequent calls agree. Golden parity tests run with `max_len = 0`
+    * (retention off), where the paths are identical.
     */
   def animate(
       completedMode: DataFrame,

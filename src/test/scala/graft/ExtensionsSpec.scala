@@ -30,4 +30,41 @@ class ExtensionsSpec extends SparkTestBase {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext) // must register without throwing
   }
+
+  test("graft_renko table-valued function: full scan + mode view from SQL") {
+    val (ti, tinfo, tbuilder) = GraftExtensions.graftRenko
+    spark.sessionState.tableFunctionRegistry.registerFunction(ti, tinfo, tbuilder)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("ts AS datetime", "value AS close")
+      .createOrReplaceTempView("graft_tvf_ticks")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_renko('graft_tvf_ticks', 25.0, 'wicks', '', 'ns')")
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    val viaApi = graft.operators.RenkoModes.project(
+        graft.operators.Renko.fromTicks(spark.table("graft_tvf_ticks"), 25.0, tsUnit = "ns"),
+        "wicks")
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    assert(viaSql.nonEmpty && viaSql.length == viaApi.length)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // composable as a relation: aggregation over the TVF output
+    val agg = spark.sql(
+      "SELECT count(*) AS n, sum(volume) AS v FROM graft_renko('graft_tvf_ticks', 25.0, 'normal', '', 'ns')")
+      .collect()(0)
+    assert(agg.getLong(0) == viaApi.length)
+  }
+
+  test("graft_polyhash callable from SQL, matches the Column API") {
+    val (pi, pinfo, pbuilder) = GraftExtensions.graftPolyHash
+    spark.sessionState.functionRegistry.registerFunction(pi, pinfo, pbuilder)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("graft_ph_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_polyhash(text) AS h FROM graft_ph_docs ORDER BY doc_id").collect()
+    val viaApi = spark.table("graft_ph_docs")
+      .select(col("doc_id"), graft.functions.TextFunctions.polyHash(col("text")).as("h"))
+      .orderBy(col("doc_id")).collect()
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+  }
 }
