@@ -67,7 +67,7 @@ object RenkoOracleSql {
            |    CASE WHEN dv - floor(dv) > 0.5e0 THEN floor(dv) + 1 ELSE floor(dv) END * $B AS av
            |  FROM (SELECT sym, (price - fmod(price, $B)) / $B AS dv FROM ${p}ticks WHERE i = 0) t
            |),
-           |${p}traj0 AS (
+           |${p}traj0 AS MATERIALIZED (
            |  SELECT sym, 0::BIGINT AS i, av AS lr, $initLd AS ld, av AS w0x, 1::BIGINT AS v0x
            |  FROM ${p}anchor
            |),""".stripMargin
@@ -126,7 +126,7 @@ object RenkoOracleSql {
        |    CASE WHEN e.prev_ei = 0 THEN 1 ELSE e.prev_ei END AS etopen
        |  FROM ${p}em1 e JOIN ${p}ticks t ON t.sym = e.sym AND t.i = e.ei
        |),
-       |${p}em3 AS (
+       |${p}em3 AS MATERIALIZED (
        |  SELECT e.*,
        |    CASE WHEN e.prev_ei = 0 THEN (SELECT t0.w0x FROM ${p}traj0 t0 WHERE t0.sym = e.sym)
        |         WHEN lag(e.nsame) OVER ${p}v = 0 THEN lag(e.lr - e.dir*$B) OVER ${p}v
