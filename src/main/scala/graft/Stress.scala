@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Renko, RenkoModes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation main: renko at 10x the bench volume.
+  *
+  * `SPARK_GRAFT_STRESS_TICKS` (default 100M) synthetic ticks are scanned
+  * through the three execution strategies a production deployment would mix:
+  * multi-series fromTicks (parallelism = series), single-series
+  * fromTicksParallel (range-sort + sync-point stitching), and the
+  * zero-shuffle fromSortedTicks path. Prints one summary line per strategy.
+  *
+  * This is the local[32] stand-in for the 1000-executor question: the same
+  * plans shuffle once (or not at all), never collect ticks to the driver,
+  * and their memory footprint is bounded per task, so the strategies carry
+  * to a real cluster unchanged.
+  */
+object Stress {
+
+  private def synthTicks(spark: SparkSession, n: Long, series: Int): DataFrame =
+    spark.range(n).select(
+      pmod(col("id"), lit(series)).cast("string").as("symbol"),
+      col("id").as("datetime"),
+      (lit(200.0)
+        + lit(50.0) * sin(col("id").cast("double") / lit(5000.0))
+        + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
+        ).as("close"))
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_TICKS", "100000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(df: => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $name%-28s $sec%8.1f s  ($rows bricks, ${n / sec / 1e6}%.1f M ticks/s)")
+    }
+
+    timed(s"${n / 1000000}M x 64 series")(RenkoModes.project(
+      Renko.fromTicks(synthTicks(spark, n, 64), 1.0,
+        symbolCol = Some("symbol"), tsUnit = "us"), "wicks"))
+    timed(s"${n / 1000000}M x 1 series parallel")(RenkoModes.project(
+      Renko.fromTicksParallel(synthTicks(spark, n, 1), 1.0, tsUnit = "us"), "wicks"))
+    timed(s"${n / 1000000}M x 1 series pre-sorted")(RenkoModes.project(
+      Renko.fromSortedTicks(synthTicks(spark, n, 1).coalesce(1), 1.0, tsUnit = "us"), "wicks"))
+
+    spark.stop()
+  }
+}

@@ -45,7 +45,10 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, idCol, textCol)
+    // the shingle table feeds the size aggregate AND both join sides —
+    // persist so tokenization/shingling runs once, not three times
+    // (Spark's ContextCleaner unpersists when the plan becomes unreachable)
+    val sh = shingles(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     jaccardOfSharedShingles(sh, threshold, None)
   }
 

@@ -72,4 +72,53 @@ class FileStreamSpec extends SparkTestBase {
     }
     assert(afterPhase1 < got.length, "phase 2 must have appended new bricks")
   }
+
+  test("RocksDB state store: restartable renko stream, same bricks") {
+    // the production state backend at scale (state larger than executor
+    // heap): same pipeline, same checkpoint-restart contract, RocksDB
+    // provider instead of the default in-memory HDFS-backed store
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-rocks").toFile
+      val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      val outDir = new java.io.File(root, "out").getAbsolutePath
+      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(lit("ev").as("symbol"),
+          (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("timestamp"),
+          col("value").as("price"))
+        .as[PriceEvent].collect().sortBy(_.timestamp)
+      val (h1, h2) = events.splitAt(events.length / 2)
+      spark.createDataset(h1.toIndexedSeq).coalesce(1).write.parquet(s"$srcDir/c1")
+      def runOnce(): Unit = {
+        val src = spark.readStream
+          .schema(Encoders.product[PriceEvent].schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/*")
+          .as[PriceEvent]
+        val q = RenkoWS.bricks(src, 25.0).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      spark.createDataset(h2.toIndexedSeq).coalesce(1).write.parquet(s"$srcDir/c2")
+      runOnce()
+      val got = spark.read.parquet(outDir)
+        .orderBy(col("timestamp"), col("close")).drop("symbol").collect()
+      val want = RenkoWS.replay(spark.createDataset(events.toIndexedSeq), 25.0)
+        .toDF().orderBy(col("timestamp"), col("close")).drop("symbol").collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
