@@ -182,10 +182,30 @@ object PipelineOracleSql {
        |  CASE WHEN n_frames > 0 THEN md5(substr(text, 1, 32)) ELSE NULL END AS first_frame_checksum
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Strided-byte resize stub: stride = max(1, n/64), up to 64 samples. */
+  def resizeOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    strlen(text) AS n, text
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, media_type, n,
+       |    greatest(1, n // 64) AS stride,
+       |    CASE WHEN n = 0 THEN 0 ELSE least(64, (n + stride - 1) // stride) END AS nres,
+       |    CASE WHEN n = 0 THEN '' ELSE list_aggregate(
+       |      list_transform(range(0, nres), i -> substr(text, CAST(i*stride + 1 AS INT), 1)),
+       |      'string_agg', '') END AS rz
+       |  FROM f)
+       |SELECT doc_id, media_type, CAST(nres AS BIGINT) AS resized_n,
+       |  md5(rz) AS resized_checksum
+       |FROM g ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,
     "sim_topk_ivf" -> ivfTopK,
-    "mm_frame_sample" -> frameSample)
+    "mm_frame_sample" -> frameSample,
+    "mm_resize" -> resizeOracle)
 }

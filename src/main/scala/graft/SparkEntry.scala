@@ -375,6 +375,12 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
         .select(col("doc_id"), col("media_type"), col("n_frames"), col("first_frame_checksum"))
         .orderBy(col("doc_id"))),
+    "mm_resize" -> ((s, dir) =>
+      // binary payload exported as md5 — the comparator can't sort raw bytes
+      Multimodal.resize(Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("media_type"), col("resized_n"),
+          md5(col("resized")).as("resized_checksum"))
+        .orderBy(col("doc_id"))),
     "mm_decode_features" -> ((s, dir) => {
       // scalar projection of the feature struct: the driver's comparator
       // sorts columns with pandas, which cannot hash raw array columns —

@@ -93,6 +93,45 @@ object Multimodal {
       }
   }
 
+  /** Batched resize over binary payloads: the image/audio down-sampling
+    * pattern. The KERNEL is stubbed (no codecs in this environment): instead
+    * of decode→interpolate→encode it takes every `stride`-th byte with
+    * `stride = max(1, n / targetLen)`, capped at `targetLen` samples — a
+    * deterministic stand-in with the production Spark shape (binary in,
+    * binary out, batch-sized mapPartitions, payload never shuffles).
+    * Output: input columns + (resized BINARY, resized_n BIGINT).
+    */
+  def resize(media: DataFrame, targetLen: Int = 64, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, String, Array[Byte], Array[Byte], Long)] =
+      Encoders.product[(Long, String, Array[Byte], Array[Byte], Long)]
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, mt, bytes) =>
+            val r = resizeStub(bytes, targetLen)
+            (id, mt, bytes, r, r.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "media_type", "payload", "resized", "resized_n")
+  }
+
+  /** STUB resize kernel — strided byte sampling standing in for a real
+    * decode→interpolate→encode. Deterministic and SQL-replicable.
+    */
+  private[graft] def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    val n = bytes.length
+    if (n == 0) return Array.emptyByteArray
+    val stride = math.max(1, n / targetLen)
+    val out = new Array[Byte](math.min(targetLen, (n + stride - 1) / stride))
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+
   /** STUB decode kernel — deterministic features from raw bytes. A real
     * implementation would decode the payload (JPEG/PCM/frames) here.
     */

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Positional diff of two aligned frames — the reference's
   * `Series.compare` usage (`test/test_ws_ext.py:43-45`) and the
@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * 21): align two runs by position and report the rows where a value
   * column differs.
   *
-  * Spark has no positional index, so alignment is explicit: `row_number`
-  * over the caller's ordering, then an inner join on position — a single
-  * co-partitioned shuffle on the position key.
+  * Spark has no positional index, so alignment is explicit: a distributed
+  * global position (parallel range-sort, then per-partition counts turned
+  * into prefix offsets — `zipWithIndex`), then an inner join on position.
+  * A `row_number()` window without a partition key would funnel the whole
+  * table through ONE task; this formulation keeps both the sort and the
+  * numbering parallel, so it survives a 100x scale-up.
   */
 object SeriesCompare {
 
@@ -27,9 +30,15 @@ object SeriesCompare {
       valueCol: String,
       orderCols: Seq[String]): DataFrame = {
     def positioned(df: DataFrame, out: String): DataFrame = {
-      val w = Window.orderBy(orderCols.map(col): _*)
-      df.withColumn("pos", row_number().over(w))
-        .select(col("pos"), col(valueCol).as(out))
+      val sorted = df.orderBy(orderCols.map(col): _*).select(col(valueCol).as(out))
+      val field = sorted.schema.head
+      val schema = StructType(Seq(
+        StructField("pos", LongType, nullable = false),
+        StructField(out, field.dataType, field.nullable)))
+      // zipWithIndex = one tiny count job for per-partition offsets, then an
+      // embarrassingly parallel zip — no single-task window
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row(i + 1L, r.get(0)) }
+      df.sparkSession.createDataFrame(rdd, schema)
     }
     positioned(left, "self")
       .join(positioned(right, "other"), Seq("pos"))

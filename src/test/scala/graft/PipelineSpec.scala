@@ -163,4 +163,20 @@ class PipelineSpec extends SparkTestBase {
     local.zip(dist).foreach { case (a, b) => assert(a == b, s"$a != $b") }
     pairs.unpersist()
   }
+
+  test("multimodal resize: exact strided byte sampling") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Multimodal.resize(Multimodal.asMedia(docs), targetLen = 64)
+      .select("doc_id", "payload", "resized").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val got = r.getAs[Array[Byte]]("resized")
+      val stride = math.max(1, bytes.length / 64)
+      val want = (0 until math.min(64, (bytes.length + stride - 1) / stride))
+        .map(i => bytes(i * stride)).toArray
+      assert(java.util.Arrays.equals(got, want), s"doc ${r.getLong(0)}")
+      assert(got.length <= 64)
+    }
+  }
 }

@@ -79,4 +79,26 @@ class PlanQualitySpec extends SparkTestBase {
     assert(executedPlanString("text_quality").contains("*(1)"),
       "text_quality should run in whole-stage codegen")
   }
+
+  test("LSH dedup plans: no cartesian products, candidate joins are equi-joins") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, 0.8),
+        "simhash" -> graft.operators.Dedup.simhashPairs(docs, 7))) {
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a nested-loop join:\n$plan")
+    }
+  }
+
+  test("ANN LSH plan: query side broadcast, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = formatted(
+      graft.operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucketed ANN should broadcast the small query side:\n$plan")
+  }
 }
