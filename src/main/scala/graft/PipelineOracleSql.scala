@@ -68,10 +68,21 @@ object PipelineOracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** SimHash near-duplicate pairs, hamming <= 7 via 8x8-bit chunk join. */
-  def simhashPairs: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest($Tok) AS t FROM documents
+  /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
+    * via a `maxHamming + 1` evenly-split chunk join (mirrors
+    * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
+    */
+  def simhashPairs: String = {
+    val maxHamming = 11
+    val chunkRows = graft.operators.Dedup.chunkBounds(maxHamming + 1).zipWithIndex
+      .map { case ((lo, width), k) => s"($k, $lo, ${(1L << width) - 1L})" }
+      .mkString(", ")
+    s"""WITH tokw AS (
+       |  SELECT doc_id, $Tok AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS t
+       |  FROM tokw WHERE len(w) >= 3
        |), hh AS (
        |  SELECT doc_id,
        |    ${ph("t")}
@@ -87,14 +98,15 @@ object PipelineOracleSql {
        |    CAST(sum(CASE WHEN bs >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id
        |), chunks AS (
-       |  SELECT doc_id, simhash, u.k, (simhash >> CAST(8*u.k AS INT)) & 255 AS chunk
-       |  FROM sig, unnest(range(8)) AS u(k)
+       |  SELECT doc_id, simhash, ch.k, (simhash >> CAST(ch.lo AS INT)) & ch.mask AS chunk
+       |  FROM sig, (VALUES $chunkRows) AS ch(k, lo, mask)
        |)
        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
        |FROM chunks x JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 7
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val Nrm =
     """sqrt(list_sum(list_transform(range(1, len(embedding)+1),

