@@ -633,8 +633,9 @@ object SparkEntry {
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
          |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[A-Za-z]+$$'))) AS BIGINT) AS n_words_alpha,
-         |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_numbers
-         |FROM (SELECT doc_id, $Tok AS w FROM documents)
+         |  CAST(len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) AS BIGINT) AS n_numbers,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_pretokens
+         |FROM (SELECT doc_id, text, $Tok AS w FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       """WITH h AS (

@@ -71,7 +71,13 @@ object TextAnalysis {
       size(w).cast("long").as("n_tokens"),
       size(array_distinct(w)).cast("long").as("n_unique_tokens"),
       size(filter(w, t => t.rlike("^[A-Za-z]+$"))).cast("long").as("n_words_alpha"),
-      size(filter(w, t => t.rlike("^[0-9]+$"))).cast("long").as("n_numbers"))
+      size(filter(w, t => t.rlike("^[0-9]+$"))).cast("long").as("n_numbers"),
+      // BPE-style pre-tokenization count (GPT-2-ish segmentation: letter
+      // runs, single digits, punctuation runs — a cheap upper bound on the
+      // token bill a real BPE would produce; the pattern uses only simple
+      // character classes so Java regex and RE2 agree)
+      size(regexp_extract_all(col(textCol),
+        lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"""), lit(0))).cast("long").as("n_bpe_pretokens"))
   }
 
   /** Winnowed rolling-hash document fingerprints (MOSS-style winnowing,
