@@ -112,29 +112,35 @@ object PipelineOracleSql {
     """sqrt(list_sum(list_transform(range(1, len(embedding)+1),
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))""".stripMargin
 
-  /** Hyperplane-LSH bucketed top-k ANN (8 planes, queries vec_id < 10, k=5). */
+  /** Hyperplane-LSH bucketed top-k ANN: 8 tables x 6 planes, candidates
+    * unioned across tables (mirrors `Similarity.lshTopK`), queries
+    * vec_id < 10, k=5.
+    */
   def lshTopK: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
+       |), dots AS (
+       |  SELECT e.vec_id, u.p // 6 AS t, u.p % 6 AS j,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) *
+       |           (CAST(((u.p*1000003 + (i-1)) * 2654435761 + 12345) % 1000000 AS DOUBLE)
+       |            / 1000000.0 - 0.5))) AS d
+       |  FROM embeddings e, unnest(range(48)) AS u(p)
        |), sig AS (
-       |  SELECT vec_id,
-       |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM (
-       |    SELECT e.vec_id, u.p,
-       |      list_sum(list_transform(range(1, len(e.embedding)+1),
-       |        i -> CAST(e.embedding[i] AS DOUBLE) *
-       |             (CAST(((u.p*1000003 + (i-1)) * 2654435761 + 12345) % 1000000 AS DOUBLE)
-       |              / 1000000.0 - 0.5))) AS d
-       |    FROM embeddings e, unnest(range(8)) AS u(p))
-       |  GROUP BY vec_id
-       |), nb AS (
-       |  SELECT n.vec_id, n.embedding, n.nrm, s.bucket FROM n JOIN sig s ON s.vec_id = n.vec_id
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS b
+       |  FROM dots GROUP BY vec_id, t
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig c JOIN sig q ON q.t = c.t AND q.b = c.b
+       |    AND q.vec_id < 10 AND c.vec_id != q.vec_id
        |), scored AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  SELECT cand.query_id, cand.neighbor_id,
        |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
        |      / (q.nrm * c.nrm), 9) AS cos_sim
-       |  FROM nb c JOIN nb q ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id != q.vec_id
+       |  FROM cand JOIN n c ON c.vec_id = cand.neighbor_id
+       |            JOIN n q ON q.vec_id = cand.query_id
        |), r AS (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"

@@ -42,14 +42,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
-  /** Deterministic random-hyperplane signature: `numPlanes` sign bits. Plane
-    * coefficients come from a fixed integer LCG over (plane, dim) mapped to
-    * [-0.5, 0.5) — engine-independent, no stored model, and exactly
-    * replicable in ANSI SQL (pure integer arithmetic, unlike xxhash64),
-    * which makes the bucketed search DuckDB-oracle-checkable.
+  /** Deterministic random-hyperplane signature: `numPlanes` sign bits from
+    * globally-numbered planes `planeBase .. planeBase + numPlanes - 1`.
+    * Plane coefficients come from a fixed integer LCG over (plane, dim)
+    * mapped to [-0.5, 0.5) — engine-independent, no stored model, and
+    * exactly replicable in ANSI SQL (pure integer arithmetic, unlike
+    * xxhash64), which makes the bucketed search DuckDB-oracle-checkable.
     */
-  private def planeSignature(vec: org.apache.spark.sql.Column, numPlanes: Int) = {
-    val planeDots = (0 until numPlanes).map { p =>
+  private def planeSignature(vec: org.apache.spark.sql.Column, planeBase: Int, numPlanes: Int) = {
+    val planeDots = (0 until numPlanes).map { j =>
+      val p = planeBase + j
       // dot(v, plane_p) where plane_p[i] = lcg(p, i)/1e6 - 0.5
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
@@ -63,8 +65,11 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: corpus and queries are signed with the same
-    * hyperplanes; each query scores only vectors sharing its bucket.
+  /** LSH-bucketed ANN with `numTables` independent hyperplane tables of
+    * `numPlanes` sign bits each: a candidate only needs to share a bucket
+    * in ONE table (the standard L-tables recall knob — one table of k bits
+    * has recall ~(1 - theta/pi)^k per neighbor, L tables lift it to
+    * 1-(1-r)^L). Candidates are deduped across tables, then scored exactly.
     * Output: (query_id, rank, neighbor_id, cos_sim) — approximate (recall
     * < 1), which is the trade the bucket join buys at scale.
     */
@@ -72,15 +77,29 @@ object Similarity {
       emb: DataFrame,
       queries: DataFrame,
       k: Int,
-      numPlanes: Int = 8,
+      numPlanes: Int = 6,
+      numTables: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
-      l2Norm(col(vecCol)).as("nv"), planeSignature(col(vecCol), numPlanes).as("bucket"))
-    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
-      l2Norm(col(vecCol)).as("nq"), planeSignature(col(vecCol), numPlanes).as("bucket"))
-    val scored = corpus.join(broadcast(qs), Seq("bucket"))
+    def buckets(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        explode(array((0 until numTables).map { t =>
+          struct(lit(t).as("t"),
+            planeSignature(col(vecCol), t * numPlanes, numPlanes).as("b"))
+        }: _*)).as("tb"))
+        .select(col(outId), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = buckets(emb, "neighbor_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nv"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"))
+    val scored = cand
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q"), col("v"), col("nq"), col("nv")), 9).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
