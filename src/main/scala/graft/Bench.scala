@@ -81,14 +81,20 @@ object Bench {
       symbolCol = Some("symbol"), tsUnit = "us").count()
 
     val results = headline(sfDir).map { case (name, mk) =>
-      // the 14.7M-tick workloads are long enough for GC/compilation noise to
-      // dominate a single sample — report the best of 2 INDEPENDENT runs for
-      // those (cache cleared between reps: the parallel scan persists its
-      // sorted ticks, and Spark's CacheManager would otherwise serve rep 2
-      // from rep 1's cache, which is not the workload being measured)
-      val reps = if (name.startsWith("renko_14m")) 2 else 1
+      // hygiene, uniformly for EVERY query and rep (r2 lesson: late queries
+      // "regressed" purely from state left behind by earlier ones):
+      //  - clearCache() so no CacheManager entry from any prior query can
+      //    alias into this plan (operators no longer persist, but a clean
+      //    slate per measurement is cheap insurance);
+      //  - System.gc() so the ContextCleaner reaps the previous query's
+      //    checkpointed RDD blocks before this one is timed, instead of
+      //    during it;
+      //  - min of 2 independent reps so one GC/JIT hiccup cannot masquerade
+      //    as a regression, with per-rep times printed for auditability.
+      val reps = 2
       val times = (1 to reps).map { _ =>
-        if (reps > 1) spark.catalog.clearCache()
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         val n = try mk(spark).count() catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
@@ -96,7 +102,8 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val (sec, n) = times.minBy(_._1)
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s  ($n rows)")
+      val repStr = times.map(t => f"${t._1}%.3f").mkString(" / ")
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s  (reps: $repStr; $n rows)")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large text corpora.
   *
@@ -46,9 +45,15 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // the shingle table feeds the size aggregate AND both join sides —
-    // persist so tokenization/shingling runs once, not three times
-    // (Spark's ContextCleaner unpersists when the plan becomes unreachable)
-    val sh = shingles(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize it once via localCheckpoint rather than Dataset.persist:
+    // persist registers in the session's CacheManager, which holds a strong
+    // reference until an explicit unpersist/clearCache (a session-lifetime
+    // leak for an operator-internal intermediate), whereas localCheckpoint
+    // blocks are RDD-level and the ContextCleaner frees them as soon as the
+    // returned plan becomes unreachable. Trade: lineage is truncated, so a
+    // lost executor fails the job instead of recomputing — acceptable for a
+    // within-job intermediate (re-run the operator).
+    val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
     jaccardOfSharedShingles(sh, threshold, None)
   }
 
@@ -145,9 +150,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // the shingle table feeds signature generation AND candidate
-    // verification — persist it so tokenization runs once (Spark's
-    // ContextCleaner unpersists when the plan becomes unreachable)
-    val sh = shingles(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    // verification — one localCheckpoint so tokenization runs once; see
+    // ngramJaccardPairs for why this is localCheckpoint and not persist
+    // (CacheManager entries leak for the session, RDD blocks do not)
+    val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
     val candidates = minhashCandidates(sh, params)
     jaccardOfSharedShingles(sh, threshold, Some(candidates))
   }
@@ -191,14 +197,22 @@ object Dedup {
     * in O(diameter) rounds — near-dup clusters are small and dense, so this
     * is a handful of small shuffles regardless of corpus size (the label
     * table only contains nodes that appear in some pair).
-    * Output: (doc_id, cluster_id) with cluster_id = min doc_id of the
-    * component.
+    * Output: (doc_id BIGINT, cluster_id BIGINT) with cluster_id = min doc_id
+    * of the component. Ids must be integral — they are cast to long up front
+    * in BOTH execution branches, so the output schema (and the failure mode
+    * for non-integral ids) does not depend on which branch the edge count
+    * selects.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
       localEdgeThreshold: Long = 4000000L): DataFrame = {
-    // the pair set is usually an expensive similarity join — evaluate once
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val distinctPairs = p.select(col("id_a"), col("id_b")).distinct().cache()
+    // the pair set is usually an expensive similarity join — materialize it
+    // once (localCheckpoint, not persist: RDD blocks are ContextCleaner-
+    // freed; CacheManager entries would outlive the call); it feeds the
+    // edge count and then whichever branch runs
+    val distinctPairs = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .distinct()
+      .localCheckpoint(false)
     val nEdges = distinctPairs.count()
     if (nEdges <= localEdgeThreshold) {
       // near-dup pair sets are normally tiny relative to the corpus (the
@@ -209,8 +223,7 @@ object Dedup {
       // one machine) the distributed propagation below takes over.
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = distinctPairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect()
+      val es = distinctPairs.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -225,7 +238,6 @@ object Dedup {
         if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
       }
       val out = parent.keys.toSeq.map(k => (k, find(k)))
-      distinctPairs.unpersist(); p.unpersist()
       return out.toDF("doc_id", "cluster_id")
     }
     val edges = distinctPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -254,10 +266,12 @@ object Dedup {
       prevSum = sumNow
       iter += 1
     }
+    // hand back a materialized, cache-free result: the loop's final `labels`
+    // is a CacheManager entry that would otherwise leak past this call
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    distinctPairs.unpersist()
-    p.unpersist()
-    labels
+    result
   }
 
   /** Bit width of the SimHash signature: two independent 31-bit polynomial

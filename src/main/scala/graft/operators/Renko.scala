@@ -202,9 +202,16 @@ object Renko {
       prefixCap: Int = 4096): DataFrame = {
     require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
     val spark = df.sparkSession
-    import org.apache.spark.storage.StorageLevel
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
 
+    // localCheckpoint (not persist) pins the sorted layout: job 2 MUST see
+    // the exact partitioning and intra-partition order job 1 summarized, and
+    // a checkpointed RDD freezes the physical blocks (a persist would allow
+    // recompute on a plan re-derivation, where sort ties could reorder).
+    // It is also leak-free: blocks are RDD-level, freed by the
+    // ContextCleaner when unreachable — Dataset.persist would sit in the
+    // session CacheManager until an explicit unpersist, which this method
+    // cannot issue because the caller's action runs after we return.
     val ticks = df
       .select(
         toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
@@ -212,7 +219,7 @@ object Renko {
       .repartitionByRange(p, col("t"))
       .sortWithinPartitions(col("t"))
       .select(col("t"), col("price"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
@@ -296,7 +303,9 @@ object Renko {
       offset += s.nTicks
     }
     if (fellBack) {
-      ticks.unpersist()
+      // the checkpointed tick blocks are freed by the ContextCleaner once
+      // `ticks` falls out of scope here (rare path; nothing to unpersist —
+      // there is no CacheManager entry)
       return fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst)
     }
 
@@ -340,7 +349,12 @@ object Renko {
 
     val prefixDf = spark.createDataset(prefixBricks.toSeq)(brickEnc).toDF()
     val suffixDf = spark.createDataFrame(suffixRdd)
-    val all = widen(prefixDf.unionByName(suffixDf))
+    // eagerly materialize the bricks (orders of magnitude smaller than the
+    // ticks): the suffix scan then runs exactly once even though the
+    // drop-first rule reads the result twice (min-ts aggregate + anti-join),
+    // and the returned plan no longer references the tick blocks at all —
+    // they become collectable as soon as this frame leaves scope
+    val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
     if (!dropFirst) all
     else {
       // ts is nondecreasing in emission order, so the first emitted brick's
