@@ -148,6 +148,39 @@ object PipelineOracleSql {
        |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** Embedding near-dup pairs at cos >= 0.42 via the 8x6 hyperplane-LSH
+    * candidate buckets (mirrors `Similarity.cosineNearDupPairs`: candidates
+    * from a shared bucket in >= 1 table, exact re-scoring, threshold
+    * filter). The oracle replays the bucket pipeline, so the approximate
+    * RECALL of the candidate generator is pinned too, not just precision.
+    */
+  def cosineNearDup: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
+       |), dots AS (
+       |  SELECT e.vec_id, u.p // 6 AS t, u.p % 6 AS j,
+       |    list_sum(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) *
+       |           (CAST(((u.p*1000003 + (i-1)) * 2654435761 + 12345) % 1000000 AS DOUBLE)
+       |            / 1000000.0 - 0.5))) AS d
+       |  FROM embeddings e, unnest(range(48)) AS u(p)
+       |), sig AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS b
+       |  FROM dots GROUP BY vec_id, t
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM sig x JOIN sig y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    round(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |      / (a.nrm * b.nrm), 9) AS cos_sim
+       |  FROM cand JOIN n a ON a.vec_id = cand.id_a
+       |            JOIN n b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cos_sim FROM scored
+       |WHERE cos_sim >= 0.42 ORDER BY id_a, id_b""".stripMargin
+
   /** IVF top-k ANN: nlist=16 lowest-id centroids, nprobe=4, k=5. */
   def ivfTopK: String =
     s"""WITH n AS (
@@ -223,6 +256,7 @@ object PipelineOracleSql {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,
+    "dedup_cosine_neardup" -> cosineNearDup,
     "sim_topk_ivf" -> ivfTopK,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle)

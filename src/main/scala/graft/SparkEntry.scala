@@ -335,6 +335,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.topCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 20)),
+    // the threshold (near-dup) form, on its LSH-candidate scale path — the
+    // oracle replays the same bucket pipeline, so recall is verified too
+    "dedup_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.42)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // --- similarity search
     "sim_topk_bruteforce" -> ((s, dir) => {

@@ -46,6 +46,32 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs == sigs2)
   }
 
+  test("cosine pairs: lsh candidates score exactly, near-dup threshold form is a precise subset") {
+    // exact scores of ALL pairs (small corpus) — ground truth
+    val exactAll = Similarity.topCosinePairs(emb, Int.MaxValue, method = "exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // lsh-method top-N: every returned pair must carry the true exact score
+    // (precision exact; recall is the LSH collision curve and not asserted)
+    val lshTop = Similarity.topCosinePairs(emb, 20, method = "lsh").collect()
+    assert(lshTop.nonEmpty)
+    lshTop.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exactAll.contains(key) && exactAll(key) == r.getDouble(2),
+        s"lsh pair $key score ${r.getDouble(2)} != exact ${exactAll.get(key)}")
+    }
+    // threshold form: a subset of the exact-threshold pairs, scores exact
+    val nd = Similarity.cosineNearDupPairs(emb, 0.42).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(nd.nonEmpty, "expected some pairs above 0.42 on this corpus")
+    nd.foreach { case (key, s) =>
+      assert(s >= 0.42 && exactAll(key) == s, s"near-dup pair $key score $s mismatch")
+    }
+    // auto method at this corpus size resolves to exact: bitwise-identical
+    val auto = Similarity.topCosinePairs(emb, 20).collect().map(_.toSeq)
+    val exact20 = Similarity.topCosinePairs(emb, 20, method = "exact").collect().map(_.toSeq)
+    assert(auto.toSeq == exact20.toSeq)
+  }
+
   test("LSH ANN: neighbors are genuine (scores match brute force), recall reported") {
     val queries = emb.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(emb, queries, 5).collect()

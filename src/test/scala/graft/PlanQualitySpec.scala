@@ -93,6 +93,21 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("cosine pair plans: LSH-candidate paths contain no cross product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    for ((name, df) <- Seq(
+        "topCosinePairs(lsh)" ->
+          graft.operators.Similarity.topCosinePairs(emb, 20, method = "lsh"),
+        "cosineNearDupPairs" ->
+          graft.operators.Similarity.cosineNearDupPairs(emb, 0.42))) {
+      val plan = formatted(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan contains a nested-loop join:\n$plan")
+    }
+  }
+
   test("ANN LSH plan: query side broadcast, no cartesian") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val plan = formatted(
