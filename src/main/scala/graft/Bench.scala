@@ -45,6 +45,7 @@ object Bench {
       "dedup_clusters" -> q("dedup_clusters"),
       "q17_time_window" -> q("q17_time_window"),
       "text_quality" -> q("text_quality"),
+      "text_winnow" -> q("text_winnow"),
       "text_fingerprint" -> q("text_fingerprint"),
       "mm_decode_features" -> q("mm_decode_features"),
       // single large series, unsorted input: parallel range-sort + sync-point

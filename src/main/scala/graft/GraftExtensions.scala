@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVectorDot, PolyHash}
+import graft.functions.expressions.{FloatVectorDot, GraftWinnow, PolyHash}
 import graft.operators.{Renko, RenkoModes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    native codegen'd dot product (see [[graft.functions.expressions.FloatVectorDot]]).
   *  - `graft_polyhash(string) -> bigint` — the SQL-replicable polynomial
   *    hash the LSH operators build on (see [[graft.functions.expressions.PolyHash]]).
+  *  - `graft_winnow(string [, k [, window]]) -> array<bigint>` — sorted
+  *    distinct MOSS-winnowed fingerprints, one scan-local byte-walk per
+  *    document (see [[graft.functions.expressions.GraftWinnow]]).
   *  - `graft_renko(table, brick_size [, mode [, symbol_col [, ts_unit]]])` —
   *    table-valued function over a tick table/view: the full renko scan
   *    with a mode projection, as a composable SQL relation (SURVEY §7.3's
@@ -35,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.graftDot)
     ext.injectFunction(GraftExtensions.graftPolyHash)
+    ext.injectFunction(GraftExtensions.graftWinnow)
     ext.injectTableFunction(GraftExtensions.graftRenko)
   }
 }
@@ -61,6 +65,21 @@ object GraftExtensions {
             s"graft_polyhash: argument ${i + 1} must be an integer literal, got $other")
         } else default
       PolyHash(children.head, longArg(1, 31L), longArg(2, 2147483647L))
+    })
+
+  private[graft] val graftWinnow: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 3,
+        "graft_winnow expects (string [, k [, window]])")
+      def intArg(i: Int, default: Int): Int =
+        if (children.length > i) children(i).eval() match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow: argument ${i + 1} must be an integer literal, got $other")
+        } else default
+      GraftWinnow(children.head, intArg(1, 8), intArg(2, 4))
     })
 
   private def stringLit(e: Expression, what: String): String = e.eval() match {

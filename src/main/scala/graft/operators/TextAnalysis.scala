@@ -89,6 +89,12 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_fps, fp_sum) — the fingerprint-set digest; use the
     * (doc_id, fp) pair form for candidate joins at scale.
+    *
+    * Winnowing runs inside the scan via the native `graft_winnow` expression
+    * (one byte-walk per document, `array<bigint>` out), so the digest is a
+    * pure per-row projection — ZERO shuffle, where the relational
+    * formulation (kept below as a cross-check) shuffled O(total corpus
+    * characters) rows through two windows.
     */
   def winnowedFingerprints(
       docs: DataFrame,
@@ -96,13 +102,35 @@ object TextAnalysis {
       window: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    winnowedFingerprintPairs(docs, k, window, idCol, textCol)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"), sum(col("fp")).as("fp_sum"))
-      .select(col("doc_id"), col("n_fps"), col("fp_sum"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.expressions.WinnowExpression.winnowNative(col(textCol), k, window).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fps"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"))
 
-  /** The (doc_id, fp) fingerprint pairs themselves. */
+  /** The (doc_id, fp) fingerprint pairs themselves: explode of the native
+    * per-doc fingerprint array (already distinct) — candidate joins at scale
+    * start from here with no winnowing shuffle.
+    */
   def winnowedFingerprintPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      window: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.expressions.WinnowExpression.winnowNative(col(textCol), k, window)).as("fp"))
+
+  /** The relational formulation of `winnowedFingerprintPairs` — same rows,
+    * built from built-in functions only (explode + two windows). Quadratic
+    * in shuffle volume relative to the native expression; retained as the
+    * independent cross-check of the winnowing arithmetic (PipelineSpec
+    * asserts equality), mirroring `polyHashHof` vs the native PolyHash.
+    */
+  def winnowedFingerprintPairsRelational(
       docs: DataFrame,
       k: Int = 8,
       window: Int = 4,

@@ -67,4 +67,23 @@ class ExtensionsSpec extends SparkTestBase {
       .orderBy(col("doc_id")).collect()
     viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("graft_winnow callable from SQL, matches the Column API") {
+    val (wi, winfo, wbuilder) = GraftExtensions.graftWinnow
+    spark.sessionState.functionRegistry.registerFunction(wi, winfo, wbuilder)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("graft_wn_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_winnow(text, 8, 4) AS fps FROM graft_wn_docs ORDER BY doc_id").collect()
+    val viaApi = spark.table("graft_wn_docs")
+      .select(col("doc_id"),
+        graft.functions.expressions.WinnowExpression.winnowNative(col("text"), 8, 4).as("fps"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // default (k, window) = (8, 4)
+    val dflt = spark.sql(
+      "SELECT doc_id, graft_winnow(text) AS fps FROM graft_wn_docs ORDER BY doc_id").collect()
+    dflt.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+  }
 }

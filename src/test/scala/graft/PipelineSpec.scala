@@ -46,6 +46,27 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs == sigs2)
   }
 
+  test("native winnow expression == relational winnowing, incl. edge lengths") {
+    // corpus cross-check: identical (doc_id, fp) row sets
+    val native = TextAnalysis.winnowedFingerprintPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relational = TextAnalysis.winnowedFingerprintPairsRelational(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native.nonEmpty && native == relational,
+      s"native/relational winnow diverge: ${native.diff(relational).take(5)} / ${relational.diff(native).take(5)}")
+    // edge lengths around the k + window - 1 = 11 char threshold (k=8, w=4):
+    // shorter docs must vanish from both forms
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "abcdefg"), (3L, "abcdefghij"), (4L, "abcdefghijk"),
+      (5L, "aaaaaaaaaaaaaaaa"), (6L, (null: String))).toDF("doc_id", "text")
+    val en = TextAnalysis.winnowedFingerprintPairs(edge).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val er = TextAnalysis.winnowedFingerprintPairsRelational(edge).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(en == er, s"edge-case divergence: $en vs $er")
+    assert(en.map(_._1) == Set(4L, 5L), "only docs with >= k+window-1 chars fingerprint")
+  }
+
   test("cosine pairs: lsh candidates score exactly, near-dup threshold form is a precise subset") {
     // exact scores of ALL pairs (small corpus) — ground truth
     val exactAll = Similarity.topCosinePairs(emb, Int.MaxValue, method = "exact").collect()
