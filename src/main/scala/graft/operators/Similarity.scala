@@ -135,23 +135,36 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val normed = emb.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+    // the coarse quantizer is tiny and fixed — collect it to the driver once
+    // and inline the centroid vectors as plan literals: the corpus
+    // assignment is then a per-row argmax EXPRESSION evaluated inside the
+    // scan stage, instead of a corpus×nlist join feeding a row_number window
+    // (which shuffled the whole corpus to rank <= 16 broadcast rows per id)
+    val cents: Array[(Long, Array[Float], Double)] = normed.orderBy(col("id")).limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // argmax with the same tie-break as a (csim DESC, cid ASC) ranking:
+    // struct comparison is lexicographic, so max of (csim, -cid) picks the
+    // highest similarity and, on exact ties, the lowest centroid id
+    val best = array_max(array(cents.map { case (cid, cv, cnrm) =>
+      struct(cosine(col("v"), typedlit(cv), col("nrm"), lit(cnrm)).as("s"),
+        lit(-cid).as("nc"))
+    }: _*))
+    val corpus = normed
+      .withColumn("cid", -best.getField("nc"))
+      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
+    // query side: |queries| x nlist rows is negligible — the ranking window
+    // keeps the top-nprobe lists per query with no scale concern
     val centroids = broadcast(
       normed.orderBy(col("id")).limit(nlist)
         .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(centroids, lit(true))
-        .select(df.columns.map(col) :+ col("cid") :+
-          cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("csim"): _*)
-      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("csim", "crank")
-    }
-    val corpus = assign(normed, 1)
-      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
-    val qs = assign(
-      queries.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm")),
-      nprobe)
+    val qn = queries.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+    val qScored = qn.join(centroids, lit(true))
+      .select(qn.columns.map(col) :+ col("cid") :+
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("csim"): _*)
+    val qw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+    val qs = qScored.withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nprobe)
+      .drop("csim", "crank")
       .select(col("id").as("query_id"), col("v").as("q"), col("nrm").as("nq"), col("cid"))
     val scored = corpus.join(broadcast(qs), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))

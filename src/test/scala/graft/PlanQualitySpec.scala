@@ -93,6 +93,23 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("winnowed fingerprints are scan-local: zero exchanges in the digest plan") {
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.TextAnalysis.winnowedFingerprints(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(countShuffles(plan) == 0,
+      s"winnow digest must stay inside the scan stage:\n$plan")
+  }
+
   test("cosine pair plans: LSH-candidate paths contain no cross product") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     for ((name, df) <- Seq(
@@ -106,6 +123,18 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plan contains a nested-loop join:\n$plan")
     }
+  }
+
+  test("IVF assign: corpus centroid assignment is an expression, not a window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    // only two windows may remain: the top-nprobe query assignment (tiny)
+    // and the final per-query ranking — the corpus-sized assignment window
+    // (corpus x nlist shuffle) must be gone
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(windows == 2, s"expected 2 windows (query assign + final rank), got $windows")
   }
 
   test("ANN LSH plan: query side broadcast, no cartesian") {
