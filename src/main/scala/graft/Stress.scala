@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   * through the three execution strategies a production deployment would mix:
   * multi-series fromTicks (parallelism = series), single-series
   * fromTicksParallel (range-sort + sync-point stitching), and the
-  * zero-shuffle fromSortedTicks path. Prints one summary line per strategy.
+  * zero-shuffle fromSortedTicks path — plus a BURSTY single-series run
+  * (dense tick bursts separated by long quiet gaps, the shape of real
+  * market data) that reports the parallel scan's sync-point depth
+  * distribution, documenting how far the driver replay actually goes before
+  * partitions synchronize and where the sequential-fallback boundary sits.
   *
   * This is the local[32] stand-in for the 1000-executor question: the same
   * plans shuffle once (or not at all), never collect ticks to the driver,
   * and their memory footprint is bounded per task, so the strategies carry
   * to a real cluster unchanged.
+  *
+  * Driver heap comes from the JVM launch (`SPARK_DRIVER_MEM`, see
+  * build.sbt javaOptions) — setting spark.driver.memory on an in-process
+  * builder would be a silent no-op, so the actual heap is asserted and
+  * printed instead.
   */
 object Stress {
 
@@ -28,6 +37,14 @@ object Stress {
         + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
         ).as("close"))
 
+  /** Bursty ticks: 100k-tick bursts 1 µs apart, separated by one-day gaps —
+    * extreme time-density skew for the range partitioner (uniform row counts
+    * per partition, wildly non-uniform time spans).
+    */
+  private def burstyTicks(spark: SparkSession, n: Long): DataFrame =
+    synthTicks(spark, n, 1).withColumn("datetime",
+      col("datetime") + (col("datetime") / lit(100000L)) * lit(86400000000L))
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_TICKS", "100000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,9 +53,10 @@ object Stress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    println(s"[stress] driver heap ${heapGb} GiB (SPARK_DRIVER_MEM; 100M ticks want >= 8)")
 
     def timed(name: String)(df: => DataFrame): Unit = {
       spark.catalog.clearCache()
@@ -55,6 +73,21 @@ object Stress {
       Renko.fromTicksParallel(synthTicks(spark, n, 1), 1.0, tsUnit = "us"), "wicks"))
     timed(s"${n / 1000000}M x 1 series pre-sorted")(RenkoModes.project(
       Renko.fromSortedTicks(synthTicks(spark, n, 1).coalesce(1), 1.0, tsUnit = "us"), "wicks"))
+
+    // bursty run with sync diagnostics: depths must stay far below the
+    // prefix cap (4096) or the fallback boundary has been found
+    var stats: Renko.ParallelScanStats = null
+    timed(s"${n / 1000000}M x 1 series bursty") {
+      val (df, st) = Renko.fromTicksParallelWithStats(burstyTicks(spark, n), 1.0, tsUnit = "us")
+      stats = st
+      RenkoModes.project(df, "wicks")
+    }
+    val real = stats.syncDepths.filter(_ != Long.MaxValue)
+    println(s"[stress] bursty sync depths: fellBack=${stats.fellBack} " +
+      s"partitions=${stats.syncDepths.size} fullyReplayed=${stats.syncDepths.count(_ == Long.MaxValue)} " +
+      s"max=${if (real.isEmpty) "-" else real.max} " +
+      s"mean=${if (real.isEmpty) "-" else f"${real.sum.toDouble / real.size}%.1f"}")
+    assert(stats.fellBack || real.forall(_ < 4096), "sync depth exceeded the prefix cap")
 
     spark.stop()
   }

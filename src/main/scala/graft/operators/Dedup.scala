@@ -327,6 +327,18 @@ object Dedup {
     * Narrower chunks trade more candidates for a higher detectable radius —
     * the threshold should sit inside the corpus's hamming separation gap
     * (here: dups at 1-9, non-dups at >= 14, so the default is 11).
+    *
+    * Candidate-volume tradeoff (API contract, not corpus-specific): with
+    * `m = maxHamming + 1` chunks over 62 bits, each chunk key has only
+    * `2^(62/m)` distinct values, so the expected self-join volume grows as
+    * `m · N² / 2^(62/m)` — at `maxHamming = 11` the 5-6-bit chunks make the
+    * join degenerate toward quadratic as N grows. Use a threshold as small
+    * as the corpus's separation gap allows; when a large radius is truly
+    * needed at large N, the standard remedies are two-of-m blocking (join on
+    * PAIRS of chunks: hamming <= h still leaves two untouched chunks when
+    * `m >= h + 2`, quadratically shrinking each key's collision mass) or a
+    * wider signature — both are parameter/feature changes on this same
+    * pipeline shape.
     * Output: (id_a, id_b, hamming INT).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 11,

@@ -91,8 +91,15 @@ object Renko {
       datetimeCol: String = "datetime",
       closeCol: String = "close",
       tsUnit: String = "us",
-      dropFirst: Boolean = true): DataFrame = {
+      dropFirst: Boolean = true,
+      divideBy: Int = 2): DataFrame = {
     require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    // validation-surface parity with the reference (renkodf.py:44-45):
+    // divide_by is the reference's numpy pre-allocation chunking hint
+    // (capacity only, never semantics — renkodf.py:36-39); Spark sizes its
+    // own buffers, so the value is validated with the reference's message
+    // and otherwise ignored. Kept so reference code ports without edits.
+    require(divideBy > 0, "divide_by cannot be 'None' or '<= 0'")
     require(df.columns.contains(closeCol), s"Column '$closeCol' doesn't exist!")
     require(df.columns.contains(datetimeCol), s"Column '$datetimeCol' doesn't exist!")
 
@@ -199,7 +206,28 @@ object Renko {
       tsUnit: String = "us",
       dropFirst: Boolean = true,
       numPartitions: Int = 0,
-      prefixCap: Int = 4096): DataFrame = {
+      prefixCap: Int = 4096): DataFrame =
+    fromTicksParallelWithStats(df, brickSize, datetimeCol, closeCol, tsUnit,
+      dropFirst, numPartitions, prefixCap)._1
+
+  /** Diagnostics from the parallel scan's driver phase: whether the scan
+    * fell back to sequential, and how deep into each partition's prefix the
+    * sync-point search had to replay (Long.MaxValue = short partition fully
+    * replayed on the driver). The depth distribution is the empirical answer
+    * to "does the synchronization argument hold on THIS data" — bounded
+    * depths mean the driver work stays O(partitions · depth) at any scale.
+    */
+  final case class ParallelScanStats(fellBack: Boolean, syncDepths: Seq[Long])
+
+  private[graft] def fromTicksParallelWithStats(
+      df: DataFrame,
+      brickSize: Double,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true,
+      numPartitions: Int = 0,
+      prefixCap: Int = 4096): (DataFrame, ParallelScanStats) = {
     require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
@@ -306,7 +334,8 @@ object Renko {
       // the checkpointed tick blocks are freed by the ContextCleaner once
       // `ticks` falls out of scope here (rare path; nothing to unpersist —
       // there is no CacheManager entry)
-      return fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst)
+      return (fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst),
+        ParallelScanStats(fellBack = true, plans.toSeq.map(_.syncIdx)))
     }
 
     // job 2: suffix scan per partition from the synced snapshot
@@ -355,13 +384,14 @@ object Renko {
     // and the returned plan no longer references the tick blocks at all —
     // they become collectable as soon as this frame leaves scope
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
-    if (!dropFirst) all
+    val result = if (!dropFirst) all
     else {
       // ts is nondecreasing in emission order, so the first emitted brick's
       // timestamp is the global minimum — reference drop rule (renkodf.py:69)
       val fts = all.agg(min(col("datetime")).as("__fts"))
       all.join(broadcast(fts), col("datetime") === col("__fts"), "left_anti")
     }
+    (result, ParallelScanStats(fellBack = false, plans.toSeq.map(_.syncIdx)))
   }
 
   /** Scan one pre-ordered partition: split into consecutive same-symbol runs

@@ -135,5 +135,13 @@ class GoldenBatchSpec extends SparkTestBase {
       .getMessage.contains("brick_size"))
     assert(intercept[IllegalArgumentException](
       Renko.fromTicks(ticks.drop("close"), 1.0)).getMessage.contains("close"))
+    // divide_by parity (renkodf.py:44-45): validated, semantically ignored
+    assert(intercept[IllegalArgumentException](
+      Renko.fromTicks(ticks, 25.0, tsUnit = "ns", divideBy = 0))
+      .getMessage.contains("divide_by cannot be 'None' or '<= 0'"))
+    val dflt = Renko.fromTicks(ticks, 25.0, tsUnit = "ns")
+    val div5 = Renko.fromTicks(ticks, 25.0, tsUnit = "ns", divideBy = 5)
+    assert(dflt.collect().toSeq == div5.collect().toSeq,
+      "divide_by is a capacity hint only — output must be identical")
   }
 }

@@ -71,6 +71,19 @@ class ParallelScanSpec extends SparkTestBase {
     assertSame(df, 1.0, 8)
   }
 
+  test("bursty time distribution: bit-identical, sync depths bounded") {
+    // dense 500-tick bursts separated by day-long gaps — extreme time-density
+    // skew for the range partitioner (even row counts, uneven time spans)
+    val bursty = walk(20000).withColumn("datetime",
+      col("datetime") + (col("datetime") / lit(500000L)) * lit(86400000000L))
+    assertSame(bursty, 2.0, 8)
+    val (_, stats) = Renko.fromTicksParallelWithStats(bursty, 2.0, numPartitions = 8)
+    assert(!stats.fellBack)
+    val real = stats.syncDepths.filter(_ != Long.MaxValue)
+    assert(real.nonEmpty && real.forall(_ < 4096),
+      s"sync depths should stay far below the prefix cap: ${stats.syncDepths}")
+  }
+
   test("events fixture at sf0.001, ns unit") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("ts").as("datetime"), col("value").as("close"))
