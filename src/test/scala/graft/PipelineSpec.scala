@@ -46,6 +46,15 @@ class PipelineSpec extends SparkTestBase {
     assert(sigs == sigs2)
   }
 
+  test("simhash two-of-m blocking: identical output to one-of-m (pigeonhole completeness)") {
+    val one = Dedup.simhashPairs(docs, maxHamming = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val two = Dedup.simhashPairsTwoOfM(docs, maxHamming = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(one.nonEmpty && one == two,
+      s"blocking schemes must agree exactly: ${one.diff(two).take(5)} / ${two.diff(one).take(5)}")
+  }
+
   test("native winnow expression == relational winnowing, incl. edge lengths") {
     // corpus cross-check: identical (doc_id, fp) row sets
     val native = TextAnalysis.winnowedFingerprintPairs(docs).collect()

@@ -84,7 +84,8 @@ class PlanQualitySpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for ((name, df) <- Seq(
         "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, 0.8),
-        "simhash" -> graft.operators.Dedup.simhashPairs(docs, 7))) {
+        "simhash" -> graft.operators.Dedup.simhashPairs(docs, 7),
+        "simhash-2ofm" -> graft.operators.Dedup.simhashPairsTwoOfM(docs, 7))) {
       val plan = formatted(df)
       assert(!plan.contains("CartesianProduct"),
         s"$name plan contains a cartesian product:\n$plan")
