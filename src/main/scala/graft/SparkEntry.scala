@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Renko, RenkoModes, SeriesCompare, Similarity, TextAnalysis, ToRws}
+import graft.operators.{Decontamination, Dedup, Multimodal, Renko, RenkoModes, SeriesCompare, Similarity, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -368,6 +368,20 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnowedFingerprints(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))),
+    "text_winnow_neardup" -> ((s, dir) =>
+      TextAnalysis.winnowNearDupPairs(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("id_a"), col("id_b"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))),
+    // deterministic held-out split standing in for an eval set: docs with
+    // doc_id % 10 == 7 are the "benchmark", the rest are the corpus
+    "text_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Decontamination.overlapReport(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"))
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),
@@ -664,6 +678,111 @@ object SparkEntry {
         |), d AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3)
         |SELECT doc_id, count(*) AS n_fps, CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same fingerprint CTEs as text_winnow, then the MOSS containment join
+    "text_winnow_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id, i,
+        |    (CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 1
+        |     + CAST(ascii(substr(text, CAST(i+1 AS INT), 1)) AS BIGINT) * 31
+        |     + CAST(ascii(substr(text, CAST(i+2 AS INT), 1)) AS BIGINT) * 961
+        |     + CAST(ascii(substr(text, CAST(i+3 AS INT), 1)) AS BIGINT) * 29791
+        |     + CAST(ascii(substr(text, CAST(i+4 AS INT), 1)) AS BIGINT) * 923521
+        |     + CAST(ascii(substr(text, CAST(i+5 AS INT), 1)) AS BIGINT) * 28629151
+        |     + CAST(ascii(substr(text, CAST(i+6 AS INT), 1)) AS BIGINT) * 887503681
+        |     + CAST(ascii(substr(text, CAST(i+7 AS INT), 1)) AS BIGINT) * 27512614111) % 2147483647 AS kh
+        |  FROM documents, unnest(range(1, length(text) - 6)) AS t(i)
+        |  WHERE length(text) >= 8
+        |), w AS (
+        |  SELECT doc_id,
+        |    min(kh) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    i, count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM h
+        |), d AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        |shared AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+        |  FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)]
+        |      || ' ' || w[CAST(i+3 AS INT)] || ' ' || w[CAST(i+4 AS INT)]
+        |      || ' ' || w[CAST(i+5 AS INT)] || ' ' || w[CAST(i+6 AS INT)]
+        |      || ' ' || w[CAST(i+7 AS INT)] AS gram
+        |  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |docg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 7),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM docg GROUP BY doc_id),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM docg JOIN bench USING (gram) GROUP BY doc_id
+        |)
+        |SELECT ov.doc_id, sz.n_grams, ov.n_overlap,
+        |  CAST(ov.n_overlap AS DOUBLE) / CAST(sz.n_grams AS DOUBLE) AS overlap_frac
+        |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+        |ORDER BY ov.doc_id""".stripMargin,
+    // relational reformulation of the per-row sorted-run fold: group the
+    // unnested n-grams and pick max by (cnt DESC, gram ASC) — same digest
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS lc,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i)
+        |), c2 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT doc_id, cnt, gram FROM (
+        |    SELECT doc_id, cnt, gram,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |    FROM c2) WHERE rn = 1
+        |), d2 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM c2 GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] || ' ' || w[CAST(i+2 AS INT)] AS gram
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        |), c3 AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+        |), t3 AS (
+        |  SELECT doc_id, cnt, gram FROM (
+        |    SELECT doc_id, cnt, gram,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |    FROM c3) WHERE rn = 1
+        |), d3 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars
+        |  FROM c3 GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  coalesce(t2.gram, '') AS top2_gram,
+        |  coalesce(t2.cnt, 0) AS top2_cnt,
+        |  coalesce(t2.cnt * length(t2.gram), 0) / t.lc AS top2_frac,
+        |  coalesce(d2.dup_chars, 0) / t.lc AS dup2_frac,
+        |  coalesce(t3.gram, '') AS top3_gram,
+        |  coalesce(t3.cnt, 0) AS top3_cnt,
+        |  coalesce(t3.cnt * length(t3.gram), 0) / t.lc AS top3_frac,
+        |  coalesce(d3.dup_chars, 0) / t.lc AS dup3_frac
+        |FROM toks t
+        |LEFT JOIN t2 ON t2.doc_id = t.doc_id
+        |LEFT JOIN d2 ON d2.doc_id = t.doc_id
+        |LEFT JOIN t3 ON t3.doc_id = t.doc_id
+        |LEFT JOIN d3 ON d3.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -22,12 +22,19 @@ object TextFunctions {
     * (measured ~10x slowdown on the shingle stage); the zip form evaluates
     * it a constant number of times per row.
     */
-  def wordShingles3(c: Column): Column = {
+  def wordShingles3(c: Column): Column = wordShingles(c, 3)
+
+  /** Word n-gram shingles (distinct) for any n — the n-way generalization of
+    * [[wordShingles3]], same zip-of-shifted-slices evaluation shape. The
+    * `greatest(m, 0)` clamp makes short docs (fewer than n tokens) yield an
+    * empty array instead of an error.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
     val w = tokens(c)
-    val n = size(w) - 2
+    val m = greatest(size(w) - (n - 1), lit(0))
     array_distinct(transform(
-      arrays_zip(slice(w, lit(1), n), slice(w, lit(2), n), slice(w, lit(3), n)),
-      t => concat_ws(" ", t.getField("0"), t.getField("1"), t.getField("2"))))
+      arrays_zip((1 to n).map(i => slice(w, lit(i), m)): _*),
+      t => concat_ws(" ", (0 until n).map(j => t.getField(j.toString)): _*)))
   }
 
   /** 31-bit polynomial string hash: left fold of character codes,

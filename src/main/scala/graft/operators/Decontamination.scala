@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training documents
+  * that share verbatim word n-grams with an evaluation/benchmark set — the
+  * standard pre-training hygiene step (GPT-3 appendix C and successors use
+  * exact n-gram collision at n in 8..13).
+  *
+  * Scale shape: the benchmark side is inherently tiny (eval sets are
+  * megabytes; the corpus is the 100 TB side), so its distinct gram set is
+  * BROADCAST and the probe is a map-side hash join against the corpus scan —
+  * the corpus never shuffles to discover candidates. Only the matched
+  * (doc, gram) pairs (rare by construction) reach the per-doc count, and
+  * that aggregation is partial-agg'd on doc_id. Per-doc gram sets come from
+  * the same zip-of-slices shingle projection the dedup family uses — scan
+  * local, no explode of unmatched grams beyond the join probe itself.
+  */
+object Decontamination {
+
+  /** Per-document overlap report against `benchmark`: documents sharing at
+    * least `minOverlap` distinct word n-grams with any benchmark document.
+    *
+    * Output: (doc_id, n_grams — distinct n-grams of the doc, n_overlap —
+    * how many of those appear in the benchmark set, overlap_frac BIGINT /
+    * DOUBLE). Documents below `minOverlap` (the clean ones — virtually the
+    * whole corpus) are absent.
+    */
+  def overlapReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      minOverlap: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // one corpus scan: the doc's gram count rides along the explode, so no
+    // second scan + join is needed to recover it after the aggregation
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= lit(minOverlap))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams").cast("double")).as("overlap_frac"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: quality scoring, language ID,
@@ -157,6 +157,135 @@ object TextAnalysis {
       .filter(col("i") <= col("n") - (window - 1))
       .select(col("doc_id"), col("fp"))
       .distinct()
+  }
+
+  /** Winnow-fingerprint near-duplicate pairs (the MOSS similarity join):
+    * document pairs whose fingerprint CONTAINMENT `shared / min(|A|, |B|)`
+    * reaches `minContainment` — robust to local edits and to one document
+    * embedding a fragment of another, which is exactly what k-gram
+    * winnowing is for. Containment, not raw shared count, is the
+    * discriminating statistic: same-domain documents share plenty of
+    * individual 8-gram fingerprints (measured on this corpus: nearly every
+    * pair shares >= 2), but true near-duplicates sit at containment >= 0.9
+    * with the background below 0.5 — 0.7 splits the measured gap.
+    * Scale shape: fingerprinting is scan-local (native `graft_winnow`),
+    * candidates come from an equi-join on individual fingerprints, counting
+    * is one aggregation — no pairwise expansion anywhere.
+    * Output: (id_a, id_b, n_shared BIGINT, containment DOUBLE).
+    */
+  def winnowNearDupPairs(
+      docs: DataFrame,
+      minContainment: Double = 0.7,
+      k: Int = 8,
+      window: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowedFingerprintPairs(docs, k, window, idCol, textCol)
+    val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= lit(minContainment))
+  }
+
+  /** Word n-grams of a token-array column, NOT distinct (repetition counts
+    * need multiplicity, unlike the shingle sets): `arrays_zip` of n shifted
+    * slices, same per-row-constant evaluation shape as
+    * `TextFunctions.wordShingles3`. Short docs (fewer than n tokens) yield
+    * an empty array via the `greatest(m, 0)` slice-length clamp — no
+    * conditional needed.
+    */
+  private def wordNgrams(w: Column, n: Int): Column = {
+    val m = greatest(size(w) - (n - 1), lit(0))
+    transform(
+      arrays_zip((1 to n).map(i => slice(w, lit(i), m)): _*),
+      t => concat_ws(" ", (0 until n).map(j => t.getField(j.toString)): _*))
+  }
+
+  /** Per-doc n-gram repetition digest, computed WITHOUT leaving the row:
+    * sort the n-gram array, then one `aggregate` fold over the sorted runs
+    * (a run = one distinct gram with its multiplicity). Returns
+    * struct(cnt, gram, dup_chars):
+    *  - cnt/gram — the most frequent n-gram (ties: lexicographically
+    *    smallest, i.e. first in sorted order, via the strict `run > best`
+    *    replacement);
+    *  - dup_chars — Σ cnt·length(gram) over grams occurring ≥ 2 times.
+    */
+  private def ngramRunStats(w: Column, n: Int): Column = {
+    val sorted = array_sort(wordNgrams(w, n))
+    val zero = struct(
+      lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best_cnt"),
+      lit("").as("best_gram"), lit(0L).as("dup_chars"))
+    val closeRun = (acc: Column) => {
+      val run = acc.getField("run"); val best = acc.getField("best_cnt")
+      (when(run > best, run).otherwise(best),
+        when(run > best, acc.getField("prev")).otherwise(acc.getField("best_gram")),
+        acc.getField("dup_chars")
+          + when(run >= 2, run * length(acc.getField("prev")).cast("long")).otherwise(lit(0L)))
+    }
+    aggregate(
+      sorted,
+      zero,
+      (acc, x) => {
+        val (cnt, gram, dup) = closeRun(acc)
+        when(x === acc.getField("prev"),
+          struct(acc.getField("prev").as("prev"), (acc.getField("run") + lit(1L)).as("run"),
+            acc.getField("best_cnt").as("best_cnt"), acc.getField("best_gram").as("best_gram"),
+            acc.getField("dup_chars").as("dup_chars")))
+          .otherwise(
+            struct(x.as("prev"), lit(1L).as("run"),
+              cnt.as("best_cnt"), gram.as("best_gram"), dup.as("dup_chars")))
+      },
+      acc => {
+        val (cnt, gram, dup) = closeRun(acc)
+        struct(cnt.as("cnt"), gram.as("gram"), dup.as("dup_chars"))
+      })
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    * adapted to single-line documents: word n-grams stand in for lines):
+    * per document, the character fraction covered by the single most
+    * frequent 2-/3-gram and by ALL duplicated (count ≥ 2) 2-/3-grams.
+    * High values flag boilerplate and degenerate repetition — the standard
+    * pre-training filter alongside [[quality]].
+    *
+    * Char coverage is the conventional approximation cnt·length(gram)
+    * (overlapping occurrences counted independently), over length(text).
+    *
+    * Scale shape: tokenize → sort a per-row array → one fold, all inside
+    * the scan projection — ZERO shuffle at any corpus size, the same
+    * argument as [[winnowedFingerprints]]. Each doc costs O(len·log len)
+    * locally.
+    *
+    * Output: (doc_id, n_tokens, top2_gram, top2_cnt, top2_frac, dup2_frac,
+    * top3_gram, top3_cnt, top3_frac, dup3_frac).
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).cast("double").as("lc"),
+      tokens(col(textCol)).as("w"))
+    base
+      .withColumn("s2", ngramRunStats(col("w"), 2))
+      .withColumn("s3", ngramRunStats(col("w"), 3))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        col("s2.gram").as("top2_gram"),
+        col("s2.cnt").as("top2_cnt"),
+        ((col("s2.cnt") * length(col("s2.gram")).cast("long")).cast("double") / col("lc")).as("top2_frac"),
+        (col("s2.dup_chars").cast("double") / col("lc")).as("dup2_frac"),
+        col("s3.gram").as("top3_gram"),
+        col("s3.cnt").as("top3_cnt"),
+        ((col("s3.cnt") * length(col("s3.gram")).cast("long")).cast("double") / col("lc")).as("top3_frac"),
+        (col("s3.dup_chars").cast("double") / col("lc")).as("dup3_frac"))
   }
 
   /** Normalized-text fingerprint groups (md5 of canonical form): near-exact

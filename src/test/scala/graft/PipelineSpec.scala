@@ -76,6 +76,79 @@ class PipelineSpec extends SparkTestBase {
     assert(en.map(_._1) == Set(4L, 5L), "only docs with >= k+window-1 chars fingerprint")
   }
 
+  test("winnow near-dup pairs: planted duplicates found, background rejected") {
+    val planted = Dedup.ngramJaccardPairs(docs, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wn = TextAnalysis.winnowNearDupPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(planted.nonEmpty && wn.nonEmpty)
+    // recall: winnowing is robust to the local edits the dup generator makes
+    val recall = planted.count(wn.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"winnow recall $recall (${wn.size} pairs)")
+    // precision vs a loose jaccard ground truth (containment also admits
+    // genuine fragment-inclusion, so compare against 0.5-jaccard)
+    val loose = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val precision = wn.keys.count(loose.contains).toDouble / wn.size
+    assert(precision >= 0.9, s"winnow precision $precision")
+    wn.values.foreach(c => assert(c >= 0.7 && c <= 1.0))
+  }
+
+  test("repetition: hand-computed fixture, run tie-break, zero-shuffle plan") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a a a b"),   // 2-grams: [a a, a a, a b]; 3-grams: [a a a, a a b]
+      (2L, "x y"),       // single 2-gram, no 3-gram
+      (3L, "z")          // no grams at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(fix).collect().map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getString(2) == "a a" && d1.getLong(3) == 2L, "top 2-gram of doc 1")
+    assert(math.abs(d1.getDouble(4) - 2 * 3 / 7.0) < 1e-15, "top2_frac = cnt*len/chars")
+    assert(math.abs(d1.getDouble(5) - 6 / 7.0) < 1e-15, "dup2 covers only the duplicated gram")
+    // both 3-grams occur once: the tie must resolve to the sorted-first gram
+    assert(d1.getString(6) == "a a a" && d1.getLong(7) == 1L, "3-gram tie-break")
+    assert(d1.getDouble(9) == 0.0, "no duplicated 3-gram")
+    val d2 = r(2L)
+    assert(d2.getString(2) == "x y" && d2.getLong(3) == 1L && d2.getDouble(5) == 0.0)
+    val d3 = r(3L)
+    assert(d3.getLong(1) == 1L && d3.getLong(3) == 0L && d3.getString(2) == "")
+    // the whole computation is a scan-side projection: no exchange anywhere
+    val plan = TextAnalysis.repetition(docs).queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(shuffles).sum
+    assert(shuffles(plan) == 0, s"repetition must be shuffle-free:\n$plan")
+  }
+
+  test("decontamination: planted cross-split dups are flagged, clean docs are not, bench side broadcasts") {
+    import org.apache.spark.sql.DataFrame
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val rep = graft.operators.Decontamination.overlapReport(corpus, bench)
+    val flagged = rep.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flagged.nonEmpty, "the planted near-dups must cross the split somewhere")
+    // every flagged doc shares a verbatim 8-gram with a benchmark doc: verify
+    // one directly by string containment of a shared shingle
+    val benchSet = bench.select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 8)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val corpusTexts = corpus.filter(col("doc_id").isin(flagged.keys.toSeq.map(x => x: Any): _*))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    flagged.foreach { case (id, n) =>
+      val grams = corpusTexts(id).trim.split("\\s+").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      assert(grams.intersect(benchSet).size.toLong == n, s"doc $id overlap count")
+    }
+    // a doc with no benchmark 8-gram must be absent (take any unflagged id)
+    val unflagged = corpus.select("doc_id").collect().map(_.getLong(0)).filterNot(flagged.contains)
+    assert(unflagged.nonEmpty)
+    // plan: the benchmark gram set must be the broadcast side — the corpus
+    // probe never shuffles to find candidates
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side should broadcast:\n$plan")
+  }
+
   test("cosine pairs: lsh candidates score exactly, near-dup threshold form is a precise subset") {
     // exact scores of ALL pairs (small corpus) — ground truth
     val exactAll = Similarity.topCosinePairs(emb, Int.MaxValue, method = "exact").collect()
