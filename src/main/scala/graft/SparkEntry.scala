@@ -374,6 +374,26 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))),
+    // the corpus itself is PII-free word text, so the workload plants
+    // synthetic PII deterministically (same arithmetic on both engines):
+    // emails into every 2nd doc, IPv4s into every 3rd, phones into every
+    // 5th — redaction then has real positives AND real negatives to prove
+    "text_redact_pii" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val injected = d.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1555"), lpad(col("doc_id").cast("string"), 7, "0")))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.redactPii(injected).orderBy(col("doc_id"))
+    }),
     // deterministic held-out split standing in for an eval set: docs with
     // doc_id % 10 == 7 are the "benchmark", the rest are the corpus
     "text_decontaminate" -> ((s, dir) => {
@@ -385,6 +405,18 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),
+    // batch replay of the streaming first-seen dedup filter (the exact code
+    // path that runs under flatMapGroupsWithState in a stream). The corpus
+    // has no exact-normalized duplicates, so the workload plants them:
+    // an uppercased copy of every doc under a shifted id — normalization
+    // maps each copy onto its original's fingerprint, and first-seen must
+    // keep exactly the originals.
+    "dedup_stream_replay" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      val planted = d.select((col("doc_id") + 100000L).as("doc_id"), upper(col("text")).as("text"))
+      graft.streaming.DedupStream.firstSeenDocs(d.unionByName(planted))
+        .select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+    }),
 
     // --- multimodal plumbing
     "mm_media_meta" -> ((s, dir) =>
@@ -709,6 +741,25 @@ object SparkEntry {
         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    "text_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
@@ -783,6 +834,18 @@ object SparkEntry {
         |LEFT JOIN t3 ON t3.doc_id = t.doc_id
         |LEFT JOIN d3 ON d3.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "dedup_stream_replay" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) FROM documents
+        |), fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM corpus)
+        |SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS m FROM fp)
+        |WHERE doc_id = m ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH fp AS (
         |  SELECT doc_id,

@@ -288,6 +288,45 @@ object TextAnalysis {
         (col("s3.dup_chars").cast("double") / col("lc")).as("dup3_frac"))
   }
 
+  /** PII patterns shared by the Spark operator and the DuckDB oracle.
+    * Deliberately restricted to syntax Java regex and RE2 interpret
+    * identically (simple classes, bounded quantifiers, ASCII `\b`):
+    * cross-engine parity is part of the operator's contract. Patterns are
+    * the standard pre-training scrub set — emails, IPv4 literals,
+    * international-format phone numbers.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII redaction: replace emails / IPv4 addresses / international phone
+    * numbers with typed placeholder tokens and count what was removed —
+    * the standard scrub pass before text enters a training corpus.
+    *
+    * The three patterns are mutually non-overlapping (emails require `@`,
+    * IPs are dotted digit quads, phones are `+`-prefixed digit runs), so
+    * the sequential replace order cannot change what matches and the counts
+    * can be taken from the pristine text in the same projection.
+    *
+    * Scale shape: per-row codegen'd regexp projection, no shuffle — same
+    * trivial-scaling argument as [[quality]].
+    *
+    * Output: (doc_id, text_redacted, n_emails, n_ips, n_phones).
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("text_redacted"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+  }
+
   /** Normalized-text fingerprint groups (md5 of canonical form): near-exact
     * dedup robust to case/punctuation. Output: (fingerprint, doc_id — the
     * keeper, n_docs).

@@ -123,6 +123,24 @@ class PipelineSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"repetition must be shuffle-free:\n$plan")
   }
 
+  test("pii redaction: all three pattern types replaced and counted, clean text untouched") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "mail a.b+c@x-y.co and d@e.org now"),
+      (2L, "servers 192.168.0.1 10.0.0.255 up"),
+      (3L, "call +4915112345678 please"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mixed bob@corp.io on 8.8.8.8 at +123456789")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(fix).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == (("mail <EMAIL> and <EMAIL> now", 2L, 0L, 0L)))
+    assert(r(2L) == (("servers <IP> <IP> up", 0L, 2L, 0L)))
+    assert(r(3L) == (("call <PHONE> please", 0L, 0L, 1L)))
+    assert(r(4L) == (("nothing sensitive here at all", 0L, 0L, 0L)))
+    assert(r(5L) == (("mixed <EMAIL> on <IP> at <PHONE>", 1L, 1L, 1L)))
+  }
+
   test("decontamination: planted cross-split dups are flagged, clean docs are not, bench side broadcasts") {
     import org.apache.spark.sql.DataFrame
     val bench = docs.filter(col("doc_id") % 10 === 7)
