@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVectorDot, GraftWinnow, PolyHash}
+import graft.functions.expressions.{FloatVectorDot, GraftWinnow, GraftWordShingles, PolyHash}
 import graft.operators.{Renko, RenkoModes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftDot)
     ext.injectFunction(GraftExtensions.graftPolyHash)
     ext.injectFunction(GraftExtensions.graftWinnow)
+    ext.injectFunction(GraftExtensions.graftWordShingles)
     ext.injectTableFunction(GraftExtensions.graftRenko)
   }
 }
@@ -80,6 +81,21 @@ object GraftExtensions {
             s"graft_winnow: argument ${i + 1} must be an integer literal, got $other")
         } else default
       GraftWinnow(children.head, intArg(1, 8), intArg(2, 4))
+    })
+
+  private[graft] val graftWordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_word_shingles"),
+    new ExpressionInfo(classOf[GraftWordShingles].getName, "graft_word_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_word_shingles expects (string [, n])")
+      val n =
+        if (children.length > 1) children(1).eval() match {
+          case num: java.lang.Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_word_shingles: n must be an integer literal, got $other")
+        } else 3
+      GraftWordShingles(children.head, n)
     })
 
   private def stringLit(e: Expression, what: String): String = e.eval() match {

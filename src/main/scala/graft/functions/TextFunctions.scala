@@ -28,9 +28,23 @@ object TextFunctions {
     * [[wordShingles3]], same zip-of-shifted-slices evaluation shape. The
     * `greatest(m, 0)` clamp makes short docs (fewer than n tokens) yield an
     * empty array instead of an error.
+    *
+    * PERFORMANCE: this inlines the tokenization into n slices + the clamp =
+    * n+1 interpreted regex splits per row (higher-order functions are
+    * CodegenFallback, so no common-subexpression elimination rescues it —
+    * measured ~6x slowdown of the shingle stage at n=8). Operators should
+    * project `tokens(text)` to a REAL column first and call
+    * [[wordShinglesFromTokens]] on the attribute; CollapseProject keeps the
+    * producing projection separate precisely because the reference is
+    * non-cheap and multiply-used.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
+  def wordShingles(c: Column, n: Int): Column = wordShinglesFromTokens(tokens(c), n)
+
+  /** [[wordShingles]] over an ALREADY-TOKENIZED array column — the form
+    * every multi-reference call site should use (see the performance note
+    * above).
+    */
+  def wordShinglesFromTokens(w: Column, n: Int): Column = {
     val m = greatest(size(w) - (n - 1), lit(0))
     array_distinct(transform(
       arrays_zip((1 to n).map(i => slice(w, lit(i), m)): _*),

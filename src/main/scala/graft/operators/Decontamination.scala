@@ -36,13 +36,16 @@ object Decontamination {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // one corpus scan: the doc's gram count rides along the explode, so no
-    // second scan + join is needed to recover it after the aggregation
+    // second scan + join is needed to recover it after the aggregation.
+    // Shingling runs in the native one-walk graft_word_shingles expression
+    // (the HOF formulation is interpreted CodegenFallback — see Dedup)
+    import graft.functions.expressions.ShingleExpression.wordShinglesNative
     val docGrams = docs
-      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("grams"))
+      .select(col(idCol).as("doc_id"), wordShinglesNative(col(textCol), n).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
     val benchGrams = benchmark
-      .select(explode(wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(wordShinglesNative(col(textCol), n)).as("gram"))
       .distinct()
     docGrams
       .join(broadcast(benchGrams), Seq("gram"))

@@ -31,10 +31,17 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s). */
+  /** Distinct word-3-gram shingles per doc: (doc_id, s), via the native
+    * one-walk `graft_word_shingles` expression — the shingle stage is the
+    * hot scan stage of every dedup pipeline, and the built-in-function
+    * formulation runs interpreted (HOFs are CodegenFallback). Docs with
+    * fewer than 3 tokens produce an empty array, which the explode drops —
+    * same rows as the previous size(w) >= 3 filter. Exact string-level
+    * equivalence with `wordShingles` is pinned by VectorExprSpec.
+    */
   private def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(size(tokens(col(textCol))) >= 3)
-      .select(col(idCol).as("doc_id"), explode(wordShingles3(col(textCol))).as("s"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.expressions.ShingleExpression.wordShinglesNative(col(textCol), 3)).as("s"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (word 3-grams).
     * Output: (id_a, id_b, jaccard DOUBLE) for jaccard >= threshold.

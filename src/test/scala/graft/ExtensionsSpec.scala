@@ -86,4 +86,23 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT doc_id, graft_winnow(text) AS fps FROM graft_wn_docs ORDER BY doc_id").collect()
     dflt.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("graft_word_shingles callable from SQL, matches the Column API") {
+    val (si, sinfo, sbuilder) = GraftExtensions.graftWordShingles
+    spark.sessionState.functionRegistry.registerFunction(si, sinfo, sbuilder)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("graft_sh_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_word_shingles(text, 3) AS sh FROM graft_sh_docs ORDER BY doc_id").collect()
+    val viaApi = spark.table("graft_sh_docs")
+      .select(col("doc_id"),
+        graft.functions.expressions.ShingleExpression.wordShinglesNative(col("text"), 3).as("sh"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // default n = 3
+    val dflt = spark.sql(
+      "SELECT doc_id, graft_word_shingles(text) AS sh FROM graft_sh_docs ORDER BY doc_id").collect()
+    dflt.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+  }
 }

@@ -57,4 +57,27 @@ class VectorExprSpec extends SparkTestBase {
       assert(r.getLong(2) == r.getLong(3))
     }
   }
+
+  test("graft_word_shingles == wordShingles HOF form: corpus + whitespace edges, n=3 and n=8") {
+    import graft.functions.TextFunctions
+    import graft.functions.expressions.ShingleExpression
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("text")
+    // whitespace edge cases exercising split(trim(_), "\s+", -1) semantics:
+    // leading/trailing tabs (empty tokens), interior runs, pure whitespace,
+    // short docs, duplicate grams (distinct order)
+    val edges = Seq("\ta b c d", "a b c\t", "  a b c  ", "a\t\tb\nc", "",
+      " ", "\t", "a b", "x y x y x y x y", "a  b   c    d").toDF("text")
+    for (df <- Seq(corpus, edges); n <- Seq(3, 8)) {
+      val rows = df.select(
+          ShingleExpression.wordShinglesNative(col("text"), n).as("nat"),
+          TextFunctions.wordShingles(col("text"), n).as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+      }
+    }
+  }
 }
