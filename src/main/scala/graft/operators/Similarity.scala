@@ -49,7 +49,16 @@ object Similarity {
     * exactly replicable in ANSI SQL (pure integer arithmetic, unlike
     * xxhash64), which makes the bucketed search DuckDB-oracle-checkable.
     */
-  private def planeSignature(vec: org.apache.spark.sql.Column, planeBase: Int, numPlanes: Int) = {
+  private def planeSignature(vec: org.apache.spark.sql.Column, planeBase: Int, numPlanes: Int) =
+    graft.functions.expressions.HyperplaneExpression.hyperplaneSigNative(vec, planeBase, numPlanes)
+
+  /** The built-in-function form of [[planeSignature]] — `numPlanes`
+    * interpreted zip_with/aggregate folds per row, retained as the
+    * bit-equality cross-check of the native expression (VectorExprSpec),
+    * mirroring `polyHashHof` / `wordShingles`.
+    */
+  private[graft] def planeSignatureHof(
+      vec: org.apache.spark.sql.Column, planeBase: Int, numPlanes: Int) = {
     val planeDots = (0 until numPlanes).map { j =>
       val p = planeBase + j
       // dot(v, plane_p) where plane_p[i] = lcg(p, i)/1e6 - 0.5

@@ -58,6 +58,31 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("graft_hyperplane_sig == zip_with/aggregate plane folds: corpus + null/empty edges") {
+    import graft.functions.expressions.HyperplaneExpression
+    import graft.operators.Similarity
+    import spark.implicits._
+    // every (planeBase, numPlanes) combination the ANN operators use
+    for ((base, np) <- Seq((0, 6), (18, 6), (42, 6), (0, 16))) {
+      val rows = emb.select(
+          HyperplaneExpression.hyperplaneSigNative(col("embedding"), base, np).as("nat"),
+          Similarity.planeSignatureHof(col("embedding"), base, np).as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"base=$base np=$np"))
+    }
+    // null element => every dot is null => signature 0; empty vector => 0
+    val edge = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)),
+      (2L, Array[java.lang.Float]())
+    ).toDF("id", "embedding")
+    val er = edge.select(col("id"),
+        HyperplaneExpression.hyperplaneSigNative(col("embedding"), 0, 6).as("nat"),
+        Similarity.planeSignatureHof(col("embedding"), 0, 6).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    er.foreach { case (id, nat, hof) => assert(nat == hof && nat == 0L, s"id=$id") }
+  }
+
   test("graft_word_shingles == wordShingles HOF form: corpus + whitespace edges, n=3 and n=8") {
     import graft.functions.TextFunctions
     import graft.functions.expressions.ShingleExpression
