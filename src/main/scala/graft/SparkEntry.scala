@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontamination, Dedup, Multimodal, Renko, RenkoModes, SeriesCompare, Similarity, TextAnalysis, ToRws}
+import graft.operators.{Decontamination, Dedup, Multimodal, Renko, RenkoModes, Sampling, SeriesCompare, Similarity, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -374,6 +374,14 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))),
+    // deterministic training-mixture draw: per-language keep rates, the
+    // decision a pure function of (seed, doc_id) — reproducible and
+    // engine-replicable (no RNG, no partition-order dependence)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFrac = 0.05)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     // the corpus itself is PII-free word text, so the workload plants
     // synthetic PII deterministically (same arithmetic on both engines):
     // emails into every 2nd doc, IPv4s into every 3rd, phones into every
@@ -741,6 +749,21 @@ object SparkEntry {
         |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+    // same bucket arithmetic as the Spark side: LCG-scrambled polyhash of
+    // 'graft:' || id, reduced mod 1e6
+    "sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ((list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, strlen('graft:' || CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('graft:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 2147483647)
+        |      * 2654435761 + 12345) % 2147483647) % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |                         WHEN 'zh' THEN 100000 ELSE 50000 END
+        |ORDER BY doc_id""".stripMargin,
     "text_redact_pii" ->
       """WITH inj AS (
         |  SELECT doc_id, text

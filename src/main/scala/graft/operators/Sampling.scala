@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixture control: every sampling
+  * decision is a pure function of (seed, document id) via the SQL-replicable
+  * polynomial hash — re-running the pipeline reproduces the exact sample
+  * (no RNG state, no partition-order dependence, unlike `df.sample`), a
+  * different seed draws an independent sample, and the decision can be
+  * replayed by any engine (the DuckDB oracle re-derives the sample
+  * bit-for-bit).
+  *
+  * Scale shape: a scan-local filter — no shuffle, no count-first pass, and
+  * the selectivity is pushed to the scan like any other predicate. This is
+  * how corpus-scale mixtures are actually drawn (per-source/per-language
+  * quotas over 100 TB cannot afford a global shuffle or a two-pass exact
+  * count).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 1e6) for (seed, id): polyhash of "seed:id",
+    * then one LCG scramble before the final reduction. The scramble is
+    * REQUIRED: the polynomial fold is h(s·c) = h(s)·31 + c, so consecutive
+    * ids produce contiguous hash runs and the raw mod-1e6 bucket is
+    * grotesquely non-uniform (measured: 2% of ids under the 50% threshold).
+    * Multiplying by a large odd constant mod the prime spreads consecutive
+    * values across the full range (the same construction as the MinHash
+    * permutations); measured rates land within 0.5% of nominal. Stays in
+    * long range: h < 2^31, h·2654435761 < 2^63.
+    */
+  private[graft] def bucket(idCol: Column, seed: String): Column =
+    pmod(
+      pmod(TextFunctions.polyHash(concat(lit(seed), lit(":"), idCol.cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L)),
+      lit(1000000L))
+
+  /** Bernoulli sample at rate `frac`: keep iff bucket < frac * 1e6. */
+  def deterministicSample(
+      docs: DataFrame,
+      frac: Double,
+      seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    docs.filter(bucket(col(idCol), seed) < lit((frac * 1e6).toLong))
+  }
+
+  /** Stratified sample: per-stratum keep rates (e.g. language quotas for a
+    * training mixture), `defaultFrac` for unlisted strata. The rate lookup
+    * is a literal CASE chain — broadcastable-free, stays in the scan.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      strataCol: String,
+      fracs: Map[String, Double],
+      defaultFrac: Double = 0.0,
+      seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require((fracs.values ++ Seq(defaultFrac)).forall(f => f >= 0.0 && f <= 1.0),
+      "all fractions must be in [0, 1]")
+    val threshold = fracs.foldRight(lit((defaultFrac * 1e6).toLong): Column) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === stratum, lit((f * 1e6).toLong)).otherwise(rest)
+    }
+    docs.filter(bucket(col(idCol), seed) < threshold)
+  }
+}

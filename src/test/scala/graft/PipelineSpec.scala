@@ -123,6 +123,30 @@ class PipelineSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"repetition must be shuffle-free:\n$plan")
   }
 
+  test("deterministic sampling: reproducible, monotone in frac, seed-independent draws, rates in range") {
+    import graft.operators.Sampling
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50a = ids(Sampling.deterministicSample(docs, 0.5))
+    val s50b = ids(Sampling.deterministicSample(docs, 0.5))
+    assert(s50a == s50b, "same seed + frac must reproduce exactly")
+    val s20 = ids(Sampling.deterministicSample(docs, 0.2))
+    assert(s20.subsetOf(s50a), "thresholding is monotone: sample(0.2) is nested in sample(0.5)")
+    val n = docs.count().toDouble
+    assert(math.abs(s50a.size / n - 0.5) < 0.1, s"rate ${s50a.size / n} far from 0.5")
+    val other = ids(Sampling.deterministicSample(docs, 0.5, seed = "other"))
+    assert(other != s50a, "different seed draws a different sample")
+    assert(math.abs(other.size / n - 0.5) < 0.1)
+    // stratified: listed strata sampled at their rate, unlisted at default 0
+    val strat = Sampling.stratifiedSample(docs, "lang", Map("en" -> 1.0, "de" -> 0.5))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langTotals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat("en") == langTotals("en"), "frac 1.0 keeps the whole stratum")
+    assert(strat.keySet == Set("en", "de"), "default 0.0 drops unlisted strata entirely")
+    assert(math.abs(strat("de").toDouble / langTotals("de") - 0.5) < 0.15)
+  }
+
   test("pii redaction: all three pattern types replaced and counted, clean text untouched") {
     import spark.implicits._
     val fix = Seq(
