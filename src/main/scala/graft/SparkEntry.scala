@@ -347,6 +347,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // int8-quantized candidate scan + exact rerank: the 4x-memory-ladder
+    // rung; the oracle replays quantization, candidate cut, and rerank
+    "sim_topk_quantized" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
@@ -638,6 +645,54 @@ object SparkEntry {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 9) AS cos_sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // quantize -> int8 cosine over all pairs -> top 20 candidates/query ->
+    // exact rerank -> top 5; same arithmetic as Similarity.quantizedTopK
+    // (floor(x+0.5) rounding; scales cancel in the quantized cosine)
+    "sim_topk_quantized" ->
+      """WITH mx AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+        |  FROM mx),
+        |q8 AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))) AS qv
+        |  FROM qz),
+        |qn AS (
+        |  SELECT vec_id, embedding, qv,
+        |    sqrt(CAST(list_sum(list_transform(range(1, len(qv)+1),
+        |      i -> qv[i] * qv[i])) AS DOUBLE)) AS qnrm
+        |  FROM q8),
+        |qs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+        |      i -> q.qv[i] * c.qv[i])) AS DOUBLE) / (q.qnrm * c.qnrm) AS qcos
+        |  FROM qn q JOIN qn c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS qr
+        |    FROM qs) WHERE qr <= 20),
+        |n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+        |  FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+        |  FROM s)
+        |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

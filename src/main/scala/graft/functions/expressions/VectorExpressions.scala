@@ -32,7 +32,11 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "graft_dot"
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(et @ (FloatType | DoubleType), _) => Some(et)
+    // integral elements (int8-quantized vectors etc.) widen to double like
+    // the float path; every product/sum of int8 dots is integer-valued and
+    // < 2^53, so the double arithmetic stays exact
+    case ArrayType(et @ (FloatType | DoubleType | ByteType | ShortType | IntegerType | LongType), _) =>
+      Some(et)
     case _ => None
   }
 
@@ -40,12 +44,16 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
     (elemType(left), elemType(right)) match {
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, " +
+        s"$prettyName requires array<float|double|integral> inputs, " +
           s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
   @inline private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
     case FloatType => a.getFloat(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
     case _ => a.getDouble(i)
   }
 
@@ -68,6 +76,10 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(v: String, et: DataType, i: String): String = et match {
       case FloatType => s"(double) $v.getFloat($i)"
+      case ByteType => s"(double) $v.getByte($i)"
+      case ShortType => s"(double) $v.getShort($i)"
+      case IntegerType => s"(double) $v.getInt($i)"
+      case LongType => s"(double) $v.getLong($i)"
       case _ => s"$v.getDouble($i)"
     }
     val (ta, tb) = (elemType(left).get, elemType(right).get)

@@ -311,4 +311,77 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     scorePairs(emb, lshCandidatePairs(emb, numPlanes, numTables, idCol, vecCol), idCol, vecCol)
       .filter(col("cos_sim") >= lit(minCos))
+
+  /** Per-vector symmetric int8 scalar quantization: `scale = max|v| / 127`,
+    * `q[i] = clamp(floor(v[i]/scale + 0.5), -127, 127)` — 4x less memory
+    * and scan bandwidth than float32, the standard first rung of the
+    * vector-search memory ladder (before PQ). `floor(x + 0.5)` rather than
+    * `round` because the two engines disagree on banker's-vs-half-up
+    * rounding; this form is identical everywhere. A zero vector gets
+    * scale 1 (avoids 0/0; its quantized form is all zeros).
+    * Output: (id, scale DOUBLE, qvec ARRAY<TINYINT>).
+    */
+  def quantize(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(maxabs === lit(0.0), lit(1.0)).otherwise(maxabs / lit(127.0))
+    emb.select(
+      col(idCol).as("id"),
+      scale.as("scale"),
+      transform(v, x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + lit(0.5)))).cast("byte")).as("qvec"))
+  }
+
+  /** Quantized-first top-k: rank ALL corpus vectors by int8-dot cosine
+    * (`qdot / (|qa| |qb|)` — the per-vector scales cancel in the cosine),
+    * keep `candFactor * k` candidates per query, then re-score ONLY the
+    * candidates against the full-precision vectors. At scale the hot scan
+    * touches the 4x-smaller quantized table; float vectors are read for
+    * `candFactor * k` rows per query. All candidate arithmetic is
+    * integer-valued (products and sums < 2^53 stay exact in doubles), so
+    * the DuckDB oracle replays the whole pipeline including the candidate
+    * cut. Output: (query_id, rank, neighbor_id, cos_sim) — cos_sim is the
+    * EXACT cosine, same contract as [[bruteForceTopK]].
+    */
+  def quantizedTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      candFactor: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = quantize(emb, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("qvec").as("qv"),
+        l2Norm(col("qvec")).as("qnv"))
+    val qs = quantize(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("qvec").as("qq"),
+        l2Norm(col("qvec")).as("qnq"))
+    val qscored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qq"), col("qv")) / (col("qnq") * col("qnv"))).as("qcos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val candidates = qscored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the candidates only
+    val full = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nv"))
+    val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"))
+    val rescored = broadcast(candidates)
+      .join(full, Seq("neighbor_id"))
+      .join(broadcast(fq), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v"), col("nq"), col("nv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
 }

@@ -123,6 +123,34 @@ class PipelineSpec extends SparkTestBase {
     assert(shuffles(plan) == 0, s"repetition must be shuffle-free:\n$plan")
   }
 
+  test("quantized topk: int8 bounds, exact rerank scores, high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val qz = Similarity.quantize(emb).collect()
+    qz.foreach { r =>
+      assert(r.getDouble(1) > 0.0, "scale positive")
+      r.getSeq[Byte](2).foreach(b => assert(b >= -127 && b <= 127))
+    }
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val quant = Similarity.quantizedTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(quant.size == exact.size)
+    // scores in the quantized result are EXACT cosines: wherever the
+    // neighbor agrees with brute force, the score must agree bit-for-bit
+    quant.foreach { case (key, (nb, cs)) =>
+      exact.get(key).foreach { case (enb, ecs) => if (enb == nb) assert(cs == ecs, s"$key") }
+    }
+    // int8 on 64 dims preserves ranking almost perfectly; require recall@5 >= 0.9
+    val byQuery = exact.keys.map(_._1).toSeq.distinct
+    val recalls = byQuery.map { q =>
+      val e = (1 to 5).map(r => exact((q, r))._1).toSet
+      val g = (1 to 5).map(r => quant((q, r))._1).toSet
+      e.intersect(g).size.toDouble / 5
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"quantized recall@5 $recall")
+  }
+
   test("deterministic sampling: reproducible, monotone in frac, seed-independent draws, rates in range") {
     import graft.operators.Sampling
     val ids = (df: org.apache.spark.sql.DataFrame) =>
