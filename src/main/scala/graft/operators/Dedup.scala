@@ -161,12 +161,33 @@ object Dedup {
     // ngramJaccardPairs for why this is localCheckpoint and not persist
     // (CacheManager entries leak for the session, RDD blocks do not)
     val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
-    val candidates = minhashCandidates(sh, params)
+    val candidates = minhashCandidates(minhashSigs(docs, params, idCol, textCol), params)
     jaccardOfSharedShingles(sh, threshold, Some(candidates))
   }
 
-  /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
-  private[graft] def minhashCandidates(sh: DataFrame, params: MinHashParams): DataFrame = {
+  /** Per-doc MinHash signatures as ONE scan projection (native
+    * `graft_minhash_sig` over the native shingle array): the all-rows stage
+    * of the pipeline never explodes shingles or funnels the corpus through
+    * a 64-column aggregate. The permutation arithmetic is identical to
+    * [[minhashSigsRelational]] (min is commutative, so the fold order
+    * cannot matter) — bit-equality is pinned by VectorExprSpec.
+    * Output: (doc_id, sig array<bigint>[numHashes]); docs with no shingles
+    * are absent, like the relational groupBy.
+    */
+  private[graft] def minhashSigs(
+      docs: DataFrame, params: MinHashParams, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.expressions.SignatureExpressions.minhashSigNative(
+        graft.functions.expressions.ShingleExpression.wordShinglesNative(col(textCol), 3),
+        params.numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The relational formulation of [[minhashSigs]] — explode + 64 min
+    * aggregates over the exploded shingle table, retained as the
+    * cross-check of the native expression (and the shape the DuckDB oracle
+    * replays).
+    */
+  private[graft] def minhashSigsRelational(sh: DataFrame, params: MinHashParams): DataFrame = {
     // base hash: 31-bit polynomial fold (SQL-replicable, so the whole LSH
     // pipeline is DuckDB-oracle-checkable) — stays in [0, 2^31) so the
     // linear permutations below stay inside Long range (ANSI mode rejects
@@ -180,12 +201,19 @@ object Dedup {
       min(pmod(h * lit(2L * i + 1234567891L) + lit(98176543L * i + 7L),
         lit(2147483647L))).as(s"m$i")
     }
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until params.numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
+  private[graft] def minhashCandidates(sigs: DataFrame, params: MinHashParams): DataFrame = {
     // one row per band: bucket key = the band's signature slice verbatim
     // (concat_ws, collision-free in practice and engine-independent — an
     // opaque hash here would block the DuckDB oracle)
     val bandRows: Seq[Column] = (0 until params.bands).map { b =>
-      val slice = (0 until params.rowsPerBand).map(r => col(s"m${b * params.rowsPerBand + r}"))
+      val slice = (0 until params.rowsPerBand)
+        .map(r => element_at(col("sig"), b * params.rowsPerBand + r + 1))
       struct(lit(b).as("band"), concat_ws("_", slice: _*).as("bucket"))
     }
     val buckets = sigs
@@ -300,7 +328,21 @@ object Dedup {
     * (trigram jaccard >= 0.9) land at hamming 1-9, everything else at >= 14.
     * Output: (doc_id, simhash BIGINT).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // native scan projection (shingle walk + 62 bit counts in one pass);
+    // the bit-count sum is commutative so the result is identical to the
+    // relational aggregation below — pinned by VectorExprSpec
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.expressions.SignatureExpressions.simhashSigNative(
+        graft.functions.expressions.ShingleExpression.wordShinglesNative(col(textCol), 3)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The relational formulation of [[simhash]] — explode + 62 bit-sum
+    * aggregates, retained as the cross-check of the native expression (and
+    * the shape the DuckDB oracle replays).
+    */
+  private[graft] def simhashRelational(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = shingles(docs, idCol, textCol).select(col("doc_id"), col("s").as("t"))
       .withColumn("h",
         polyHash(col("t")) + polyHash(col("t"), mult = 131L, prime = 2147483629L) * lit(2147483648L))

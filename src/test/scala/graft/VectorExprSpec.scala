@@ -83,6 +83,29 @@ class VectorExprSpec extends SparkTestBase {
     er.foreach { case (id, nat, hof) => assert(nat == hof && nat == 0L, s"id=$id") }
   }
 
+  test("graft_minhash_sig / graft_simhash_sig == relational aggregation, corpus-wide") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val params = Dedup.MinHashParams()
+    val nativeMh = Dedup.minhashSigs(docs, params, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relMh = Dedup.minhashSigsRelational(
+        docs.select(col("doc_id"),
+          explode(graft.functions.expressions.ShingleExpression.wordShinglesNative(col("text"), 3)).as("s")),
+        params).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nativeMh.nonEmpty && nativeMh == relMh)
+    val nativeSh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relSh = Dedup.simhashRelational(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nativeSh.nonEmpty && nativeSh == relSh)
+    // a doc with no shingles is absent from both paths
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.simhash(tiny).collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(Dedup.minhashSigs(tiny, params, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("graft_word_shingles == wordShingles HOF form: corpus + whitespace edges, n=3 and n=8") {
     import graft.functions.TextFunctions
     import graft.functions.expressions.ShingleExpression
