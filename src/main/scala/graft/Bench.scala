@@ -61,6 +61,8 @@ object Bench {
       "sim_topk_bruteforce" -> q("sim_topk_bruteforce"),
       "sim_topk_lsh" -> q("sim_topk_lsh"),
       "sim_topk_ivf" -> q("sim_topk_ivf"),
+      "sim_topk_quantized" -> q("sim_topk_quantized"),
+      "sample_stratified" -> q("sample_stratified"),
       "dedup_clusters" -> q("dedup_clusters"),
       "q17_time_window" -> q("q17_time_window"),
       "text_quality" -> q("text_quality"),

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-scale validation main: the dedup/text/vector operators at
+  * 40-100x the sf0.1 corpus, where data volume (not job fixed costs)
+  * dominates — the local[32] stand-in for the corpus-scale question the
+  * sf0.1 bench cannot answer (at 5,000 docs every multi-stage query is
+  * scheduling-bound).
+  *
+  * `SPARK_GRAFT_PIPELINE_DOCS` (default 200k) synthetic ~60-word documents
+  * are generated columnar (elementwise expressions, no shuffle); the last
+  * 10% are planted near-duplicates of the first 10% with one word
+  * substituted (word-3-gram jaccard ~0.90), so recall at threshold 0.8 is
+  * MEASURED at scale, not assumed. Embeddings: 64-d synthetic vectors for
+  * the quantized-ANN path at `SPARK_GRAFT_PIPELINE_VECS` (default 100k).
+  *
+  * Reported per operator: wall seconds and Mdocs/s (or Mvecs/s). The
+  * planted-dup recall assertions make this a correctness-at-scale gate,
+  * not just a stopwatch.
+  */
+object PipelineStress {
+
+  /** n synthetic docs: 60 words from a 500-word pool, hash-addressed. The
+    * (src, mutPos) intermediates are projected to REAL columns before the
+    * word lambda references them — a lambda re-evaluates non-attribute
+    * expressions per element.
+    */
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val n9 = (n * 9) / 10
+    spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(col("id") >= n9, col("id") - n9).otherwise(col("id")).as("src"),
+        when(col("id") >= n9, pmod(col("id"), lit(60L))).otherwise(lit(-1L)).as("mut_pos"))
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0L), lit(59L)), i =>
+            when(i === col("mut_pos"),
+              concat(lit("m"), pmod(xxhash64(col("doc_id") * 61L + i), lit(500L)).cast("string")))
+              .otherwise(
+                concat(lit("w"), pmod(xxhash64(col("src") * 60L + i), lit(500L)).cast("string")))),
+          " ").as("text"))
+  }
+
+  /** n synthetic 64-d float vectors in [-0.5, 0.5). */
+  private def synthVecs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0L), lit(63L)), i =>
+        (pmod(xxhash64(col("id") * 64L + i), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5))
+          .cast("float")).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_DOCS", "200000").toLong
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_VECS", "100000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // materialize the corpus once so synthesis cost is excluded from every
+    // operator measurement (the parquet-scan analog); RDD blocks are
+    // ContextCleaner-freed at exit
+    val docs = synthDocs(spark, nDocs).localCheckpoint(true)
+    val vecs = synthVecs(spark, nVecs).localCheckpoint(true)
+    val nPlanted = nDocs - (nDocs * 9) / 10
+    println(s"[pstress] corpus $nDocs docs ($nPlanted planted near-dups), $nVecs vectors")
+
+    def t(name: String, unitCount: Long)(f: => Long): Long = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[pstress] $name%-28s $sec%8.2f s  (${unitCount / sec / 1e6}%6.2f M/s, $rows rows)")
+      rows
+    }
+
+    t("text_quality", nDocs)(TextAnalysis.quality(docs).count())
+    t("repetition", nDocs)(TextAnalysis.repetition(docs).count())
+    t("winnow_fingerprints", nDocs)(TextAnalysis.winnowedFingerprints(docs).count())
+    t("redact_pii", nDocs)(TextAnalysis.redactPii(docs).count())
+    t("sample_stratified_50pct", nDocs)(Sampling.deterministicSample(docs, 0.5).count())
+    t("exact_dedup", nDocs)(Dedup.exact(docs).count())
+    t("simhash_signatures", nDocs)(Dedup.simhash(docs).count())
+    t("minhash_signatures", nDocs)(
+      Dedup.minhashSigs(docs, Dedup.MinHashParams(), "doc_id", "text").count())
+
+    // benchmark split: every 97th doc is "benchmark"; its planted dup (if
+    // any) in the corpus side must be flagged
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    t("decontaminate", nDocs)(Decontamination.overlapReport(corpus, bench).count())
+
+    // the flagship: full minhash LSH dedup with exact verification, and the
+    // planted pairs are the ground truth for recall AT SCALE
+    val found = t("minhash_lsh_pairs", nDocs)(Dedup.minhashLshPairs(docs, 0.8).count())
+    val pairs = Dedup.minhashLshPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n9 = (nDocs * 9) / 10
+    val planted = (n9 until nDocs).map(id => (id - n9, id)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    println(f"[pstress] minhash recall@planted    $recall%.4f ($found pairs found, ${planted.size} planted)")
+    assert(recall >= 0.95, s"minhash recall at scale degraded: $recall")
+
+    // SimHash radius selection is a measured decision, exactly as the API
+    // docs prescribe. On THIS corpus the planted-dup hamming distribution
+    // runs 0..15 (p99 = 12) while the background starts at 15 — there is
+    // no clean gap, so any radius trades recall against candidate volume:
+    //  - radius 11, one-of-m (12 chunks of 5-6 bits, 32-64 values/key):
+    //    93 s at 200k docs — the quadratic chunk-key degeneration;
+    //  - radius 11, two-of-m (13 chunks): 85 s — pair keys are still only
+    //    ~10 bits wide, collision mass barely shrinks;
+    //  - radius 7, two-of-m (9 chunks, ~14-bit pair keys): the scale
+    //    configuration run here; recall against the planted dups is
+    //    REPORTED below (simhash is a coarser filter than minhash — that
+    //    is a property of the signature, not of the join strategy).
+    val shFound = t("simhash_two_of_m_h7", nDocs)(
+      Dedup.simhashPairsTwoOfM(docs, maxHamming = 7, numChunks = 9).count())
+    val shPairs = Dedup.simhashPairsTwoOfM(docs, maxHamming = 7, numChunks = 9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shRecall = planted.count(shPairs.contains).toDouble / planted.size
+    println(f"[pstress] simhash recall@planted    $shRecall%.4f ($shFound pairs at radius 7)")
+
+    val queries = vecs.filter(col("vec_id") < 10)
+    t("ann_quantized_topk", nVecs)(Similarity.quantizedTopK(vecs, queries, 5).count())
+    t("ann_lsh_topk", nVecs)(Similarity.lshTopK(vecs, queries, 5).count())
+
+    spark.stop()
+  }
+}
