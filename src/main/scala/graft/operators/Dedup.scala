@@ -156,13 +156,22 @@ object Dedup {
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // the shingle table feeds signature generation AND candidate
-    // verification — one localCheckpoint so tokenization runs once; see
-    // ngramJaccardPairs for why this is localCheckpoint and not persist
-    // (CacheManager entries leak for the session, RDD blocks do not)
-    val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
+    // signatures are a scan projection (native graft_minhash_sig), so the
+    // corpus is NEVER exploded into shingle rows to find candidates — only
+    // the docs that appear in some candidate pair get shingled for the
+    // exact-jaccard verification. At corpus scale (near-dup rate a few
+    // percent) that is the difference between shuffling every shingle of
+    // 100 TB and shuffling the candidates'. The candidate set is
+    // materialized once (localCheckpoint, ContextCleaner-freed) because it
+    // feeds the doc prune AND the verification semi-joins — without it the
+    // whole signature pipeline would re-run per consumer.
     val candidates = minhashCandidates(minhashSigs(docs, params, idCol, textCol), params)
-    jaccardOfSharedShingles(sh, threshold, Some(candidates))
+      .localCheckpoint(false)
+    val candIds = candidates.select(col("id_a").as("__cand_id"))
+      .union(candidates.select(col("id_b").as("__cand_id")))
+      .distinct()
+    val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
+    jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
   }
 
   /** Per-doc MinHash signatures as ONE scan projection (native
