@@ -126,6 +126,17 @@ object PipelineStress {
     val shRecall = planted.count(shPairs.contains).toDouble / planted.size
     println(f"[pstress] simhash recall@planted    $shRecall%.4f ($shFound pairs at radius 7)")
 
+    // the EXACT jaccard self-join also holds at this scale because this
+    // corpus's shingles are near-unique (df ~ 1, so the shingle equi-join
+    // stays linear); the PPJoin-style prefix variant only pays off under
+    // skewed shingle frequencies — measured here at 107 s vs 16 s exact,
+    // its df-computation + per-doc window costing more than it prunes
+    t("ngram_jaccard_exact", nDocs)(Dedup.ngramJaccardPairs(docs, 0.8).count())
+    // end-to-end dedup: pairs -> connected components (20k 2-doc clusters
+    // -> driver union-find fast path, distributed propagation above 4M)
+    t("dedup_clusters_e2e", nDocs)(
+      Dedup.connectedComponents(Dedup.minhashLshPairs(docs, 0.8)).count())
+
     val queries = vecs.filter(col("vec_id") < 10)
     t("ann_quantized_topk", nVecs)(Similarity.quantizedTopK(vecs, queries, 5).count())
     t("ann_lsh_topk", nVecs)(Similarity.lshTopK(vecs, queries, 5).count())

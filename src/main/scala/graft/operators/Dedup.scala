@@ -121,7 +121,12 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
     val prefix = sh
-      .join(freq, Seq("s"))
+      // freq has one row per DISTINCT SHINGLE — corpus-sized by
+      // construction. Catalyst's size estimate for an aggregate output can
+      // come in under the broadcast threshold and OOM the driver trying to
+      // broadcast it (observed at 200k docs / 11M shingles), so the join
+      // strategy is pinned to a shuffle hash join instead of left to stats
+      .join(freq.hint("SHUFFLE_HASH"), Seq("s"))
       .withColumn("r", row_number().over(w))
       .join(sz, Seq("doc_id"))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
