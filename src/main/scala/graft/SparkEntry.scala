@@ -900,12 +900,12 @@ object SparkEntry {
         |  CAST(len(t.w) AS BIGINT) AS n_tokens,
         |  coalesce(t2.gram, '') AS top2_gram,
         |  coalesce(t2.cnt, 0) AS top2_cnt,
-        |  coalesce(t2.cnt * length(t2.gram), 0) / t.lc AS top2_frac,
-        |  coalesce(d2.dup_chars, 0) / t.lc AS dup2_frac,
+        |  CASE WHEN t.lc = 0 THEN 0e0 ELSE coalesce(t2.cnt * length(t2.gram), 0) / t.lc END AS top2_frac,
+        |  CASE WHEN t.lc = 0 THEN 0e0 ELSE coalesce(d2.dup_chars, 0) / t.lc END AS dup2_frac,
         |  coalesce(t3.gram, '') AS top3_gram,
         |  coalesce(t3.cnt, 0) AS top3_cnt,
-        |  coalesce(t3.cnt * length(t3.gram), 0) / t.lc AS top3_frac,
-        |  coalesce(d3.dup_chars, 0) / t.lc AS dup3_frac
+        |  CASE WHEN t.lc = 0 THEN 0e0 ELSE coalesce(t3.cnt * length(t3.gram), 0) / t.lc END AS top3_frac,
+        |  CASE WHEN t.lc = 0 THEN 0e0 ELSE coalesce(d3.dup_chars, 0) / t.lc END AS dup3_frac
         |FROM toks t
         |LEFT JOIN t2 ON t2.doc_id = t.doc_id
         |LEFT JOIN d2 ON d2.doc_id = t.doc_id

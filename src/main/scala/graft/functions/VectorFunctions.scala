@@ -31,7 +31,12 @@ object VectorFunctions {
   /** L2 norm as double. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two vectors given their precomputed norms. */
+  /** Cosine similarity of two vectors given their precomputed norms.
+    * `try_divide` because Spark 4 ANSI throws DIVIDE_BY_ZERO for double
+    * division too: a zero vector (undefined cosine) yields NULL — which
+    * ranking windows order last — instead of killing the whole job.
+    * Identical results for any corpus without zero vectors.
+    */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    try_divide(dot(a, b), normA * normB)
 }

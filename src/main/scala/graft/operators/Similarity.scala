@@ -362,7 +362,9 @@ object Similarity {
         l2Norm(col("qvec")).as("qnq"))
     val qscored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qq"), col("qv")) / (col("qnq") * col("qnv"))).as("qcos"))
+        // try_divide: a zero (or fully-underflowed) vector has qnorm 0 —
+        // NULL qcos ranks last instead of an ANSI DIVIDE_BY_ZERO abort
+        (try_divide(dot(col("qq"), col("qv")), col("qnq") * col("qnv"))).as("qcos"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
     val candidates = qscored.withColumn("qrank", row_number().over(wq))

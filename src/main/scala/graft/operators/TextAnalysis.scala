@@ -272,6 +272,12 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       length(col(textCol)).cast("double").as("lc"),
       tokens(col(textCol)).as("w"))
+    // Spark 4 ANSI throws DIVIDE_BY_ZERO for DOUBLE division too, so an
+    // empty document (lc = 0 — real corpora have them) must short-circuit
+    // to 0.0 rather than reach the divide; 0 is also the honest value (no
+    // characters, no repeated characters)
+    def frac(chars: Column): Column =
+      when(col("lc") === lit(0.0), lit(0.0)).otherwise(chars.cast("double") / col("lc"))
     base
       .withColumn("s2", ngramRunStats(col("w"), 2))
       .withColumn("s3", ngramRunStats(col("w"), 3))
@@ -280,12 +286,12 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_tokens"),
         col("s2.gram").as("top2_gram"),
         col("s2.cnt").as("top2_cnt"),
-        ((col("s2.cnt") * length(col("s2.gram")).cast("long")).cast("double") / col("lc")).as("top2_frac"),
-        (col("s2.dup_chars").cast("double") / col("lc")).as("dup2_frac"),
+        frac(col("s2.cnt") * length(col("s2.gram")).cast("long")).as("top2_frac"),
+        frac(col("s2.dup_chars")).as("dup2_frac"),
         col("s3.gram").as("top3_gram"),
         col("s3.cnt").as("top3_cnt"),
-        ((col("s3.cnt") * length(col("s3.gram")).cast("long")).cast("double") / col("lc")).as("top3_frac"),
-        (col("s3.dup_chars").cast("double") / col("lc")).as("dup3_frac"))
+        frac(col("s3.cnt") * length(col("s3.gram")).cast("long")).as("top3_frac"),
+        frac(col("s3.dup_chars")).as("dup3_frac"))
   }
 
   /** PII patterns shared by the Spark operator and the DuckDB oracle.

@@ -63,4 +63,41 @@ class EdgeCaseSpec extends SparkTestBase {
     val rows = RenkoWS.replay(one, 1.0).collect()
     assert(rows.length == 1 && rows(0).close == 10.0 && rows(0).is_reversal == 1)
   }
+
+  test("pipeline operators on degenerate inputs: empty frames, empty text, tiny corpora") {
+    import graft.operators.{Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+
+    assert(TextAnalysis.repetition(emptyDocs).count() == 0)
+    assert(TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(Dedup.simhash(emptyDocs).count() == 0)
+    assert(Dedup.minhashLshPairs(emptyDocs, 0.8).count() == 0)
+
+    // empty-text and sub-shingle docs flow through without errors
+    val rep = TextAnalysis.repetition(docs).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L) && rep(2L) == 0L && rep(3L) == 0L)
+    val red = TextAnalysis.redactPii(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(2L) == "")
+
+    // empty benchmark -> nothing flagged; empty corpus -> nothing flagged
+    assert(Decontamination.overlapReport(docs, emptyDocs).count() == 0)
+    assert(Decontamination.overlapReport(emptyDocs, docs).count() == 0)
+
+    // sampling boundaries: frac 0 keeps nothing, frac 1 keeps everything
+    assert(Sampling.deterministicSample(docs, 0.0).count() == 0)
+    assert(Sampling.deterministicSample(docs, 1.0).count() == 3)
+
+    // quantized ANN: k larger than the corpus returns everything ranked
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.quantizedTopK(vecs, vecs.filter(col("vec_id") === 1L), 10)
+      .collect()
+    assert(topk.length == 2, "k > corpus yields all neighbors, no duplicates")
+    assert(topk.map(_.getLong(2)).toSet == Set(2L, 3L))
+
+    // streaming dedup on an empty frame
+    assert(graft.streaming.DedupStream.firstSeenDocs(emptyDocs).count() == 0)
+  }
 }
