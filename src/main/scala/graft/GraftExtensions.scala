@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVectorDot, GraftWinnow, GraftWordShingles, PolyHash}
+import graft.functions.expressions.{FloatVectorDot, GraftMinhashSig, GraftSimhashSig, GraftWinnow, GraftWordShingles, HyperplaneSignature, PolyHash}
 import graft.operators.{Renko, RenkoModes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftPolyHash)
     ext.injectFunction(GraftExtensions.graftWinnow)
     ext.injectFunction(GraftExtensions.graftWordShingles)
+    ext.injectFunction(GraftExtensions.graftHyperplaneSig)
+    ext.injectFunction(GraftExtensions.graftMinhashSig)
+    ext.injectFunction(GraftExtensions.graftSimhashSig)
     ext.injectTableFunction(GraftExtensions.graftRenko)
   }
 }
@@ -96,6 +99,41 @@ object GraftExtensions {
             s"graft_word_shingles: n must be an integer literal, got $other")
         } else 3
       GraftWordShingles(children.head, n)
+    })
+
+  private def intLit(children: Seq[Expression], i: Int, default: Int, fn: String): Int =
+    if (children.length > i) children(i).eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    } else default
+
+  private[graft] val graftHyperplaneSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hyperplane_sig"),
+    new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 3,
+        "graft_hyperplane_sig expects (vec [, planeBase [, numPlanes]])")
+      HyperplaneSignature(children.head,
+        intLit(children, 1, 0, "graft_hyperplane_sig"),
+        intLit(children, 2, 6, "graft_hyperplane_sig"))
+    })
+
+  private[graft] val graftMinhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_sig"),
+    new ExpressionInfo(classOf[GraftMinhashSig].getName, "graft_minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.length <= 2,
+        "graft_minhash_sig expects (shingles [, numHashes])")
+      GraftMinhashSig(children.head, intLit(children, 1, 64, "graft_minhash_sig"))
+    })
+
+  private[graft] val graftSimhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash_sig"),
+    new ExpressionInfo(classOf[GraftSimhashSig].getName, "graft_simhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash_sig expects (shingles)")
+      GraftSimhashSig(children.head)
     })
 
   private def stringLit(e: Expression, what: String): String = e.eval() match {

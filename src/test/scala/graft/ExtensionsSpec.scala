@@ -105,4 +105,37 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT doc_id, graft_word_shingles(text) AS sh FROM graft_sh_docs ORDER BY doc_id").collect()
     dflt.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("signature functions callable from SQL, match the Column API") {
+    for (fn <- Seq(GraftExtensions.graftMinhashSig, GraftExtensions.graftSimhashSig,
+        GraftExtensions.graftHyperplaneSig, GraftExtensions.graftWordShingles)) {
+      val (i, info, b) = fn
+      spark.sessionState.functionRegistry.registerFunction(i, info, b)
+    }
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("graft_sig_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(graft_word_shingles(text, 3), 64) AS mh,
+        |  graft_simhash_sig(graft_word_shingles(text, 3)) AS sh
+        |FROM graft_sig_docs ORDER BY doc_id""".stripMargin).collect()
+    import graft.functions.expressions.{ShingleExpression, SignatureExpressions}
+    val viaApi = spark.table("graft_sig_docs")
+      .select(col("doc_id"),
+        SignatureExpressions.minhashSigNative(
+          ShingleExpression.wordShinglesNative(col("text"), 3), 64).as("mh"),
+        SignatureExpressions.simhashSigNative(
+          ShingleExpression.wordShinglesNative(col("text"), 3)).as("sh"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("graft_sig_emb")
+    val hp = spark.sql(
+      "SELECT vec_id, graft_hyperplane_sig(embedding, 0, 6) AS s FROM graft_sig_emb ORDER BY vec_id").collect()
+    val hpApi = spark.table("graft_sig_emb")
+      .select(col("vec_id"),
+        graft.functions.expressions.HyperplaneExpression.hyperplaneSigNative(col("embedding"), 0, 6).as("s"))
+      .orderBy(col("vec_id")).collect()
+    hp.zip(hpApi).foreach { case (a, b) => assert(a == b) }
+  }
 }
