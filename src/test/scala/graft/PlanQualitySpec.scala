@@ -111,6 +111,27 @@ class PlanQualitySpec extends SparkTestBase {
       s"winnow digest must stay inside the scan stage:\n$plan")
   }
 
+  test("dedup signature stages are scan-local: zero exchanges for minhash/simhash signatures") {
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "minhashSigs" -> graft.operators.Dedup.minhashSigs(
+          docs, graft.operators.Dedup.MinHashParams(), "doc_id", "text"),
+        "simhash" -> graft.operators.Dedup.simhash(docs))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(countShuffles(plan) == 0,
+        s"$name must stay inside the scan stage (the all-rows stage of the dedup pipeline):\n$plan")
+    }
+  }
+
   test("cosine pair plans: LSH-candidate paths contain no cross product") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     for ((name, df) <- Seq(
