@@ -63,11 +63,7 @@ object GraftExtensions {
       require(children.nonEmpty && children.length <= 3,
         "graft_polyhash expects (string [, mult [, prime]])")
       def longArg(i: Int, default: Long): Long =
-        if (children.length > i) children(i).eval() match {
-          case n: java.lang.Number => n.longValue()
-          case other => throw new IllegalArgumentException(
-            s"graft_polyhash: argument ${i + 1} must be an integer literal, got $other")
-        } else default
+        if (children.length > i) integralLit(children(i), i, "graft_polyhash") else default
       PolyHash(children.head, longArg(1, 31L), longArg(2, 2147483647L))
     })
 
@@ -77,13 +73,8 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.nonEmpty && children.length <= 3,
         "graft_winnow expects (string [, k [, window]])")
-      def intArg(i: Int, default: Int): Int =
-        if (children.length > i) children(i).eval() match {
-          case n: java.lang.Number => n.intValue()
-          case other => throw new IllegalArgumentException(
-            s"graft_winnow: argument ${i + 1} must be an integer literal, got $other")
-        } else default
-      GraftWinnow(children.head, intArg(1, 8), intArg(2, 4))
+      GraftWinnow(children.head, intLit(children, 1, 8, "graft_winnow"),
+        intLit(children, 2, 4, "graft_winnow"))
     })
 
   private[graft] val graftWordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -92,20 +83,30 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.nonEmpty && children.length <= 2,
         "graft_word_shingles expects (string [, n])")
-      val n =
-        if (children.length > 1) children(1).eval() match {
-          case num: java.lang.Number => num.intValue()
-          case other => throw new IllegalArgumentException(
-            s"graft_word_shingles: n must be an integer literal, got $other")
-        } else 3
-      GraftWordShingles(children.head, n)
+      GraftWordShingles(children.head, intLit(children, 1, 3, "graft_word_shingles"))
     })
 
+  /** An integral literal argument as Long — integral types only (a double
+    * literal would silently truncate), with the value range left to the
+    * caller.
+    */
+  private def integralLit(e: Expression, i: Int, fn: String): Long = e.eval() match {
+    case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long) =>
+      n.asInstanceOf[java.lang.Number].longValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an integer literal, got $other")
+  }
+
+  /** Like [[integralLit]] but bounds-checked into Int: a bigint literal
+    * above Int.MaxValue (e.g. `graft_winnow(s, 5000000000)`) errors clearly
+    * instead of truncating to a wrong small/negative value.
+    */
   private def intLit(children: Seq[Expression], i: Int, default: Int, fn: String): Int =
-    if (children.length > i) children(i).eval() match {
-      case n: java.lang.Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    if (children.length > i) {
+      val v = integralLit(children(i), i, fn)
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} is out of Int range: $v")
+      v.toInt
     } else default
 
   private[graft] val graftHyperplaneSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

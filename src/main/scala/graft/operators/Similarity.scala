@@ -149,14 +149,25 @@ object Similarity {
     // the coarse quantizer is tiny and fixed — ONE TakeOrdered job collects
     // the nlist lowest-id raw vectors; norms are folded on the driver in the
     // same index order as the native dot expression (sequential IEEE adds),
-    // so every downstream cosine is bit-identical to computing them in-plan
-    val cents: Array[(Long, Array[Float], Double)] =
-      emb.select(col(idCol).as("id"), col(vecCol).as("v")).orderBy(col("id")).limit(nlist)
+    // so every downstream cosine is bit-identical to computing them in-plan.
+    // Centroids are held as double: float→double widening is exact and the
+    // dot expression widens every element to double before multiplying
+    // anyway, so the literal arrays score bit-identically to the float
+    // originals while also accepting array<double> corpora; ids go through
+    // Number so int/bigint id columns both work.
+    val cents: Array[(Long, Array[Double], Double)] =
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .orderBy(col("id")).limit(nlist)
         .collect().map { r =>
-          val cv = r.getSeq[Float](1).toArray
+          val cv = r.getSeq[Any](1).map {
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"ivfTopK requires a numeric-array '$vecCol' column, " +
+                s"got element ${if (other == null) "NULL" else other.getClass.getName}")
+          }.toArray
           var acc = 0.0
           var i = 0
-          while (i < cv.length) { acc += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
           (r.getLong(0), cv, math.sqrt(acc))
         }
     // corpus assignment is a per-row argmax EXPRESSION over the inlined

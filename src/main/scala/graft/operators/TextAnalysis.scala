@@ -180,7 +180,12 @@ object TextAnalysis {
       window: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // the fingerprint table feeds the size aggregate AND both self-join
+    // sides — materialize it once (localCheckpoint, ContextCleaner-freed;
+    // same rationale as the shingle/candidate tables in Dedup) so the
+    // native winnow scan over the full corpus runs once, not three times
     val fps = winnowedFingerprintPairs(docs, k, window, idCol, textCol)
+      .localCheckpoint(false)
     val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = fps.as("x").join(fps.as("y"), Seq("fp"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -309,10 +314,13 @@ object TextAnalysis {
     * numbers with typed placeholder tokens and count what was removed —
     * the standard scrub pass before text enters a training corpus.
     *
-    * The three patterns are mutually non-overlapping (emails require `@`,
-    * IPs are dotted digit quads, phones are `+`-prefixed digit runs), so
-    * the sequential replace order cannot change what matches and the counts
-    * can be taken from the pristine text in the same projection.
+    * Counts are per-pattern match counts over the PRISTINE text, in the
+    * same projection as the replaces. The patterns are non-overlapping for
+    * ordinary text (emails require `@`, IPs are dotted digit quads, phones
+    * are `+`-prefixed digit runs), but not strictly so: the email local
+    * part admits `+` and digits, so a contrived `+12345678@example.com` is
+    * redacted once as `<EMAIL>` while still counting toward `n_phones` —
+    * i.e. counts describe pattern occurrences, not replacement events.
     *
     * Scale shape: per-row codegen'd regexp projection, no shuffle — same
     * trivial-scaling argument as [[quality]].

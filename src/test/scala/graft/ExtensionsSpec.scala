@@ -106,6 +106,26 @@ class ExtensionsSpec extends SparkTestBase {
     dflt.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("int literal args: out-of-Int-range bigint errors instead of truncating") {
+    val (wi, winfo, wbuilder) = GraftExtensions.graftWinnow
+    spark.sessionState.functionRegistry.registerFunction(wi, winfo, wbuilder)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("graft_rng_docs")
+    // 5000000000 truncated to Int is 705032704 — silently wrong; must throw
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, 5000000000) FROM graft_rng_docs").collect()
+    }
+    // Spark may wrap the analysis-time failure; the root message must name the range
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of Int range")))
+    // non-integral literal also rejected (would otherwise truncate 8.9 -> 8)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, 8.9) FROM graft_rng_docs").collect()
+    }
+    assert(messages(e2).exists(_.contains("integer literal")))
+  }
+
   test("signature functions callable from SQL, match the Column API") {
     for (fn <- Seq(GraftExtensions.graftMinhashSig, GraftExtensions.graftSimhashSig,
         GraftExtensions.graftHyperplaneSig, GraftExtensions.graftWordShingles)) {

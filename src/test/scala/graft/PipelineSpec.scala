@@ -276,6 +276,15 @@ class PipelineSpec extends SparkTestBase {
     val bf = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     info(s"IVF recall@5 = ${ivf.count(r => bf((r.getLong(0), r.getLong(2))))}/${bf.size}")
+    // widened input contract: array<double> embeddings and int ids produce
+    // the identical result (float->double is exact, so scores are bit-equal)
+    val wide = emb.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val ivfWide = Similarity.ivfTopK(wide, wide.filter(col("vec_id") < 10), 5).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getInt(1),
+        r.getAs[Number](2).longValue(), r.getDouble(3))).toSet
+    val ivfOrig = ivf.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivfWide == ivfOrig, "array<double>/int-id corpus must score identically")
 
     // connected components: labels form a valid partition of the pair graph
     val pairs = Dedup.ngramJaccardPairs(docs, 0.5).cache()
