@@ -252,6 +252,149 @@ object PipelineOracleSql {
        |  md5(rz) AS resized_checksum
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Token chunking, chunkSize=32 stride=24 (mirrors `Chunking.chunk`):
+    * nChunks = 1 + max(0, ceil((nTok-32)/24)), chunk i = tokens
+    * [i*24+1, i*24+32], text rebuilt with single spaces.
+    */
+  def textChunk: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      |), n AS (
+      |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok,
+      |    1 + greatest(CAST(floor((len(w) - 32 + 23) / 24e0) AS BIGINT), 0) AS n_chunks
+      |  FROM tok)
+      |SELECT doc_id, CAST(c.i AS BIGINT) AS chunk_id,
+      |  CAST(c.i * 24 + 1 AS BIGINT) AS chunk_start,
+      |  least(CAST(32 AS BIGINT), n_tok - c.i * 24) AS n_chunk_tokens,
+      |  array_to_string(list_slice(w, CAST(c.i*24+1 AS INT), CAST(c.i*24+32 AS INT)), ' ') AS chunk_text
+      |FROM n, LATERAL unnest(range(0, n_chunks)) AS c(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Duplicated 8-gram span coverage (mirrors `Dedup.dupSpanStats`): a
+    * position is duplicated iff its 8-gram polyhash occurs in >= 2 docs.
+    */
+  def dupSpans: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g0 AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), g AS (
+       |  SELECT doc_id, pos, ${ph("gram")} AS h FROM g0
+       |), dup AS (
+       |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(count(dup.h) AS BIGINT) AS n_dup_pos,
+       |  CAST(count(dup.h) AS DOUBLE) / count(*) AS dup_frac
+       |FROM g LEFT JOIN dup ON g.h = dup.h
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** BM25 top-20 for the fixed query (dup, vector, join, slow), k1=1.2,
+    * b=0.75 (mirrors `Search.bm25TopK`: per-term conditional aggregates
+    * added in fixed query order, score rounded to 6 dp).
+    */
+  def bm25TopK: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+      |    list_filter(w, t -> t IN ('dup', 'vector', 'join', 'slow')) AS qw
+      |  FROM tok
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM d, LATERAL unnest(qw) AS t(term)
+      |  GROUP BY doc_id, dl, t.term
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+      |      * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) AS tscore
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |), agg AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN term = 'dup' THEN tscore END) AS s0,
+      |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s1,
+      |    sum(CASE WHEN term = 'join' THEN tscore END) AS s2,
+      |    sum(CASE WHEN term = 'slow' THEN tscore END) AS s3
+      |  FROM sc GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, round(coalesce(s0, 0e0) + coalesce(s1, 0e0)
+      |    + coalesce(s2, 0e0) + coalesce(s3, 0e0), 6) AS bm25
+      |  FROM agg)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS "rank",
+      |  bm25
+      |FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Weighted mixture with upsampling, seed 'mix' (mirrors
+    * `Sampling.mixtureSample` weights src0=2.2, src1=1.0, src2=0.35,
+    * src3=0.0, default 0.5): copies = floor(w) + [bucket < frac(w)*1e6].
+    */
+  def sampleMixture: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('mix:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) % 1000000 AS bucket
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+      |                WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 0 END
+      |    + CASE WHEN bucket < (CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 0
+      |                          WHEN 'src2' THEN 350000 WHEN 'src3' THEN 0
+      |                          ELSE 500000 END)
+      |        THEN 1 ELSE 0 END AS n_copies
+      |  FROM b)
+      |SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_id
+      |FROM c, LATERAL unnest(range(0, n_copies)) AS u(i)
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, copy_id""".stripMargin
+
+  /** Per-label centroid outliers, k=3 (mirrors `Clustering.centroidOutliers`):
+    * centroids from exact integer sums of floor(x*1e6 + 0.5), cosine to own
+    * centroid rounded to 9 dp, bottom-3 per label.
+    */
+  def embOutliers: String =
+    """WITH e AS (
+      |  SELECT label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+      |), s AS (
+      |  SELECT label, pos, sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS sx,
+      |    count(*) AS n
+      |  FROM e GROUP BY label, pos
+      |), c AS (
+      |  SELECT label, list(CAST(sx AS DOUBLE) / (n * 1e6) ORDER BY pos) AS cv
+      |  FROM s GROUP BY label
+      |), cn AS (
+      |  SELECT label, cv,
+      |    sqrt(list_sum(list_transform(cv, v -> v * v))) AS cnrm
+      |  FROM c
+      |), sc AS (
+      |  SELECT emb.label, vec_id,
+      |    round(list_sum(list_transform(range(1, len(embedding)+1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * cv[CAST(i AS INT)]))
+      |      / (sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+      |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+      |         * cnrm), 9) AS cos_centroid
+      |  FROM embeddings emb JOIN cn USING (label)
+      |), r AS (
+      |  SELECT label, vec_id, cos_centroid,
+      |    row_number() OVER (PARTITION BY label ORDER BY cos_centroid ASC, vec_id ASC) AS rk
+      |  FROM sc)
+      |SELECT label, CAST(rk AS BIGINT) AS "rank", vec_id, cos_centroid
+      |FROM r WHERE rk <= 3 ORDER BY label, "rank"""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
@@ -259,5 +402,10 @@ object PipelineOracleSql {
     "dedup_cosine_neardup" -> cosineNearDup,
     "sim_topk_ivf" -> ivfTopK,
     "mm_frame_sample" -> frameSample,
-    "mm_resize" -> resizeOracle)
+    "mm_resize" -> resizeOracle,
+    "text_chunk" -> textChunk,
+    "dedup_spans" -> dupSpans,
+    "text_bm25" -> bm25TopK,
+    "sample_mixture" -> sampleMixture,
+    "emb_outliers" -> embOutliers)
 }

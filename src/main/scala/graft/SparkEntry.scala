@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontamination, Dedup, Multimodal, Renko, RenkoModes, Sampling, SeriesCompare, Similarity, TextAnalysis, ToRws}
+import graft.operators.{Chunking, Clustering, Decontamination, Dedup, Multimodal, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -389,6 +389,30 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFrac = 0.05)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
+    // src2 0.35x, src3 dropped, everything else 0.5x
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet"), "source",
+        Map("src0" -> 2.2, "src1" -> 1.0, "src2" -> 0.35, "src3" -> 0.0),
+        defaultWeight = 0.5)
+        .select(col("doc_id"), col("source"), col("copy_id"))
+        .orderBy(col("doc_id"), col("copy_id"))),
+    "text_chunk" -> ((s, dir) =>
+      Chunking.chunk(s.read.parquet(s"$dir/documents.parquet"), chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("doc_id"))),
+    // fixed probe query with one rare term (df 25 at sf0.01) and three
+    // common ones — exercises the idf spread
+    "text_bm25" -> ((s, dir) =>
+      Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))),
+    "emb_outliers" -> ((s, dir) =>
+      Clustering.centroidOutliers(s.read.parquet(s"$dir/embeddings.parquet"), k = 3)
+        .orderBy(col("label"), col("rank"))),
     // the corpus itself is PII-free word text, so the workload plants
     // synthetic PII deterministically (same arithmetic on both engines):
     // emails into every 2nd doc, IPv4s into every 3rd, phones into every

@@ -51,6 +51,19 @@ object TextFunctions {
       t => concat_ws(" ", (0 until n).map(j => t.getField(j.toString)): _*)))
   }
 
+  /** Word n-grams IN POSITION ORDER (no distinct) over an already-tokenized
+    * array column — for operators that need per-position grams (duplicated
+    * span coverage), unlike the dedup shingle sets. Same zip-of-shifted-
+    * slices shape as [[wordShinglesFromTokens]]; `posexplode` of the result
+    * yields (position, gram) with 0-based positions.
+    */
+  def orderedNgramsFromTokens(w: Column, n: Int): Column = {
+    val m = greatest(size(w) - (n - 1), lit(0))
+    transform(
+      arrays_zip((1 to n).map(i => slice(w, lit(i), m)): _*),
+      t => concat_ws(" ", (0 until n).map(j => t.getField(j.toString)): _*))
+  }
+
   /** 31-bit polynomial string hash: left fold of character codes,
     * `acc = (acc*mult + code) mod prime`. Weaker mixing than xxhash64 but
     * exactly replicable in ANSI SQL (`list_reduce` over codepoints in

@@ -342,6 +342,42 @@ object Dedup {
     * (trigram jaccard >= 0.9) land at hamming 1-9, everything else at >= 14.
     * Output: (doc_id, simhash BIGINT).
     */
+  /** Per-document duplicated-span coverage (the "how much of this doc exists
+    * elsewhere in the corpus" metric behind exact-substring dedup à la Lee
+    * et al. 2022): a token position is DUPLICATED if the k-gram starting
+    * there also occurs in at least one other document. Output per doc:
+    * (doc_id, n_pos, n_dup_pos, dup_frac) where n_pos = nTok - k + 1.
+    *
+    * Scale shape: grams are reduced to 8-byte polynomial hashes at the scan
+    * (fixed-width shuffle keys instead of k-word strings), the
+    * multi-document test is one hash-partitioned aggregate with map-side
+    * partials, and the per-doc rollup is a second standard aggregate —
+    * two shuffles of O(total tokens) narrow rows, the canonical map-reduce
+    * shape for corpus-wide gram statistics. No driver collection.
+    */
+  def dupSpanStats(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+    // grams present in >= 2 distinct docs; joined back as a semi-style flag
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    grams.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("is_dup")).as("n_dup_pos"))
+      .withColumn("dup_frac",
+        col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the

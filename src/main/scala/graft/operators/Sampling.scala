@@ -65,4 +65,47 @@ object Sampling {
     }
     docs.filter(bucket(col(idCol), seed) < threshold)
   }
+
+  /** Weighted mixture with UPSAMPLING: per-stratum weights may exceed 1.0
+    * (e.g. 2.2 → every doc emitted twice, plus a third copy for a
+    * deterministic 20% of docs). `copies = floor(w) + [bucket < frac(w)]`;
+    * kept docs are exploded into `copy_id = 0..copies-1`. This is how
+    * training mixtures are actually materialized (domain up/down-weighting
+    * before packing), and like the samplers above it is a pure function of
+    * (seed, id) — replayable on any engine.
+    *
+    * The fractional thresholds are computed driver-side from the weight map
+    * (floor + round of the remainder at 1e-6 granularity), so the plan
+    * contains only integer literals — no float arithmetic whose rounding
+    * could diverge across engines.
+    *
+    * Scale shape: scan-local filter + explode, no shuffle; output size is
+    * `sum(copies)` rows.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 0.0,
+      seed: String = "mix",
+      idCol: String = "doc_id"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "all weights must be >= 0")
+    def parts(w: Double): (Long, Long) = {
+      val base = math.floor(w).toLong
+      (base, math.round((w - base) * 1e6))
+    }
+    val (dBase, dThresh) = parts(defaultWeight)
+    val baseCol = weights.foldRight(lit(dBase): Column) { case ((s, w), rest) =>
+      when(col(strataCol) === s, lit(parts(w)._1)).otherwise(rest)
+    }
+    val threshCol = weights.foldRight(lit(dThresh): Column) { case ((s, w), rest) =>
+      when(col(strataCol) === s, lit(parts(w)._2)).otherwise(rest)
+    }
+    val copies = baseCol + when(bucket(col(idCol), seed) < threshCol, 1L).otherwise(0L)
+    docs.withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: BM25 top-k scoring of a fixed query
+  * — the standard relevance baseline a training-data pipeline uses for
+  * targeted corpus queries (quality probes, topic pulls, eval-set mining).
+  *
+  * Scale design: the corpus is NEVER exploded into a full inverted index for
+  * a single query — tokens are filtered to the query's terms at the scan
+  * (`filter(w, t -> t IN terms)`), so the exploded row count is the number
+  * of query-term OCCURRENCES, not total tokens. Document frequencies and
+  * corpus stats (N, avgdl) are one-row/tiny aggregates joined back by
+  * broadcast. Per-document scores are assembled as one conditional-aggregate
+  * column PER TERM and added in fixed query order — floating-point addition
+  * order is deterministic, so results are bit-stable across partitionings
+  * (and match the oracle's identical CASE-WHEN formulation).
+  */
+object Search {
+
+  /** BM25 top-k. Output: (doc_id, rank, bm25) with bm25 rounded to 6 dp and
+    * rank dense over (bm25 DESC, doc_id ASC), rank <= k. Only documents
+    * containing at least one query term are scored.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    val terms = queryTerms.map(t => lit(t): Column)
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"),
+      filter(tokens(col(textCol)), t => t.isin(queryTerms.map(x => x: Any): _*)).as("qw"))
+    // corpus stats: one-row aggregate, broadcast into every score row.
+    // avgdl = sum(dl)/N — an exact integer sum divided once, deterministic.
+    val stats = tok.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(size(col("qw")) >= 1)
+      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term: at most |queryTerms| rows
+    val dfreq = tf.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // one aggregate column per term, added in FIXED query order (each doc has
+    // at most one row per term, so every sum() is a single element — exact)
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tscore"))).as(s"s_$i")
+    }
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)): Column)
+      .reduceLeft(_ + _)
+    val byDoc = scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25", round(total, 6))
+    // global top-k via TakeOrderedAndProject (distributed partial top-k per
+    // partition, k rows to the driver-side reduce) — the single-partition
+    // ranking window then only ever sees k rows, not the whole candidate set
+    val top = byDoc.orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("bm25"))
+  }
+}

@@ -153,8 +153,9 @@ object Similarity {
     // Centroids are held as double: float→double widening is exact and the
     // dot expression widens every element to double before multiplying
     // anyway, so the literal arrays score bit-identically to the float
-    // originals while also accepting array<double> corpora; ids go through
-    // Number so int/bigint id columns both work.
+    // originals while also accepting array<double> corpora; ids are cast to
+    // long in-plan (the Number match below is for vector ELEMENTS, covering
+    // float and double arrays alike).
     val cents: Array[(Long, Array[Double], Double)] =
       emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
         .orderBy(col("id")).limit(nlist)

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Chunking, Clustering, Dedup, Sampling, Search}
+import org.apache.spark.sql.functions._
+
+/** Unit-level validation of the round-5 corpus operators (chunking,
+  * duplicated-span coverage, BM25, mixture sampling, centroid outliers) on
+  * handmade inputs with hand-computable answers; the DuckDB oracle covers
+  * the full-corpus forms.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("chunking: full coverage, stride overlap, no redundant tail chunk") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunk(docsDF(1L -> words), chunkSize = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+    // nChunks = 1 + ceil((100-32)/24) = 1 + 3
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("chunk_start")).toSeq == Seq(1L, 25L, 49L, 73L))
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 32L, 32L, 28L))
+    // first and last tokens of each chunk line up with the stride
+    assert(out(0).getAs[String]("chunk_text").startsWith("w1 ") )
+    assert(out(3).getAs[String]("chunk_text").endsWith(" w100"))
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered == (1 to 100).map(i => s"w$i").toSet)
+  }
+
+  test("chunking: short document yields exactly one chunk") {
+    val out = Chunking.chunk(docsDF(1L -> "a b c"), chunkSize = 32, stride = 24).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("chunk_text") == "a b c")
+    assert(out.head.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("dup span stats: planted shared 8-gram span is counted in both docs only") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ") // 12 shared tokens
+    val a = s"$shared ${(1 to 10).map(i => s"a$i").mkString(" ")}" // 22 tokens
+    val b = s"${(1 to 10).map(i => s"b$i").mkString(" ")} $shared" // 22 tokens
+    val c = (1 to 22).map(i => s"c$i").mkString(" ")
+    val out = Dedup.dupSpanStats(docsDF(1L -> a, 2L -> b, 3L -> c), k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_dup_pos")))).toMap
+    // each doc: 22 - 8 + 1 = 15 positions; the shared 12-token run yields
+    // 12 - 8 + 1 = 5 duplicated 8-gram positions in each of docs 1 and 2
+    assert(out(1L) == ((15L, 5L)))
+    assert(out(2L) == ((15L, 5L)))
+    assert(out(3L) == ((15L, 0L)))
+  }
+
+  test("bm25: rare-term docs outrank common-term docs; tf monotonicity") {
+    // 'rare' in one doc, 'com' in all; doc 4 has the highest rare tf
+    val corpus = docsDF(
+      1L -> "com x x x x x x x",
+      2L -> "com x x x x x x x",
+      3L -> "com com x x x x x x",
+      4L -> "rare rare com x x x x x")
+    val out = Search.bm25TopK(corpus, Seq("rare", "com"), k = 4)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("doc_id") == 4L, "rare-term doc must rank first")
+    // doc 3 (tf=2 for com) above docs 1/2 (tf=1)
+    assert(out(1).getAs[Long]("doc_id") == 3L)
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("mixture sampling: integer weights copy exactly, zero drops, fractional within tolerance") {
+    val rows = (0L until 1000L).map(i => (i, if (i % 4 == 0) "dbl" else if (i % 4 == 1) "zero"
+      else if (i % 4 == 2) "half" else "one")).toDF("doc_id", "src")
+    val out = Sampling.mixtureSample(rows, "src",
+      Map("dbl" -> 2.0, "zero" -> 0.0, "half" -> 0.5, "one" -> 1.0))
+      .groupBy("src").agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("dbl") == ((500L, 250L)), "weight 2.0 = exactly two copies of every doc")
+    assert(!out.contains("zero"), "weight 0.0 drops the stratum")
+    assert(out("one") == ((250L, 250L)))
+    val (halfRows, halfDocs) = out("half")
+    assert(halfRows == halfDocs, "fractional weight < 1 never duplicates")
+    assert(math.abs(halfRows - 125L) <= 25, s"half-rate kept $halfRows of 250")
+    // deterministic: same seed, same draw
+    val again = Sampling.mixtureSample(rows, "src",
+      Map("dbl" -> 2.0, "zero" -> 0.0, "half" -> 0.5, "one" -> 1.0))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(again == out.values.map(_._1).sum)
+  }
+
+  test("centroid outliers: identical vectors give cosine 1, planted outlier found") {
+    val base = Array.fill(8)(1.0f)
+    val outlier = Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f) // orthogonal to base
+    val rows = ((0L until 9L).map(id => (id, 0, base)) :+ ((9L, 0, outlier))) ++
+      (10L until 14L).map(id => (id, 1, Array.tabulate(8)(j => (j + 1).toFloat)))
+    val out = Clustering.centroidOutliers(rows.toDF("vec_id", "label", "embedding"), k = 2)
+      .orderBy("label", "rank").collect()
+    // label 0: the orthogonal vector is rank-1 outlier; a base vector rank 2
+    val l0 = out.filter(_.getAs[Int]("label") == 0)
+    assert(l0.head.getAs[Long]("vec_id") == 9L)
+    assert(l0.head.getAs[Double]("cos_centroid") < l0(1).getAs[Double]("cos_centroid"))
+    // label 1: all vectors identical => cosine to centroid = 1 for both ranks
+    val l1 = out.filter(_.getAs[Int]("label") == 1)
+    assert(l1.forall(r => math.abs(r.getAs[Double]("cos_centroid") - 1.0) < 1e-6))
+  }
+
+  test("chunking and mixture sampling stay shuffle-free (scan-local explode + filter)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (plan <- Seq(
+        Chunking.chunk(docs).queryExecution.executedPlan.toString,
+        Sampling.mixtureSample(docs, "source", Map("src0" -> 1.5))
+          .queryExecution.executedPlan.toString))
+      assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+}
