@@ -71,7 +71,16 @@ object Bench {
       "text_decontaminate" -> q("text_decontaminate"),
       "text_fingerprint" -> q("text_fingerprint"),
       "dedup_stream_replay" -> q("dedup_stream_replay"),
-      "mm_decode_features" -> q("mm_decode_features")
+      "mm_decode_features" -> q("mm_decode_features"),
+      "text_chunk" -> q("text_chunk"),
+      "dedup_spans" -> q("dedup_spans"),
+      "text_bm25" -> q("text_bm25"),
+      "sample_mixture" -> q("sample_mixture"),
+      "emb_outliers" -> q("emb_outliers"),
+      "text_pack" -> q("text_pack"),
+      "events_asof" -> q("events_asof"),
+      "events_sessions_range" -> q("events_sessions_range"),
+      "text_vocab_sketch" -> q("text_vocab_sketch")
     )
   }
 
@@ -104,7 +113,11 @@ object Bench {
       //    during it;
       //  - min of 2 independent reps so one GC/JIT hiccup cannot masquerade
       //    as a regression, with per-rep times printed for auditability.
-      val reps = 2
+      // the 14M-tick baseline workloads get a third rep: their first rep
+      // absorbs the sort-buffer/JIT ramp (measured 6.1 s vs 2.4 s steady
+      // state) and a second slow rep would otherwise masquerade as a
+      // regression in the ONE number compared against BASELINE.md
+      val reps = if (name.startsWith("renko_14m")) 3 else 2
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()

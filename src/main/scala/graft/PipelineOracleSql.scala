@@ -395,6 +395,110 @@ object PipelineOracleSql {
       |SELECT label, CAST(rk AS BIGINT) AS "rank", vec_id, cos_centroid
       |FROM r WHERE rk <= 3 ORDER BY label, "rank"""".stripMargin
 
+  /** Concat-and-chunk pack offsets, budget=512 per source (mirrors
+    * `Chunking.packOffsets`). The window sum is CAST back from DuckDB's
+    * HUGEINT to BIGINT.
+    */
+  def textPack: String =
+    """WITH tok AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+      |  FROM tok)
+      |SELECT source, doc_id, n_tokens, tok_end - n_tokens AS tok_start,
+      |  (tok_end - n_tokens) // 512 AS pack_first,
+      |  (tok_end - 1) // 512 AS pack_last
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
+  /** Backward as-of join of clicks to views (mirrors
+    * `AsofJoin.asofBackward`): latest view with ts <= click ts per user,
+    * equal timestamps match, largest event_id breaks simultaneous-view
+    * ties.
+    */
+  def eventsAsof: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+      |    user_id, event_type, value
+      |  FROM events
+      |), c AS (
+      |  SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'click'
+      |), v AS (
+      |  SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'view'
+      |)
+      |SELECT c.event_id, c.user_id, c.ts_us, c.value,
+      |  m.event_id AS asof_event_id, m.value AS asof_value
+      |FROM c LEFT JOIN LATERAL (
+      |  SELECT v.event_id, v.value FROM v
+      |  WHERE v.user_id = c.user_id AND v.ts_us <= c.ts_us
+      |  ORDER BY v.ts_us DESC, v.event_id DESC LIMIT 1
+      |) m ON true
+      |ORDER BY c.event_id""".stripMargin
+
+  /** KMV distinct-vocabulary sketch, k=32 (mirrors
+    * `Sketches.kmvDistinctTokens`): 32 smallest distinct token polyhashes
+    * per source; exact below k, `(k-1)*H/kth` above.
+    */
+  def vocabSketch: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents
+       |), h0 AS (
+       |  SELECT source,
+       |    (${ph("tok")} * 2654435761 + 12345) % 2147483647 AS h
+       |  FROM tok
+       |), d AS (
+       |  SELECT DISTINCT source, h FROM h0
+       |), r AS (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM d
+       |), a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+       |  FROM r WHERE rn <= 32 GROUP BY source)
+       |SELECT source, n_kept,
+       |  round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+       |             ELSE 31e0 * 2147483647e0 / kth END, 6) AS est_distinct
+       |FROM a ORDER BY source""".stripMargin
+
+  /** Clicks range-joined into same-user 6-hour-gap view sessions with
+    * timeout-padded ends (mirrors `RangeJoin.intervalJoin` + the session
+    * derivation in SparkEntry).
+    */
+  def sessionsRange: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+      |    user_id, event_type
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, ts_us FROM ev WHERE event_type = 'view'
+      |), s0 AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |              > 21600000000
+      |         THEN 1 ELSE 0 END AS isn
+      |  FROM v
+      |), s1 AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(isn) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM s0
+      |), s AS (
+      |  SELECT user_id, session_id, min(ts_us) AS session_start,
+      |    max(ts_us) + 21600000000 AS session_end
+      |  FROM s1 GROUP BY user_id, session_id
+      |), c AS (
+      |  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+      |)
+      |SELECT c.event_id, c.user_id, c.ts_us,
+      |  s.session_id, s.session_start, s.session_end
+      |FROM c JOIN s ON c.user_id = s.user_id
+      |  AND c.ts_us BETWEEN s.session_start AND s.session_end
+      |ORDER BY c.event_id""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
@@ -407,5 +511,9 @@ object PipelineOracleSql {
     "dedup_spans" -> dupSpans,
     "text_bm25" -> bm25TopK,
     "sample_mixture" -> sampleMixture,
-    "emb_outliers" -> embOutliers)
+    "emb_outliers" -> embOutliers,
+    "text_pack" -> textPack,
+    "events_asof" -> eventsAsof,
+    "text_vocab_sketch" -> vocabSketch,
+    "events_sessions_range" -> sessionsRange)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Clustering, Decontamination, Dedup, Sampling, Search, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,27 @@ object PipelineStress {
     val queries = vecs.filter(col("vec_id") < 10)
     t("ann_quantized_topk", nVecs)(Similarity.quantizedTopK(vecs, queries, 5).count())
     t("ann_lsh_topk", nVecs)(Similarity.lshTopK(vecs, queries, 5).count())
+
+    // round-5 corpus operators at scale. Chunking/mixture are scan-local
+    // (throughput should track the per-row ops); dup-span coverage is the
+    // two-shuffle gram aggregate; bm25 explodes only query-term hits. The
+    // planted near-dups double as ground truth: a planted copy differs from
+    // its source by ONE word, which invalidates at most 8 of its 53 8-gram
+    // positions — dup_frac >= 45/53 ~ 0.849 for every planted doc.
+    t("chunk_32_24", nDocs)(Chunking.chunk(docs).count())
+    t("sample_mixture", nDocs)(Sampling.mixtureSample(docs,
+      "text", Map.empty, defaultWeight = 1.3).count()) // no strata col in synth docs: flat 1.3x
+    t("bm25_topk", nDocs)(Search.bm25TopK(docs, Seq("w42", "w7", "m13"), 20).count())
+    val spanStats = Dedup.dupSpanStats(docs)
+    t("dup_span_stats", nDocs)(spanStats.count())
+    val plantedCovered = spanStats
+      .filter(col("doc_id") >= n9 && col("dup_frac") >= 0.8).count()
+    println(f"[pstress] dup-span planted coverage ${plantedCovered.toDouble / nPlanted}%.4f " +
+      s"($plantedCovered of $nPlanted planted dups at dup_frac >= 0.8)")
+    assert(plantedCovered.toDouble / nPlanted >= 0.95,
+      "planted near-duplicates must be near-fully span-covered")
+    t("centroid_outliers", nVecs)(Clustering.centroidOutliers(
+      vecs.withColumn("label", pmod(col("vec_id"), lit(16L)).cast("int")), 3).count())
 
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Chunking, Clustering, Decontamination, Dedup, Multimodal, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, TextAnalysis, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -413,6 +413,63 @@ object SparkEntry {
     "emb_outliers" -> ((s, dir) =>
       Clustering.centroidOutliers(s.read.parquet(s"$dir/embeddings.parquet"), k = 3)
         .orderBy(col("label"), col("rank"))),
+    "text_pack" -> ((s, dir) =>
+      Chunking.packOffsets(s.read.parquet(s"$dir/documents.parquet"), budget = 512)
+        .orderBy(col("source"), col("doc_id"))),
+    // approximate distinct vocabulary per source via the KMV sketch (k=32 so
+    // the ESTIMATE path is live on this corpus, not just the exact path)
+    "text_vocab_sketch" -> ((s, dir) =>
+      Sketches.kmvDistinctTokens(s.read.parquet(s"$dir/documents.parquet"), k = 32)
+        .orderBy(col("source"))),
+    // bucketed range join: clicks into the 6-hour-gap VIEW sessions of the
+    // same user that contain them. A session stays open for one gap after
+    // its last view (timeout padding) — padded same-user sessions remain
+    // disjoint (the next session starts MORE than a gap later), so each
+    // click matches at most one interval. 1-hour join buckets.
+    "events_sessions_range" -> ((s, dir) => {
+      ensureConf(s)
+      val gapUs = 21600000000L
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(col("event_id"),
+        Renko.toEpochMicros(ev.schema("ts").dataType, col("ts"), "ns").as("ts_us"),
+        col("user_id"), col("event_type"))
+      val views = e.filter(col("event_type") === "view")
+      val vw = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sessions = views
+        .withColumn("prev", lag(col("ts_us"), 1).over(vw))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(
+          vw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("session_start"),
+          (max(col("ts_us")) + gapUs).as("session_end"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      RangeJoin.intervalJoin(clicks, sessions, "user_id", "ts_us",
+        "session_start", "session_end", bucketWidth = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("session_id"), col("session_start"), col("session_end"))
+        .orderBy(col("event_id"))
+    }),
+    // backward as-of join: each click enriched with the user's most recent
+    // view at or before it (ts ties -> the view matches; among simultaneous
+    // views the largest event_id wins)
+    "events_asof" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(col("event_id"),
+        Renko.toEpochMicros(ev.schema("ts").dataType, col("ts"), "ns").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us", "value")
+      AsofJoin.asofBackward(clicks, views, "user_id", "ts_us", "ts_us",
+        Seq("event_id", "value"), "event_id")
+        .orderBy(col("event_id"))
+    }),
     // the corpus itself is PII-free word text, so the workload plants
     // synthetic PII deterministically (same arithmetic on both engines):
     // emails into every 2nd doc, IPv4s into every 3rd, phones into every

@@ -46,4 +46,40 @@ object Chunking {
           slice(col("w"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)),
           " ").as("chunk_text"))
   }
+
+  /** Token-offset assignment for concat-and-chunk pretraining batches:
+    * documents are conceptually concatenated per group (in id order) and the
+    * token stream is cut into `budget`-token packs; each doc's global token
+    * interval [tok_start, tok_end) then spans packs `pack_first..pack_last`
+    * (a doc straddling a cut belongs to both — exactly how LLM pretraining
+    * packs corpora). Output: (group, doc_id, n_tokens, tok_start,
+    * pack_first, pack_last).
+    *
+    * Scale shape: one running-sum window PARTITIONED BY the group column —
+    * one shuffle by group, no global ordering bottleneck; groups are the
+    * parallelism axis (source/shard at corpus scale).
+    */
+  def packOffsets(
+      docs: DataFrame,
+      budget: Int = 512,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // offsets stay far inside double's 2^53 exact range, so the fractional
+    // divide + truncate equals integer floor-div for these non-negatives
+    def packOf(tokPos: org.apache.spark.sql.Column) =
+      (tokPos.cast("double") / budget).cast("long")
+    docs.select(col(groupCol), col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(col(groupCol), col("doc_id"), col("n_tokens"), col("tok_start"),
+        packOf(col("tok_start")).as("pack_first"),
+        packOf(col("tok_end") - 1).as("pack_last"))
+  }
 }

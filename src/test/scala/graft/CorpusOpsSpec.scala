@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Chunking, Clustering, Dedup, Sampling, Search}
+import graft.operators.{AsofJoin, Chunking, Clustering, Dedup, RangeJoin, Sampling, Search, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Unit-level validation of the round-5 corpus operators (chunking,
@@ -103,6 +103,74 @@ class CorpusOpsSpec extends SparkTestBase {
     // label 1: all vectors identical => cosine to centroid = 1 for both ranks
     val l1 = out.filter(_.getAs[Int]("label") == 1)
     assert(l1.forall(r => math.abs(r.getAs[Double]("cos_centroid") - 1.0) < 1e-6))
+  }
+
+  test("asof backward: latest-at-or-before match, equal-ts tie, simultaneous tie-break, no-match null") {
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 1L, 5L), (103L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (200L, 1L, 8L, 1.0), (201L, 1L, 20L, 2.0), (202L, 1L, 20L, 3.0), // two at ts=20
+      (203L, 2L, 60L, 9.0)) // after the only user-2 left row
+      .toDF("event_id", "user_id", "ts_us", "value")
+    val out = AsofJoin.asofBackward(left, right, "user_id", "ts_us", "ts_us",
+      Seq("event_id", "value"), "event_id")
+      .orderBy("event_id").collect()
+    def m(i: Int) = (out(i).getAs[Long]("event_id"),
+      Option(out(i).getAs[java.lang.Long]("asof_event_id")).map(_.toLong))
+    assert(m(0) == ((100L, Some(200L))), "ts 10: only view at 8 precedes")
+    assert(m(1) == ((101L, Some(202L))), "ts 20 tie: equal-ts views match, largest event_id wins")
+    assert(m(2) == ((102L, None)), "ts 5: nothing precedes -> NULL")
+    assert(m(3) == ((103L, None)), "user 2: the view is in the future")
+    assert(out(1).getAs[Double]("asof_value") == 3.0)
+  }
+
+  test("pack offsets: straddling docs span both packs, groups are independent") {
+    val docs = Seq(
+      (1L, "g1", (1 to 300).map(_ => "t").mkString(" ")),  // [0, 300)
+      (2L, "g1", (1 to 300).map(_ => "t").mkString(" ")),  // [300, 600) straddles 512
+      (3L, "g1", (1 to 10).map(_ => "t").mkString(" ")),   // [600, 610)
+      (4L, "g2", (1 to 600).map(_ => "t").mkString(" "))   // [0, 600) spans packs 0-1
+    ).toDF("doc_id", "source", "text")
+    val out = Chunking.packOffsets(docs, budget = 512)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("tok_start"), r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last"))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((300L, 0L, 1L)), "doc crossing the 512 cut belongs to packs 0 and 1")
+    assert(out(3L) == ((600L, 1L, 1L)))
+    assert(out(4L) == ((0L, 0L, 1L)), "groups restart at offset 0")
+  }
+
+  test("range join: containment exact at bucket boundaries, no duplicate matches, keys isolated") {
+    val intervals = Seq((1L, 10L, 0L, 250L), (1L, 11L, 300L, 320L), (2L, 20L, 0L, 1000L))
+      .toDF("user_id", "iv_id", "s", "e")
+    // bucketWidth 100: interval 10 spans buckets 0-2, a point can only meet
+    // it once; points at exact start/end are included; key 2's interval must
+    // not capture key 1's points
+    val points = Seq((100L, 1L, 0L), (101L, 1L, 250L), (102L, 1L, 260L),
+      (103L, 1L, 300L), (104L, 2L, 500L)).toDF("pt_id", "user_id", "ts")
+    val out = RangeJoin.intervalJoin(points, intervals, "user_id", "ts", "s", "e", 100L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 10L), (101L, 10L), (103L, 11L), (104L, 20L)))
+    // no duplicates even though interval 10 spans 3 buckets
+    val n = RangeJoin.intervalJoin(points, intervals, "user_id", "ts", "s", "e", 100L).count()
+    assert(n == 4L)
+  }
+
+  test("kmv sketch: exact below k, estimate within 20% above k") {
+    // group 'small' has 10 distinct tokens (< k); 'big' has 2000 (> k)
+    val small = (1 to 3).map(i => (i.toLong, "small",
+      (1 to 10).map(j => s"s$j").mkString(" ")))
+    val big = (1 to 40).map(i => (100L + i, "big",
+      ((i - 1) * 50 until i * 50).map(j => s"b$j").mkString(" ")))
+    val out = Sketches.kmvDistinctTokens((small ++ big).toDF("doc_id", "source", "text"), k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Double]("est_distinct")))).toMap
+    assert(out("small") == ((10L, 10.0)), "below k the sketch is exact")
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.2, s"KMV estimate $est for true 2000")
   }
 
   test("chunking and mixture sampling stay shuffle-free (scan-local explode + filter)") {
