@@ -80,7 +80,8 @@ object Bench {
       "text_pack" -> q("text_pack"),
       "events_asof" -> q("events_asof"),
       "events_sessions_range" -> q("events_sessions_range"),
-      "text_vocab_sketch" -> q("text_vocab_sketch")
+      "text_vocab_sketch" -> q("text_vocab_sketch"),
+      "events_session_window" -> q("events_session_window")
     )
   }
 

@@ -499,6 +499,32 @@ object PipelineOracleSql {
       |  AND c.ts_us BETWEEN s.session_start AND s.session_end
       |ORDER BY c.event_id""".stripMargin
 
+  /** Native session_window parity: 2h-gap islands per user; Spark's session
+    * end is last-event + gap.
+    */
+  def sessionWindow: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, value
+      |  FROM events
+      |), s0 AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |              >= 7200000000
+      |         THEN 1 ELSE 0 END AS isn
+      |  FROM ev
+      |), s1 AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(isn) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM s0)
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 7200000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s1 GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
@@ -515,5 +541,6 @@ object PipelineOracleSql {
     "text_pack" -> textPack,
     "events_asof" -> eventsAsof,
     "text_vocab_sketch" -> vocabSketch,
-    "events_sessions_range" -> sessionsRange)
+    "events_sessions_range" -> sessionsRange,
+    "events_session_window" -> sessionWindow)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Chunking, Clustering, Decontamination, Dedup, Sampling, Search, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,34 @@ object PipelineStress {
       "planted near-duplicates must be near-fully span-covered")
     t("centroid_outliers", nVecs)(Clustering.centroidOutliers(
       vecs.withColumn("label", pmod(col("vec_id"), lit(16L)).cast("int")), 3).count())
+    t("kmv_vocab_sketch", nDocs)(Sketches.kmvDistinctTokens(
+      docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string")), 256).count())
+
+    // time-series join operators at 10M events over 10k keys — the scale
+    // question for both is whether they stay ONE shuffle + sort (asof) /
+    // one bucketed equi-join (range): 1/5 of events are "clicks" (left),
+    // the rest carry values (right)
+    val nEv = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_EVENTS", "10000000").toLong
+    val evs = spark.range(nEv).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(10000L)).as("user_id"),
+      (col("id") * 37L + pmod(xxhash64(col("id") + 7L), lit(1000L))).as("ts"),
+      pmod(col("id"), lit(5L)).as("etype"))
+      .localCheckpoint(true)
+    val lSide = evs.filter(col("etype") === 0).select("event_id", "user_id", "ts")
+    val rSide = evs.filter(col("etype") =!= 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_id") % 100).cast("double").as("value"))
+    t("asof_join_10m", nEv)(AsofJoin.asofBackward(lSide, rSide,
+      "user_id", "ts", "ts", Seq("event_id", "value"), "event_id").count())
+    // 100 half-open-ish maintenance windows per user, width 1/4 gap
+    val ivs = spark.range(10000L * 100L).select(
+      (col("id") / 100L).cast("long").as("user_id"),
+      col("id").as("iv_id"),
+      (pmod(col("id"), lit(100L)) * (nEv * 37L / 100L)).as("s"))
+      .withColumn("e", col("s") + nEv * 37L / 400L)
+    t("range_join_10m", nEv)(RangeJoin.intervalJoin(
+      lSide, ivs, "user_id", "ts", "s", "e", bucketWidth = nEv * 37L / 100L).count())
 
     spark.stop()
   }

@@ -416,6 +416,23 @@ object SparkEntry {
     "text_pack" -> ((s, dir) =>
       Chunking.packOffsets(s.read.parquet(s"$dir/documents.parquet"), budget = 512)
         .orderBy(col("source"), col("doc_id"))),
+    // Spark's NATIVE session_window aggregation (the streaming-capable form
+    // of gaps-and-islands): 2h-gap sessions per user. Spark's session end =
+    // last event + gap, so the oracle's islands add the gap to max(ts).
+    "events_session_window" -> ((s, dir) => {
+      ensureConf(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("event_time",
+          timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")))
+        .groupBy(session_window(col("event_time"), "2 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
     // approximate distinct vocabulary per source via the KMV sketch (k=32 so
     // the ESTIMATE path is live on this corpus, not just the exact path)
     "text_vocab_sketch" -> ((s, dir) =>

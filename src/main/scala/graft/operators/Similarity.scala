@@ -340,12 +340,17 @@ object Similarity {
     val v = col(vecCol)
     val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = when(maxabs === lit(0.0), lit(1.0)).otherwise(maxabs / lit(127.0))
-    emb.select(
-      col(idCol).as("id"),
-      scale.as("scale"),
-      transform(v, x =>
-        greatest(lit(-127L), least(lit(127L),
-          floor(x.cast("double") / scale + lit(0.5)))).cast("byte")).as("qvec"))
+    // scale MUST be a real column before the element lambda references it:
+    // HOFs are CodegenFallback with no CSE, so a lambda referencing the
+    // scale EXPRESSION re-evaluates the array_max walk per element — O(d^2)
+    // per row (measured ~20% on the whole query at sf0.1, d=64; grows with d)
+    emb.select(col(idCol).as("id"), v.as("__v"), scale.as("scale"))
+      .select(
+        col("id"),
+        col("scale"),
+        transform(col("__v"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") / col("scale") + lit(0.5)))).cast("byte")).as("qvec"))
   }
 
   /** Quantized-first top-k: rank ALL corpus vectors by int8-dot cosine

@@ -167,4 +167,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"bucketed ANN should broadcast the small query side:\n$plan")
   }
+
+  test("asof join: exactly one hash shuffle (union + single carry-forward window)") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((2L, 1L, 5L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val df = graft.operators.AsofJoin.asofBackward(l, r, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id")
+    val shuffles = df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      s"asof must shuffle both sides ONCE by key, found $shuffles hash exchanges")
+  }
+
+  test("range join plans as a bucketed equi-join: no cartesian, no nested loop") {
+    val plan = formatted(SparkEntry.queries("events_sessions_range")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested-loop cross product:\n$plan")
+  }
+
+  test("bounded top-k pushdown: kmv sketch and centroid outliers use WindowGroupLimit") {
+    // Spark's WindowGroupLimit turns rank-then-filter into a bounded per-
+    // partition heap BEFORE the shuffle — the difference between sorting
+    // O(distinct hashes) and keeping k per group at 100 TB
+    for (name <- Seq("text_vocab_sketch", "emb_outliers")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the rank-limit pushdown:\n${plan.take(2000)}")
+    }
+  }
 }
