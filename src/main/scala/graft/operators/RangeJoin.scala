@@ -37,7 +37,9 @@ object RangeJoin {
     // so divide + truncate equals integer floor-div here
     def bucketOf(c: org.apache.spark.sql.Column) =
       (c.cast("double") / bucketWidth).cast("long")
-    val ib = intervals.withColumn("__b",
+    // degenerate end < start intervals can match nothing, but would make
+    // sequence() emit a DESCENDING bucket list — drop them at the scan
+    val ib = intervals.filter(col(endCol) >= col(startCol)).withColumn("__b",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     val pb = points.withColumn("__b", bucketOf(col(tsCol)))
     pb.join(ib,

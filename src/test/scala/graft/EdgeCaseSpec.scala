@@ -100,4 +100,52 @@ class EdgeCaseSpec extends SparkTestBase {
     // streaming dedup on an empty frame
     assert(graft.streaming.DedupStream.firstSeenDocs(emptyDocs).count() == 0)
   }
+
+  test("round-5 operators on degenerate inputs: empty frames, empty text, inverted intervals") {
+    import graft.operators.{AsofJoin, Chunking, Clustering, Dedup, RangeJoin, Sampling, Search, Sketches}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, ""), (3L, "solo")).toDF("doc_id", "text")
+    val grouped = docs.withColumn("source", lit("g"))
+
+    // chunking: empty corpus -> 0 rows; empty text still yields ONE chunk
+    assert(Chunking.chunk(emptyDocs).count() == 0)
+    val ch = Chunking.chunk(docs).collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(ch(2L) == "" && ch(3L) == "solo")
+    assert(Chunking.packOffsets(grouped.select("source", "doc_id", "text")).count() == 3)
+
+    // dup spans: sub-k docs are excluded, never error
+    val spans = Dedup.dupSpanStats(docs, k = 8).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(1L), "only the 10-token doc has 8-grams")
+
+    // bm25: no document contains the terms -> empty result, no ANSI error;
+    // empty corpus -> empty result (null avgdl never divides)
+    assert(Search.bm25TopK(docs, Seq("zz", "qq"), 5).count() == 0)
+    assert(Search.bm25TopK(emptyDocs, Seq("zz"), 5).count() == 0)
+
+    // mixture: empty weight map = flat default weight
+    assert(Sampling.mixtureSample(grouped, "source", Map.empty, defaultWeight = 2.0)
+      .count() == 6)
+
+    // kmv: empty corpus -> 0 rows; empty-text token "" hashes fine
+    assert(Sketches.kmvDistinctTokens(emptyDocs.withColumn("source", lit("g"))).count() == 0)
+    assert(Sketches.kmvDistinctTokens(grouped).count() == 1)
+
+    // asof: empty right side -> all left rows with NULL matches
+    val l = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    val rEmpty = Seq.empty[(Long, Long, Long, Double)].toDF("event_id", "user_id", "ts", "value")
+    val asof = AsofJoin.asofBackward(l, rEmpty, "user_id", "ts", "ts",
+      Seq("event_id", "value"), "event_id").collect()
+    assert(asof.length == 1 && asof.head.isNullAt(asof.head.fieldIndex("asof_event_id")))
+
+    // range join: inverted (end < start) intervals are dropped, not exploded
+    // into descending bucket sequences
+    val pts = Seq((1L, 1L, 50L)).toDF("pt_id", "user_id", "ts")
+    val badIv = Seq((1L, 9L, 100L, 0L)).toDF("user_id", "iv_id", "s", "e")
+    assert(RangeJoin.intervalJoin(pts, badIv, "user_id", "ts", "s", "e", 10L).count() == 0)
+
+    // centroids: a single-vector label is its own centroid (cos = 1)
+    val one = Seq((1L, 0, Array(1.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val out = Clustering.centroidOutliers(one, 3).collect()
+    assert(out.length == 1 && math.abs(out.head.getDouble(3) - 1.0) < 1e-9)
+  }
 }
