@@ -80,4 +80,37 @@ class SourcesAndUnitsSpec extends SparkTestBase {
       .json(s"$dir/ticks")
     assert(Renko.fromTicks(json, 25.0, tsUnit = "ns").count() == 874)
   }
+
+  test("ORC tick source: same bricks as parquet") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("long").as("datetime"), col("value").as("close"))
+      .write.orc(s"$dir/ticks")
+    val fromOrc = Renko.fromTicks(spark.read.orc(s"$dir/ticks"), 25.0, tsUnit = "ns").collect()
+    val fromParquet = Renko.fromTicks(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("ts").cast("long").as("datetime"), col("value").as("close")),
+      25.0, tsUnit = "ns").collect()
+    assert(fromOrc.length == 874)
+    fromOrc.zip(fromParquet).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("partitioned brick-table sink: symbol partition pruning reaches the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val ticks = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("user_id"), lit(8L)).cast("string").as("symbol"),
+        col("ts").as("datetime"), col("value").as("close"))
+    val bricks = Renko.fromTicks(ticks, 25.0, symbolCol = Some("symbol"), tsUnit = "ns")
+    // the natural 100 TB layout for a brick store: partition by series
+    bricks.write.partitionBy("symbol").parquet(s"$dir/bricks")
+    val back = spark.read.parquet(s"$dir/bricks").filter(col("symbol") === "3")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(symbol"),
+      s"symbol filter must prune partitions, not scan-and-filter:\n${plan.take(1500)}")
+    // round trip is lossless for the pruned slice
+    val expect = bricks.filter(col("symbol") === "3")
+      .collect().map(_.toString).sorted
+    assert(back.drop("symbol").columns.length == bricks.columns.length - 1)
+    assert(back.count() == expect.length && expect.nonEmpty)
+  }
 }
