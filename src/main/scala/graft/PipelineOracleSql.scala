@@ -525,6 +525,25 @@ object PipelineOracleSql {
       |FROM s1 GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Fixed-size per-stratum sample, k=20 per lang, seed 'fixed' (mirrors
+    * `Sampling.fixedSizeSample`): rank by scrambled polyhash of
+    * 'fixed:doc_id', ties by doc_id.
+    */
+  def sampleFixedK: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('fixed:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('fixed:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) AS hv
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
@@ -542,5 +561,6 @@ object PipelineOracleSql {
     "events_asof" -> eventsAsof,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
-    "events_session_window" -> sessionWindow)
+    "events_session_window" -> sessionWindow,
+    "sample_fixed_k" -> sampleFixedK)
 }

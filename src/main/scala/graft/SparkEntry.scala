@@ -389,6 +389,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFrac = 0.05)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // exact-size eval-set draw: 20 docs per language, deterministic
+    "sample_fixed_k" -> ((s, dir) =>
+      Sampling.fixedSizeSample(
+        s.read.parquet(s"$dir/documents.parquet"), k = 20, strataCol = "lang")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
     // src2 0.35x, src3 dropped, everything else 0.5x
     "sample_mixture" -> ((s, dir) =>

@@ -66,6 +66,34 @@ object Sampling {
     docs.filter(bucket(col(idCol), seed) < threshold)
   }
 
+  /** Deterministic fixed-size sample: exactly `k` docs per stratum (all of
+    * them if the stratum is smaller), chosen as the k smallest scrambled
+    * hashes — a uniform without-replacement draw that is a pure function of
+    * (seed, id), the primitive behind fixed-budget eval-set construction.
+    * Unlike rate-based sampling, the output size is exact by construction.
+    *
+    * Scale shape: one shuffle by stratum; the rank-then-filter compiles to
+    * Spark's WindowGroupLimit — a bounded per-partition top-k heap BEFORE
+    * the shuffle, so the sort never materializes whole strata.
+    */
+  def fixedSizeSample(
+      docs: DataFrame,
+      k: Int,
+      strataCol: String,
+      seed: String = "fixed",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // full-range scramble (not the mod-1e6 bucket): rank ties broken by id
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Weighted mixture with UPSAMPLING: per-stratum weights may exceed 1.0
     * (e.g. 2.2 → every doc emitted twice, plus a third copy for a
     * deterministic 20% of docs). `copies = floor(w) + [bucket < frac(w)]`;

@@ -173,6 +173,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.2, s"KMV estimate $est for true 2000")
   }
 
+  test("fixed-size sample: exact k per stratum, deterministic, nested in larger draws") {
+    val rows = (0L until 500L).map(i => (i, if (i % 5 == 0) "small" else "big"))
+      .toDF("doc_id", "src")
+    val s20 = Sampling.fixedSizeSample(rows, 20, "src")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s20.count(_._2 == "small") == 20 && s20.count(_._2 == "big") == 20)
+    // stratum smaller than k returns everything
+    val tiny = Sampling.fixedSizeSample(rows.filter(col("doc_id") < 7), 20, "src").count()
+    assert(tiny == 7)
+    // same seed = same draw; and the k=10 draw is a PREFIX of the k=20 draw
+    // (rank-based, so budgets nest without resampling)
+    val s10 = Sampling.fixedSizeSample(rows, 10, "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s10.subsetOf(s20.toSet))
+    assert(Sampling.fixedSizeSample(rows, 20, "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == s20.toSet)
+  }
+
   test("chunking and mixture sampling stay shuffle-free (scan-local explode + filter)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (plan <- Seq(
