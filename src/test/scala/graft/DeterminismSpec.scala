@@ -1,0 +1,31 @@
+package graft
+
+/** Partitioning-independence: the float-sensitive corpus queries must be
+  * BIT-identical under different shuffle parallelism — this is the property
+  * the integer-scaled centroid sums, fixed-order BM25 term addition, and
+  * ordered-fold vector math were designed to guarantee (a distributed float
+  * sum would pass sf0.01 by luck and drift at cluster scale).
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("float-sensitive round-5 queries are bit-identical across shuffle parallelism") {
+    for (name <- Seq("emb_outliers", "text_bm25", "dedup_spans", "events_asof",
+        "text_vocab_sketch", "sample_fixed_k", "events_session_window")) {
+      def run(parts: String): Array[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        // Double.toString is the shortest round-trip representation, so any
+        // last-bit difference shows up in the compare
+        try SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      val a = run("3")
+      val b = run("11")
+      assert(a.length == b.length, s"$name row count differs across parallelism")
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"$name row $i differs across parallelism:\n  p3:  $x\n  p11: $y")
+      }
+    }
+  }
+}
