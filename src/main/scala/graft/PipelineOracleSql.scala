@@ -544,6 +544,38 @@ object PipelineOracleSql {
       |  FROM h)
       |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
 
+  /** Exact length quantiles per source (mirrors
+    * `TextAnalysis.lengthQuantiles`): quantile_cont == Spark's exact
+    * percentile (order statistics + linear interpolation).
+    */
+  def lengthQuantiles: String =
+    """WITH l AS (
+      |  SELECT source, CAST(strlen(text) AS BIGINT) AS len FROM documents
+      |), q AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    quantile_cont(len, [0.5e0, 0.9e0, 0.99e0]) AS qq
+      |  FROM l GROUP BY source)
+      |SELECT source, n_docs, round(qq[1], 6) AS p50, round(qq[2], 6) AS p90,
+      |  round(qq[3], 6) AS p99
+      |FROM q ORDER BY source""".stripMargin
+
+  /** Per-source top-5 tokens (mirrors `TextAnalysis.topTerms`), ties by
+    * token text.
+    */
+  def topTerms: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY source, tok
+      |), r AS (
+      |  SELECT source, tok, cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rn
+      |  FROM c)
+      |SELECT source, CAST(rn AS BIGINT) AS "rank", tok, cnt
+      |FROM r WHERE rn <= 5 ORDER BY source, "rank"""".stripMargin
+
   def entries: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
@@ -562,5 +594,7 @@ object PipelineOracleSql {
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,
-    "sample_fixed_k" -> sampleFixedK)
+    "sample_fixed_k" -> sampleFixedK,
+    "text_length_quantiles" -> lengthQuantiles,
+    "text_top_terms" -> topTerms)
 }

@@ -389,6 +389,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFrac = 0.05)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "text_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("source"))),
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
+        .orderBy(col("source"), col("rank"))),
     // exact-size eval-set draw: 20 docs per language, deterministic
     "sample_fixed_k" -> ((s, dir) =>
       Sampling.fixedSizeSample(

@@ -345,6 +345,49 @@ object TextAnalysis {
     * dedup robust to case/punctuation. Output: (fingerprint, doc_id — the
     * keeper, n_docs).
     */
+  /** Exact distributed length quantiles per group (corpus profiling):
+    * (group, n_docs, p50, p90, p99 of the character length). Exact
+    * `percentile` (sort-based order statistics with linear interpolation —
+    * the same definition DuckDB's quantile_cont implements), rounded to
+    * 6 dp; at true corpus scale swap in percentile_approx with an error
+    * budget — the query shape is identical.
+    */
+  def lengthQuantiles(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), length(col(textCol)).cast("long").as("len"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(len, array(0.5e0, 0.9e0, 0.99e0))").as("q"))
+      .select(col(groupCol), col("n_docs"),
+        round(col("q").getItem(0), 6).as("p50"),
+        round(col("q").getItem(1), 6).as("p90"),
+        round(col("q").getItem(2), 6).as("p99"))
+
+  /** Per-group heavy hitters: top `k` tokens by occurrence count,
+    * ties broken by token text. One (group, token) aggregate with map-side
+    * partials, then a WindowGroupLimit-bounded rank — never a global sort
+    * of the term distribution.
+    */
+  def topTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("tok"), col("cnt"))
+  }
+
   def fingerprintGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
       .groupBy(col("fingerprint"))
