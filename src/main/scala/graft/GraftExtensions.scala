@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVectorDot, GraftMinhashSig, GraftSimhashSig, GraftWinnow, GraftWordShingles, HyperplaneSignature, PolyHash}
+import graft.functions.expressions.{FloatVectorDot, GraftMinhashSig, GraftQuantize, GraftSimhashSig, GraftWinnow, GraftWordShingles, HyperplaneSignature, PolyHash}
 import graft.operators.{Renko, RenkoModes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftHyperplaneSig)
     ext.injectFunction(GraftExtensions.graftMinhashSig)
     ext.injectFunction(GraftExtensions.graftSimhashSig)
+    ext.injectFunction(GraftExtensions.graftQuantize)
     ext.injectTableFunction(GraftExtensions.graftRenko)
   }
 }
@@ -135,6 +136,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "graft_simhash_sig expects (shingles)")
       GraftSimhashSig(children.head)
+    })
+
+  private[graft] val graftQuantize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_quantize"),
+    new ExpressionInfo(classOf[GraftQuantize].getName, "graft_quantize"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_quantize expects (vec)")
+      GraftQuantize(children.head)
     })
 
   private def stringLit(e: Expression, what: String): String = e.eval() match {

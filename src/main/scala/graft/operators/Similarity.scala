@@ -337,13 +337,27 @@ object Similarity {
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val q = graft.functions.expressions.QuantizeExpression.quantizeNative(col(vecCol))
+    emb.select(col(idCol).as("id"), q.as("__q"))
+      .select(col("id"),
+        col("__q").getField("scale").as("scale"),
+        col("__q").getField("qvec").as("qvec"))
+  }
+
+  /** Built-in-function twin of the native `graft_quantize` — same numerics,
+    * kept as a bit-equality cross-check (VectorExprSpec). The scale is
+    * projected to a REAL column before the element lambda references it:
+    * HOFs are CodegenFallback with no CSE, so a lambda referencing the
+    * scale EXPRESSION re-evaluates the array_max walk per element — O(d^2)
+    * per row.
+    */
+  private[graft] def quantizeHof(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
     val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = when(maxabs === lit(0.0), lit(1.0)).otherwise(maxabs / lit(127.0))
-    // scale MUST be a real column before the element lambda references it:
-    // HOFs are CodegenFallback with no CSE, so a lambda referencing the
-    // scale EXPRESSION re-evaluates the array_max walk per element — O(d^2)
-    // per row (measured ~20% on the whole query at sf0.1, d=64; grows with d)
     emb.select(col(idCol).as("id"), v.as("__v"), scale.as("scale"))
       .select(
         col("id"),

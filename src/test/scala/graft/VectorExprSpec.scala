@@ -128,4 +128,25 @@ class VectorExprSpec extends SparkTestBase {
       }
     }
   }
+
+  test("graft_quantize == HOF quantize: corpus-wide bit equality incl. zero vector") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .unionByName(Seq((9999L, Array.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    def dump(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    val native = dump(Similarity.quantize(emb))
+    val hof = dump(Similarity.quantizeHof(emb))
+    assert(native.size == hof.size && native.nonEmpty)
+    native.foreach { case (id, (s, q)) =>
+      val (hs, hq) = hof(id)
+      assert(java.lang.Double.doubleToRawLongBits(s) == java.lang.Double.doubleToRawLongBits(hs),
+        s"vec $id scale: native $s vs hof $hs")
+      assert(q == hq, s"vec $id qvec differs")
+    }
+    // zero vector: scale 1.0, all-zero bytes, no divide-by-zero
+    assert(native(9999L)._1 == 1.0 && native(9999L)._2.forall(_ == 0))
+  }
 }
