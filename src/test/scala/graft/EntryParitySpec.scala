@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's correctness gate hashes each `SparkEntry.queries` result
+  * against DuckDB running the matching `SparkEntry.oracleSql` entry. A query
+  * without an oracle only gets a weak rows-only check, and an oracle without
+  * a query is dead SQL — both are wiring mistakes, so pin exact key parity.
+  */
+class EntryParitySpec extends AnyFunSuite {
+
+  test("every query has an oracle SQL entry, and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(
+      (o -- q).isEmpty,
+      s"oracle entries without a query: ${(o -- q).toSeq.sorted.mkString(", ")}")
+    assert(
+      (q -- o).isEmpty,
+      s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+  }
+}
