@@ -81,7 +81,10 @@ object Bench {
       "events_asof" -> q("events_asof"),
       "events_sessions_range" -> q("events_sessions_range"),
       "text_vocab_sketch" -> q("text_vocab_sketch"),
-      "events_session_window" -> q("events_session_window")
+      "events_session_window" -> q("events_session_window"),
+      "search_hybrid_rrf" -> q("search_hybrid_rrf"),
+      "dedup_incremental" -> q("dedup_incremental"),
+      "q19_salted_join" -> q("q19_salted_join")
     )
   }
 
@@ -103,7 +106,12 @@ object Bench {
     Renko.fromTicks(synthTicks(spark, 200000L, 2), 1.0,
       symbolCol = Some("symbol"), tsUnit = "us").count()
 
-    val results = headline(sfDir).map { case (name, mk) =>
+    // optional comma-separated headline filter (local iteration only; the
+    // driver sets no filter and measures everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = headline(sfDir)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, mk) =>
       // hygiene, uniformly for EVERY query and rep (r2 lesson: late queries
       // "regressed" purely from state left behind by earlier ones):
       //  - clearCache() so no CacheManager entry from any prior query can
@@ -114,11 +122,13 @@ object Bench {
       //    during it;
       //  - min of 2 independent reps so one GC/JIT hiccup cannot masquerade
       //    as a regression, with per-rep times printed for auditability.
-      // the 14M-tick baseline workloads get a third rep: their first rep
+      // the 14M-tick baseline workloads get extra reps: their first rep
       // absorbs the sort-buffer/JIT ramp (measured 6.1 s vs 2.4 s steady
-      // state) and a second slow rep would otherwise masquerade as a
-      // regression in the ONE number compared against BASELINE.md
-      val reps = if (name.startsWith("renko_14m")) 3 else 2
+      // state), and phase-timed runs (GRAFT_SCAN_DEBUG) show job-level
+      // jitter up to several x on this host — one slow rep must not
+      // masquerade as a regression in the ONE number compared against
+      // BASELINE.md, so take min-of-4 there
+      val reps = if (name.startsWith("renko_14m")) 4 else 2
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()

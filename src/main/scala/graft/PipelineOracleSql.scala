@@ -27,8 +27,11 @@ object PipelineOracleSql {
        |        i -> CAST(ascii(substr($s, CAST(i AS INT), 1)) AS BIGINT))),
        |      (a,b) -> (a*$mult+b) % $prime)""".stripMargin
 
-  /** MinHash+LSH verified pairs at threshold 0.8, 16 bands x 4 rows. */
-  def minhashLsh: String = {
+  /** Shared MinHash CTE prefix (tok → shingles → hashes → 64-component
+    * signatures → 16 band buckets) used by [[minhashLsh]] and
+    * [[minhashIncremental]].
+    */
+  private def minhashPrefix: String = {
     val numHashes = 64
     val sigCols = (0 until numHashes).map { i =>
       s"    min((h * ${2L * i + 1234567891L} + ${98176543L * i + 7L}) % 2147483647) AS m$i"
@@ -52,7 +55,12 @@ object PipelineOracleSql {
        |  FROM hh GROUP BY doc_id
        |), buckets AS (
        |$bandSelects
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** MinHash+LSH verified pairs at threshold 0.8, 16 bands x 4 rows. */
+  def minhashLsh: String =
+    s"""$minhashPrefix, cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -66,7 +74,30 @@ object PipelineOracleSql {
        |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Incremental admission dedup at threshold 0.8: batch docs
+    * (`doc_id % 4 = 3`, an SF-independent split) banded-joined against the
+    * corpus snapshot (the rest), exact-Jaccard verified (mirrors
+    * `Dedup.minhashIncrementalPairs`; the signature prefix over ALL docs is
+    * identical because each side's signatures depend only on its own rows).
+    */
+  def minhashIncremental: String =
+    s"""$minhashPrefix, cand AS (
+       |  SELECT DISTINCT x.doc_id AS dup_of, y.doc_id AS doc_id
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.doc_id % 4 != 3 AND y.doc_id % 4 = 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS dup_of, b.doc_id AS doc_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  JOIN cand ON cand.dup_of = a.doc_id AND cand.doc_id = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT shared.doc_id AS doc_id, dup_of,
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM shared JOIN sz sa ON sa.doc_id = dup_of JOIN sz sb ON sb.doc_id = shared.doc_id
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+       |ORDER BY shared.doc_id, dup_of""".stripMargin
 
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
@@ -334,6 +365,71 @@ object PipelineOracleSql {
       |  bm25
       |FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Hybrid RRF top-20: BM25 pool (same formulation as [[bm25TopK]],
+    * pool 50) fused with the cosine pool of query vec_id=0 (same
+    * formulation as sim_topk_bruteforce, pool 50) via
+    * 1/(60+lex_rank) + 1/(60+sem_rank), -1 sentinels outside a pool
+    * (mirrors `Search.hybridRrfTopK`).
+    */
+  def hybridRrf: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, $Tok AS w FROM documents
+       |), d AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    list_filter(w, t -> t IN ('dup', 'vector', 'join', 'slow')) AS qw
+       |  FROM tok
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, t.term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM d, LATERAL unnest(qw) AS t(term)
+       |  GROUP BY doc_id, dl, t.term
+       |), dfreq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+       |), sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+       |      * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) AS tscore
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |), agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term = 'dup' THEN tscore END) AS s0,
+       |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s1,
+       |    sum(CASE WHEN term = 'join' THEN tscore END) AS s2,
+       |    sum(CASE WHEN term = 'slow' THEN tscore END) AS s3
+       |  FROM sc GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, round(coalesce(s0, 0e0) + coalesce(s1, 0e0)
+       |    + coalesce(s2, 0e0) + coalesce(s3, 0e0), 6) AS bm25
+       |  FROM agg
+       |), lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |  FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+       |), n AS (
+       |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
+       |), s AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id != 0
+       |), sem AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+       |  FROM s ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
+       |), f AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    coalesce(1e0 / (60 + lex.lex_rank), 0e0)
+       |      + coalesce(1e0 / (60 + sem.sem_rank), 0e0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS "rank",
+       |  round(rrf, 6) AS rrf,
+       |  coalesce(lex_rank, -1) AS lex_rank, coalesce(sem_rank, -1) AS sem_rank
+       |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Weighted mixture with upsampling, seed 'mix' (mirrors
     * `Sampling.mixtureSample` weights src0=2.2, src1=1.0, src2=0.35,
     * src3=0.0, default 0.5): copies = floor(w) + [bucket < frac(w)*1e6].
@@ -430,7 +526,8 @@ object PipelineOracleSql {
       |  SELECT event_id, user_id, ts_us, value FROM ev WHERE event_type = 'view'
       |)
       |SELECT c.event_id, c.user_id, c.ts_us, c.value,
-      |  m.event_id AS asof_event_id, m.value AS asof_value
+      |  coalesce(m.event_id, -1) AS asof_event_id,
+      |  coalesce(m.value, -1e0) AS asof_value
       |FROM c LEFT JOIN LATERAL (
       |  SELECT v.event_id, v.value FROM v
       |  WHERE v.user_id = c.user_id AND v.ts_us <= c.ts_us
@@ -591,6 +688,8 @@ object PipelineOracleSql {
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,
     "events_asof" -> eventsAsof,
+    "search_hybrid_rrf" -> hybridRrf,
+    "dedup_incremental" -> minhashIncremental,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

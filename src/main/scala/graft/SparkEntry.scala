@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, TextAnalysis, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -285,6 +285,22 @@ object SparkEntry {
           ((max(col("ts")).cast("decimal(38,0)") / lit(1000000)).cast("long")).as("end_ms"))
         .orderBy(col("user_id"), col("sid"))
     }),
+    // large-x-large join under key skew: fact side salted, dim side
+    // replicated across the salts, shuffle-hash hinted — row-identical to
+    // the plain join (and to the oracle), but a hot user spreads over 32
+    // reducers instead of serializing one
+    "q19_salted_join" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Skew.saltedJoin(ev, cust, "user_id", col("event_id"), 32)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(floor(col("value") * lit(1e6) + lit(0.5))).cast("double") / lit(1e6), 6)
+            .as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -324,6 +340,14 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), 0.8)
         .orderBy(col("id_a"), col("id_b"))),
+    // continuous-ingestion shape: the "new batch" (an SF-independent 25%
+    // slice) admission-checked against the corpus snapshot it joins
+    "dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashIncrementalPairs(
+        d.filter(col("doc_id") % 4 =!= 3), d.filter(col("doc_id") % 4 === 3), 0.8)
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // 11 sits inside the corpus's hamming separation gap (dups 1-9,
       // non-dups >= 14), giving recall 1.0 with zero false pairs
@@ -421,6 +445,15 @@ object SparkEntry {
       Search.bm25TopK(s.read.parquet(s"$dir/documents.parquet"),
         Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))),
+    // hybrid retrieval: same BM25 probe fused with the cosine neighbors of
+    // vec_id 0 by reciprocal-rank fusion — the standard two-arm production
+    // retrieval stack (lexical + semantic) in one query
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrfTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        Seq("dup", "vector", "join", "slow"), queryVecId = 0L, k = 20)
+        .orderBy(col("rank"))),
     "emb_outliers" -> ((s, dir) =>
       Clustering.centroidOutliers(s.read.parquet(s"$dir/embeddings.parquet"), k = 3)
         .orderBy(col("label"), col("rank"))),
@@ -494,8 +527,13 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "value")
       val views = e.filter(col("event_type") === "view")
         .select("event_id", "user_id", "ts_us", "value")
+      // no-match rows surface as -1 sentinels, not NULLs: the gate's
+      // hash compare is only proven on null-free numeric columns, and a
+      // float NULL round-trips as NaN whose equality is engine-fragile
       AsofJoin.asofBackward(clicks, views, "user_id", "ts_us", "ts_us",
         Seq("event_id", "value"), "event_id")
+        .withColumn("asof_event_id", coalesce(col("asof_event_id"), lit(-1L)))
+        .withColumn("asof_value", coalesce(col("asof_value"), lit(-1.0)))
         .orderBy(col("event_id"))
     }),
     // the corpus itself is PII-free word text, so the workload plants
@@ -689,6 +727,12 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) AS n_events,
         |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q19_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  round(CAST(sum(CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+        |    AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (
         |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),

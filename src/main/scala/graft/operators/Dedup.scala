@@ -222,21 +222,79 @@ object Dedup {
 
   /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
   private[graft] def minhashCandidates(sigs: DataFrame, params: MinHashParams): DataFrame = {
-    // one row per band: bucket key = the band's signature slice verbatim
-    // (concat_ws, collision-free in practice and engine-independent — an
-    // opaque hash here would block the DuckDB oracle)
+    val buckets = minhashBuckets(sigs, params)
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** One row per (doc, band): bucket key = the band's signature slice
+    * verbatim (concat_ws, collision-free in practice and engine-independent
+    * — an opaque hash here would block the DuckDB oracle).
+    */
+  private def minhashBuckets(sigs: DataFrame, params: MinHashParams): DataFrame = {
     val bandRows: Seq[Column] = (0 until params.bands).map { b =>
       val slice = (0 until params.rowsPerBand)
         .map(r => element_at(col("sig"), b * params.rowsPerBand + r + 1))
       struct(lit(b).as("band"), concat_ws("_", slice: _*).as("bucket"))
     }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandRows: _*)).as("bb"))
+    sigs.select(col("doc_id"), explode(array(bandRows: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+  }
+
+  /** Incremental admission dedup: flag documents of a NEW batch that
+    * near-duplicate the already-admitted corpus snapshot — the shape of
+    * every continuously-ingesting training-data pipeline, where each
+    * arriving batch is checked against the corpus WITHOUT re-pairing the
+    * corpus against itself.
+    *
+    * Scale shape: the corpus side's band buckets are computed once per
+    * ingest epoch (in production, READ from the stored signature snapshot —
+    * here derived in-plan for oracle parity) and the batch probes them with
+    * an equi-join on (band, bucket); candidate volume is
+    * O(batch x collision rate), never O(corpus^2) and never O(batch^2) —
+    * batch-internal duplicates are the NEXT epoch's corpus-side problem.
+    * Only candidate docs from either side are shingled for the
+    * exact-Jaccard verification, exactly like [[minhashLshPairs]].
+    *
+    * Output: (doc_id — the new doc, dup_of — the colliding corpus doc,
+    * jaccard), exact-verified at `threshold`. Sides are assumed
+    * id-disjoint (they are different ingest epochs).
+    */
+  def minhashIncrementalPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val corpusBuckets = minhashBuckets(minhashSigs(corpus, params, idCol, textCol), params)
+    val batchBuckets = minhashBuckets(minhashSigs(batch, params, idCol, textCol), params)
+    // materialized once (localCheckpoint, ContextCleaner-freed): feeds the
+    // shingle prunes AND the verification join, like minhashLshPairs
+    val candidates = corpusBuckets.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))
+      .select(col("x.doc_id").as("dup_of"), col("y.doc_id").as("doc_id"))
       .distinct()
+      .localCheckpoint(false)
+    val corpusSh = shingles(
+      corpus.join(candidates.select(col("dup_of").as("__cand_id")).distinct(),
+        col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
+    val batchSh = shingles(
+      batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
+        col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
+    val szA = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      .select(col("doc_id").as("dup_of"), col("na"))
+    val szB = batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val shared = corpusSh.select(col("doc_id").as("dup_of"), col("s"))
+      .join(batchSh.select(col("doc_id"), col("s")), Seq("s"))
+      .join(candidates, Seq("dup_of", "doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("dup_of")).agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    shared.join(szA, Seq("dup_of")).join(szB, Seq("doc_id"))
+      .select(col("doc_id"), col("dup_of"), jac.as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
   }
 
   /** Connected components over a near-duplicate pair set: collapse pairs

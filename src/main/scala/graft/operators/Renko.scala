@@ -253,6 +253,17 @@ object Renko {
 
     implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
+    // phase timing to stderr when GRAFT_SCAN_DEBUG is set — the parallel
+    // scan is 4 distinct Spark jobs and a driver phase; a slow run is
+    // diagnosable only if we can see WHICH phase absorbed the time
+    val debug = sys.env.contains("GRAFT_SCAN_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[scan-debug] $phase%-18s ${(now - tMark) / 1e9}%7.3f s")
+      tMark = now
+    }
+
     // job 1: per-partition own replay → summaries (small; bricks discarded)
     val summaries = ticks.as[(Long, Double)].rdd
       .mapPartitionsWithIndex { (pidx, it) =>
@@ -283,6 +294,7 @@ object Renko {
       }
       .collect()
       .sortBy(_.pidx)
+    mark("job1 sort+summar")
 
     // driver: chain exact entry states, replay prefixes, find sync points
     val prefixBricks = new ArrayBuffer[BrickRow]()
@@ -332,6 +344,7 @@ object Renko {
       }
       offset += s.nTicks
     }
+    mark("driver stitch")
     if (fellBack) {
       ticks.unpersist()
       return (fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst),
@@ -386,6 +399,7 @@ object Renko {
     // themselves are RDD-level (localCheckpoint), freed by the
     // ContextCleaner once the caller drops the result.
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    mark("job2 suffix+ckpt")
     ticks.unpersist()
     val result = if (!dropFirst) all
     else {

@@ -76,4 +76,54 @@ object Search {
     top.withColumn("rank", row_number().over(w))
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("bm25"))
   }
+
+  /** Hybrid retrieval: reciprocal-rank fusion [Cormack et al., SIGIR'09] of
+    * a lexical BM25 ranking and a semantic cosine ranking over the aligned
+    * embedding table (`doc_id == vec_id`). RRF is THE standard production
+    * fusion — rank-based, so the two scores never need calibrating against
+    * each other, and each arm stays what it already is: BM25's scan-local
+    * scoring and the ANN arm's broadcast-query top-k. The fusion itself
+    * touches only 2×`poolK` rows — driver-trivial, cluster-trivial.
+    *
+    * Determinism: rrf = 1/(rrfK+lex_rank) + 1/(rrfK+sem_rank) over integer
+    * ranks, added in fixed arm order — bit-identical across engines. A
+    * doc missing from one arm contributes 0.0 from that arm (standard RRF
+    * over unioned pools). Ties (e.g. two docs with mirrored rank pairs —
+    * RRF is symmetric) break by doc_id, like every ranking here.
+    *
+    * Output: (doc_id, rank, rrf rounded 6 dp, lex_rank, sem_rank) with
+    * -1 sentinels where the doc is outside that arm's pool, rank <= k.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      emb: DataFrame,
+      queryTerms: Seq[String],
+      queryVecId: Long,
+      k: Int = 20,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lex = bm25TopK(docs, queryTerms, poolK, idCol = idCol, textCol = textCol)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = Similarity.bruteForceTopK(
+        emb, emb.filter(col(vecIdCol) === queryVecId), poolK,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+    // global top-k via TakeOrderedAndProject, then rank over just k rows —
+    // same shape as bm25TopK's tail
+    val top = fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        round(col("rrf"), 6).as("rrf"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"))
+  }
 }

@@ -393,6 +393,61 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("salted join is row-identical to the plain join") {
+    import graft.operators.Skew
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select("event_id", "user_id", "value")
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val salted = Skew.saltedJoin(ev, cust, "user_id", col("event_id"), 8)
+    assert(!salted.columns.contains("__salt"), "salt must not leak into the output")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))
+    val got = salted.select("user_id", "event_id", "value", "c_mktsegment")
+      .collect().map(key).sorted
+    val want = ev.join(cust, Seq("user_id"))
+      .select("user_id", "event_id", "value", "c_mktsegment")
+      .collect().map(key).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"salted join diverged: ${got.length} vs ${want.length} rows")
+  }
+
+  test("hybrid RRF: rank-k fusion of the BM25 and cosine pools, sentinels outside a pool") {
+    import graft.operators.Search
+    val res = Search.hybridRrfTopK(docs, emb,
+      Seq("dup", "vector", "join", "slow"), queryVecId = 0L, k = 20)
+      .orderBy("rank").collect()
+    assert(res.length == 20)
+    assert(res.map(_.getLong(1)).toSeq == (1L to 20L), "ranks must be dense 1..k")
+    res.foreach { r =>
+      val (lex, sem, rrf) = (r.getLong(3), r.getLong(4), r.getDouble(2))
+      assert(lex != -1L || sem != -1L, "a fused doc must come from at least one arm")
+      val expect = (if (lex == -1L) 0.0 else 1.0 / (60 + lex)) +
+        (if (sem == -1L) 0.0 else 1.0 / (60 + sem))
+      assert(math.abs(rrf - expect) < 1e-6,
+        s"doc ${r.getLong(0)}: rrf $rrf != recomputed $expect")
+    }
+    val rrfs = res.map(_.getDouble(2))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b }, "rrf must be non-increasing")
+  }
+
+  test("incremental minhash equals the cross-split slice of the full pair search") {
+    val corpus = docs.filter(col("doc_id") % 4 =!= 3)
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+    val inc = Dedup.minhashIncrementalPairs(corpus, batch, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashLshPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the full search's cross-split pairs, re-oriented to (batch, corpus)
+    val cross = full.collect {
+      case ((a, b), j) if (a % 4 == 3) != (b % 4 == 3) =>
+        (if (b % 4 == 3) (b, a) else (a, b)) -> j
+    }
+    assert(cross.nonEmpty, "expected planted near-dups to straddle the split")
+    assert(inc == cross.toMap,
+      s"incremental (${inc.size}) != cross-split of full (${cross.size})")
+  }
+
   test("polyHash quality: near-zero collisions over the corpus shingle set") {
     import graft.functions.TextFunctions
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

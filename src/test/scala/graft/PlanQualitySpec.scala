@@ -198,4 +198,29 @@ class PlanQualitySpec extends SparkTestBase {
         s"$name lost the rank-limit pushdown:\n${plan.take(2000)}")
     }
   }
+
+  test("salted join: shuffled-hash on the salted key, dim replication stays in-plan") {
+    // the whole point of the salt is spreading a hot key across reducers —
+    // a broadcast here would mean no shuffle at all (and no demo), and a
+    // plain un-salted sort-merge would mean the salt got optimized away
+    val plan = formatted(SparkEntry.queries("q19_salted_join")(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n${plan.take(1500)}")
+    assert(plan.contains("__salt"), "join keys must include the salt")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("hybrid RRF plan: no cartesian product, fusion join stays broadcast-sized") {
+    val plan = formatted(SparkEntry.queries("search_hybrid_rrf")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid fusion must not cross-product:\n${plan.take(1500)}")
+  }
+
+  test("incremental dedup: band probe is an equi-join, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inc = graft.operators.Dedup.minhashIncrementalPairs(
+      docs.filter(col("doc_id") % 4 =!= 3), docs.filter(col("doc_id") % 4 === 3), 0.8)
+    val plan = formatted(inc)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"banded probe degenerated:\n${plan.take(1500)}")
+  }
 }
