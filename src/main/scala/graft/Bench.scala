@@ -83,6 +83,7 @@ object Bench {
       "text_vocab_sketch" -> q("text_vocab_sketch"),
       "events_session_window" -> q("events_session_window"),
       "search_hybrid_rrf" -> q("search_hybrid_rrf"),
+      "text_decontaminate_bloom" -> q("text_decontaminate_bloom"),
       "dedup_incremental" -> q("dedup_incremental"),
       "q19_salted_join" -> q("q19_salted_join")
     )

@@ -564,6 +564,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
         .orderBy(col("doc_id"))
     }),
+    // same semantics through the bloom-prefiltered path (identical output,
+    // so it shares the exact variant's oracle): the corpus gram stream is
+    // cut at the scan by a driver-built BloomFilterMightContain literal,
+    // then the exact join removes the false positives
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Decontamination.overlapReportBloom(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"))
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),
@@ -620,7 +630,7 @@ object SparkEntry {
     */
   private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
 
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleAliases(
     RenkoOracleSql.entries ++ PipelineOracleSql.entries ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1117,5 +1127,12 @@ object SparkEntry {
          |$embCols
          |FROM c ORDER BY doc_id""".stripMargin
     }
-  )
+  ))
+
+  /** Queries whose output is identical BY CONSTRUCTION to another query's
+    * (e.g. a prefilter that only prunes non-matches before an exact join)
+    * share that query's oracle rather than duplicating the SQL.
+    */
+  private def oracleAliases(m: Map[String, String]): Map[String, String] =
+    m + ("text_decontaminate_bloom" -> m("text_decontaminate"))
 }

@@ -55,4 +55,61 @@ object Decontamination {
       .select(col("doc_id"), col("n_grams"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_grams").cast("double")).as("overlap_frac"))
   }
+
+  /** [[overlapReport]] with a Bloom prefilter on the corpus-gram stream —
+    * identical output (the filter only ever passes a superset of the true
+    * matches, and the exact gram join then removes the false positives),
+    * different 100 TB cost: the corpus's exploded grams are cut to
+    * ~(matches + fpp x grams) rows AT THE SCAN, before the join ever sees
+    * them. When the eval suite grows past what an exact broadcast set
+    * affords (a few GB of distinct grams), the bloom stays megabytes at any
+    * benchmark size — this is Spark's own runtime-filter pattern
+    * (InjectRuntimeFilter builds the same BloomFilterAggregate /
+    * BloomFilterMightContain pair), made explicit and composable.
+    *
+    * The filter is built by ONE cluster-side aggregate over the benchmark
+    * grams, pulled to the driver (bounded: `numBits/8` bytes), and
+    * re-entered as a literal so the probe is a scan-local codegen'd
+    * expression — no UDF, no per-row broadcast lookup.
+    */
+  def overlapReportBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      minOverlap: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      estimatedGrams: Long = 4000000L): DataFrame = {
+    import graft.functions.expressions.ShingleExpression.wordShinglesNative
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val benchGrams = benchmark
+      .select(explode(wordShinglesNative(col(textCol), n)).as("gram"))
+      .distinct()
+    val bloomAgg = GraftSqlShim.column(
+      new BloomFilterAggregate(
+        GraftSqlShim.expression(xxhash64(col("gram"))),
+        Literal(estimatedGrams)).toAggregateExpression())
+    val bloomBytes = benchGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val mightContain = GraftSqlShim.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftSqlShim.expression(xxhash64(col("gram")))))
+
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), wordShinglesNative(col(textCol), n).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .filter(mightContain)
+    docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= lit(minOverlap))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams").cast("double")).as("overlap_frac"))
+  }
 }

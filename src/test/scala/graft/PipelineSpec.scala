@@ -448,6 +448,21 @@ class PipelineSpec extends SparkTestBase {
       s"incremental (${inc.size}) != cross-split of full (${cross.size})")
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the exact path") {
+    import graft.operators.Decontamination
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val exact = Decontamination.overlapReport(corpus, bench).orderBy("doc_id").collect()
+    val bloom = Decontamination.overlapReportBloom(corpus, bench).orderBy("doc_id").collect()
+    assert(exact.nonEmpty, "planted cross-split dups must exist")
+    assert(exact.sameElements(bloom),
+      s"bloom path diverged: ${exact.length} vs ${bloom.length} rows")
+    // and the probe really is in the corpus-side plan (scan-local cut)
+    val plan = Decontamination.overlapReportBloom(corpus, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom probe:\n${plan.take(1500)}")
+  }
+
   test("polyHash quality: near-zero collisions over the corpus shingle set") {
     import graft.functions.TextFunctions
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
