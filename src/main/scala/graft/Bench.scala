@@ -85,7 +85,8 @@ object Bench {
       "search_hybrid_rrf" -> q("search_hybrid_rrf"),
       "text_decontaminate_bloom" -> q("text_decontaminate_bloom"),
       "dedup_incremental" -> q("dedup_incremental"),
-      "q19_salted_join" -> q("q19_salted_join")
+      "q19_salted_join" -> q("q19_salted_join"),
+      "dedup_keepers" -> q("dedup_keepers")
     )
   }
 

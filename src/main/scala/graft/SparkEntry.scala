@@ -357,6 +357,16 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.5))
         .orderBy(col("doc_id"))),
+    // the decision layer on top of the clusters: keep the highest-priority
+    // source per cluster (ties -> smallest id), drop-list the rest
+    "dedup_keepers" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val prio = when(col("source") === "src0", 3)
+        .when(col("source") === "src1", 2)
+        .when(col("source") === "src2", 1).otherwise(0)
+      Dedup.canonicalKeepers(d, Dedup.ngramJaccardPairs(d, 0.5), prio)
+        .orderBy(col("doc_id"))
+    }),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Similarity.topCosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), 20)),
     // the threshold (near-dup) form, on its LSH-candidate scale path — the
@@ -630,6 +640,34 @@ object SparkEntry {
     */
   private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** Shared recursive-CTE prefix: exact 0.5-Jaccard pairs → undirected
+    * reachability → min-label clusters, ending in `cl(doc_id, cluster_id)`
+    * (used by dedup_clusters and dedup_keepers).
+    */
+  private val ClustersCte =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, $Tok AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM tok WHERE len(w) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+       |bidir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(n, l) AS (
+       |  SELECT src, src FROM bidir
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.n),
+       |cl AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
   def oracleSql: Map[String, String] = oracleAliases(
     RenkoOracleSql.entries ++ PipelineOracleSql.entries ++ Map(
     "q1_agg" ->
@@ -775,28 +813,24 @@ object SparkEntry {
          |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT doc_id, $Tok AS w FROM documents
-         |), sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
-         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-         |  FROM tok WHERE len(w) >= 3
-         |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM shared
-         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
-         |bidir AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(n, l) AS (
-         |  SELECT src, src FROM bidir
-         |  UNION
-         |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.n)
-         |SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id""".stripMargin,
+      s"""$ClustersCte
+         |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "dedup_keepers" ->
+      s"""$ClustersCte,
+         |m AS (
+         |  SELECT cl.doc_id, cluster_id,
+         |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+         |                WHEN 'src2' THEN 1 ELSE 0 END AS prio
+         |  FROM cl JOIN documents ON documents.doc_id = cl.doc_id),
+         |k AS (
+         |  SELECT cluster_id, doc_id AS keeper_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY prio DESC, doc_id ASC) AS rn
+         |  FROM m)
+         |SELECT m.doc_id, m.cluster_id, k.keeper_id,
+         |  m.doc_id = k.keeper_id AS keep
+         |FROM m JOIN k ON k.cluster_id = m.cluster_id AND k.rn = 1
+         |ORDER BY m.doc_id""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

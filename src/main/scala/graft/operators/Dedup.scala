@@ -98,6 +98,34 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
   }
 
+  /** The dedup DECISION a production pipeline actually ships: one canonical
+    * keeper per near-duplicate cluster, chosen by (priority DESC, doc_id
+    * ASC), everything else marked for the drop list. Composes
+    * [[connectedComponents]] with an exact arg-max — the keeper choice is an
+    * aggregate (`max_by` over a (priority, -id) struct), not a window, so
+    * no per-cluster sort materializes.
+    *
+    * Output: (doc_id, cluster_id, keeper_id, keep BOOLEAN) for every doc
+    * that appears in some pair; singleton docs are implicitly kept and
+    * stay absent, like `connectedComponents`.
+    */
+  def canonicalKeepers(
+      docs: DataFrame,
+      pairs: DataFrame,
+      priority: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val member = docs
+      .select(col(idCol).cast("long").as("doc_id"), priority.cast("int").as("prio"))
+      .join(clusters, Seq("doc_id"))
+    val keepers = member.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("prio"), (-col("doc_id")).as("nid"))).as("keeper_id"))
+    member.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard with prefix filtering (PPJoin-style, public
     * set-similarity-join literature): sort each doc's shingles by global
     * document frequency (rarest first) and keep only the first

@@ -448,6 +448,29 @@ class PipelineSpec extends SparkTestBase {
       s"incremental (${inc.size}) != cross-split of full (${cross.size})")
   }
 
+  test("canonical keepers: one keeper per cluster, chosen by (priority, id)") {
+    val prio = when(col("source") === "src0", 3)
+      .when(col("source") === "src1", 2)
+      .when(col("source") === "src2", 1).otherwise(0)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5)
+    val got = Dedup.canonicalKeepers(docs, pairs, prio).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    // exactly one keeper per cluster, and keep <=> doc == keeper
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.count(_._4) == 1, s"cluster $cid keeper count != 1")
+      rows.foreach { case (doc, _, keeper, keep) => assert(keep == (doc == keeper)) }
+    }
+    // re-derive the keeper choice from first principles
+    val prioOf = docs.select(col("doc_id"), prio.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      val want = rows.map(_._1).minBy(id => (-prioOf(id), id))
+      val keeper = rows.find(_._4).get._3
+      assert(keeper == want, s"cluster $cid: keeper $keeper, expected $want")
+    }
+  }
+
   test("bloom-prefiltered decontamination is row-identical to the exact path") {
     import graft.operators.Decontamination
     val corpus = docs.filter(col("doc_id") % 10 =!= 7)
