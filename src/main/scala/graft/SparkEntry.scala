@@ -580,8 +580,12 @@ object SparkEntry {
     // then the exact join removes the false positives
     "text_decontaminate_bloom" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // estimatedGrams sized to the actual benchmark slice (~50k grams at
+      // sf0.1): each partial aggregate carries a numBits/8-byte sketch, so
+      // a lazy over-estimate taxes the build, not the probe
       Decontamination.overlapReportBloom(
-        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        estimatedGrams = 65536L)
         .orderBy(col("doc_id"))
     }),
     "text_fingerprint" -> ((s, dir) =>

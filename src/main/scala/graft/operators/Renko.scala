@@ -346,7 +346,7 @@ object Renko {
     }
     mark("driver stitch")
     if (fellBack) {
-      ticks.unpersist()
+      ticks.unpersist(blocking = true)
       return (fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst),
         ParallelScanStats(fellBack = true, plans.toSeq.map(_.syncIdx)))
     }
@@ -400,7 +400,7 @@ object Renko {
     // ContextCleaner once the caller drops the result.
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
     mark("job2 suffix+ckpt")
-    ticks.unpersist()
+    ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all
     else {
       // ts is nondecreasing in emission order, so the first emitted brick's

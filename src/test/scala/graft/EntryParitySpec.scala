@@ -12,6 +12,7 @@ class EntryParitySpec extends AnyFunSuite {
   test("every query has an oracle SQL entry, and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
+    info(s"${q.size} queries / ${o.size} oracles")
     assert(
       (o -- q).isEmpty,
       s"oracle entries without a query: ${(o -- q).toSeq.sorted.mkString(", ")}")
