@@ -190,6 +190,32 @@ object PipelineStress {
     t("range_join_10m", nEv)(RangeJoin.intervalJoin(
       lSide, ivs, "user_id", "ts", "s", "e", bucketWidth = nEv * 37L / 100L).count())
 
+    // round-5b operators at scale:
+    // - incremental dedup admits the planted 10% as the "arriving batch"
+    //   against the 90% original corpus — every planted pair crosses the
+    //   split, so recall at scale is measured, not assumed;
+    // - hybrid RRF adds only the two arm pools to BM25 + brute-force cost;
+    // - salted join: 10M facts against a 10k dim replicated x32 under a
+    //   forced shuffle-hash — the no-broadcast regime it exists for;
+    // - keepers ride the 40k planted pairs end-to-end to the drop list.
+    val incFound = Dedup.minhashIncrementalPairs(
+      docs.filter(col("doc_id") < n9), docs.filter(col("doc_id") >= n9), 0.8)
+    var incN = 0L
+    t("dedup_incremental", nDocs) { incN = incFound.count(); incN }
+    println(f"[pstress] incremental recall@planted ${incN.toDouble / nPlanted}%.4f " +
+      s"($incN of $nPlanted planted batch dups)")
+    assert(incN >= (nPlanted * 99) / 100,
+      "incremental admission must find the planted batch near-dups")
+    t("hybrid_rrf", nDocs)(Search.hybridRrfTopK(
+      docs, vecs, Seq("w42", "w7", "m13"), queryVecId = 0L, k = 20).count())
+    val userDim = spark.range(10000L).select(col("id").as("user_id"),
+      pmod(col("id"), lit(7L)).cast("string").as("segment"))
+    t("salted_join_10m", nEv)(graft.operators.Skew.saltedJoin(
+      lSide, userDim, "user_id", col("event_id"), 32).count())
+    val keepPrio = pmod(col("doc_id"), lit(4L)).cast("int")
+    t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
+      docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())
+
     spark.stop()
   }
 }

@@ -148,4 +148,43 @@ class EdgeCaseSpec extends SparkTestBase {
     val out = Clustering.centroidOutliers(one, 3).collect()
     assert(out.length == 1 && math.abs(out.head.getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("round-5b operators: degenerate inputs") {
+    import graft.operators.{Decontamination, Dedup, Search, Skew}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "src1"),
+      (3L, "completely different words here nothing shared at all now", "src2")
+    ).toDF("doc_id", "text", "source")
+
+    // incremental dedup: empty batch -> empty result, not a crash
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashIncrementalPairs(docs, emptyDocs, 0.8).count() == 0)
+    // ... and an empty corpus flags nothing either
+    assert(Dedup.minhashIncrementalPairs(emptyDocs, docs, 0.8).count() == 0)
+
+    // keepers: empty pair set -> empty decision (singletons implicitly kept)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.canonicalKeepers(docs, noPairs, lit(1)).count() == 0)
+
+    // salted join: salts = 1 degenerates to the plain join, empty dim -> 0
+    val dim = Seq((1L, "x")).toDF("doc_id", "tag")
+    val plain = docs.join(dim, Seq("doc_id")).count()
+    assert(Skew.saltedJoin(docs, dim, "doc_id", col("doc_id"), 1).count() == plain)
+    val emptyDim = Seq.empty[(Long, String)].toDF("doc_id", "tag")
+    assert(Skew.saltedJoin(docs, emptyDim, "doc_id", col("doc_id"), 4).count() == 0)
+
+    // bloom decontamination: empty benchmark -> empty report (the bloom
+    // aggregate yields a NULL sketch; the probe must drop, not throw)
+    assert(Decontamination.overlapReportBloom(docs, emptyDocs).count() == 0)
+
+    // hybrid RRF with terms hitting nothing: pure-semantic ranking, all
+    // lexical sentinels
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val fused = Search.hybridRrfTopK(docs, emb, Seq("zzzmissing"), 1L, k = 3).collect()
+    assert(fused.nonEmpty)
+    assert(fused.forall(_.getLong(3) == -1L), "no doc should carry a lexical rank")
+  }
 }
