@@ -12,7 +12,12 @@ class DeterminismSpec extends SparkTestBase {
 
   test("float-sensitive round-5 queries are bit-identical across shuffle parallelism") {
     for (name <- Seq("emb_outliers", "text_bm25", "dedup_spans", "events_asof",
-        "text_vocab_sketch", "sample_fixed_k", "events_session_window")) {
+        "text_vocab_sketch", "sample_fixed_k", "events_session_window",
+        // round-5b: RRF fusion (float adds in fixed arm order), the salted
+        // join's integer-scaled sum, incremental jaccard division, keeper
+        // argmax over (prio, -id), and the bloom-prefiltered report
+        "search_hybrid_rrf", "q19_salted_join", "dedup_incremental",
+        "dedup_keepers", "text_decontaminate_bloom")) {
       def run(parts: String): Array[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         // Double.toString is the shortest round-trip representation, so any
