@@ -18,17 +18,20 @@ object TextAnalysis {
     * Output: (doc_id, n_chars, n_tokens, n_unique_tokens, stopword_cnt,
     * ttr, stopword_ratio, quality_score).
     */
-  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def quality(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nTok = size(tokens(t)).cast("long")
     val nUniq = size(array_distinct(tokens(t))).cast("long")
     val stop = markerCount(t, StopwordsEn).cast("long")
-    docs.select(
-      col(idCol).as("doc_id"),
-      length(t).cast("long").as("n_chars"),
-      nTok.as("n_tokens"),
-      nUniq.as("n_unique_tokens"),
-      stop.as("stopword_cnt"))
+    docs.select(col(idCol).as("doc_id") +: keep.map(col) :+
+      length(t).cast("long").as("n_chars") :+
+      nTok.as("n_tokens") :+
+      nUniq.as("n_unique_tokens") :+
+      stop.as("stopword_cnt"): _*)
       .withColumn("ttr", col("n_unique_tokens").cast("double") / col("n_tokens").cast("double"))
       .withColumn("stopword_ratio", col("stopword_cnt").cast("double") / col("n_tokens").cast("double"))
       .withColumn("quality_score",
