@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** `graft-replay`: a DataSource V2 micro-batch source that replays a
+  * RECORDED tick table in its stored row order at a configurable
+  * rows-per-batch pace — the online counterpart of the reference's live
+  * tick feed (`test/test_ws.py` replays a recorded file event by event),
+  * and a capability no built-in source has: the file source paces by whole
+  * files and the `rate` source synthesizes rows; neither can drip a real
+  * recording through a streaming pipeline with row-level, restart-safe
+  * offsets.
+  *
+  * Contract: `path` points at ONE parquet file (write the recording with
+  * `coalesce(1)`) with columns `(symbol: string, t: long, price: double)`;
+  * `rowsPerBatch` rows are admitted per micro-batch. Offsets are plain row
+  * positions over the static file, so recovery from a checkpoint resumes
+  * exactly — the engine re-plans `[start, end)` ranges and gets identical
+  * rows. Readers skip to their range sequentially (the example-level
+  * parquet API has no row seek); fine for the bounded recordings this
+  * source exists for — it is a REPLAY/testing source, not an ingest path.
+  */
+class TickReplaySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TickReplaySource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-replay requires a 'path' option")
+    val rpb = Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L)
+    require(rpb > 0, s"rowsPerBatch must be > 0, got $rpb")
+    new ReplayTable(path, rpb)
+  }
+}
+
+object TickReplaySource {
+  val Schema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("t", LongType, nullable = false),
+    StructField("price", DoubleType, nullable = false)))
+}
+
+private[sources] class ReplayTable(path: String, rowsPerBatch: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-replay($path)"
+  override def schema(): StructType = TickReplaySource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = TickReplaySource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ReplayStream(path, rowsPerBatch)
+      }
+    }
+}
+
+/** Row-position offset over the static recording. */
+private[sources] case class ReplayOffset(row: Long) extends Offset {
+  override def json: String = row.toString
+}
+
+private[sources] class ReplayStream(path: String, rowsPerBatch: Long)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private lazy val totalRows: Long = {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+  override def deserializeOffset(json: String): Offset = ReplayOffset(json.trim.toLong)
+
+  // STATELESS pacing via admission control: the engine hands us the current
+  // start offset, so the next admitted position is a pure function of it —
+  // a restart from any checkpoint resumes exactly, with no in-memory
+  // pointer to regress (the plain latestOffset() form had exactly that bug:
+  // a restarted query's fresh instance re-admitted from row 0).
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].row
+    ReplayOffset(math.min(totalRows, s + rowsPerBatch))
+  }
+  override def reportLatestOffset(): Offset = ReplayOffset(totalRows)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-replay paces via SupportsAdmissionControl.latestOffset(start, limit)")
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].row
+    val e = end.asInstanceOf[ReplayOffset].row
+    if (e <= s) Array.empty else Array(ReplayPartition(path, s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ReplayPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] class ReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ReplayPartition]
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).build()
+      private var pos = 0L
+      private var current: Group = _
+      // sequential skip to the range start (no row seek at this API level)
+      while (pos < p.start && { current = reader.read(); current != null }) pos += 1
+
+      override def next(): Boolean = {
+        if (pos >= p.end) return false
+        current = reader.read()
+        if (current == null) return false
+        pos += 1
+        true
+      }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(current.getString("symbol", 0)),
+        current.getLong("t", 0),
+        current.getDouble("price", 0)))
+      override def close(): Unit = reader.close()
+    }
+  }
+}
