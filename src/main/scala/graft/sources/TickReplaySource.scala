@@ -63,13 +63,28 @@ private[sources] class ReplayTable(path: String, rowsPerBatch: Long)
   override def name(): String = s"graft-replay($path)"
   override def schema(): StructType = TickReplaySource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TickReplaySource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ReplayStream(path, rowsPerBatch)
+        // batch form: the whole recording as one partition (it is ONE
+        // sorted file by contract; parallel analytics re-reads it through
+        // the ordinary parquet source — this path exists so the same
+        // format string works in spark.read for spot checks)
+        override def toBatch: Batch = new Batch {
+          private lazy val total: Long = {
+            val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+            val r = ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }
+          override def planInputPartitions(): Array[InputPartition] =
+            Array(ReplayPartition(path, 0L, total))
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ReplayReaderFactory
+        }
       }
     }
 }

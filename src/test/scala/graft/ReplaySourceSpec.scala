@@ -44,6 +44,12 @@ class ReplaySourceSpec extends SparkTestBase {
     // genuinely paced: multiple non-empty micro-batches
     val batches = q.recentProgress.count(_.numInputRows > 0)
     assert(batches >= 3, s"expected row-level pacing, saw $batches batches")
+
+    // the same format string reads the recording as a batch frame
+    val asBatch = spark.read.format("graft.sources.TickReplaySource")
+      .option("path", file).load()
+    assert(asBatch.count() == n)
+    assert(asBatch.exceptAll(want).isEmpty)
   }
 
   test("restart from the checkpoint appends nothing new; renko on replay == batch renko") {
