@@ -86,7 +86,8 @@ object Bench {
       "text_decontaminate_bloom" -> q("text_decontaminate_bloom"),
       "dedup_incremental" -> q("dedup_incremental"),
       "q19_salted_join" -> q("q19_salted_join"),
-      "dedup_keepers" -> q("dedup_keepers")
+      "dedup_keepers" -> q("dedup_keepers"),
+      "corpus_report" -> q("corpus_report")
     )
   }
 

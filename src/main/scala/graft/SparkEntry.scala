@@ -591,6 +591,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),
+    // the nightly per-source rollup a corpus team actually runs: one scan
+    // (quality is a pure projection), one partial-agg'd groupBy; the mean
+    // is an exact integer-scaled sum, so the report is bit-stable under
+    // any partitioning
+    "corpus_report" -> ((s, dir) => {
+      val q = TextAnalysis.quality(
+        s.read.parquet(s"$dir/documents.parquet"), keep = Seq("source"))
+      q.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(floor(col("quality_score") * lit(1e6) + lit(0.5))).cast("double")
+            / count(lit(1)) / lit(1e6), 6).as("mean_quality"))
+        .orderBy(col("source"))
+    }),
     // batch replay of the streaming first-seen dedup filter (the exact code
     // path that runs under flatMapGroupsWithState in a stream). The corpus
     // has no exact-normalized duplicates, so the workload plants them:
@@ -927,6 +942,26 @@ object SparkEntry {
          |    + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
          |    + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "corpus_report" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($Tok)) AS BIGINT) AS n_unique_tokens,
+         |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stopword_cnt
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, n_chars, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+         |      + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
+         |  FROM f)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(CAST(floor(quality_score * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE)
+         |    / count(*) / 1e6, 6) AS mean_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""WITH f AS (
          |  SELECT doc_id,
