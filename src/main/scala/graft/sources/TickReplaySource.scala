@@ -36,7 +36,9 @@ import java.util
   * parquet API has no row seek); fine for the bounded recordings this
   * source exists for — it is a REPLAY/testing source, not an ingest path.
   */
-class TickReplaySource extends TableProvider {
+class TickReplaySource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-replay"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TickReplaySource.Schema
   override def getTable(

@@ -45,8 +45,8 @@ class ReplaySourceSpec extends SparkTestBase {
     val batches = q.recentProgress.count(_.numInputRows > 0)
     assert(batches >= 3, s"expected row-level pacing, saw $batches batches")
 
-    // the same format string reads the recording as a batch frame
-    val asBatch = spark.read.format("graft.sources.TickReplaySource")
+    // the registered short name reads the recording as a batch frame
+    val asBatch = spark.read.format("graft-replay")
       .option("path", file).load()
     assert(asBatch.count() == n)
     assert(asBatch.exceptAll(want).isEmpty)
