@@ -58,4 +58,43 @@ class DedupStreamSpec extends SparkTestBase {
     val got = streamed.map(e => e.doc_id -> e.fp).toMap
     assert(got == batchKeepers, "stream (doc_id-ordered arrival) must equal the batch keeper set")
   }
+
+  test("built-in dropDuplicatesWithinWatermark matches first-seen inside its horizon") {
+    // Spark's own streaming dedup exists and we use the custom operator
+    // DELIBERATELY: the built-in evicts state at the watermark (dedup
+    // horizon = the delay), while corpus admission must be first-seen over
+    // the stream's whole life. Inside the horizon the two must agree —
+    // this pins that the custom operator isn't reinventing different
+    // semantics, just a longer memory.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = DedupStream.withFingerprint(corpus).collect().sortBy(_.doc_id)
+    val stream = MemoryStream[DocEvent]
+    val deduped = stream.toDS()
+      // synthetic event time: arrival order as a timestamp (+1 s so doc 0
+      // sits strictly above the initial watermark of epoch 0 — a row AT
+      // the watermark is dropped as late), every duplicate well inside
+      // the horizon
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros((col("doc_id") + 1L) * 1000000L))
+      .withWatermark("ts", "10 days")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.length / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("ddww_out")
+      .select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same keeper SET per fingerprint (the built-in keeps the first ARRIVAL;
+    // arrival here is doc_id order, so keepers coincide with first-seen)
+    assert(got == batchKeepers,
+      s"built-in watermarked dedup diverges from first-seen inside the horizon: " +
+        s"extra=${(got.keySet -- batchKeepers.keySet).toSeq.sorted.take(5)} " +
+        s"missing=${(batchKeepers.keySet -- got.keySet).toSeq.sorted.take(5)} " +
+        s"(got ${got.size} vs batch ${batchKeepers.size})")
+  }
 }
