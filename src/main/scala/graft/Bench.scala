@@ -87,7 +87,8 @@ object Bench {
       "dedup_incremental" -> q("dedup_incremental"),
       "q19_salted_join" -> q("q19_salted_join"),
       "dedup_keepers" -> q("dedup_keepers"),
-      "corpus_report" -> q("corpus_report")
+      "corpus_report" -> q("corpus_report"),
+      "mm_similar_media" -> q("mm_similar_media")
     )
   }
 

@@ -381,6 +381,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // multimodal -> vector search, composed end to end: stub media features
+    // feed the same ANN operator the embedding table uses. Cosine is ranked
+    // over the INTEGER lane values (x1000 recovers them exactly; scale
+    // cancels in cosine), so the whole chain stays engine-exact
+    "mm_similar_media" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(
+        Multimodal.asMedia(s.read.parquet(s"$dir/documents.parquet"))).toDF()
+      val lanes = (0 until 8).map(j =>
+        round(element_at(col("embedding"), j + 1) * 1000).cast("double"))
+      val emb = f.select(col("doc_id").as("vec_id"), array(lanes: _*).as("embedding"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // int8-quantized candidate scan + exact rerank: the 4x-memory-ladder
     // rung; the oracle replays quantization, candidate cut, and rerank
     "sim_topk_quantized" -> ((s, dir) => {
@@ -1176,6 +1189,34 @@ object SparkEntry {
     // decode stub replica: byte == codepoint because the corpus is ASCII
     // (verified: max codepoint 121 at sf0.01 and sf0.1); lane accumulator is
     // (acc*31 + byte) % 1000000007 exactly as Multimodal.decodeStub
+    "mm_similar_media" -> {
+      val lane = (j: Int) =>
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(${j + 1}, strlen(text)+1, 8),
+           |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+           |      (a,b) -> (a*31+b) % 1000000007) % 1000 AS DOUBLE)""".stripMargin
+      val lanes = (0 until 8).map(lane).mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT doc_id AS vec_id,
+         |    [$lanes] AS embedding
+         |  FROM documents
+         |), n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+         |      i -> embedding[i] * embedding[i]))) AS nrm
+         |  FROM e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, len(q.embedding)+1),
+         |      i -> q.embedding[i] * c.embedding[i])) / (q.nrm * c.nrm), 9) AS cos_sim
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+         |  FROM s)
+         |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
     "mm_decode_features" -> {
       val histCols = (0 until 4).map(k =>
         s"  CAST(len(list_filter(codes, x -> x // 64 = $k)) AS BIGINT) AS hist_$k").mkString(",\n")
