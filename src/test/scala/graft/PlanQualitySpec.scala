@@ -215,6 +215,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"hybrid fusion must not cross-product:\n${plan.take(1500)}")
   }
 
+  test("corpus report: one scan, one aggregation exchange") {
+    // the nightly rollup must stay a single-pass job: quality is a pure
+    // projection, so the only shuffle is the final per-source aggregate
+    val plan = SparkEntry.queries("corpus_report")(spark, sf).queryExecution.executedPlan
+    def countExchanges(p: SparkPlan): Int =
+      (if (p.isInstanceOf[ShuffleExchangeExec]) 1 else 0) +
+        p.children.map(countExchanges).sum +
+        p.subqueries.map(countExchanges).sum
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // one exchange for the groupBy(source), one for the global orderBy
+    assert(countExchanges(resolved) <= 2,
+      s"corpus_report grew extra shuffles:\n${resolved.toString.take(1500)}")
+  }
+
   test("incremental dedup: band probe is an equi-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val inc = graft.operators.Dedup.minhashIncrementalPairs(
