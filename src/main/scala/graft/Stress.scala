@@ -89,6 +89,39 @@ object Stress {
       s"mean=${if (real.isEmpty) "-" else f"${real.sum.toDouble / real.size}%.1f"}")
     assert(stats.fellBack || real.forall(_ < 4096), "sync depth exceeded the prefix cap")
 
+    // end-to-end STREAMING throughput: a recorded tick file dripped through
+    // the DSv2 replay source into the stateful streaming scan (the
+    // reference's ws replay sustains ~134k events/s single-threaded —
+    // BASELINE.md). Micro-batch size trades latency for throughput; this
+    // measures the sustained pipeline rate, trigger overhead included.
+    val nStream = math.min(n, 2000000L)
+    val recDir = java.nio.file.Files.createTempDirectory("graft-stress-replay").toFile
+    val recPath = new java.io.File(recDir, "rec").getAbsolutePath
+    synthTicks(spark, nStream, 1)
+      .select(col("symbol"), col("datetime").as("t"), col("close").as("price"))
+      .coalesce(1).write.parquet(recPath)
+    val part = new java.io.File(recPath).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    import graft.streaming.{PriceEvent, RenkoWS}
+    // ~4 micro-batches: micro-batch streaming is trigger-bound (state-store
+    // commit + planning ~1-2 s per trigger in this environment), so
+    // sustained rate is measured at production batch sizing, not at a
+    // latency-oriented drip
+    val src = spark.readStream.format("graft-replay")
+      .option("path", part.getAbsolutePath)
+      .option("rowsPerBatch", (nStream / 4).toString)
+      .load()
+      .select(col("symbol"), col("t").as("timestamp"), col("price"))
+      .as[PriceEvent](org.apache.spark.sql.Encoders.product[PriceEvent])
+    val t0 = System.nanoTime()
+    val q = RenkoWS.bricks(src, 1.0).writeStream
+      .format("memory").queryName("stress_replay").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val bricks = spark.table("stress_replay").count()
+    println(f"[stress] streaming replay ${nStream / 1000000}M ticks  $sec%8.1f s  " +
+      f"($bricks bricks, ${nStream / sec / 1e6}%.2f M events/s)")
+
     spark.stop()
   }
 }
