@@ -93,7 +93,7 @@ object Decontamination {
       new BloomFilterAggregate(
         GraftSqlShim.expression(xxhash64(col("gram"))),
         Literal(estimatedGrams)).toAggregateExpression())
-    val bloomBytes = benchGrams.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val bloomBytes = benchGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
     val mightContain = GraftSqlShim.column(
       BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),

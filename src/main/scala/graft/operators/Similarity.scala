@@ -176,7 +176,7 @@ object Similarity {
     // corpus×nlist join feeding a row_number window. Tie-break matches a
     // (csim DESC, cid ASC) ranking: struct comparison is lexicographic, so
     // max of (csim, -cid) picks the highest similarity, then the lowest cid
-    val best = array_max(array(cents.map { case (cid, cv, cnrm) =>
+    val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv, cnrm) =>
       struct(cosine(col("v"), typedlit(cv), col("nrm"), lit(cnrm)).as("s"),
         lit(-cid).as("nc"))
     }: _*))
@@ -196,7 +196,7 @@ object Similarity {
       cents.toSeq.toDF("cid", "cv", "cnrm"))
     val qn = queries.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
     val qScored = qn.join(centroids, lit(true))
-      .select(qn.columns.map(col) :+ col("cid") :+
+      .select(qn.columns.toIndexedSeq.map(col) :+ col("cid") :+
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("csim"): _*)
     val qw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
     val qs = qScored.withColumn("crank", row_number().over(qw))
