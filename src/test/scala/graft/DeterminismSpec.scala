@@ -17,7 +17,8 @@ class DeterminismSpec extends SparkTestBase {
         // join's integer-scaled sum, incremental jaccard division, keeper
         // argmax over (prio, -id), and the bloom-prefiltered report
         "search_hybrid_rrf", "q19_salted_join", "dedup_incremental",
-        "dedup_keepers", "text_decontaminate_bloom", "corpus_report")) {
+        "dedup_keepers", "text_decontaminate_bloom", "corpus_report",
+        "mm_similar_media")) {
       def run(parts: String): Array[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         // Double.toString is the shortest round-trip representation, so any
