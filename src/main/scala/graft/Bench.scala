@@ -88,7 +88,8 @@ object Bench {
       "q19_salted_join" -> q("q19_salted_join"),
       "dedup_keepers" -> q("dedup_keepers"),
       "corpus_report" -> q("corpus_report"),
-      "mm_similar_media" -> q("mm_similar_media")
+      "mm_similar_media" -> q("mm_similar_media"),
+      "q20_pivot" -> q("q20_pivot")
     )
   }
 

@@ -301,6 +301,18 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy(col("c_mktsegment"))
     }),
+    // relational pivot: per-user-bucket event-type matrix (missing combos
+    // coalesced to 0 so tiny SFs stay null-free for the hash gate)
+    "q20_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_bucket") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_bucket"))
+    }),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -813,6 +825,14 @@ object SparkEntry {
         |    AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q20_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (
         |  SELECT row_number() OVER (ORDER BY ts) AS pos, value AS self FROM events),
