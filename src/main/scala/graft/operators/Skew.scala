@@ -34,7 +34,12 @@ object Skew {
       saltBy: Column,
       salts: Int = 32): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val f = fact.withColumn("__salt", pmod(saltBy.cast("long"), lit(salts.toLong)))
+    // coalesce: pmod(null) = null would match NO dim salt, silently dropping
+    // fact rows whose saltBy is NULL even when their join key is non-null —
+    // salt 0 keeps them joinable (slightly hotter reducer 0 is acceptable;
+    // a NULL spread column is a caller smell, not a correctness event)
+    val f = fact.withColumn("__salt",
+      coalesce(pmod(saltBy.cast("long"), lit(salts.toLong)), lit(0L)))
     val d = dim.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     // hint a shuffle-hash join: salting exists FOR the shuffle-join case —

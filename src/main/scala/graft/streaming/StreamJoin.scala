@@ -33,6 +33,13 @@ object StreamJoin {
       timeCol: String,
       lookback: String,
       watermarkDelay: String): DataFrame = {
+    // the blanket r_ prefix would collide if the right frame carries both
+    // `x` and `r_x` (withColumnRenamed then yields two r_x columns and
+    // ambiguous resolution downstream) — reject that input up front
+    val collisions = right.columns.filter(c => right.columns.contains(s"r_$c"))
+    require(collisions.isEmpty,
+      s"right side already has r_-prefixed twins of: ${collisions.mkString(", ")}; " +
+        "rename them before intervalJoin")
     val l = left.withWatermark(timeCol, watermarkDelay)
     val r = right.columns
       .foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))

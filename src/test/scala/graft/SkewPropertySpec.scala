@@ -43,4 +43,17 @@ class SkewPropertySpec extends SparkTestBase {
           s"${got.length} vs ${want.length} rows")
     }
   }
+
+  test("NULL saltBy rows still join (salt coalesces to 0, rows are not dropped)") {
+    import spark.implicits._
+    // row_id NULL on two rows whose key HAS a dim match: the plain join
+    // keeps them, so the salted join must too (pmod(null)=null used to
+    // match no dim salt and silently drop them)
+    val fact = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 10L), (null, 20L), (4L, 20L))
+      .toDF("row_id", "key")
+    val dim = Seq((10L, "a"), (20L, "b")).toDF("key", "tag")
+    val got = Skew.saltedJoin(fact, dim, "key", col("row_id"), 8)
+    assert(got.count() == 4, s"expected all 4 fact rows to survive, got ${got.count()}")
+    assert(got.filter(col("row_id").isNull).count() == 2)
+  }
 }

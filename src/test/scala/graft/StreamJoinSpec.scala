@@ -69,4 +69,20 @@ class StreamJoinSpec extends SparkTestBase {
       s"stream ${streamed.size} vs batch ${batch.size}; " +
         s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
   }
+
+  test("right side already carrying an r_-prefixed twin is rejected up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val left = s.toDS().toDF("user_id", "event_time", "event_id")
+    // right has BOTH event_id and r_event_id: the blanket rename would
+    // produce two r_event_id columns — must fail fast, not downstream
+    val right = s.toDS().toDF("user_id", "event_time", "r_event_id")
+      .withColumn("event_id", col("r_event_id"))
+    val e = intercept[IllegalArgumentException] {
+      StreamJoin.intervalJoin(left, right, "user_id", "event_time",
+        "30 minutes", "10 minutes")
+    }
+    assert(e.getMessage.contains("event_id"))
+  }
 }
