@@ -45,24 +45,52 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs (word 3-grams).
     * Output: (id_a, id_b, jaccard DOUBLE) for jaccard >= threshold.
+    *
+    * `method` picks the physical path — results are identical (pinned by
+    * PipelineSpec's plain⇄prefix equivalence test), only the candidate
+    * generation differs:
+    *  - `"plain"`: self-join on EVERY shingle — cheapest at small corpora
+    *    (no document-frequency pass, no per-doc window);
+    *  - `"prefix"`: PPJoin-style prefix filtering ([[ngramJaccardPairsPrefix]])
+    *    — the scale path, candidates from the rarest shingles only;
+    *  - `"auto"` (default): by corpus row count, `plainLimit` mirroring
+    *    [[Similarity.topCosinePairs]]'s exactLimit switch — a caller at 10^8
+    *    docs must not silently get the full shingle self-join.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // the shingle table feeds the size aggregate AND both join sides —
-    // materialize it once via localCheckpoint rather than Dataset.persist:
-    // persist registers in the session's CacheManager, which holds a strong
-    // reference until an explicit unpersist/clearCache (a session-lifetime
-    // leak for an operator-internal intermediate), whereas localCheckpoint
-    // blocks are RDD-level and the ContextCleaner frees them as soon as the
-    // returned plan becomes unreachable. Trade: lineage is truncated, so a
-    // lost executor fails the job instead of recomputing — acceptable for a
-    // within-job intermediate (re-run the operator).
-    val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
-    jaccardOfSharedShingles(sh, threshold, None)
-  }
+      textCol: String = "text",
+      method: String = "auto",
+      plainLimit: Long = 200000L): DataFrame =
+    jaccardResolveMethod(method, () => docs.count(), plainLimit) match {
+      case "prefix" => ngramJaccardPairsPrefix(docs, threshold, idCol, textCol)
+      case _ =>
+        // the shingle table feeds the size aggregate AND both join sides —
+        // materialize it once via localCheckpoint rather than Dataset.persist:
+        // persist registers in the session's CacheManager, which holds a strong
+        // reference until an explicit unpersist/clearCache (a session-lifetime
+        // leak for an operator-internal intermediate), whereas localCheckpoint
+        // blocks are RDD-level and the ContextCleaner frees them as soon as the
+        // returned plan becomes unreachable. Trade: lineage is truncated, so a
+        // lost executor fails the job instead of recomputing — acceptable for a
+        // within-job intermediate (re-run the operator).
+        val sh = shingles(docs, idCol, textCol).localCheckpoint(false)
+        jaccardOfSharedShingles(sh, threshold, None)
+    }
+
+  /** Resolve the Jaccard pair method; count is by-name so explicit choices
+    * skip the counting job entirely.
+    */
+  private[graft] def jaccardResolveMethod(
+      method: String, count: () => Long, plainLimit: Long): String =
+    method match {
+      case "auto" => if (count() <= plainLimit) "plain" else "prefix"
+      case m @ ("plain" | "prefix") => m
+      case other => throw new IllegalArgumentException(
+        s"ngramJaccardPairs method must be 'plain', 'prefix' or 'auto', got '$other'")
+    }
 
   /** Shared-shingle counting + Jaccard for (doc_id, s) pairs, optionally
     * restricted to a candidate pair set (id_a, id_b).
@@ -524,12 +552,48 @@ object Dedup {
     * `m >= h + 2`, quadratically shrinking each key's collision mass) or a
     * wider signature — both are parameter/feature changes on this same
     * pipeline shape.
+    *
+    * `method`: `"chunks"` forces one-of-m blocking, `"two-of-m"` delegates
+    * to [[simhashPairsTwoOfM]], and `"auto"` (default) picks two-of-m
+    * exactly when the one-of-m chunk width would degenerate below 8 bits
+    * (see [[simhashResolveMethod]]) — output is identical either way.
     * Output: (id_a, id_b, hamming INT).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 11,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      method: String = "auto"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimhashBits,
       s"maxHamming must be in [0, $SimhashBits)")
+    simhashResolveMethod(maxHamming, method) match {
+      case "two-of-m" => simhashPairsTwoOfM(docs, maxHamming, 0, idCol, textCol)
+      case _ =>
+        simhashCandidatesChunks(docs, maxHamming, idCol, textCol)
+          .filter(col("hamming") <= lit(maxHamming))
+          .distinct()
+    }
+  }
+
+  /** Resolve the simhash blocking method. `"auto"` defaults to two-of-m
+    * blocking exactly at the documented degeneration point: when
+    * `maxHamming + 1` chunks would drop the chunk width below 8 bits, each
+    * one-of-m join key has < 2^8 distinct values and the self-join volume
+    * trends quadratic (see the candidate-volume note above) — the radius
+    * where a user reaching for the default must get the scale shape.
+    */
+  private[graft] def simhashResolveMethod(maxHamming: Int, method: String): String =
+    method match {
+      case "auto" =>
+        if (SimhashBits / (maxHamming + 1) < 8) "two-of-m" else "chunks"
+      case m @ ("chunks" | "two-of-m") => m
+      case other => throw new IllegalArgumentException(
+        s"simhashPairs method must be 'chunks', 'two-of-m' or 'auto', got '$other'")
+    }
+
+  /** One-of-m candidate pairs WITH their exact hamming, pre-threshold and
+    * pre-dedup — exposed for the candidate-volume comparison tests.
+    */
+  private[graft] def simhashCandidatesChunks(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = simhash(docs, idCol, textCol)
     val bounds = chunkBounds(maxHamming + 1)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
@@ -542,8 +606,6 @@ object Dedup {
     chunks.as("x").join(chunks.as("y"), Seq("k", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), ham.as("hamming"))
-      .filter(col("hamming") <= lit(maxHamming))
-      .distinct()
   }
 
   /** `simhashPairs` with two-of-m blocking: split the signature into
@@ -564,6 +626,16 @@ object Dedup {
     * Output: (id_a, id_b, hamming INT) — identical to `simhashPairs`.
     */
   def simhashPairsTwoOfM(docs: DataFrame, maxHamming: Int = 11, numChunks: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashCandidatesTwoOfM(docs, maxHamming, numChunks, idCol, textCol)
+      .filter(col("hamming") <= lit(maxHamming))
+      .distinct()
+
+  /** Two-of-m candidate pairs WITH their exact hamming, pre-threshold and
+    * pre-dedup — exposed for the candidate-volume comparison tests.
+    */
+  private[graft] def simhashCandidatesTwoOfM(docs: DataFrame, maxHamming: Int,
+      numChunks: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val m = if (numChunks > 0) numChunks else maxHamming + 2
     require(maxHamming >= 0 && maxHamming < SimhashBits,
@@ -586,7 +658,5 @@ object Dedup {
     keyed.as("x").join(keyed.as("y"), Seq("k1", "k2", "c1", "c2"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), ham.as("hamming"))
-      .filter(col("hamming") <= lit(maxHamming))
-      .distinct()
   }
 }

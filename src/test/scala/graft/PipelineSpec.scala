@@ -47,12 +47,54 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("simhash two-of-m blocking: identical output to one-of-m (pigeonhole completeness)") {
-    val one = Dedup.simhashPairs(docs, maxHamming = 11).collect()
+    // method forced: auto routes maxHamming=11 to two-of-m, which would
+    // make this equality vacuous (two-of-m vs itself)
+    val one = Dedup.simhashPairs(docs, maxHamming = 11, method = "chunks").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val two = Dedup.simhashPairsTwoOfM(docs, maxHamming = 11).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(one.nonEmpty && one == two,
       s"blocking schemes must agree exactly: ${one.diff(two).take(5)} / ${two.diff(one).take(5)}")
+  }
+
+  test("simhash auto method switches to two-of-m exactly below 8-bit chunk width") {
+    // 62 bits / (maxHamming+1) chunks: width >= 8 up to maxHamming=6
+    for (h <- 0 to 6)
+      assert(Dedup.simhashResolveMethod(h, "auto") == "chunks", s"maxHamming=$h")
+    for (h <- Seq(7, 11, 20))
+      assert(Dedup.simhashResolveMethod(h, "auto") == "two-of-m", s"maxHamming=$h")
+    // explicit choices pass through; junk is rejected
+    assert(Dedup.simhashResolveMethod(11, "chunks") == "chunks")
+    assert(Dedup.simhashResolveMethod(3, "two-of-m") == "two-of-m")
+    intercept[IllegalArgumentException](Dedup.simhashResolveMethod(11, "banded"))
+  }
+
+  test("two-of-m blocking generates strictly fewer candidates at wide radius") {
+    // the reason auto switches: at maxHamming=11 the 5-6-bit one-of-m chunk
+    // keys collide massively; pairing chunks squares the key space
+    def cands(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").distinct().count()
+    val one = cands(Dedup.simhashCandidatesChunks(docs, 11))
+    val two = cands(Dedup.simhashCandidatesTwoOfM(docs, 11))
+    assert(two < one, s"expected a candidate reduction, got one-of-m=$one two-of-m=$two")
+    assert(two.toDouble / one <= 0.5,
+      s"reduction weaker than documented: one-of-m=$one two-of-m=$two")
+  }
+
+  test("jaccard auto method switches plain->prefix on corpus count; explicit skips counting") {
+    assert(Dedup.jaccardResolveMethod("auto", () => 200000L, 200000L) == "plain")
+    assert(Dedup.jaccardResolveMethod("auto", () => 200001L, 200000L) == "prefix")
+    // an explicit method must never pay the counting job
+    def boom() = { fail("explicit method must not count the corpus"); 0L }
+    assert(Dedup.jaccardResolveMethod("plain", () => boom(), 100L) == "plain")
+    assert(Dedup.jaccardResolveMethod("prefix", () => boom(), 100L) == "prefix")
+    intercept[IllegalArgumentException](Dedup.jaccardResolveMethod("lsh", () => 1L, 100L))
+    // and the routed path is output-identical to the direct call
+    val viaAuto = Dedup.ngramJaccardPairs(docs, 0.8, plainLimit = 1L) // forces prefix
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.ngramJaccardPairsPrefix(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAuto == direct)
   }
 
   test("native winnow expression == relational winnowing, incl. edge lengths") {

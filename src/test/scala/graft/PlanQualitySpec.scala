@@ -84,7 +84,9 @@ class PlanQualitySpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for ((name, df) <- Seq(
         "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, 0.8),
-        "simhash" -> graft.operators.Dedup.simhashPairs(docs, 7),
+        // method forced so BOTH blocking shapes stay plan-pinned (auto
+        // routes maxHamming=7 to two-of-m, which the next entry covers)
+        "simhash" -> graft.operators.Dedup.simhashPairs(docs, 7, method = "chunks"),
         "simhash-2ofm" -> graft.operators.Dedup.simhashPairsTwoOfM(docs, 7))) {
       val plan = formatted(df)
       assert(!plan.contains("CartesianProduct"),
