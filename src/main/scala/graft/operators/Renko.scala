@@ -206,9 +206,31 @@ object Renko {
       tsUnit: String = "us",
       dropFirst: Boolean = true,
       numPartitions: Int = 0,
-      prefixCap: Int = 4096): DataFrame =
-    fromTicksParallelWithStats(df, brickSize, datetimeCol, closeCol, tsUnit,
-      dropFirst, numPartitions, prefixCap)._1
+      prefixCap: Int = 4096,
+      symbolCol: Option[String] = None): DataFrame =
+    symbolCol match {
+      case Some(sc) =>
+        fromTicksParallelMultiWithStats(df, brickSize, sc, datetimeCol, closeCol,
+          tsUnit, dropFirst, numPartitions, prefixCap)._1
+      case None =>
+        fromTicksParallelWithStats(df, brickSize, datetimeCol, closeCol, tsUnit,
+          dropFirst, numPartitions, prefixCap)._1
+    }
+
+  /** Phase timings from the most recent parallel scans, drained by Bench to
+    * embed in its emitted JSON: the stderr `[scan-debug]` marks vanish into
+    * the driver log, but the bench ARTIFACT must carry the evidence that
+    * distinguishes a genuinely slow phase from host contention (r5 lesson:
+    * a 16.5 s artifact rep vs a 2 s re-run was adjudicable only by a manual
+    * re-run). Driver-side, tiny (3 entries per scan call).
+    */
+  private val phaseLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  private[graft] def drainPhaseLog(): Seq[(String, Double)] = {
+    val b = Seq.newBuilder[(String, Double)]
+    var x = phaseLog.poll()
+    while (x != null) { b += x; x = phaseLog.poll() }
+    b.result()
+  }
 
   /** Diagnostics from the parallel scan's driver phase: whether the scan
     * fell back to sequential, and how deep into each partition's prefix the
@@ -253,14 +275,18 @@ object Renko {
 
     implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
-    // phase timing to stderr when GRAFT_SCAN_DEBUG is set — the parallel
-    // scan is 4 distinct Spark jobs and a driver phase; a slow run is
-    // diagnosable only if we can see WHICH phase absorbed the time
+    // phase timing: ALWAYS recorded into the drainable phase log (3 entries
+    // per call — Bench embeds them in its JSON so a contention-polluted rep
+    // is self-diagnosing), printed to stderr only under GRAFT_SCAN_DEBUG.
+    // The parallel scan is 4 distinct Spark jobs and a driver phase; a slow
+    // run is diagnosable only if we can see WHICH phase absorbed the time.
     val debug = sys.env.contains("GRAFT_SCAN_DEBUG")
     var tMark = System.nanoTime()
-    def mark(phase: String): Unit = if (debug) {
+    def mark(phase: String): Unit = {
       val now = System.nanoTime()
-      System.err.println(f"[scan-debug] $phase%-18s ${(now - tMark) / 1e9}%7.3f s")
+      val sec = (now - tMark) / 1e9
+      phaseLog.add(phase -> sec)
+      if (debug) System.err.println(f"[scan-debug] $phase%-18s $sec%7.3f s")
       tMark = now
     }
 
@@ -409,6 +435,231 @@ object Renko {
       all.join(broadcast(fts), col("datetime") === col("__fts"), "left_anti")
     }
     (result, ParallelScanStats(fellBack = false, plans.toSeq.map(_.syncIdx)))
+  }
+
+  /** One contiguous same-symbol run inside a range partition, summarized by
+    * the multi-series parallel scan's first pass (the per-symbol analogue of
+    * [[PartSummary]]). Prefix arrays and snapshots are run-local.
+    */
+  private final case class RunSummary(
+      symbol: String,
+      nTicks: Long,
+      prefixTs: Array[Long],
+      prefixPrice: Array[Double],
+      prefixEmitSnap: Array[RenkoSnapshot],
+      exit: RenkoSnapshot)
+
+  private final case class MultiPartSummary(pidx: Int, runs: Array[RunSummary])
+
+  /** Multi-series generalization of the parallel scan: N series, each
+    * potentially too large for `fromTicks`'s one-task-per-series layout, are
+    * range-partitioned TOGETHER on `(symbol, t)` — so one giant series still
+    * spreads over many partitions — and stitched per symbol with the same
+    * sync-point argument as the single-series scan (the fold synchronizes on
+    * any emission; a series' entry state only influences a short prefix of
+    * each of its runs).
+    *
+    * Target shape: a FEW simultaneously-huge series (the 100 TB case the
+    * single-series scan could only handle one-at-a-time). For MANY small
+    * series `fromTicks` is already parallel (one series per task) and
+    * cheaper — driver stitch work here is O(runs · syncDepth) and runs grow
+    * with the symbol count.
+    *
+    * Output is bit-identical to `fromTicks(df, …, symbolCol = Some(…))`
+    * (ParallelScanSpec); any run failing to sync within its prefix falls
+    * back to the sequential path, like the single-series scan.
+    */
+  private[graft] def fromTicksParallelMultiWithStats(
+      df: DataFrame,
+      brickSize: Double,
+      symbolCol: String,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true,
+      numPartitions: Int = 0,
+      prefixCap: Int = 4096): (DataFrame, ParallelScanStats) = {
+    require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+
+    // same persist rationale as the single-series scan: job 2 must see the
+    // exact partitioning and intra-partition order job 1 summarized
+    import org.apache.spark.storage.StorageLevel
+    val ticks = df
+      .select(
+        col(symbolCol).cast(StringType).as("symbol"),
+        toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
+        col(closeCol).cast(DoubleType).as("price"))
+      .repartitionByRange(p, col("symbol"), col("t"))
+      .sortWithinPartitions(col("symbol"), col("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // job 1: per-partition, per same-symbol run: own replay from a fresh
+    // anchor → (prefix ticks, per-tick emission snapshots, exit state)
+    val summaries = ticks.as[Tick].rdd
+      .mapPartitionsWithIndex { (pidx, it) =>
+        val runs = new ArrayBuffer[RunSummary](4)
+        val pts = new ArrayBuffer[Long](64)
+        val pps = new ArrayBuffer[Double](64)
+        val snaps = new ArrayBuffer[RenkoSnapshot](64)
+        val buf = new ArrayBuffer[Brick](4)
+        var eng: RenkoEngine = null
+        var sym: String = null
+        var n = 0L
+        var i = -1L
+        def closeRun(): Unit = if (eng != null && n > 0) {
+          runs += RunSummary(sym, n, pts.toArray, pps.toArray, snaps.toArray, eng.snapshot)
+        }
+        while (it.hasNext) {
+          val tk = it.next()
+          if (eng == null || tk.symbol != sym) {
+            closeRun()
+            sym = tk.symbol
+            eng = new RenkoEngine(brickSize)
+            n = 0L; i = -1L
+            pts.clear(); pps.clear(); snaps.clear()
+          }
+          n += 1; i += 1
+          if (i == 0L) {
+            eng.initAnchor(tk.price)
+            if (i < prefixCap) { pts += tk.t; pps += tk.price; snaps += null }
+          } else {
+            buf.clear()
+            val emitted = eng.step(tk.t, tk.price, i, buf)
+            if (i < prefixCap) {
+              pts += tk.t; pps += tk.price
+              snaps += (if (emitted > 0) eng.snapshot else null)
+            }
+          }
+        }
+        closeRun()
+        Iterator.single(MultiPartSummary(pidx, runs.toArray))
+      }
+      .collect()
+      .sortBy(_.pidx)
+
+    // driver: group runs per symbol (runs arrive in partition order; range
+    // partitioning on (symbol, t) keeps each symbol's runs consecutive) and
+    // chain each symbol exactly like the single-series stitch
+    val runsBySym = new scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[(Int, RunSummary)]]()
+    for (ps <- summaries; r <- ps.runs)
+      runsBySym.getOrElseUpdate(r.symbol, new ArrayBuffer) += ((ps.pidx, r))
+
+    val prefixBricks = new ArrayBuffer[BrickRow]()
+    val plans = new scala.collection.mutable.HashMap[(Int, String), Plan]()
+    val syncDepths = new ArrayBuffer[Long]()
+    var fellBack = false
+    for ((sym, runs) <- runsBySym if !fellBack) {
+      var offset = 0L
+      var entry: Option[RenkoSnapshot] = None
+      for ((pidx, s) <- runs if !fellBack) {
+        val eng = new RenkoEngine(brickSize)
+        entry.foreach(eng.restore)
+        val buf = new ArrayBuffer[Brick](4)
+        var j = 0
+        var sync = -1L
+        while (sync < 0 && j < s.prefixTs.length) {
+          if (j == 0 && entry.isEmpty) {
+            eng.initAnchor(s.prefixPrice(0))
+          } else {
+            buf.clear()
+            val emitted = eng.step(s.prefixTs(j), s.prefixPrice(j), offset + j, buf)
+            buf.foreach(b => prefixBricks += toRow(sym, b))
+            val own = s.prefixEmitSnap(j)
+            if (emitted > 0 && own != null) {
+              val d = eng.snapshot
+              if (d.lastRenko == own.lastRenko && d.lastDirection == own.lastDirection &&
+                  d.wickMin == own.wickMin && d.wickMax == own.wickMax &&
+                  d.volume == own.volume &&
+                  d.tickOpen == own.tickOpen + offset && d.tickClose == own.tickClose + offset)
+                sync = j
+            }
+          }
+          j += 1
+        }
+        if (sync < 0 && s.nTicks <= s.prefixTs.length) {
+          plans((pidx, sym)) = Plan(pidx, Long.MaxValue, null, offset)
+          syncDepths += Long.MaxValue
+          entry = Some(eng.snapshot)
+        } else if (sync < 0) {
+          fellBack = true
+        } else {
+          plans((pidx, sym)) = Plan(pidx, sync, s.prefixEmitSnap(sync.toInt), offset)
+          syncDepths += sync
+          entry = Some(RenkoSnapshot(
+            s.exit.lastRenko, s.exit.lastDirection, s.exit.wickMin, s.exit.wickMax,
+            s.exit.volume, s.exit.tickOpen + offset, s.exit.tickClose + offset))
+        }
+        offset += s.nTicks
+      }
+    }
+    if (fellBack) {
+      ticks.unpersist(blocking = true)
+      return (fromTicks(df, brickSize, Some(symbolCol), datetimeCol, closeCol, tsUnit, dropFirst),
+        ParallelScanStats(fellBack = true, syncDepths.toSeq))
+    }
+
+    // job 2: per partition, per run: restore the synced snapshot, skip the
+    // driver-replayed prefix, scan the suffix with symbol-global indices
+    val bcPlans = spark.sparkContext.broadcast(plans.toMap)
+    val suffixRdd = ticks.as[Tick].rdd
+      .mapPartitionsWithIndex { (pidx, it) =>
+        val pm = bcPlans.value
+        val in = it.buffered
+        new Iterator[BrickRow] {
+          private val buf = new ArrayBuffer[Brick](4)
+          private var pos = 0
+          private var eng: RenkoEngine = null
+          private var sym: String = null
+          private var plan: Plan = null
+          private var j = 0L
+          override def hasNext: Boolean = {
+            while (pos >= buf.length) {
+              if (!in.hasNext) return false
+              if (sym == null || in.head.symbol != sym) {
+                sym = in.head.symbol
+                plan = pm.getOrElse((pidx, sym), null)
+                j = 0L
+                eng = if (plan != null && plan.syncIdx != Long.MaxValue) {
+                  val e = new RenkoEngine(brickSize); e.restore(plan.syncSnap); e
+                } else null
+              }
+              if (eng == null || j <= plan.syncIdx) { in.next(); j += 1 }
+              else {
+                val tk = in.next()
+                buf.clear(); pos = 0
+                eng.step(tk.t, tk.price, j, buf)
+                j += 1
+              }
+            }
+            true
+          }
+          override def next(): BrickRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val b = buf(pos); pos += 1
+            toRow(sym, b.copy(
+              tickIndexOpen = b.tickIndexOpen + plan.offset,
+              tickIndexClose = b.tickIndexClose + plan.offset))
+          }
+        }
+      }
+
+    val prefixDf = spark.createDataset(prefixBricks.toSeq)(brickEnc).toDF()
+    val suffixDf = spark.createDataFrame(suffixRdd)
+    // same eager-materialization rationale as the single-series scan
+    val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    ticks.unpersist(blocking = true)
+    val result = if (!dropFirst) all
+    else {
+      // per-symbol drop rule: ts is nondecreasing in each symbol's emission
+      // order, so the first emitted brick's timestamp is that symbol's min
+      val fts = all.groupBy(col("symbol")).agg(min(col("datetime")).as("__fts"))
+        .withColumnRenamed("symbol", "__sym")
+      all.join(broadcast(fts),
+        col("symbol") === col("__sym") && col("datetime") === col("__fts"), "left_anti")
+    }
+    (result, ParallelScanStats(fellBack = false, syncDepths.toSeq))
   }
 
   /** Scan one pre-ordered partition: split into consecutive same-symbol runs

@@ -84,6 +84,62 @@ class ParallelScanSpec extends SparkTestBase {
       s"sync depths should stay far below the prefix cap: ${stats.syncDepths}")
   }
 
+  private def assertSameMulti(df: DataFrame, brick: Double, parts: Int, cap: Int = 4096): Unit = {
+    val ord = Seq(col("symbol"), col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(df, brick, symbolCol = Some("symbol"))
+      .orderBy(ord: _*).collect()
+    val parOut = Renko.fromTicksParallel(df, brick, numPartitions = parts,
+      prefixCap = cap, symbolCol = Some("symbol"))
+      .orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
+    seqOut.zip(parOut).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs:\n  seq=$a\n  par=$b")
+    }
+  }
+
+  private def multiWalk(nPerSym: Int, syms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    syms.flatMap { s =>
+      var p = 100.0 + s.hashCode % 50
+      (0 until nPerSym).map { i =>
+        p += (rnd.nextDouble() - 0.5) * 2.0
+        (s, i.toLong * 1000L, p)
+      }
+    }.toDF("symbol", "datetime", "close")
+  }
+
+  test("multi-series: parallel == sequential across partition counts and symbol counts") {
+    // 3 big series over 8 partitions: each symbol spans several partitions
+    assertSameMulti(multiWalk(8000, Seq("AAA", "BBB", "CCC")), 1.0, 8)
+    // more symbols than partitions: several runs per partition
+    assertSameMulti(multiWalk(1500, Seq("a", "b", "c", "d", "e", "f", "g")), 1.0, 4)
+    // single symbol through the multi path == the single-series contract
+    assertSameMulti(multiWalk(6000, Seq("ONLY")), 1.0, 8)
+  }
+
+  test("multi-series: per-symbol drop-first rule and tiny series survive") {
+    import spark.implicits._
+    // one 4-tick series next to one large one — the small series is fully
+    // driver-replayed (plan = MaxValue) while the big one stitches
+    val tiny = Seq(("T", 0L, 100.0), ("T", 1L, 103.5), ("T", 2L, 96.2), ("T", 3L, 108.0))
+      .toDF("symbol", "datetime", "close")
+    val df = multiWalk(8000, Seq("BIG")).unionByName(tiny)
+    assertSameMulti(df, 1.0, 8)
+  }
+
+  test("multi-series: a flat symbol forces the fallback, output still exact") {
+    import spark.implicits._
+    val flat = (0 until 5000).map(i => ("FLAT", i.toLong, 100.0 + (i % 3) * 0.1))
+      .toDF("symbol", "datetime", "close")
+    val df = multiWalk(5000, Seq("MOVES")).unionByName(flat)
+    assertSameMulti(df, 1.0, 4, cap = 64)
+    val (_, stats) = Renko.fromTicksParallelMultiWithStats(df, 1.0, "symbol",
+      numPartitions = 4, prefixCap = 64)
+    assert(stats.fellBack, "the flat symbol should exhaust its prefix without syncing")
+  }
+
   test("events fixture at sf0.001, ns unit") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("ts").as("datetime"), col("value").as("close"))
@@ -92,6 +148,21 @@ class ParallelScanSpec extends SparkTestBase {
     val parOut = Renko.fromTicksParallel(ev, 25.0, tsUnit = "ns", numPartitions = 4)
       .orderBy(col("datetime"), (col("close") * col("direction")).asc).collect()
     assert(seqOut.length == parOut.length)
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("events fixture by event_type: multi-series parallel == sequential, ns unit") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type").as("symbol"), col("ts").as("datetime"),
+        col("value").as("close"))
+    val ord = Seq(col("symbol"), col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(ev, 25.0, symbolCol = Some("symbol"), tsUnit = "ns")
+      .orderBy(ord: _*).collect()
+    val parOut = Renko.fromTicksParallel(ev, 25.0, tsUnit = "ns", numPartitions = 4,
+      symbolCol = Some("symbol"))
+      .orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
     seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
   }
 }
