@@ -27,14 +27,18 @@ import java.util
   * recording through a streaming pipeline with row-level, restart-safe
   * offsets.
   *
-  * Contract: `path` points at ONE parquet file (write the recording with
-  * `coalesce(1)`) with columns `(symbol: string, t: long, price: double)`;
-  * `rowsPerBatch` rows are admitted per micro-batch. Offsets are plain row
-  * positions over the static file, so recovery from a checkpoint resumes
-  * exactly — the engine re-plans `[start, end)` ranges and gets identical
-  * rows. Readers skip to their range sequentially (the example-level
-  * parquet API has no row seek); fine for the bounded recordings this
-  * source exists for — it is a REPLAY/testing source, not an ingest path.
+  * Contract: `path` names the recording — one parquet file, a
+  * comma-separated list of files, or a directory (its `*.parquet` files
+  * taken in name order) — with columns `(symbol: string, t: long,
+  * price: double)`; a multi-file recording replays as the concatenation of
+  * its files in sorted order. `rowsPerBatch` rows are admitted per
+  * micro-batch. Offsets are plain GLOBAL row positions over the static
+  * recording (cumulative across files), so recovery from a checkpoint
+  * resumes exactly — the engine re-plans `[start, end)` ranges, the stream
+  * maps them back onto per-file slices, and gets identical rows. Readers
+  * skip to their range sequentially (the example-level parquet API has no
+  * row seek); fine for the bounded recordings this source exists for — it
+  * is a REPLAY/testing source, not an ingest path.
   */
 class TickReplaySource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -45,9 +49,13 @@ class TickReplaySource extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    // DSv2 options are case-insensitive everywhere else (inferSchema already
+    // receives a CaseInsensitiveStringMap); a raw .get here would make
+    // .option("rowsperbatch", ...) silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null && path.nonEmpty, "graft-replay requires a 'path' option")
-    val rpb = Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L)
+    val rpb = Option(opts.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L)
     require(rpb > 0, s"rowsPerBatch must be > 0, got $rpb")
     new ReplayTable(path, rpb)
   }
@@ -58,6 +66,50 @@ object TickReplaySource {
     StructField("symbol", StringType, nullable = false),
     StructField("t", LongType, nullable = false),
     StructField("price", DoubleType, nullable = false)))
+
+  /** Expand the `path` option into the recording's ordered file list:
+    * comma-separated entries, each a parquet file or a directory whose
+    * `*.parquet` files are taken in name order (name order IS replay order
+    * — recordings are written as sorted part files).
+    */
+  private[sources] def resolveFiles(path: String): Seq[String] = {
+    val files = path.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { entry =>
+      val f = new java.io.File(entry)
+      if (f.isDirectory)
+        f.listFiles()
+          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toSeq
+      else Seq(entry)
+    }
+    require(files.nonEmpty, s"graft-replay: no parquet files at '$path'")
+    files
+  }
+
+  /** (file, rowCount) per file plus the cumulative global start offset of
+    * each — the offset map a multi-file recording replays through.
+    */
+  private[sources] def fileOffsets(path: String): Seq[(String, Long, Long)] = {
+    val conf = new Configuration()
+    var cum = 0L
+    resolveFiles(path).map { f =>
+      val in = HadoopInputFile.fromPath(new Path(f), conf)
+      val r = ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      val entry = (f, cum, n)
+      cum += n
+      entry
+    }
+  }
+
+  /** Map a global `[start, end)` row range onto per-file partitions. */
+  private[sources] def slice(
+      offsets: Seq[(String, Long, Long)], start: Long, end: Long): Array[InputPartition] =
+    offsets.collect {
+      case (f, fileStart, n) if fileStart < end && fileStart + n > start =>
+        ReplayPartition(f,
+          math.max(0L, start - fileStart),
+          math.min(n, end - fileStart)): InputPartition
+    }.toArray
 }
 
 private[sources] class ReplayTable(path: String, rowsPerBatch: Long)
@@ -72,18 +124,15 @@ private[sources] class ReplayTable(path: String, rowsPerBatch: Long)
         override def readSchema(): StructType = TickReplaySource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ReplayStream(path, rowsPerBatch)
-        // batch form: the whole recording as one partition (it is ONE
-        // sorted file by contract; parallel analytics re-reads it through
-        // the ordinary parquet source — this path exists so the same
-        // format string works in spark.read for spot checks)
+        // batch form: one partition per recording file (parallel analytics
+        // re-reads recordings through the ordinary parquet source — this
+        // path exists so the same format string works in spark.read for
+        // spot checks)
         override def toBatch: Batch = new Batch {
-          private lazy val total: Long = {
-            val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
-            val r = ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }
           override def planInputPartitions(): Array[InputPartition] =
-            Array(ReplayPartition(path, 0L, total))
+            TickReplaySource.fileOffsets(path)
+              .map { case (f, _, n) => ReplayPartition(f, 0L, n): InputPartition }
+              .toArray
           override def createReaderFactory(): PartitionReaderFactory =
             new ReplayReaderFactory
         }
@@ -101,11 +150,11 @@ private[sources] class ReplayStream(path: String, rowsPerBatch: Long)
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  private lazy val totalRows: Long = {
-    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
-    val r = ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
-  }
+  // the recording's offset map: (file, global start offset, row count),
+  // cumulative in sorted file order — resolved once, the recording is static
+  private lazy val offsets: Seq[(String, Long, Long)] =
+    TickReplaySource.fileOffsets(path)
+  private lazy val totalRows: Long = offsets.map(_._3).sum
 
   override def initialOffset(): Offset = ReplayOffset(0L)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.trim.toLong)
@@ -118,7 +167,22 @@ private[sources] class ReplayStream(path: String, rowsPerBatch: Long)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].row
-    ReplayOffset(math.min(totalRows, s + rowsPerBatch))
+    ReplayOffset(math.min(totalRows, s + admitted(limit)))
+  }
+  // honor the ENGINE-SUPPLIED limit, not just our default: trigger wrappers
+  // (Trigger.AvailableNow and friends) hand composite or all-available
+  // limits, and the SupportsAdmissionControl contract is that we obey them
+  private def admitted(limit: ReadLimit): Long = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _: ReadAllAvailable => totalRows // "everything": bounded recording
+      case c: CompositeReadLimit =>
+        // the most restrictive row bound wins; min-rows limits don't bound
+        val caps = c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+        if (caps.nonEmpty) caps.min else rowsPerBatch
+      case _ => rowsPerBatch // ReadMinRows etc.: fall back to configured pace
+    }
   }
   override def reportLatestOffset(): Offset = ReplayOffset(totalRows)
   override def latestOffset(): Offset =
@@ -127,7 +191,7 @@ private[sources] class ReplayStream(path: String, rowsPerBatch: Long)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].row
     val e = end.asInstanceOf[ReplayOffset].row
-    if (e <= s) Array.empty else Array(ReplayPartition(path, s, e))
+    if (e <= s) Array.empty else TickReplaySource.slice(offsets, s, e)
   }
   override def createReaderFactory(): PartitionReaderFactory = new ReplayReaderFactory
   override def commit(end: Offset): Unit = ()
