@@ -1,0 +1,163 @@
+package graft
+
+import graft.streaming.{AsofEvent, AsofStream, DedupStream, DocEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import java.nio.file.Files
+
+/** The stateful streaming family under `RocksDBStateStoreProvider` — the
+  * state backend a deployment with state larger than executor heap would
+  * run (100× the fingerprint set, as-of state for millions of keys). The
+  * default in-memory HDFS-backed provider holds state as JVM objects; these
+  * tests pin that the operators' semantics (first-seen dedup across batches
+  * and restarts, as-of enrichment across batches) are provider-independent,
+  * and assert from the queries' own progress metrics that RocksDB really
+  * served the state. The renko scan variant lives in FileStreamSpec.
+  */
+class RocksDBStreamSpec extends SparkTestBase {
+
+  private val Provider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The query's own evidence that RocksDB served its state operators. */
+  private def assertRocksServed(q: StreamingQuery): Unit = {
+    val keys = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet
+    assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb state metrics in progress — provider not active? saw: ${keys.take(8)}")
+  }
+
+  test("first-seen dedup on RocksDB: cross-batch and cross-RESTART state") {
+    withRocksDB {
+      val root = Files.createTempDirectory("graft-rocks-dedup").toFile
+      val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      val outDir = new java.io.File(root, "out").getAbsolutePath
+
+      // corpus + planted cased duplicates under shifted ids (normalization
+      // maps them onto their originals' fingerprint) — same fixture shape
+      // as DedupStreamSpec, arrival in doc_id order
+      val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val all = base.unionByName(
+        base.select((col("doc_id") + 100000L).as("doc_id"), upper(col("text")).as("text")))
+        .orderBy("doc_id").collect()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      def writeChunk(name: String, rows: Array[org.apache.spark.sql.Row]): Unit =
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+          .coalesce(1).write.parquet(s"$srcDir/$name")
+
+      val third = all.length / 3
+      writeChunk("c1", all.slice(0, third))
+
+      def runOnce(): StreamingQuery = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+        val q = DedupStream.firstSeenDocs(src).writeStream
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q
+      }
+      assertRocksServed(runOnce()) // phase 1
+      writeChunk("c2", all.slice(third, 2 * third))
+      writeChunk("c3", all.slice(2 * third, all.length))
+      runOnce() // phase 2: the RESTART must recover the seen-set from RocksDB
+
+      val ids = spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length, "a fingerprint was emitted twice")
+      assert(ids.forall(_ < 100000L),
+        "a planted duplicate leaked past the restart (seen-set not recovered)")
+      // exact batch≡stream keeper equality, as in DedupStreamSpec
+      val want = DedupStream.firstSeenDocs(
+          spark.createDataFrame(spark.sparkContext.parallelize(all.toIndexedSeq, 4), schema))
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sorted.sameElements(want), "keeper set diverges from the batch replay")
+    }
+  }
+
+  test("as-of enrichment on RocksDB: 4 micro-batches == one-shot batch") {
+    withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val e = ev.select(col("event_id"),
+        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      val left = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts_us").as("ts"), col("event_id").as("id"))
+      val right = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts_us").as("ts"),
+          col("event_id").as("id"), col("value"))
+      val all = AsofStream.tagged(left, right).collect().sortBy(x => (x.ts, x.side, x.tb))
+      val expected = AsofStream.enrich(AsofStream.tagged(left, right))
+        .collect().map(m => m.leftId -> ((m.asofRightId, m.asofVal))).toMap
+
+      val stream = MemoryStream[AsofEvent]
+      val q = AsofStream.enrich(stream.toDS())
+        .writeStream.format("memory").queryName("rocks_asof_out")
+        .outputMode("append").start()
+      try {
+        all.grouped(all.length / 4 + 1).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+        assertRocksServed(q)
+      } finally q.stop()
+
+      val streamed = spark.table("rocks_asof_out").as[graft.streaming.AsofMatch]
+        .collect().map(m => m.leftId -> ((m.asofRightId, m.asofVal))).toMap
+      assert(streamed.size == expected.size && streamed.nonEmpty)
+      streamed.foreach { case (id, m) =>
+        assert(expected(id) == m, s"left row $id: rocksdb stream $m vs batch ${expected(id)}")
+      }
+    }
+  }
+
+  test("renko 3-batch replay on RocksDB == default-provider replay, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(lit("ev").as("symbol"),
+        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("timestamp"),
+        col("value").as("price"))
+      .as[graft.streaming.PriceEvent].collect().sortBy(_.timestamp)
+
+    def run(name: String, rocks: Boolean): Array[String] = {
+      def go(): Array[String] = {
+        val stream = MemoryStream[graft.streaming.PriceEvent]
+        val q = graft.streaming.RenkoWS.bricks(stream.toDS(), 25.0)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          events.grouped(events.length / 3 + 1).foreach { ch =>
+            stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+          }
+          if (rocks) assertRocksServed(q)
+        } finally q.stop()
+        spark.table(name).collect().map(_.toString).sorted
+      }
+      if (rocks) withRocksDB(go()) else go()
+    }
+    val rocks = run("rocks_renko", rocks = true)
+    val dflt = run("dflt_renko", rocks = false)
+    assert(rocks.nonEmpty && rocks.sameElements(dflt),
+      "brick sequence differs between state store providers")
+  }
+}
