@@ -132,6 +132,17 @@ object PipelineStress {
     // skewed shingle frequencies — measured here at 107 s vs 16 s exact,
     // its df-computation + per-doc window costing more than it prunes
     t("ngram_jaccard_exact", nDocs)(Dedup.ngramJaccardPairs(docs, 0.8).count())
+    // winnow containment join at scale: the generalized-prefix candidate
+    // gate is what keeps this off the naive fingerprint self-join (measured
+    // at sf0.1: 107M join pairs -> 46k candidates); planted dups differ by
+    // ONE word, so their containment sits near 1.0 and recall is measured
+    val wnFound = t("winnow_neardup", nDocs)(
+      TextAnalysis.winnowNearDupPairs(docs, 0.7).count())
+    val wnPairs = TextAnalysis.winnowNearDupPairs(docs, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wnRecall = planted.count(wnPairs.contains).toDouble / planted.size
+    println(f"[pstress] winnow recall@planted     $wnRecall%.4f ($wnFound pairs found)")
+    assert(wnRecall >= 0.95, s"winnow containment recall at scale degraded: $wnRecall")
     // end-to-end dedup: pairs -> connected components (20k 2-doc clusters
     // -> driver union-find fast path, distributed propagation above 4M)
     t("dedup_clusters_e2e", nDocs)(

@@ -171,9 +171,24 @@ object TextAnalysis {
     * individual 8-gram fingerprints (measured on this corpus: nearly every
     * pair shares >= 2), but true near-duplicates sit at containment >= 0.9
     * with the background below 0.5 — 0.7 splits the measured gap.
-    * Scale shape: fingerprinting is scan-local (native `graft_winnow`),
-    * candidates come from an equi-join on individual fingerprints, counting
-    * is one aggregation — no pairwise expansion anywhere.
+    *
+    * Scale shape: fingerprinting is scan-local (native `graft_winnow`);
+    * candidates come from a GENERALIZED-PREFIX-filtered equi-join
+    * (overlap-join prefix theorem, smaller side): containment >= t needs
+    * shared >= o = ceil(t·min(na,nb)), so by pigeonhole a qualifying pair
+    * must collide at least `min(prefixSlack, o)` times inside the smaller
+    * doc's `na - o + prefixSlack` globally-RAREST fingerprints. Rarest-first
+    * ordering keeps boilerplate fingerprints (shared by thousands of docs —
+    * the quadratic blowup of the naive self-join) out of the join keys, and
+    * the multi-collision requirement kills the co-occurrence background:
+    * measured at sf0.1, the naive join enumerates 107M pairs, the 1-collision
+    * prefix 5.4M candidates, the 8-collision generalized prefix 46k — for
+    * 256 true pairs. Verification never re-joins on fingerprints: the
+    * per-doc fingerprint sets of candidate-involved docs only (near-dup
+    * suspects — a small fraction of a real corpus) broadcast as arrays, and
+    * `array_intersect` computes each candidate's exact shared count in the
+    * scan. Candidate completeness + exact verification = output identical
+    * to the all-pairs formulation (equality-tested at 3 thresholds).
     * Output: (id_a, id_b, n_shared BIGINT, containment DOUBLE).
     */
   def winnowNearDupPairs(
@@ -182,11 +197,82 @@ object TextAnalysis {
       k: Int = 8,
       window: Int = 4,
       idCol: String = "doc_id",
+      textCol: String = "text",
+      prefixSlack: Int = 8): DataFrame = {
+    require(prefixSlack >= 1, s"prefixSlack must be >= 1, got $prefixSlack")
+    // the fingerprint table feeds the frequency/size aggregates AND the
+    // join sides — materialize it once (localCheckpoint, ContextCleaner-
+    // freed; same rationale as the shingle/candidate tables in Dedup) so
+    // the native winnow scan over the full corpus runs once
+    val fps = winnowedFingerprintPairs(docs, k, window, idCol, textCol)
+      .localCheckpoint(false)
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("fp").asc)
+    // rarest-first prefix per doc (deterministic (df, fp) global order);
+    // SHUFFLE_HASH pinned for the same reason as the jaccard prefix path:
+    // an aggregate output's size estimate can fake broadcastability
+    val pref = fps
+      .join(dfreq.hint("SHUFFLE_HASH"), Seq("fp"))
+      .withColumn("rk", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .filter(col("rk") <=
+        least(col("n"),
+          col("n") - ceil(lit(minContainment) * col("n")) + lit(prefixSlack)))
+      .select(col("doc_id"), col("fp"), col("n"))
+    // orient each pair (smaller set, larger set): the prefix argument
+    // bounds the SMALLER side, so its prefix joins the other side's FULL
+    // fingerprint list; lexicographic (n, doc_id) makes each pair generate
+    // exactly once. The collision count per pair then gates candidacy:
+    // shared >= o forces >= min(prefixSlack, o) prefix collisions (with the
+    // clamped prefix the bound only weakens, never breaks completeness)
+    val full = fps.join(sz, Seq("doc_id"))
+    val cand = pref.as("p").join(full.as("f"), Seq("fp"))
+      .filter(col("p.n") < col("f.n") ||
+        (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id")))
+      .select(col("p.doc_id").as("id_s"), col("f.doc_id").as("id_l"), col("p.n").as("ns"))
+      .groupBy(col("id_s"), col("id_l"))
+      .agg(count(lit(1)).as("hits"), max(col("ns")).as("ns"))
+      .filter(col("hits") >=
+        least(lit(prefixSlack.toLong), ceil(lit(minContainment) * col("ns"))))
+      .select(col("id_s"), col("id_l"))
+      .localCheckpoint(false)
+    // exact verify: per-doc fingerprint sets, pruned to candidate-involved
+    // docs, broadcast once and probed twice — no fingerprint-level shuffle
+    val docsInCand = cand.select(col("id_s").as("doc_id"))
+      .unionByName(cand.select(col("id_l").as("doc_id"))).distinct()
+    val csets = broadcast(
+      fps.join(docsInCand, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("fp")).as("set"), count(lit(1)).as("n")))
+    val nShared = size(array_intersect(col("ss"), col("sl"))).cast("long")
+    cand
+      .join(csets.select(col("doc_id").as("id_s"), col("set").as("ss"), col("n").as("ns")),
+        Seq("id_s"))
+      .join(csets.select(col("doc_id").as("id_l"), col("set").as("sl"), col("n").as("nl")),
+        Seq("id_l"))
+      .select(
+        least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        nShared.as("n_shared"),
+        (nShared.cast("double") / least(col("ns"), col("nl")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= lit(minContainment))
+  }
+
+  /** The all-pairs formulation of [[winnowNearDupPairs]] — every
+    * co-occurring pair enumerated through the fingerprint self-join, then
+    * counted. Quadratic in the hottest fingerprint's document frequency;
+    * kept as the equality cross-check for the prefix-filtered operator.
+    */
+  private[graft] def winnowNearDupPairsAllPairs(
+      docs: DataFrame,
+      minContainment: Double = 0.7,
+      k: Int = 8,
+      window: Int = 4,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // the fingerprint table feeds the size aggregate AND both self-join
-    // sides — materialize it once (localCheckpoint, ContextCleaner-freed;
-    // same rationale as the shingle/candidate tables in Dedup) so the
-    // native winnow scan over the full corpus runs once, not three times
     val fps = winnowedFingerprintPairs(docs, k, window, idCol, textCol)
       .localCheckpoint(false)
     val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

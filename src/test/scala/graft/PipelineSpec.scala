@@ -118,6 +118,18 @@ class PipelineSpec extends SparkTestBase {
     assert(en.map(_._1) == Set(4L, 5L), "only docs with >= k+window-1 chars fingerprint")
   }
 
+  test("prefix-filtered winnow near-dup == all-pairs formulation (complete candidates)") {
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val pref = TextAnalysis.winnowNearDupPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val all = TextAnalysis.winnowNearDupPairsAllPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pref == all,
+        s"threshold $t: prefix filter changed the result " +
+          s"(missing=${all.diff(pref).take(3)} extra=${pref.diff(all).take(3)})")
+    }
+  }
+
   test("winnow near-dup pairs: planted duplicates found, background rejected") {
     val planted = Dedup.ngramJaccardPairs(docs, 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
