@@ -103,7 +103,8 @@ object Bench {
       "text_winnow_neardup" -> q("text_winnow_neardup"),
       "sample_fixed_k" -> q("sample_fixed_k"),
       "text_top_terms" -> q("text_top_terms"),
-      "mm_frame_sample" -> q("mm_frame_sample")
+      "mm_frame_sample" -> q("mm_frame_sample"),
+      "q21_json_extract" -> q("q21_json_extract")
     )
   }
 

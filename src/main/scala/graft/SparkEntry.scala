@@ -320,6 +320,17 @@ object SparkEntry {
         types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy(col("user_bucket"))
     }),
+    "q21_json_extract" -> ((s, dir) =>
+      // semi-structured payload extraction: events.props is a JSON string;
+      // get_json_object runs at the scan (codegen'd path expression, no
+      // UDF), the aggregate uses an integer-scaled sum so the hash compare
+      // is immune to float addition order
+      s.read.parquet(s"$dir/events.parquet")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          floor(col("value") * lit(1000)).cast("long").as("mv"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("mv")).as("sum_mv"))
+        .orderBy(col("k_bucket"))),
     "q12_series_compare" -> ((s, dir) => {
       // reference Series.compare: positional diff of two aligned runs
       ensureConf(s)
@@ -839,6 +850,11 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'purchase') AS purchase,
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_mv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (

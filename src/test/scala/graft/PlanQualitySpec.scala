@@ -40,6 +40,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected pushed filters, got: $pushed")
   }
 
+  test("q21 json extraction: only (props, value) reach the events scan, no UDF") {
+    val plan = formatted(SparkEntry.queries("q21_json_extract")(spark, sf))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("props") && read.contains("value") && !read.contains("event_id"),
+      s"events scan should be pruned to (props, value): $read")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "json extraction must stay a codegen'd path expression, not a UDF")
+  }
+
   test("q3/q4: small dimension joins broadcast (no shuffle of the fact side for dims)") {
     val p3 = formatted(SparkEntry.queries("q3_join_broadcast")(spark, sf))
     assert(p3.contains("BroadcastHashJoin"), "q3 should broadcast customer")
