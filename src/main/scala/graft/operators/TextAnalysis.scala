@@ -198,7 +198,8 @@ object TextAnalysis {
       window: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text",
-      prefixSlack: Int = 8): DataFrame = {
+      prefixSlack: Int = 8,
+      broadcastVerifyMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     require(prefixSlack >= 1, s"prefixSlack must be >= 1, got $prefixSlack")
     // the fingerprint table feeds the frequency/size aggregates AND the
     // join sides — materialize it once (localCheckpoint, ContextCleaner-
@@ -216,7 +217,7 @@ object TextAnalysis {
     val pref = fps
       .join(dfreq.hint("SHUFFLE_HASH"), Seq("fp"))
       .withColumn("rk", row_number().over(w))
-      .join(sz, Seq("doc_id"))
+      .join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .filter(col("rk") <=
         least(col("n"),
           col("n") - ceil(lit(minContainment) * col("n")) + lit(prefixSlack)))
@@ -226,9 +227,16 @@ object TextAnalysis {
     // fingerprint list; lexicographic (n, doc_id) makes each pair generate
     // exactly once. The collision count per pair then gates candidacy:
     // shared >= o forces >= min(prefixSlack, o) prefix collisions (with the
-    // clamped prefix the bound only weakens, never breaks completeness)
-    val full = fps.join(sz, Seq("doc_id"))
-    val cand = pref.as("p").join(full.as("f"), Seq("fp"))
+    // clamped prefix the bound only weakens, never breaks completeness).
+    // EVERY join in this path carries an explicit strategy hint: all the
+    // inputs are aggregate/window outputs whose size estimates can fake
+    // broadcastability, and at 200k diverse-vocabulary docs the optimizer
+    // did exactly that — it picked the 20M-row fingerprint side of the fp
+    // join as the broadcast build and died in BroadcastExchange instead of
+    // running the sort-merge this join actually is.
+    val full = fps.join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
+    val cand = pref.hint("SHUFFLE_MERGE").as("p")
+      .join(full.hint("SHUFFLE_MERGE").as("f"), Seq("fp"))
       .filter(col("p.n") < col("f.n") ||
         (col("p.n") === col("f.n") && col("p.doc_id") < col("f.doc_id")))
       .select(col("p.doc_id").as("id_s"), col("f.doc_id").as("id_l"), col("p.n").as("ns"))
@@ -239,13 +247,28 @@ object TextAnalysis {
       .select(col("id_s"), col("id_l"))
       .localCheckpoint(false)
     // exact verify: per-doc fingerprint sets, pruned to candidate-involved
-    // docs, broadcast once and probed twice — no fingerprint-level shuffle
+    // docs, probed twice — no fingerprint-level shuffle. Join strategy is
+    // ADAPTIVE on the measured candidate fingerprint mass: on a Zipfian
+    // corpus the near-dup suspects are a small fraction and the sets
+    // broadcast (one hash relation, zero shuffle); on a boilerplate-heavy
+    // corpus (every fingerprint df is large — the prefix gate's worst case)
+    // candidate-involved docs can approach the WHOLE corpus, and forcing
+    // that broadcast is an OOM, not a plan (measured: 200k x ~100-fp docs
+    // with a 500-word vocabulary ~ a >150 MB long-array relation that blew
+    // an 8 GiB heap). Above the threshold the same aggregate flows through
+    // a shuffle-hash join — identical output, bounded per-partition memory.
     val docsInCand = cand.select(col("id_s").as("doc_id"))
       .unionByName(cand.select(col("id_l").as("doc_id"))).distinct()
-    val csets = broadcast(
-      fps.join(docsInCand, Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("fp")).as("set"), count(lit(1)).as("n")))
+    val candStats = docsInCand.join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    val csetsAgg = fps.join(docsInCand, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("fp")).as("set"), count(lit(1)).as("n"))
+    // 8 bytes per fingerprint long; the 64 MiB default is comfortably
+    // within executor broadcast budgets and far below driver limits
+    val csets =
+      if (candStats * 8L <= broadcastVerifyMaxBytes) broadcast(csetsAgg)
+      else csetsAgg.hint("SHUFFLE_HASH")
     val nShared = size(array_intersect(col("ss"), col("sl"))).cast("long")
     cand
       .join(csets.select(col("doc_id").as("id_s"), col("set").as("ss"), col("n").as("ns")),

@@ -130,6 +130,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("winnow near-dup shuffle-verify path == broadcast-verify path") {
+    // broadcastVerifyMaxBytes = 0 forces the shuffle-hash verification join
+    // (the boilerplate-heavy-corpus regime where forcing the broadcast OOMs);
+    // output must be identical to the default broadcast path
+    val bc = TextAnalysis.winnowNearDupPairs(docs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val sh = TextAnalysis.winnowNearDupPairs(docs, 0.7,
+        broadcastVerifyMaxBytes = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(bc == sh, s"verify-join strategy changed the result " +
+      s"(missing=${bc.diff(sh).take(3)} extra=${sh.diff(bc).take(3)})")
+  }
+
   test("winnow near-dup pairs: planted duplicates found, background rejected") {
     val planted = Dedup.ngramJaccardPairs(docs, 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
