@@ -104,7 +104,8 @@ object Bench {
       "sample_fixed_k" -> q("sample_fixed_k"),
       "text_top_terms" -> q("text_top_terms"),
       "mm_frame_sample" -> q("mm_frame_sample"),
-      "q21_json_extract" -> q("q21_json_extract")
+      "q21_json_extract" -> q("q21_json_extract"),
+      "dedup_admission_replay" -> q("dedup_admission_replay")
     )
   }
 

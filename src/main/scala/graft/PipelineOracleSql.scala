@@ -99,6 +99,56 @@ object PipelineOracleSql {
        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
        |ORDER BY shared.doc_id, dup_of""".stripMargin
 
+  /** Three-epoch replay of the streaming near-dup admission policy
+    * (mirrors `NearDupAdmission.admitBatch` folded over `doc_id % 3`
+    * epochs): a doc is rejected iff it has a verified >= 0.8-Jaccard pair
+    * with a lower-id doc of its OWN epoch or with any ADMITTED doc of an
+    * earlier epoch. Verified pairs are computed once globally — LSH bucket
+    * keys are a pure per-doc projection, so the pair set restricted to any
+    * (store, batch) sides is identical to running the probe on those
+    * sides, and a fixed epoch count unrolls the admission recursion into
+    * plain staged CTEs.
+    */
+  def admissionReplay: String =
+    s"""$minhashPrefix, cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+       |psym AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+       |e AS (SELECT doc_id FROM documents),
+       |adm0 AS (
+       |  SELECT doc_id FROM e WHERE doc_id % 3 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM psym WHERE psym.b = e.doc_id
+       |      AND psym.a < e.doc_id AND psym.a % 3 = 0)),
+       |adm1 AS (
+       |  SELECT doc_id FROM e WHERE doc_id % 3 = 1
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = e.doc_id
+       |      AND psym.a < e.doc_id AND psym.a % 3 = 1)
+       |    AND NOT EXISTS (SELECT 1 FROM psym JOIN adm0 ON psym.a = adm0.doc_id
+       |      WHERE psym.b = e.doc_id)),
+       |adm2 AS (
+       |  SELECT doc_id FROM e WHERE doc_id % 3 = 2
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = e.doc_id
+       |      AND psym.a < e.doc_id AND psym.a % 3 = 2)
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = e.doc_id AND psym.a IN
+       |      (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1)))
+       |SELECT doc_id, CAST(0 AS INTEGER) AS epoch FROM adm0
+       |UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS epoch FROM adm1
+       |UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS epoch FROM adm2
+       |ORDER BY doc_id""".stripMargin
+
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
     * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
@@ -690,6 +740,7 @@ object PipelineOracleSql {
     "events_asof" -> eventsAsof,
     "search_hybrid_rrf" -> hybridRrf,
     "dedup_incremental" -> minhashIncremental,
+    "dedup_admission_replay" -> admissionReplay,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

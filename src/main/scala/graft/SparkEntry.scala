@@ -378,6 +378,22 @@ object SparkEntry {
         d.filter(col("doc_id") % 4 =!= 3), d.filter(col("doc_id") % 4 === 3), 0.8)
         .orderBy(col("doc_id"), col("dup_of"))
     }),
+    // batch replay of the streaming near-dup admission front door: the
+    // corpus arrives as three doc_id%3 epochs, each admission-checked
+    // against everything admitted before it (exactly the per-micro-batch
+    // function the NearDupAdmission stream runs — the fold IS the stream)
+    "dedup_admission_replay" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      var store: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = d.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val adm = graft.streaming.NearDupAdmission.admitBatch(store, batch, 0.8)
+          .localCheckpoint(false)
+        store = Some(store.map(_.unionByName(adm)).getOrElse(adm))
+        adm.select(col("doc_id"), lit(e).as("epoch"))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // 11 sits inside the corpus's hamming separation gap (dups 1-9,
       // non-dups >= 14), giving recall 1.0 with zero false pairs

@@ -324,8 +324,47 @@ object Dedup {
       threshold: Double,
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    minhashIncrementalPairsPrebucketed(
+      corpus, minhashBucketsFor(corpus, params, idCol, textCol),
+      batch, threshold, params, idCol, textCol)
+
+  /** The (doc_id, band, bucket) LSH bucket rows of a document frame — the
+    * SNAPSHOT TABLE a continuously-ingesting pipeline persists per epoch so
+    * the next batch's admission probe joins stored buckets instead of
+    * re-signaturing the whole corpus (see
+    * [[minhashIncrementalPairsPrebucketed]] and
+    * [[graft.streaming.NearDupAdmission]]).
+    */
+  def minhashBucketsFor(
+      docs: DataFrame,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    minhashBuckets(minhashSigs(docs, params, idCol, textCol), params)
+
+  /** [[minhashIncrementalPairs]] with the corpus side's bucket rows
+    * supplied by the caller (typically read back from the persisted
+    * snapshot written with [[minhashBucketsFor]]) instead of derived
+    * in-plan. `corpus` itself is still needed — but only the docs that
+    * collide into some candidate pair are shingled for the exact-Jaccard
+    * verification, so at scale the corpus TEXT is touched for a few
+    * percent of rows while the probe reads the compact bucket table.
+    * Output and semantics are identical to the derived-bucket form
+    * (bucket rows are a pure per-doc projection; NearDupAdmissionSpec
+    * pins the equality).
+    */
+  def minhashIncrementalPairsPrebucketed(
+      corpus: DataFrame,
+      corpusBuckets: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val corpusBuckets = minhashBuckets(minhashSigs(corpus, params, idCol, textCol), params)
+    require(Seq("doc_id", "band", "bucket").forall(corpusBuckets.columns.contains),
+      s"corpusBuckets needs (doc_id, band, bucket) — the minhashBucketsFor " +
+        s"shape — got ${corpusBuckets.columns.mkString(", ")}")
     val batchBuckets = minhashBuckets(minhashSigs(batch, params, idCol, textCol), params)
     // materialized once (localCheckpoint, ContextCleaner-freed): feeds the
     // shingle prunes AND the verification join, like minhashLshPairs

@@ -1,0 +1,199 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import graft.operators.Dedup.MinHashParams
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming NEAR-duplicate admission: the front door of a continuously
+  * ingesting training-data pipeline where an arriving document is dropped
+  * if it near-duplicates (exact word-3-gram Jaccard >= threshold, MinHash
+  * LSH candidates) anything already admitted — the seed corpus, earlier
+  * micro-batches, or a lower-id document of its own micro-batch. The
+  * online counterpart of the batch [[graft.operators.Dedup.minhashLshPairs]]
+  * dedup, exactly as [[DedupStream.firstSeen]] is the online counterpart of
+  * the exact-fingerprint keeper.
+  *
+  * Admission policy (one-pass, deterministic, order-independent within a
+  * micro-batch): a batch document is REJECTED iff it has a verified
+  * near-dup pair with (a) any admitted store document, or (b) any LOWER-id
+  * document of the same micro-batch — whether or not that lower-id
+  * document is itself admitted. (b) is the standard one-pass ingest rule:
+  * chasing admission through reject chains would make a document's fate
+  * depend on resolution order; rejecting against the raw batch keeps the
+  * decision a pure function of (store, batch).
+  *
+  * State = the admitted store itself, NOT executor state-store entries:
+  * each admitted micro-batch appends two partitioned parquet sets under
+  * `storeDir` — the documents (`docs/batch=<id>`) and their LSH bucket
+  * rows (`buckets/batch=<id>`, the [[Dedup.minhashBucketsFor]] shape). The
+  * next batch's probe reads the compact bucket table and joins it against
+  * the batch's buckets ([[Dedup.minhashIncrementalPairsPrebucketed]]);
+  * corpus TEXT is only touched for candidate-colliding docs, so per-batch
+  * cost is O(batch x collision rate) regardless of corpus size — the
+  * corpus is never re-signatured and never self-paired.
+  *
+  * Restart contract: the store is correct under ANY replay — crash-replay
+  * of the in-flight micro-batch, or an upstream that re-offers already
+  * processed documents after a resume (at-least-once delivery) — because
+  * admission itself is semantically idempotent: a re-offered document is a
+  * Jaccard-1.0 near-duplicate of its admitted copy in the store, so a
+  * replayed batch admits nothing, by the same probe that rejects genuine
+  * near-dups. Each decision writes a UNIQUE epoch directory (keying by
+  * bare batch id would collide across checkpoint generations and silently
+  * skip a fresh pipeline's first batches), and readers only see epochs
+  * whose doc AND bucket writes both carry Spark's `_SUCCESS` marker —
+  * a crash between the two writes leaves an uncommitted, invisible epoch.
+  * NearDupAdmissionSpec drives the stop-resume-and-replay scenario.
+  */
+object NearDupAdmission {
+
+  /** One admission decision in pure batch form: the rows of `batch` that
+    * survive against `store` under the policy above. `store = None` is the
+    * empty-store bootstrap (first epoch): only the internal lower-id rule
+    * applies. This is the exact function the streaming query applies per
+    * micro-batch, so a batch fold over ordered epochs replays the stream
+    * bit-for-bit (the `dedup_admission_replay` oracle query).
+    */
+  def admitBatch(
+      store: Option[DataFrame],
+      batch: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val internal = Dedup.minhashLshPairs(batch, threshold, params, idCol, textCol)
+      .select(col("id_b").as(idCol))
+    val rejects = store match {
+      case Some(st) => internal.unionByName(
+        Dedup.minhashIncrementalPairs(st, batch, threshold, params, idCol, textCol)
+          .select(col(idCol)))
+      case None => internal
+    }
+    batch.join(rejects.distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** [[admitBatch]] against a store whose bucket rows are already
+    * materialized (the persisted snapshot) — what the streaming query
+    * runs so the store is never re-signatured per micro-batch.
+    */
+  def admitBatchPrebucketed(
+      store: DataFrame,
+      storeBuckets: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rejects = Dedup.minhashLshPairs(batch, threshold, params, idCol, textCol)
+      .select(col("id_b").as(idCol))
+      .unionByName(
+        Dedup.minhashIncrementalPairsPrebucketed(
+          store, storeBuckets, batch, threshold, params, idCol, textCol)
+          .select(col(idCol)))
+    batch.join(rejects.distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Pre-populate the store with an already-deduplicated seed corpus
+    * (written as `batch=seed`, bucket snapshot included). Call once before
+    * [[start]]; idempotent under the same marker rule as the stream.
+    */
+  def seed(
+      docs: DataFrame,
+      storeDir: String,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    writeEpoch(docs.sparkSession, docs, storeDir, "seed", params, idCol, textCol)
+
+  /** Start the admission stream: `stream` must carry (`idCol`, `textCol`).
+    * Admitted documents and their bucket snapshots accumulate under
+    * `storeDir`; the returned query is the driver of the store.
+    */
+  def start(
+      stream: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName("graft-neardup-admission")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val admitted = readStore(spark, storeDir, idCol, textCol) match {
+            case Some((docs, buckets)) =>
+              admitBatchPrebucketed(docs, buckets, batch, threshold, params, idCol, textCol)
+            case None =>
+              admitBatch(None, batch, threshold, params, idCol, textCol)
+          }
+          // unique per decision: replays re-decide (and, probing a store
+          // that already contains this batch's admissions, admit nothing)
+          // instead of colliding with a committed epoch
+          val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+          writeEpoch(spark, admitted, storeDir, epoch, params, idCol, textCol)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The admitted corpus so far: docs + bucket snapshot, or None if the
+    * store is empty. Committed epochs only (see restart contract).
+    */
+  def readStore(
+      spark: SparkSession,
+      storeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Option[(DataFrame, DataFrame)] = {
+    val epochs = committedEpochs(spark, storeDir)
+    if (epochs.isEmpty) None
+    else Some((
+      spark.read.parquet(epochs.map(e => s"$storeDir/docs/batch=$e"): _*)
+        .select(col(idCol), col(textCol)),
+      spark.read.parquet(epochs.map(e => s"$storeDir/buckets/batch=$e"): _*)
+        .select(col("doc_id"), col("band"), col("bucket"))))
+  }
+
+  /** Epoch ids whose doc AND bucket writes both carry `_SUCCESS`. */
+  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val root = new Path(s"$storeDir/docs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .filter(e => fs.exists(new Path(s"$storeDir/docs/batch=$e/_SUCCESS")) &&
+        fs.exists(new Path(s"$storeDir/buckets/batch=$e/_SUCCESS")))
+      .sorted
+  }
+
+  /** Write one epoch's admitted docs + bucket snapshot. Bucket rows are
+    * written AFTER the docs succeed and both must be `_SUCCESS`-marked to
+    * count as committed, so a crash between the two writes re-decides the
+    * epoch on replay (overwrite mode clears partial output) instead of
+    * probing a half-written store.
+    */
+  private def writeEpoch(
+      spark: SparkSession,
+      admitted: DataFrame,
+      storeDir: String,
+      epoch: String,
+      params: MinHashParams,
+      idCol: String,
+      textCol: String): Unit = {
+    // the admitted frame is consumed twice (docs write + bucket derivation)
+    // and downstream of an expensive LSH decision — materialize it once
+    val pinned = admitted.select(col(idCol), col(textCol)).localCheckpoint(true)
+    if (!pinned.isEmpty) {
+      pinned.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
+      Dedup.minhashBucketsFor(pinned, params, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
+    }
+  }
+}
