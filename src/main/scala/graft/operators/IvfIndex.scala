@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED IVF index over an embedding column: the write-once /
+  * probe-many form of [[Similarity.ivfTopK]], which re-derives the corpus
+  * assignment in-plan on every call. At serving scale the corpus scan is
+  * the whole cost, so the index materializes each vector's inverted list
+  * ONCE as a cid-partitioned parquet layout; a probe then reads only the
+  * `nprobe` directories its queries select — partition pruning visible as
+  * `PartitionFilters` in the scan, i.e. ~nprobe/nlist of the bytes, with no
+  * filter evaluation against non-probed lists at all (IvfIndexSpec pins
+  * both the pruning and bit-identity with the in-plan operator).
+  *
+  * Layout under `path`:
+  *   - `centroids/` — (cid, cv, cnrm): the `nlist` deterministic coarse
+  *     centroids ([[Similarity.collectCentroids]] — lowest-id corpus
+  *     vectors, no training), a single tiny file read at probe time.
+  *   - `lists/cid=<c>/` — (id, v, nrm): each corpus vector in exactly one
+  *     inverted list, its L2 norm precomputed at build so probes never
+  *     touch arithmetic the build already paid for.
+  *
+  * Cluster notes: the build is one corpus scan (assignment is the same
+  * scan-stage argmax expression ivfTopK uses) plus a partitioned shuffle
+  * write; `nlist` should scale with corpus size (sqrt(n) heuristic) so each
+  * list stays a few hundred MB — directories-per-table and files-per-probe
+  * both stay trivially small. Probes broadcast the (small) query side and
+  * shuffle nothing but scored (query, neighbor) rows.
+  */
+object IvfIndex {
+
+  /** Build the index at `path` (overwrites). One scan + one partitioned
+    * write. `filesPerList` is the skew/parallelism dial: 1 (default)
+    * clusters each inverted list into a single writer task — one file per
+    * list, right when lists are modest; raise it for corpora where a hot
+    * centroid's list outgrows one task (the write spreads each list over
+    * `filesPerList` tasks/files, bounding both task size AND file count —
+    * `repartition(cid)` alone writes a 100 GB list single-threaded, while
+    * an unpartitioned write emits one file per input-task × cid).
+    */
+  def write(
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerList: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, nlist, idCol, vecCol)
+    cents.toSeq.toDF("cid", "cv", "cnrm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("cid", Similarity.centroidAssignExpr(cents))
+    val clustered =
+      if (filesPerList <= 1) assigned.repartition(col("cid"))
+      else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+    clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe the index: exact cosine top-k of each query over its `nprobe`
+    * nearest inverted lists. Output (query_id, rank, neighbor_id, cos_sim)
+    * — bit-identical to [[Similarity.ivfTopK]] with the same
+    * (nlist, nprobe, k) on the indexed corpus.
+    */
+  def probe(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // ≤ nlist rows: the coarse quantizer is driver-resident by design
+    val cents: Array[(Long, Array[Double], Double)] =
+      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
+    // the probed-list set is ≤ nlist values regardless of |queries| — an
+    // IN over the partition column is what turns the probe into a
+    // partition-pruned scan (directories outside it are never listed)
+    val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val corpus = spark.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
+      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
+    Similarity.ivfRank(corpus, qs, k)
+  }
+}

@@ -143,39 +143,55 @@ object Similarity {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val normed = emb.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
-    // the coarse quantizer is tiny and fixed — ONE TakeOrdered job collects
-    // the nlist lowest-id raw vectors; norms are folded on the driver in the
-    // same index order as the native dot expression (sequential IEEE adds),
-    // so every downstream cosine is bit-identical to computing them in-plan.
-    // Centroids are held as double: float→double widening is exact and the
-    // dot expression widens every element to double before multiplying
-    // anyway, so the literal arrays score bit-identically to the float
-    // originals while also accepting array<double> corpora; ids are cast to
-    // long in-plan (the Number match below is for vector ELEMENTS, covering
-    // float and double arrays alike).
-    val cents: Array[(Long, Array[Double], Double)] =
-      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-        .orderBy(col("id")).limit(nlist)
-        .collect().map { r =>
-          val cv = r.getSeq[Any](1).map {
-            case n: Number => n.doubleValue()
-            case other => throw new IllegalArgumentException(
-              s"ivfTopK requires a numeric-array '$vecCol' column, " +
-                s"got element ${if (other == null) "NULL" else other.getClass.getName}")
-          }.toArray
-          var acc = 0.0
-          var i = 0
-          while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
-          (r.getLong(0), cv, math.sqrt(acc))
-        }
-    // corpus assignment is a per-row argmax EXPRESSION over the inlined
-    // centroid literals, evaluated inside the scan stage — not a
-    // corpus×nlist join feeding a row_number window. Tie-break matches a
-    // (csim DESC, cid ASC) ranking: struct comparison is lexicographic, so
-    // max of (csim, -cid) picks the highest similarity, then the lowest cid
+    val cents = collectCentroids(emb, nlist, idCol, vecCol)
+    val corpus = normed
+      .withColumn("cid", centroidAssignExpr(cents))
+      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
+    val qs = ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
+    ivfRank(corpus, qs, k)
+  }
+
+  /** The coarse quantizer of [[ivfTopK]]/[[IvfIndex]]: tiny and fixed — ONE
+    * TakeOrdered job collects the `nlist` lowest-id raw vectors; norms are
+    * folded on the driver in the same index order as the native dot
+    * expression (sequential IEEE adds), so every downstream cosine is
+    * bit-identical to computing them in-plan. Centroids are held as double:
+    * float→double widening is exact and the dot expression widens every
+    * element to double before multiplying anyway, so the literal arrays
+    * score bit-identically to the float originals while also accepting
+    * array<double> corpora; ids are cast to long in-plan (the Number match
+    * below is for vector ELEMENTS, covering float and double arrays alike).
+    */
+  private[graft] def collectCentroids(
+      emb: DataFrame,
+      nlist: Int,
+      idCol: String,
+      vecCol: String): Array[(Long, Array[Double], Double)] =
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nlist)
+      .collect().map { r =>
+        val cv = r.getSeq[Any](1).map {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"ivfTopK requires a numeric-array '$vecCol' column, " +
+              s"got element ${if (other == null) "NULL" else other.getClass.getName}")
+        }.toArray
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        (r.getLong(0), cv, math.sqrt(acc))
+      }
+
+  /** Nearest-centroid id for a corpus row exposing ("v", "nrm") columns —
+    * a per-row argmax EXPRESSION over the inlined centroid literals,
+    * evaluated inside the scan stage — not a corpus×nlist join feeding a
+    * row_number window. Tie-break matches a (csim DESC, cid ASC) ranking:
+    * struct comparison is lexicographic, so max of (csim, -cid) picks the
+    * highest similarity, then the lowest cid.
+    */
+  private[graft] def centroidAssignExpr(
+      cents: Array[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
     val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv, cnrm) =>
       struct(cosine(col("v"), typedlit(cv), col("nrm"), lit(cnrm)).as("s"),
         lit(-cid).as("nc"))
@@ -186,23 +202,39 @@ object Similarity {
     // argmax expression into the scan's data filter, evaluating the 16 dot
     // products twice per row — once interpreted. Measured 3-4x on the
     // scoring stage.
-    val corpus = normed
-      .withColumn("cid", coalesce(-best.getField("nc"), lit(-1L)))
-      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
-    // query side: |queries| x nlist rows is negligible — the ranking window
-    // keeps the top-nprobe lists per query with no scale concern; the
-    // centroid frame is rebuilt from the collected rows (no second scan)
-    val centroids = broadcast(
-      cents.toSeq.toDF("cid", "cv", "cnrm"))
+    coalesce(-best.getField("nc"), lit(-1L))
+  }
+
+  /** Query side of an IVF probe: each query vector with the cids of its
+    * `nprobe` nearest centroids → (query_id, q, nq, cid). |queries| x nlist
+    * rows is negligible — the ranking window keeps the top-nprobe lists per
+    * query with no scale concern; the centroid frame is rebuilt from the
+    * collected rows (no second scan).
+    */
+  private[graft] def ivfProbeSide(
+      queries: DataFrame,
+      cents: Array[(Long, Array[Double], Double)],
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(cents.toSeq.toDF("cid", "cv", "cnrm"))
     val qn = queries.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
     val qScored = qn.join(centroids, lit(true))
       .select(qn.columns.toIndexedSeq.map(col) :+ col("cid") :+
         cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("csim"): _*)
     val qw = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-    val qs = qScored.withColumn("crank", row_number().over(qw))
+    qScored.withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= nprobe)
       .drop("csim", "crank")
       .select(col("id").as("query_id"), col("v").as("q"), col("nrm").as("nq"), col("cid"))
+  }
+
+  /** Exact re-scoring + per-query top-k over the probed inverted lists:
+    * corpus rows (neighbor_id, v, nrm, cid) joined to the probe side on cid.
+    */
+  private[graft] def ivfRank(corpus: DataFrame, qs: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(qs), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
