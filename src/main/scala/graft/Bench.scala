@@ -105,7 +105,9 @@ object Bench {
       "text_top_terms" -> q("text_top_terms"),
       "mm_frame_sample" -> q("mm_frame_sample"),
       "q21_json_extract" -> q("q21_json_extract"),
-      "dedup_admission_replay" -> q("dedup_admission_replay")
+      "dedup_admission_replay" -> q("dedup_admission_replay"),
+      "sim_topk_ivf_indexed" -> q("sim_topk_ivf_indexed"),
+      "pipeline_curate" -> q("pipeline_curate")
     )
   }
 

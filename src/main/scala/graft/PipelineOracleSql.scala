@@ -31,7 +31,13 @@ object PipelineOracleSql {
     * signatures → 16 band buckets) used by [[minhashLsh]] and
     * [[minhashIncremental]].
     */
-  private def minhashPrefix: String = {
+  private def minhashPrefix: String = s"WITH ${minhashCtes("documents")}"
+
+  /** The MinHash CTE chain with a caller-chosen source relation, so
+    * composed pipelines (pipeline_curate) can run the same machinery over
+    * an upstream-filtered CTE instead of the raw table.
+    */
+  private def minhashCtes(src: String): String = {
     val numHashes = 64
     val sigCols = (0 until numHashes).map { i =>
       s"    min((h * ${2L * i + 1234567891L} + ${98176543L * i + 7L}) % 2147483647) AS m$i"
@@ -40,8 +46,8 @@ object PipelineOracleSql {
       val slice = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
       s"  SELECT doc_id, $b AS band, concat_ws('_', $b, $slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, $Tok AS w FROM documents
+    s"""tok AS (
+       |  SELECT doc_id, $Tok AS w FROM $src
        |), sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
@@ -148,6 +154,77 @@ object PipelineOracleSql {
        |UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS epoch FROM adm1
        |UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS epoch FROM adm2
        |ORDER BY doc_id""".stripMargin
+
+  /** The full curation pipeline (mirrors `Curation.curate` with the
+    * pipeline_curate parameters): annotate quality + langid and filter →
+    * drop 8-gram benchmark overlap → drop the higher-id member of every
+    * verified >= 0.8-Jaccard MinHash pair → deterministic per-language
+    * mixture draw. Every stage is the same SQL its standalone oracle uses;
+    * the dedup CTEs run over the `clean` survivor set via
+    * [[minhashCtes]].
+    */
+  def pipelineCurate: String = {
+    val gram8 = (0 until 8).map(j => s"w[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
+    val sampleBucket =
+      """((list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, strlen('graft:' || CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('graft:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 2147483647)
+        |      * 2654435761 + 12345) % 2147483647) % 1000000""".stripMargin
+    s"""WITH ann AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($Tok)) AS BIGINT) AS n_unique_tokens,
+       |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stopword_cnt,
+       |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and'))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter($Tok, t -> t IN ('der','die','das','und'))) AS BIGINT) AS s_de,
+       |    CAST(len(list_filter($Tok, t -> t IN ('el','la','los','y'))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter($Tok, t -> t IN ('le','les','et','une'))) AS BIGINT) AS s_fr,
+       |    CAST(len(list_filter($Tok, t -> t IN ('de5','le5','shi4'))) AS BIGINT) AS s_zh
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |qa AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+       |      + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score,
+       |    CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+       |         WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+       |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |         WHEN s_fr >= s_zh THEN 'fr'
+       |         ELSE 'zh' END AS pred_lang
+       |  FROM ann),
+       |surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5),
+       |btok AS (SELECT doc_id, $Tok AS w FROM documents WHERE doc_id % 10 = 7),
+       |bg AS (
+       |  SELECT DISTINCT $gram8 AS gram
+       |  FROM btok, unnest(range(1, len(w) - 6)) AS t(i)),
+       |stok AS (SELECT doc_id, $Tok AS w FROM surv),
+       |sg AS (
+       |  SELECT DISTINCT doc_id, $gram8 AS gram
+       |  FROM stok, unnest(range(1, len(w) - 6)) AS t(i)),
+       |contam AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gram)),
+       |clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |${minhashCtes("clean")}, cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT id_a, id_b FROM shared
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+       |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
+       |FROM ded
+       |WHERE $sampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                WHEN 'zh' THEN 300000 ELSE 400000 END
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
@@ -729,6 +806,8 @@ object PipelineOracleSql {
     "sim_topk_lsh" -> lshTopK,
     "dedup_cosine_neardup" -> cosineNearDup,
     "sim_topk_ivf" -> ivfTopK,
+    // the persisted index is bit-transparent: same result, same oracle
+    "sim_topk_ivf_indexed" -> ivfTopK,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,
     "text_chunk" -> textChunk,
@@ -741,6 +820,7 @@ object PipelineOracleSql {
     "search_hybrid_rrf" -> hybridRrf,
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
+    "pipeline_curate" -> pipelineCurate,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

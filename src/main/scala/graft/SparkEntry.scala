@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -457,6 +457,17 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the write-once/probe-many form: build the cid-partitioned index, then
+    // answer the same probe from the persisted layout (partition-pruned
+    // scan of nprobe lists). Same oracle as sim_topk_ivf — the index is
+    // bit-transparent.
+    "sim_topk_ivf_indexed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // --- text analysis
     "text_quality" -> ((s, dir) =>
@@ -645,6 +656,17 @@ object SparkEntry {
       Decontamination.overlapReportBloom(
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
         estimatedGrams = 65536L)
+        .orderBy(col("doc_id"))
+    }),
+    // the composed curation pipeline end-to-end: quality+langid filter →
+    // decontaminate vs the doc_id%10=7 eval slice → LSH near-dup drop →
+    // per-language mixture draw. One oracle checks the whole chain.
+    "pipeline_curate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curate(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
     "text_fingerprint" -> ((s, dir) =>

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed pipeline a training-data team
+  * actually runs before tokenization, built entirely from this library's
+  * oracle-green stages so the WHOLE chain stays DuckDB-checkable
+  * (pipeline_curate). Stage order is the 100 TB cost order — each stage is
+  * strictly cheaper per surviving row than the next, so the expensive work
+  * runs on the smallest possible set:
+  *
+  *   1. annotate + filter (quality metrics, language ID): pure scan-local
+  *      projections ([[TextAnalysis.quality]]/[[TextAnalysis.langId]] fused
+  *      over one scan), no shuffle;
+  *   2. benchmark decontamination: drop any document sharing an 8-gram
+  *      with the eval set ([[Decontamination.overlapReport]]; the bloom
+  *      variant cuts the gram stream at the scan — identical output);
+  *   3. near-duplicate removal: MinHash-LSH verified pairs at
+  *      `dedupThreshold`, keep the lowest-id member of every pair
+  *      ([[Dedup.minhashLshPairs]] — the only pairwise stage, deliberately
+  *      last so it sees only clean survivors);
+  *   4. mixture sampling: deterministic per-language keep rates, a pure
+  *      function of (seed, doc_id) ([[Sampling.stratifiedSample]]) — no
+  *      RNG, so the drawn corpus is reproducible run-over-run.
+  *
+  * Output: one curation record per kept document —
+  * (doc_id, `langCol`, pred_lang, n_tokens, quality_score).
+  */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      bench: DataFrame,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      langFracs: Map[String, Double] = Map.empty,
+      defaultFrac: Double = 1.0,
+      dedupThreshold: Double = 0.8,
+      langCol: String = "lang",
+      seed: String = "graft",
+      bloomGrams: Option[Long] = None): DataFrame = {
+    // 1: one annotate pass — langId over quality's output keeps both stages
+    // in a single scan-stage projection (no join of two derivations)
+    val annotated = TextAnalysis.langId(
+      TextAnalysis.quality(docs, keep = Seq("text", langCol)),
+      keep = Seq("text", langCol, "n_tokens", "quality_score"))
+    val surv = annotated
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 2: decontaminate — overlapReport returns exactly the contaminated
+    // doc ids, so removal is a broadcast-able anti join
+    val overlap = bloomGrams match {
+      case Some(n) => Decontamination.overlapReportBloom(
+        surv.select(col("doc_id"), col("text")), bench, estimatedGrams = n)
+      case None => Decontamination.overlapReport(
+        surv.select(col("doc_id"), col("text")), bench)
+    }
+    val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // 3: near-dup removal — pairs have id_a < id_b, so dropping every id_b
+    // keeps the lowest-id member of each verified pair
+    val pairs = Dedup.minhashLshPairs(
+      clean.select(col("doc_id"), col("text")), dedupThreshold)
+    val deduped = clean.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // 4: deterministic mixture draw over the metadata language column
+    val sampled =
+      if (langFracs.isEmpty) deduped
+      else Sampling.stratifiedSample(deduped, langCol, langFracs, defaultFrac, seed)
+    sampled.select(col("doc_id"), col(langCol), col("pred_lang"),
+      col("n_tokens"), col("quality_score"))
+  }
+}

@@ -43,11 +43,15 @@ object TextAnalysis {
   /** Heuristic language ID via marker-token counts with a fixed argmax
     * tie-break order. Output: (doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang).
     */
-  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def langId(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val scored = docs.select(
-      (col(idCol).as("doc_id") +:
-        LangMarkers.map { case (lang, markers) => markerCount(t, markers).cast("long").as(s"s_$lang") }): _*)
+      (col(idCol).as("doc_id") +: keep.map(col)) ++
+        LangMarkers.map { case (lang, markers) => markerCount(t, markers).cast("long").as(s"s_$lang") }: _*)
     val langs = LangMarkers.map(_._1)
     // argmax with ties resolved by declaration order (en first)
     val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
