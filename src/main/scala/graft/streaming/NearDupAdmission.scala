@@ -160,8 +160,99 @@ object NearDupAdmission {
         .select(col("doc_id"), col("band"), col("bucket"))))
   }
 
-  /** Epoch ids whose doc AND bucket writes both carry `_SUCCESS`. */
+  /** Compact the store: merge every committed epoch into ONE consolidated
+    * epoch of `targetFiles` files per side, then sweep the replaced epoch
+    * directories. A per-micro-batch ingest accretes one docs + one buckets
+    * directory per trigger — at cluster scale that's the classic
+    * small-files decay (probe cost becomes file-listing-bound, not
+    * data-bound), so compaction is the store's standing maintenance op.
+    *
+    * No recompute: bucket rows are unioned from the existing snapshots,
+    * never re-derived from text — compaction is pure IO.
+    *
+    * Crash contract: the consolidated epoch commits under the same
+    * double-`_SUCCESS` rule as any epoch, and additionally carries a
+    * `_MERGED` manifest naming the epochs it replaced; [[readStore]]
+    * excludes manifest-listed epochs, so a crash AFTER the commit but
+    * mid-sweep leaves stale directories that are invisible (and swept by
+    * the next compaction) rather than duplicated. A crash BEFORE the
+    * commit leaves an uncommitted epoch that is ignored wholesale. Run it
+    * between triggers or with the stream stopped — the decision loop and
+    * the sweep must not race over the same directories.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int = 8): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true)
+
+  /** `sweep = false` stops after the manifest commit, leaving the replaced
+    * directories on disk — the post-crash state the manifest rule makes
+    * invisible (exercised by NearDupAdmissionSpec; production callers use
+    * the sweeping overload).
+    */
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean): Unit = {
+    val olds = committedEpochs(spark, storeDir)
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (olds.size > 1) {
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.read.parquet(olds.map(e => s"$storeDir/docs/batch=$e"): _*)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/docs/batch=$cpt")
+      spark.read.parquet(olds.map(e => s"$storeDir/buckets/batch=$e"): _*)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$cpt")
+      // the commit point: once this manifest exists, the olds are dead.
+      // Written to a temp name and renamed so the commit is atomic — a
+      // partial manifest would resurrect half the olds as visible dups.
+      val tmp = new Path(s"$storeDir/docs/batch=$cpt/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$storeDir/docs/batch=$cpt/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, storeDir)
+  }
+
+  /** Delete epoch directories that a committed `_MERGED` manifest has
+    * replaced (best-effort; invisible to readers either way).
+    */
+  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedEpochs(spark, storeDir).foreach { e =>
+      fs.delete(new Path(s"$storeDir/docs/batch=$e"), true)
+      fs.delete(new Path(s"$storeDir/buckets/batch=$e"), true)
+    }
+  }
+
+  /** Epoch ids named by the `_MERGED` manifest of any committed epoch. */
+  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
+    val fs = new Path(s"$storeDir/docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawCommittedEpochs(spark, storeDir).flatMap { e =>
+      val m = new Path(s"$storeDir/docs/batch=$e/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  /** Epoch ids whose doc AND bucket writes both carry `_SUCCESS`, minus
+    * any epoch a committed compaction has replaced.
+    */
   private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val committed = rawCommittedEpochs(spark, storeDir)
+    val dead = mergedEpochs(spark, storeDir)
+    committed.filterNot(dead)
+  }
+
+  private def rawCommittedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
     val root = new Path(s"$storeDir/docs")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty

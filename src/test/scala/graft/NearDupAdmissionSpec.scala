@@ -143,4 +143,49 @@ class NearDupAdmissionSpec extends SparkTestBase {
       "store after resume = fold over epochs 0..1")
     assert(afterFirst.subsetOf(finalIds.toSet))
   }
+
+  test("compaction: content-identical store in one epoch; crash-stale dirs invisible") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("neardup_store_c").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = NearDupAdmission.start(stream.toDF().toDF("doc_id", "text"), storeDir,
+      Files.createTempDirectory("neardup_ckpt_c").toString, Threshold,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      for (e <- 0 until 3) { stream.addData(epochRows(e)); q.processAllAvailable() }
+    } finally q.stop()
+
+    def snapshot() = {
+      val (d, b) = NearDupAdmission.readStore(spark, storeDir).get
+      (d.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq,
+        b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq)
+    }
+    def epochDirs() = new java.io.File(s"$storeDir/docs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+
+    val before = snapshot()
+    assert(epochDirs().size == 3, s"expected 3 pre-compaction epochs, got ${epochDirs()}")
+
+    // crash-mid-sweep state: manifest committed, replaced dirs still on disk
+    NearDupAdmission.compactStore(spark, storeDir, targetFiles = 2, sweep = false)
+    assert(epochDirs().size == 4, "no-sweep compaction keeps the replaced dirs on disk")
+    assert(snapshot() == before,
+      "manifest must make replaced epochs invisible — same store, no duplicates")
+
+    // the next (sweeping) compaction finishes the job: one live epoch dir
+    NearDupAdmission.compactStore(spark, storeDir, targetFiles = 2)
+    assert(epochDirs().size == 1, s"expected a single compacted epoch, got ${epochDirs()}")
+    assert(snapshot() == before, "swept store is content-identical")
+
+    // admissions against the compacted store behave exactly as before:
+    // re-offered epoch-0 docs all reject, genuinely novel text admits
+    val (storeDocs, storeBuckets) = NearDupAdmission.readStore(spark, storeDir).get
+    val fresh = Seq((900001L, "totally novel zebra quantum lattice " * 10)).toDF("doc_id", "text")
+    val probe = NearDupAdmission.admitBatchPrebucketed(
+      storeDocs, storeBuckets, epoch(0).unionByName(fresh), Threshold)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(probe == Set(900001L),
+      s"re-offered docs must reject and the novel doc admit, got $probe")
+  }
 }
