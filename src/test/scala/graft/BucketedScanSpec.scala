@@ -55,4 +55,43 @@ class BucketedScanSpec extends SparkTestBase {
       spark.sql("DROP DATABASE IF EXISTS graft_bucketed")
     }
   }
+
+  test("co-bucketed dedup-apply join runs with zero exchanges, same rows as plain join") {
+    // the 100 TB dedup APPLICATION shape: the corpus and its keeper/drop
+    // list both live bucketed by doc_id, so subtracting duplicates is a
+    // co-located sort-merge join — no shuffle of the corpus, ever
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_cobucket LOCATION '$warehouse'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the co-located merge path (a broadcast join would also avoid
+      // shuffling but proves nothing about the layout)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      def keeperFrame = graft.operators.Dedup.canonicalKeepers(
+        docs, graft.operators.Dedup.ngramJaccardPairs(docs, 0.5), lit(0))
+      docs.write.bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_cobucket.documents")
+      keeperFrame.write.bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_cobucket.keepers")
+
+      val corpus = spark.table("graft_cobucket.documents")
+      val keepers = spark.table("graft_cobucket.keepers").filter(col("keep"))
+      val kept = corpus.join(keepers.select("doc_id"), Seq("doc_id"))
+      assert(countShuffles(kept.queryExecution.executedPlan) == 0,
+        s"co-bucketed join must not shuffle:\n${kept.queryExecution.executedPlan}")
+
+      val plain = docs.withColumn("doc_id", col("doc_id").cast("long"))
+        .join(keeperFrame.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+        "bucketed layout must not change join results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_cobucket.documents")
+      spark.sql("DROP TABLE IF EXISTS graft_cobucket.keepers")
+      spark.sql("DROP DATABASE IF EXISTS graft_cobucket")
+    }
+  }
 }
