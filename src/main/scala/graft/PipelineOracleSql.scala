@@ -226,6 +226,30 @@ object PipelineOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Snapshot-delta report (mirrors `CorpusDiff.report` over the
+    * corpus_diff query's two overlapping cuts).
+    */
+  def corpusDiff: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, source, CAST(len($Tok) AS BIGINT) AS tok
+       |  FROM documents WHERE doc_id % 10 <> 3),
+       |n AS (
+       |  SELECT doc_id, source, CAST(len($Tok) AS BIGINT) AS tok
+       |  FROM documents WHERE doc_id % 7 <> 2),
+       |j AS (
+       |  SELECT coalesce(n.source, o.source) AS source,
+       |    CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+       |    CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+       |    CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS retained,
+       |    coalesce(n.tok, 0) - coalesce(o.tok, 0) AS td
+       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT source,
+       |  CAST(sum(added) AS BIGINT) AS n_added,
+       |  CAST(sum(removed) AS BIGINT) AS n_removed,
+       |  CAST(sum(retained) AS BIGINT) AS n_retained,
+       |  CAST(sum(td) AS BIGINT) AS token_delta
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
     * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
@@ -821,6 +845,7 @@ object PipelineOracleSql {
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
+    "corpus_diff" -> corpusDiff,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

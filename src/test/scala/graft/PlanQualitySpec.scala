@@ -56,6 +56,28 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p4.contains("BroadcastHashJoin"), "q4 should broadcast dims")
   }
 
+  test("pipeline_curate: no cartesian product, no UDFs, pruned documents scan") {
+    val plan = formatted(SparkEntry.queries("pipeline_curate")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the composed pipeline must stay equi-join only")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "every stage must stay a codegen'd expression")
+    // the documents scans feed (doc_id, text, lang/source filters) — the
+    // wide embedding-adjacent columns must never be read
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("embedding"), s"unexpected column in curate scan: $l")
+    }
+  }
+
+  test("corpus_diff: pruned scans, equi full-outer join") {
+    val plan = formatted(SparkEntry.queries("corpus_diff")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "snapshot diff must be an equi join")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(l => !l.contains("lang")),
+      s"diff scans must be pruned to (doc_id, source, text): $reads")
+  }
+
   test("renko fromSortedTicks plans with zero exchanges") {
     val ticks = spark.read.parquet(s"$sf/events.parquet")
       .select(col("ts").as("datetime"), col("value").as("close"))
