@@ -380,16 +380,30 @@ object SparkEntry {
     }),
     // batch replay of the streaming near-dup admission front door: the
     // corpus arrives as three doc_id%3 epochs, each admission-checked
-    // against everything admitted before it (exactly the per-micro-batch
-    // function the NearDupAdmission stream runs — the fold IS the stream)
+    // against everything admitted before it. The fold IS the stream,
+    // including its store shape: the bucket snapshot accumulates with the
+    // admitted docs and each epoch probes it PREBUCKETED, so the store is
+    // signatured once at admission, never re-derived per epoch (the
+    // admitBatch form recomputed store signatures every epoch — measurably
+    // slower and not what the stream executes)
     "dedup_admission_replay" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
-      var store: Option[DataFrame] = None
+      var store: Option[(DataFrame, DataFrame)] = None
       val perEpoch = (0 until 3).map { e =>
         val batch = d.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val adm = graft.streaming.NearDupAdmission.admitBatch(store, batch, 0.8)
-          .localCheckpoint(false)
-        store = Some(store.map(_.unionByName(adm)).getOrElse(adm))
+        val adm = (store match {
+          case Some((sd, sb)) =>
+            graft.streaming.NearDupAdmission.admitBatchPrebucketed(sd, sb, batch, 0.8)
+          case None =>
+            graft.streaming.NearDupAdmission.admitBatch(None, batch, 0.8)
+        }).localCheckpoint(false)
+        // bucket rows derive from the pinned admissions — a narrow
+        // projection, no checkpoint of its own needed
+        val admBuckets = Dedup.minhashBucketsFor(adm)
+        store = Some(store match {
+          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+          case None => (adm, admBuckets)
+        })
         adm.select(col("doc_id"), lit(e).as("epoch"))
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
@@ -676,6 +690,15 @@ object SparkEntry {
     // (quality is a pure projection), one partial-agg'd groupBy; the mean
     // is an exact integer-scaled sum, so the report is bit-stable under
     // any partitioning
+    // snapshot diff: v1 = docs without the %10==3 slice, v2 = docs without
+    // the %7==2 slice — overlapping cuts so every class (added / removed /
+    // retained) is non-empty per source
+    "corpus_diff" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.operators.CorpusDiff.report(
+        d.filter(col("doc_id") % 10 =!= 3), d.filter(col("doc_id") % 7 =!= 2))
+    }),
     "corpus_report" -> ((s, dir) => {
       val q = TextAnalysis.quality(
         s.read.parquet(s"$dir/documents.parquet"), keep = Seq("source"))
