@@ -184,24 +184,37 @@ object Similarity {
       }
 
   /** Nearest-centroid id for a corpus row exposing ("v", "nrm") columns —
-    * a per-row argmax EXPRESSION over the inlined centroid literals,
-    * evaluated inside the scan stage — not a corpus×nlist join feeding a
-    * row_number window. Tie-break matches a (csim DESC, cid ASC) ranking:
-    * struct comparison is lexicographic, so max of (csim, -cid) picks the
-    * highest similarity, then the lowest cid.
+    * a per-row argmax EXPRESSION evaluated inside the scan stage — not a
+    * corpus×nlist join feeding a row_number window. Tie-break matches a
+    * (csim DESC, cid ASC) ranking. Native ([[graft.functions.expressions
+    * .NearestCentroid]]) because the built-in-composed form below unrolls
+    * `nlist` cosine branches into one projection method: correct, but past
+    * ~32 branches the generated code overruns the JIT/Janino budget and the
+    * whole argmax runs interpreted — 34 s vs ~1 s on 100k x 64-dim rows at
+    * nlist=64. The native loop is `nlist`-independent codegen.
     */
   private[graft] def centroidAssignExpr(
+      cents: Array[(Long, Array[Double], Double)]): org.apache.spark.sql.Column =
+    graft.functions.expressions.NearestCentroidExpression
+      .nearestCentroidNative(col("v"), col("nrm"), cents)
+
+  /** The built-in-composed twin of [[centroidAssignExpr]] — unrolled
+    * `array_max` over per-centroid (cosine, -cid) structs. Kept for the
+    * bit-equality cross-check (PipelineSpec); do not use on hot paths at
+    * large `nlist` (see above).
+    */
+  private[graft] def centroidAssignExprUnrolled(
       cents: Array[(Long, Array[Double], Double)]): org.apache.spark.sql.Column = {
     val best = array_max(array(cents.toIndexedSeq.map { case (cid, cv, cnrm) =>
       struct(cosine(col("v"), typedlit(cv), col("nrm"), lit(cnrm)).as("s"),
         lit(-cid).as("nc"))
     }: _*))
-    // coalesce makes cid non-nullable (array_max of 16 non-null structs can
-    // never actually be null, the -1 arm is dead): without it the downstream
-    // equi-join derives an isnotnull(cid) constraint and pushes the ENTIRE
-    // argmax expression into the scan's data filter, evaluating the 16 dot
-    // products twice per row — once interpreted. Measured 3-4x on the
-    // scoring stage.
+    // coalesce makes cid non-nullable (array_max of nlist non-null structs
+    // can never actually be null, the -1 arm is dead): without it the
+    // downstream equi-join derives an isnotnull(cid) constraint and pushes
+    // the ENTIRE argmax expression into the scan's data filter, evaluating
+    // every dot product twice per row — once interpreted. Measured 3-4x on
+    // the scoring stage.
     coalesce(-best.getField("nc"), lit(-1L))
   }
 

@@ -129,6 +129,40 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("graft_nearest_centroid == unrolled struct-argmax: nlist 16 & 64 + degenerate rows") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // degenerate inputs exercising the null-branch contract: a null element
+    // (nulls the dot AND the norm), an empty vector (length mismatch), a
+    // zero vector (try_divide by zero norm), a NULL vector — in the
+    // unrolled form each nulls every branch score, so the struct-argmax
+    // falls through to the lowest cid; the native expression must match
+    val edges = Seq(
+      (9001L, Array[java.lang.Float](1.0f, null) ++ Array.fill[java.lang.Float](62)(0.5f)),
+      (9002L, Array[java.lang.Float]()),
+      (9003L, Array.fill[java.lang.Float](64)(0.0f)),
+      (9004L, null.asInstanceOf[Array[java.lang.Float]])
+    ).toDF("vec_id", "embedding")
+    for (nlist <- Seq(16, 64)) {
+      val cents = Similarity.collectCentroids(base, nlist, "vec_id", "embedding")
+      val minCid = cents.map(_._1).min
+      val rows = base.unionByName(edges)
+        .select(col("vec_id"), col("embedding").as("v"),
+          VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"),
+          Similarity.centroidAssignExpr(cents).as("nat"),
+          Similarity.centroidAssignExprUnrolled(cents).as("unr"))
+        .collect()
+      assert(rows.length > 64)
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"nlist=$nlist vec=${r.getLong(0)}: native ${r.getLong(1)} vs unrolled ${r.getLong(2)}"))
+      val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(9001L, 9002L, 9003L, 9004L).foreach(id =>
+        assert(byId(id) == minCid, s"nlist=$nlist degenerate vec $id"))
+    }
+  }
+
   test("graft_quantize == HOF quantize: corpus-wide bit equality incl. zero vector") {
     import graft.operators.Similarity
     import spark.implicits._
