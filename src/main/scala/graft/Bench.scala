@@ -107,7 +107,10 @@ object Bench {
       "q21_json_extract" -> q("q21_json_extract"),
       "dedup_admission_replay" -> q("dedup_admission_replay"),
       "sim_topk_ivf_indexed" -> q("sim_topk_ivf_indexed"),
-      "pipeline_curate" -> q("pipeline_curate")
+      "pipeline_curate" -> q("pipeline_curate"),
+      "corpus_diff" -> q("corpus_diff"),
+      "sample_token_budget" -> q("sample_token_budget"),
+      "sample_shuffle_order" -> q("sample_shuffle_order")
     )
   }
 

@@ -792,6 +792,68 @@ object PipelineOracleSql {
       |  FROM h)
       |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
 
+  /** Token-budget quota draw, 2500 tokens per lang, seed 'budget' (mirrors
+    * `Sampling.tokenBudgetSample`): cumulative token sum in scrambled-hash
+    * order, keep while the exclusive prefix is under budget. One flat
+    * window here — the engine's hierarchical (range-bucketed) prefix sum is
+    * exact, so it must reproduce this bit-for-bit.
+    */
+  def sampleTokenBudget: String =
+    s"""WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('budget:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('budget:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) AS hv
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM h)
+      |SELECT doc_id, lang, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens - n_tokens < 2500 ORDER BY doc_id""".stripMargin
+
+  /** Global shuffle position, seed 'shuffle' (mirrors
+    * `Sampling.shufflePosition`): exact 1-based rank by (scrambled
+    * polyhash, doc_id). One flat window here — the engine's hierarchical
+    * rank is exact, so it must reproduce this bit-for-bit.
+    */
+  def sampleShuffleOrder: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('shuffle:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('shuffle:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) AS hv
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS position
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Streaming budget-gate replay, 2000 tokens per lang over three
+    * doc_id%3 epochs (mirrors the `sample_budget_stream` fold of
+    * `BudgetAdmission.admitBatch`): admission order is (epoch, doc_id) per
+    * stratum, so the three stateful epochs collapse to one windowed
+    * cumulative sum over that order.
+    */
+  def sampleBudgetStream: String =
+    s"""WITH h AS (
+      |  SELECT doc_id, lang AS stratum,
+      |    CAST(doc_id % 3 AS INTEGER) AS epoch,
+      |    CAST(len($Tok) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, stratum, epoch, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY epoch, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM h)
+      |SELECT doc_id, stratum, n_tokens, cum_tokens, epoch
+      |FROM c WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin
+
   /** Exact length quantiles per source (mirrors
     * `TextAnalysis.lengthQuantiles`): quantile_cont == Spark's exact
     * percentile (order statistics + linear interpolation).
@@ -850,6 +912,9 @@ object PipelineOracleSql {
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,
     "sample_fixed_k" -> sampleFixedK,
+    "sample_token_budget" -> sampleTokenBudget,
+    "sample_shuffle_order" -> sampleShuffleOrder,
+    "sample_budget_stream" -> sampleBudgetStream,
     "text_length_quantiles" -> lengthQuantiles,
     "text_top_terms" -> topTerms)
 }

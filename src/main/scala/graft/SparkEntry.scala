@@ -408,6 +408,29 @@ object SparkEntry {
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
     }),
+    // batch replay of the streaming token-budget gate: the corpus arrives
+    // as three doc_id%3 epochs, each admitted against the per-stratum
+    // consumed totals the earlier epochs left behind — admission order is
+    // exactly (epoch, doc_id) per stratum, so the oracle is ONE windowed
+    // cumulative sum over that order
+    "sample_budget_stream" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      var consumed = Map.empty[String, Long]
+      val perEpoch = (0 until 3).map { e =>
+        val batch = d.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val adm = graft.streaming.BudgetAdmission
+          .admitBatch(consumed, batch, budget = 2000L, strataCol = "lang")
+          .localCheckpoint(false)
+        // per-stratum consumed totals = each stratum's last admitted cum —
+        // a strata-sized collect, the same driver-resident state the
+        // stream keeps per key
+        consumed = consumed ++ adm.groupBy("stratum").agg(max("cum_tokens").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        adm.withColumn("epoch", lit(e))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       // 11 sits inside the corpus's hamming separation gap (dups 1-9,
       // non-dups >= 14), giving recall 1.0 with zero false pairs
@@ -518,6 +541,20 @@ object SparkEntry {
       Sampling.fixedSizeSample(
         s.read.parquet(s"$dir/documents.parquet"), k = 20, strataCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // token-space quota draw: first 2500 tokens per language in
+    // deterministic hash order (the doc crossing the budget is kept), via
+    // the hierarchical exact prefix sum — never one-task-per-stratum
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(
+        s.read.parquet(s"$dir/documents.parquet"), budget = 2500L, strataCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))),
+    // deterministic global training order: exact 1-based permutation rank
+    // in scrambled-hash order via the hierarchical rank (no single-task
+    // global sort), a pure function of (seed, doc_id)
+    "sample_shuffle_order" -> ((s, dir) =>
+      Sampling.shufflePosition(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("position")).orderBy(col("doc_id"))),
     // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
     // src2 0.35x, src3 dropped, everything else 0.5x
     "sample_mixture" -> ((s, dir) =>

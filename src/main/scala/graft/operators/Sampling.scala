@@ -94,6 +94,113 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget cap per stratum: keep documents in deterministic
+    * scrambled-hash order until the stratum's running token total reaches
+    * `budget` — per-domain quota drawing in TOKEN space, the unit training
+    * mixtures are actually specified in (doc-count quotas over-weight short
+    * documents). The doc that crosses the budget is the last one kept, so
+    * any non-empty stratum contributes at least one doc. Like the other
+    * samplers the draw order is a pure function of (seed, id) — replayable
+    * by the DuckDB oracle as a single windowed cumulative sum.
+    *
+    * Scale shape — a naive `sum() OVER (PARTITION BY stratum ORDER BY hash)`
+    * puts an ENTIRE stratum into one task (no WindowGroupLimit pruning for
+    * running sums, unlike [[fixedSizeSample]]'s rank filter), which dies on
+    * any billion-doc stratum. Instead the prefix sum is computed
+    * hierarchically, exactly: the hash's high bits split each stratum into
+    * 1024 order-preserving ranges; per-range token totals (a tiny
+    * `strata x 1024` aggregate) get an exclusive running-sum window and are
+    * broadcast-joined back as each range's base offset; the in-range
+    * cumulative sum then runs per (stratum, range) — 1024-way parallel, max
+    * task = stratum/1024. Two scans of the text column, three exchanges
+    * total, no driver-side state.
+    *
+    * Output: input columns + (n_tokens, cum_tokens) where `cum_tokens` is
+    * the inclusive running total in draw order.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budget: Long,
+      strataCol: String,
+      seed: String = "budget",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    // hv < 2^31, so hv >> 21 is an order-preserving range id in [0, 1024)
+    val perDoc = docs
+      .withColumn("__hv", h)
+      .withColumn("__rng", shiftright(col("__hv"), 21))
+      .withColumn("n_tokens", size(TextFunctions.tokens(col(textCol))).cast("long"))
+    val wRange = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__rng").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = perDoc
+      .groupBy(col(strataCol), col("__rng"))
+      .agg(sum(col("n_tokens")).as("__rtok"))
+      .withColumn("__base", coalesce(sum(col("__rtok")).over(wRange), lit(0L)))
+      .select(col(strataCol), col("__rng"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__rng"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perDoc
+      .join(broadcast(rangeBase), Seq(strataCol, "__rng"))
+      .withColumn("cum_tokens", col("__base") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
+      .drop("__hv", "__rng", "__base")
+  }
+
+  /** Deterministic global shuffle position: each doc's exact 1-based rank
+    * in scrambled-hash order — the "shuffle the corpus before packing"
+    * primitive that fixes a training order as a pure function of
+    * (seed, id). Reproducible across runs and engines (no RNG, no
+    * partition-order dependence), and a different seed is an independent
+    * permutation.
+    *
+    * Scale shape — the naive `row_number() OVER (ORDER BY hash)` funnels
+    * the whole corpus through ONE task. Exact global rank is instead
+    * computed hierarchically like [[tokenBudgetSample]]'s prefix sum: the
+    * hash's high bits are an order-preserving 1024-way range split, the
+    * per-range counts (a 1024-row aggregate) get an exclusive running-sum
+    * window and broadcast back as each range's rank base, and ranking runs
+    * per range — max task = corpus/1024 (and the range count could scale
+    * with the corpus; it is fixed here because the testdata never needs
+    * more). Same result as the flat window, never its single-task sort.
+    *
+    * Output: input columns + `position` (1-based, dense, unique).
+    */
+  def shufflePosition(
+      docs: DataFrame,
+      seed: String = "shuffle",
+      idCol: String = "doc_id"): DataFrame = {
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val perDoc = docs
+      .withColumn("__hv", h)
+      .withColumn("__rng", shiftright(col("__hv"), 21))
+    // 1024 rows: the empty-partition window is over the tiny range frame
+    // only, never the corpus
+    val wRange = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rng").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = perDoc
+      .groupBy(col("__rng"))
+      .agg(count(lit(1)).as("__rcnt"))
+      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+      .select(col("__rng"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rng"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    perDoc
+      .join(broadcast(rangeBase), Seq("__rng"))
+      .withColumn("position", col("__base") + row_number().over(wIn).cast("long"))
+      .drop("__hv", "__rng", "__base")
+  }
+
   /** Weighted mixture with UPSAMPLING: per-stratum weights may exceed 1.0
     * (e.g. 2.2 → every doc emitted twice, plus a third copy for a
     * deterministic 20% of docs). `copies = floor(w) + [bucket < frac(w)]`;

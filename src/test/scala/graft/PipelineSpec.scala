@@ -242,6 +242,71 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(strat("de").toDouble / langTotals("de") - 0.5) < 0.15)
   }
 
+  test("token-budget sample: hierarchical prefix == flat window, budget boundary exact") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2500L
+    val kept = Sampling.tokenBudgetSample(docs, budget, "lang")
+      .select("doc_id", "lang", "n_tokens", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kept.nonEmpty)
+    // oracle form: ONE flat cumulative-sum window per stratum (what the
+    // DuckDB oracle runs); the range-bucketed decomposition must be exact
+    val h = pmod(
+      graft.functions.TextFunctions.polyHash(concat(lit("budget:"), col("doc_id").cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val flat = docs
+      .withColumn("n_tokens", size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("__hv", h)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy(col("lang")).orderBy(col("__hv").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kept == flat, "hierarchical prefix sum must equal the flat window bit-for-bit")
+    // boundary: per stratum, the total either crosses the budget via its
+    // last draw (kept total >= budget, and removing the last doc goes back
+    // under) or the whole stratum fit inside it
+    val perLang = kept.values.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      val maxCum = rows.map(_._3).max
+      val lastTok = rows.filter(_._3 == maxCum).head._2
+      assert(maxCum - lastTok < budget, s"$lang: a doc past the budget was kept")
+      val stratumTotal = docs.filter(col("lang") === lang)
+        .select(sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+        .collect()(0).getLong(0)
+      assert(maxCum >= budget || maxCum == stratumTotal,
+        s"$lang: stopped at $maxCum before reaching budget $budget or stratum end $stratumTotal")
+    }
+    assert(perLang.keySet == docs.select("lang").distinct().collect().map(_.getString(0)).toSet,
+      "every non-empty stratum contributes at least one doc")
+  }
+
+  test("shuffle position: exact 1..n permutation, hierarchical == flat window, seed-dependent") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val pos = Sampling.shufflePosition(docs)
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(pos.size == n && pos.values.toSet == (1L to n).toSet,
+      "positions must be a dense 1..n permutation")
+    val h = pmod(
+      graft.functions.TextFunctions.polyHash(concat(lit("shuffle:"), col("doc_id").cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val flat = docs.withColumn("__hv", h)
+      .withColumn("position", row_number().over(Window.orderBy(col("__hv").asc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos == flat, "hierarchical rank must equal the flat global window")
+    val other = Sampling.shufflePosition(docs, seed = "other")
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != pos, "a different seed must draw a different permutation")
+    assert(other.values.toSet == (1L to n).toSet)
+  }
+
   test("pii redaction: all three pattern types replaced and counted, clean text untouched") {
     import spark.implicits._
     val fix = Seq(

@@ -130,6 +130,40 @@ class RocksDBStreamSpec extends SparkTestBase {
     }
   }
 
+  test("token-budget gate on RocksDB: 3 micro-batches == replay fold, strata close") {
+    withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.{BudgetAdmission, BudgetDoc}
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      var consumed = Map.empty[String, Long]
+      val expected = (0 until 3).flatMap { e =>
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val adm = BudgetAdmission.admitBatch(consumed, batch, 2000L, "lang").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        consumed = consumed ++ adm.groupBy(_._2._1).map { case (s, rs) => s -> rs.map(_._2._3).max }
+        adm
+      }.toMap
+
+      val events = BudgetAdmission.withTokens(corpus, "lang").collect()
+      val stream = MemoryStream[BudgetDoc]
+      val q = BudgetAdmission.admit(stream.toDS(), 2000L).writeStream
+        .format("memory").queryName("rocks_budget_out").outputMode("append").start()
+      try {
+        (0 until 3).foreach { e =>
+          stream.addData(events.filter(_.doc_id % 3 == e).toIndexedSeq)
+          q.processAllAvailable()
+        }
+        assertRocksServed(q)
+      } finally q.stop()
+      val streamed = spark.table("rocks_budget_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.nonEmpty && streamed == expected,
+        "rocksdb-backed budget gate must equal the batch replay fold")
+    }
+  }
+
   test("renko 3-batch replay on RocksDB == default-provider replay, bit-exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
