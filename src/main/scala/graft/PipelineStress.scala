@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Decontamination, Dedup, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, IvfIndex, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,6 +177,17 @@ object PipelineStress {
     // its source by ONE word, which invalidates at most 8 of its 53 8-gram
     // positions — dup_frac >= 45/53 ~ 0.849 for every planted doc.
     t("chunk_32_24", nDocs)(Chunking.chunk(docs).count())
+    // hierarchical exact prefix/rank samplers: the point at scale is that
+    // neither ever sees a one-task-per-stratum window — the strata here are
+    // 5 languages over the full 200k corpus (40k docs/stratum), the regime
+    // where the flat window would serialize
+    val docsLangSample = docs.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(5L)).cast("string")))
+    t("sample_token_budget", nDocs)(
+      Sampling.tokenBudgetSample(docsLangSample, budget = 500000L, strataCol = "lang").count())
+    val shufPos = t("sample_shuffle_order", nDocs)(
+      Sampling.shufflePosition(docs).agg(max(col("position"))).collect()(0).getLong(0))
+    assert(shufPos == nDocs, s"shuffle position must rank every doc exactly once, got max $shufPos")
     t("sample_mixture", nDocs)(Sampling.mixtureSample(docs,
       "text", Map.empty, defaultWeight = 1.3).count()) // no strata col in synth docs: flat 1.3x
     t("bm25_topk", nDocs)(Search.bm25TopK(docs, Seq("w42", "w7", "m13"), 20).count())
@@ -216,6 +227,43 @@ object PipelineStress {
     val keepPrio = pmod(col("doc_id"), lit(4L)).cast("int")
     t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
       docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())
+
+    // round-6 composed operators at scale — still inside the doc-corpus
+    // section (before the event arms pin their checkpoint blocks).
+    // curate_e2e chains annotate → decontaminate → LSH dedup → mixture
+    // over the 200k corpus; the planted pairs give the end-to-end check:
+    // no verified near-dup pair may survive curation together.
+    val docsLang = docs.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(5L)).cast("string")))
+    var curated: Array[Long] = Array.empty
+    t("curate_e2e", nDocs) {
+      curated = Curation.curate(
+        docsLang.filter(col("doc_id") % 97 =!= 0), docsLang.filter(col("doc_id") % 97 === 0),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("l0" -> 0.9, "l1" -> 0.5), defaultFrac = 0.4)
+        .select("doc_id").collect().map(_.getLong(0))
+      curated.length.toLong
+    }
+    val curatedSet = curated.toSet
+    val bothKept = pairs.count { case (a, b) => curatedSet.contains(a) && curatedSet.contains(b) }
+    assert(bothKept == 0, s"curate kept $bothKept verified near-dup pairs intact")
+
+    // persisted IVF index: build once, then the probe that reads only its
+    // nprobe'd lists — asserted identical to the in-plan operator
+    val ivfPath = java.nio.file.Files.createTempDirectory("pstress_ivf").toString
+    t("ivf_index_write", nVecs) { IvfIndex.write(vecs, ivfPath, nlist = 64, filesPerList = 2); nVecs }
+    t("ivf_index_probe", nVecs)(IvfIndex.probe(spark, ivfPath, queries, 5, nprobe = 8).count())
+    val viaIndex = IvfIndex.probe(spark, ivfPath, queries, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inPlan = Similarity.ivfTopK(vecs, queries, 5, nlist = 64, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == inPlan, "indexed probe must equal the in-plan IVF operator at scale")
+
+    // snapshot diff over two overlapping 200k cuts (scan-local projections
+    // + one full-outer join)
+    val docsSrc = docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))
+    t("corpus_diff", nDocs)(CorpusDiff.report(
+      docsSrc.filter(col("doc_id") % 10 =!= 3), docsSrc.filter(col("doc_id") % 7 =!= 2)).count())
 
     // time-series join operators at 10M events over 10k keys — the scale
     // question for both is whether they stay ONE shuffle + sort (asof) /

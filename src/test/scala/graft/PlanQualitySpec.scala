@@ -16,6 +16,10 @@ class PlanQualitySpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.01"
 
   private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    // ReadSchema pins inspect the FILE scan: another suite caching the same
+    // parquet in this shared session would substitute its (unpruned)
+    // InMemoryRelation here and fail the pin on ordering, not substance
+    spark.catalog.clearCache()
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
     out.toString
