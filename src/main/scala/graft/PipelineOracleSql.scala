@@ -399,6 +399,73 @@ object PipelineOracleSql {
        |SELECT DISTINCT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** Quantized-index probe (mirrors `IvfIndex.writeQuantized` +
+    * `probeQuantized`, nlist=16 nprobe=4 k=5 candFactor=4): the ivfTopK
+    * assignment/probe CTEs select each query's lists, the sim_topk_quantized
+    * CTEs quantize, candidates are the int8-cosine top-20 WITHIN the probed
+    * lists, and the exact rerank keeps the top-5. All candidate arithmetic
+    * is integer-valued, so the cut replays exactly.
+    */
+  def ivfTopKSq8: String =
+    s"""WITH n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c WHERE n.id < 10)
+       |  WHERE crank <= 4
+       |), mx AS (
+       |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |  FROM embeddings),
+       |q8 AS (
+       |  SELECT e.vec_id,
+       |    list_transform(e.embedding, x -> GREATEST(-127, LEAST(127,
+       |      CAST(floor(CAST(x AS DOUBLE) /
+       |        (CASE WHEN mx.m = 0 THEN 1.0 ELSE mx.m / 127.0 END) + 0.5) AS BIGINT)))) AS qv
+       |  FROM embeddings e JOIN mx ON mx.vec_id = e.vec_id),
+       |qn AS (
+       |  SELECT vec_id, qv,
+       |    sqrt(CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |      i -> qv[i] * qv[i])) AS DOUBLE)) AS qnrm
+       |  FROM q8),
+       |qs AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qq.qv)+1),
+       |      i -> qq.qv[i] * qc.qv[i])) AS DOUBLE) / (qq.qnrm * qc.qnrm) AS qcos
+       |  FROM qa q JOIN ca c ON c.cid = q.cid AND c.id != q.id
+       |  JOIN qn qq ON qq.vec_id = q.id JOIN qn qc ON qc.vec_id = c.id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS qr
+       |    FROM qs) WHERE qr <= 20),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM cand JOIN n q ON q.id = cand.query_id JOIN n c ON c.id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM s)
+       |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** Frame sampling metadata over the text-as-bytes payload (ASCII corpus:
     * byte == char): frameLen=32, stride=64, maxFrames=8.
     */
@@ -894,6 +961,7 @@ object PipelineOracleSql {
     "sim_topk_ivf" -> ivfTopK,
     // the persisted index is bit-transparent: same result, same oracle
     "sim_topk_ivf_indexed" -> ivfTopK,
+    "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,
     "text_chunk" -> textChunk,

@@ -259,6 +259,16 @@ object PipelineStress {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaIndex == inPlan, "indexed probe must equal the in-plan IVF operator at scale")
 
+    // quantized index: int8 candidate scan + exact rerank; with an
+    // exhaustive candidate cut the output must equal the exact probe
+    val sq8Path = java.nio.file.Files.createTempDirectory("pstress_sq8").toString
+    t("ivf_sq8_write", nVecs) { IvfIndex.writeQuantized(vecs, sq8Path, nlist = 64, filesPerList = 2); nVecs }
+    t("ivf_sq8_probe", nVecs)(
+      IvfIndex.probeQuantized(spark, sq8Path, queries, 5, nprobe = 8, candFactor = 4).count())
+    val sq8Wide = IvfIndex.probeQuantized(spark, sq8Path, queries, 5, nprobe = 8, candFactor = 100000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sq8Wide == viaIndex, "exhaustive-cut quantized probe must equal the exact probe at scale")
+
     // snapshot diff over two overlapping 200k cuts (scan-local projections
     // + one full-outer join)
     val docsSrc = docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))

@@ -505,6 +505,17 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the quantized index: int8 inverted lists for the candidate scan (4x
+    // fewer hot bytes), exact float rerank of candFactor*k candidates —
+    // SQ8-and-refine; the oracle replays assignment, quantization, the
+    // in-list candidate cut, and the rerank
+    "sim_topk_ivf_sq8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writeQuantized(emb, path)
+      IvfIndex.probeQuantized(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // --- text analysis
     "text_quality" -> ((s, dir) =>

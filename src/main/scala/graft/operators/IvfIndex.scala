@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A PERSISTED IVF index over an embedding column: the write-once /
@@ -60,6 +60,102 @@ object IvfIndex {
       if (filesPerList <= 1) assigned.repartition(col("cid"))
       else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Build a QUANTIZED index: like [[write]], but each inverted list also
+    * carries the vector's symmetric-int8 form ([[Similarity.quantize]] —
+    * `qvec`, its `scale`, and the precomputed quantized norm `qnrm`)
+    * alongside the exact float columns. A [[probeQuantized]] candidate scan
+    * then reads ONLY (id, qvec, qnrm) of the probed lists — int8 lanes are
+    * 4x fewer bytes than float32, the standard memory-ladder rung before
+    * PQ — and parquet column pruning keeps the exact `v` pages untouched
+    * until the per-query rerank. One corpus scan, one partitioned write,
+    * same layout/skew dials as [[write]].
+    */
+  def writeQuantized(
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerList: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.collectCentroids(emb, nlist, idCol, vecCol)
+    cents.toSeq.toDF("cid", "cv", "cnrm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val q = Similarity.quantize(emb, idCol, vecCol)
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .join(q.select(col("id"), col("scale"), col("qvec"),
+        l2Norm(col("qvec")).as("qnrm")), Seq("id"))
+      .withColumn("cid", Similarity.centroidAssignExpr(cents))
+    val clustered =
+      if (filesPerList <= 1) assigned.repartition(col("cid"))
+      else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+    clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe a quantized index ([[writeQuantized]]): rank each probed list's
+    * members by int8-dot cosine (per-vector scales cancel), keep
+    * `candFactor * k` candidates per query, then exact-rescore only the
+    * candidates against the float vectors — the SQ8-and-refine serving
+    * pattern. Scores in the output are EXACT cosines (round 9), ties by
+    * neighbor_id; recall vs [[probe]] < 1 only where the int8 preselect
+    * reorders past the candidate cut. Both scans are partition-pruned to
+    * the probed cids; the candidate scan reads no float vector pages.
+    * Output: (query_id, rank, neighbor_id, cos_sim).
+    */
+  def probeQuantized(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      candFactor: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Array[(Long, Array[Double], Double)] =
+      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
+    val qq = Similarity.quantize(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("qvec").as("qq"),
+        l2Norm(col("qvec")).as("qqn"))
+    // quantized probe side: (query_id, quantized query, its probed cids)
+    val qsq = qs.select(col("query_id"), col("cid"))
+      .join(qq, Seq("query_id"))
+    val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    def lists(cols: Column*): DataFrame =
+      spark.read.parquet(s"$path/lists")
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isin(probed.toIndexedSeq: _*))
+        .select(cols: _*)
+    val qscored = lists(col("id").as("neighbor_id"), col("qvec").as("qv"),
+        col("qnrm").as("qnv"), col("cid"))
+      .join(broadcast(qsq), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        try_divide(dot(col("qq"), col("qv")), col("qqn") * col("qnv")).as("qcos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val candidates = qscored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"))
+    val rescored = broadcast(candidates)
+      .join(lists(col("id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(fq), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
   /** Probe the index: exact cosine top-k of each query over its `nprobe`

@@ -68,6 +68,40 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == rows(direct))
   }
 
+  test("quantized probe: wide candFactor == exact probe; narrow cut stays high-recall; pruned scans") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-sq8").toString
+    IvfIndex.writeQuantized(emb, path, nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+
+    // candFactor wide enough to keep every probed member => the rerank sees
+    // the same candidate set as the exact probe: bit-identical output
+    IvfIndex.write(emb, s"$path-exact", nlist = 16)
+    val wide = IvfIndex.probeQuantized(spark, path, queries, k = 5, nprobe = 4, candFactor = 1000)
+    val probe = IvfIndex.probe(spark, s"$path-exact", queries, k = 5, nprobe = 4)
+    assert(rows(wide) == rows(probe),
+      "an exhaustive candidate cut must make the quantized probe exact")
+
+    // the serving cut (candFactor=4): int8 preselect keeps recall@5 high
+    val narrow = IvfIndex.probeQuantized(spark, path, queries, k = 5, nprobe = 4, candFactor = 4)
+    val exactSets = rows(probe).groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val narrowSets = rows(narrow).groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exactSets.map { case (q, e) =>
+      e.intersect(narrowSets.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"int8 preselect recall@5 ${recalls.sum / recalls.size}")
+
+    // both stages stay partition-pruned to the probed lists
+    narrow.collect()
+    val scan = listsScan(narrow.queryExecution.executedPlan)
+      .getOrElse(fail("no lists scan in quantized probe plan"))
+    assert(scan.partitionFilters.nonEmpty, "quantized probe must keep the cid partition filter")
+  }
+
   test("probe with nprobe = nlist scans every list and matches brute force (filesPerList > 1)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") >= 490)
