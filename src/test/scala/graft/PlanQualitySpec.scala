@@ -82,6 +82,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"diff scans must be pruned to (doc_id, source, text): $reads")
   }
 
+  test("hierarchical samplers: pruned scans, broadcast range-base join, no cartesian") {
+    for (name <- Seq("sample_token_budget", "sample_shuffle_order")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the range-base join must stay an equi join")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name: the tiny range-base frame must broadcast, never shuffle the corpus side")
+      // the corpus window partitions by the range id — a flat single-task
+      // global window would show an empty partition spec over the corpus
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), name)
+    }
+    // token budget reads (doc_id, lang, text) only; shuffle order never text
+    val tb = formatted(SparkEntry.queries("sample_token_budget")(spark, sf))
+    tb.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("source") && !l.contains("n_chars"),
+        s"sample_token_budget scan not pruned: $l")
+    }
+    val so = formatted(SparkEntry.queries("sample_shuffle_order")(spark, sf))
+    so.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text"), s"sample_shuffle_order must not read text: $l")
+    }
+  }
+
   test("renko fromSortedTicks plans with zero exchanges") {
     val ticks = spark.read.parquet(s"$sf/events.parquet")
       .select(col("ts").as("datetime"), col("value").as("close"))
