@@ -111,7 +111,8 @@ object Bench {
       "pipeline_curate" -> q("pipeline_curate"),
       "corpus_diff" -> q("corpus_diff"),
       "sample_token_budget" -> q("sample_token_budget"),
-      "sample_shuffle_order" -> q("sample_shuffle_order")
+      "sample_shuffle_order" -> q("sample_shuffle_order"),
+      "text_lm_score" -> q("text_lm_score")
     )
   }
 

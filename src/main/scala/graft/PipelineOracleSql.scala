@@ -921,6 +921,36 @@ object PipelineOracleSql {
       |SELECT doc_id, stratum, n_tokens, cum_tokens, epoch
       |FROM c WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin
 
+  /** Bigram LM score (mirrors `TextAnalysis.lmScore`): add-one-smoothed
+    * corpus bigram log-likelihood per doc, each ln quantized to integer
+    * micro-units with the engine-stable floor(x*1e6 + 0.5) before the sum.
+    */
+  def lmScore: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, $Tok AS w FROM documents
+      |), uni AS (
+      |  SELECT tok, count(*) AS u FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+      |), vocab AS (SELECT count(*) AS v FROM uni),
+      |bg AS (
+      |  SELECT doc_id, w[CAST(i AS INT)] AS w1,
+      |    w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] AS b
+      |  FROM t, unnest(range(1, len(w))) AS s(i)
+      |  WHERE len(w) >= 2
+      |), bc AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+      |lp AS (
+      |  SELECT bg.doc_id,
+      |    CAST(floor(ln(CAST(bc.c + 1 AS DOUBLE) / CAST(uni.u + vocab.v AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT) AS lpq
+      |  FROM bg JOIN bc USING (b) JOIN uni ON uni.tok = bg.w1 CROSS JOIN vocab
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(lpq) AS BIGINT) AS s
+      |  FROM lp GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |  round(CAST(agg.s AS DOUBLE) / (CAST(agg.n_bigrams AS DOUBLE) * 1000000), 9) AS avg_logp
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Exact length quantiles per source (mirrors
     * `TextAnalysis.lengthQuantiles`): quantile_cont == Spark's exact
     * percentile (order statistics + linear interpolation).
@@ -983,6 +1013,7 @@ object PipelineOracleSql {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,
     "sample_budget_stream" -> sampleBudgetStream,
+    "text_lm_score" -> lmScore,
     "text_length_quantiles" -> lengthQuantiles,
     "text_top_terms" -> topTerms)
 }

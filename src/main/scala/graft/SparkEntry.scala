@@ -544,6 +544,12 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("source"))),
+    // perplexity-proxy filter: avg add-one bigram log-likelihood under the
+    // corpus's own statistics; integer-quantized log terms make the score
+    // bit-stable under any partitioning
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy(col("source"), col("rank"))),

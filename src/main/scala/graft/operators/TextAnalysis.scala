@@ -509,4 +509,65 @@ object TextAnalysis {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_docs"))
       .select(col("fingerprint"), col("doc_id"), col("n_docs"))
+
+  /** Corpus-conditional bigram LM score — the perplexity-proxy quality
+    * filter (score each document by the average add-one-smoothed bigram
+    * log-likelihood under the corpus's own statistics; unusually low means
+    * degenerate or out-of-distribution text): per bigram (w1, w2),
+    * `P = (B(w1 w2) + 1) / (U(w1) + V)` with B = corpus bigram count,
+    * U = corpus unigram count, V = vocabulary size.
+    *
+    * Numerics contract: each bigram's ln P is quantized to integer
+    * micro-units via the engine-stable `floor(x * 1e6 + 0.5)` (the
+    * [[Similarity.quantize]] rounding trick) BEFORE summing, so the per-doc
+    * sum is exact integer arithmetic — order-independent under any
+    * partitioning and bit-replicable by the DuckDB oracle. The final
+    * average divides two exact integers in double.
+    *
+    * Scale shape: bigram extraction is scan-local (a zip of the token array
+    * with its own tail — no self-join on position); the corpus statistics
+    * are two partial-agg'd aggregates; scoring is one shuffle equi-join on
+    * the bigram plus one on w1 (AQE handles hot-token skew); the vocabulary
+    * size broadcasts as a 1-row frame, never a driver action.
+    *
+    * Output: (doc_id, n_bigrams, avg_logp) — avg_logp NULL for docs with
+    * fewer than two tokens, which every engine orders consistently.
+    */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("u"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = toks
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+    // bc derives from the same lineage as `big`; the renamed join key keeps
+    // the self-join unambiguous (fresh exprId) rather than leaning on
+    // using-column resolution
+    val bc = big.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumnRenamed("b", "bc_b")
+    val lp = big
+      .join(bc, col("b") === col("bc_b"))
+      .join(uni, col("w1") === col("tok"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c") + lit(1L)).cast("double") / (col("u") + col("v")).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("lpq"))
+    val agg = lp.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpq")).as("s"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("s").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)), 9).as("avg_logp"))
+  }
 }

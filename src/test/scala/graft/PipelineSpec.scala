@@ -307,6 +307,24 @@ class PipelineSpec extends SparkTestBase {
     assert(other.values.toSet == (1L to n).toSet)
   }
 
+  test("lm score: hand-computed add-one bigram log-likelihoods, empty doc NULL") {
+    import spark.implicits._
+    // tokens("") = [""] (the repo-wide convention: an empty doc has ONE
+    // empty token), so the corpus vocabulary is {a, b, ""}: V=3, unigrams
+    // a:3 b:2 "":1; bigrams "a b":2, "b a":1
+    // P(a b) = (2+1)/(3+3) = 0.5, P(b a) = (1+1)/(2+3) = 0.4
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val lpAB = math.floor(math.log(3.0 / 6.0) * 1e6 + 0.5).toLong // -693147
+    val lpBA = math.floor(math.log(2.0 / 5.0) * 1e6 + 0.5).toLong // -916291
+    assert(lpAB == -693147L && lpBA == -916291L, s"quantized terms $lpAB $lpBA")
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, Some(r9((lpAB + lpBA).toDouble / 2e6)))))
+    assert(got(2L) == ((1L, Some(r9(lpAB.toDouble / 1e6)))))
+    assert(got(3L) == ((0L, None)), "a sub-2-token doc scores NULL, not an error")
+  }
+
   test("pii redaction: all three pattern types replaced and counted, clean text untouched") {
     import spark.implicits._
     val fix = Seq(
