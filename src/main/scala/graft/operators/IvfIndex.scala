@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** `nlist = 0` on the builders means auto: the sqrt(n) heuristic the
+    * layout notes describe (each list ~sqrt(n) vectors keeps both
+    * directories-per-table and probe cost balanced as the corpus grows),
+    * clamped to [16, 4096] and costed by ONE count job at build time —
+    * the same auto-switch convention as `Dedup.ngramJaccardPairs` and
+    * `simhashPairs`.
+    */
+  private def resolveNlist(emb: DataFrame, nlist: Int): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    if (nlist > 0) nlist
+    else math.min(4096, math.max(16, math.sqrt(emb.count().toDouble).toInt))
+  }
+
   /** Build the index at `path` (overwrites). One scan + one partitioned
     * write. `filesPerList` is the skew/parallelism dial: 1 (default)
     * clusters each inverted list into a single writer task — one file per
@@ -39,6 +52,7 @@ object IvfIndex {
     * `filesPerList` tasks/files, bounding both task size AND file count —
     * `repartition(cid)` alone writes a 100 GB list single-threaded, while
     * an unpartitioned write emits one file per input-task × cid).
+    * `nlist = 0` selects the sqrt(n) auto heuristic ([[resolveNlist]]).
     */
   def write(
       emb: DataFrame,
@@ -49,7 +63,7 @@ object IvfIndex {
       filesPerList: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = Similarity.collectCentroids(emb, nlist, idCol, vecCol)
+    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -81,7 +95,7 @@ object IvfIndex {
       filesPerList: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = Similarity.collectCentroids(emb, nlist, idCol, vecCol)
+    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")

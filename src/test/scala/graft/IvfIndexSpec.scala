@@ -102,6 +102,23 @@ class IvfIndexSpec extends SparkTestBase {
     assert(scan.partitionFilters.nonEmpty, "quantized probe must keep the cid partition filter")
   }
 
+  test("nlist = 0 auto-sizes to clamp(sqrt(n), 16, 4096); probes still exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-auto").toString
+    IvfIndex.write(emb, path, nlist = 0)
+    // 500 vectors -> sqrt = 22
+    val dirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(dirs.size <= 22 && dirs.size > 16,
+      s"auto nlist for 500 vectors should centroid at 22, got ${dirs.size} lists")
+    val auto = IvfIndex.probe(spark, path, queries, k = 3, nprobe = 4)
+    val direct = Similarity.ivfTopK(emb, queries, k = 3, nlist = 22, nprobe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(rows(auto) == rows(direct), "auto-sized index must equal ivfTopK at the chosen nlist")
+  }
+
   test("probe with nprobe = nlist scans every list and matches brute force (filesPerList > 1)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") >= 490)
