@@ -112,7 +112,8 @@ object Bench {
       "corpus_diff" -> q("corpus_diff"),
       "sample_token_budget" -> q("sample_token_budget"),
       "sample_shuffle_order" -> q("sample_shuffle_order"),
-      "text_lm_score" -> q("text_lm_score")
+      "text_lm_score" -> q("text_lm_score"),
+      "pipeline_curate_budget" -> q("pipeline_curate_budget")
     )
   }
 

@@ -226,6 +226,34 @@ object PipelineOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The curation chain plus the final token quota (mirrors
+    * `Curation.curate(tokenBudget = Some(1500))`): the whole
+    * [[pipelineCurate]] query becomes one CTE, then the budget stage is
+    * the same windowed cumulative sum `sample_token_budget` uses (seed
+    * 'budget', over the chain's ALREADY-annotated n_tokens).
+    */
+  def pipelineCurateBudget: String = {
+    val budgetHash =
+      """((list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, strlen('budget:' || CAST(doc_id AS VARCHAR)) + 1),
+        |        i -> CAST(ascii(substr('budget:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 2147483647)
+        |      * 2654435761 + 12345) % 2147483647)""".stripMargin
+    s"""WITH samp AS (
+       |$pipelineCurate
+       |), bh AS (
+       |  SELECT doc_id, lang, pred_lang, n_tokens, quality_score,
+       |    $budgetHash AS hv
+       |  FROM samp
+       |), bcum AS (
+       |  SELECT doc_id, lang, pred_lang, n_tokens, quality_score,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM bh)
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score, cum_tokens
+       |FROM bcum WHERE cum_tokens - n_tokens < 1500 ORDER BY doc_id""".stripMargin
+  }
+
   /** Snapshot-delta report (mirrors `CorpusDiff.report` over the
     * corpus_diff query's two overlapping cuts).
     */
@@ -1005,6 +1033,7 @@ object PipelineOracleSql {
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_budget" -> pipelineCurateBudget,
     "corpus_diff" -> corpusDiff,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,

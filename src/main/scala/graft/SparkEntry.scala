@@ -737,6 +737,18 @@ object SparkEntry {
         langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
+    // the same chain with the final token-space quota: stop each language
+    // at 1500 tokens of post-curation survivors (the training-run cut);
+    // the oracle appends the budget window to the staged curate CTEs
+    "pipeline_curate_budget" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curate(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4,
+        tokenBudget = Some(1500L))
+        .orderBy(col("doc_id"))
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprintGroups(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("fingerprint"))),

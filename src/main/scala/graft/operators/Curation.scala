@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   *      last so it sees only clean survivors);
   *   4. mixture sampling: deterministic per-language keep rates, a pure
   *      function of (seed, doc_id) ([[Sampling.stratifiedSample]]) — no
-  *      RNG, so the drawn corpus is reproducible run-over-run.
+  *      RNG, so the drawn corpus is reproducible run-over-run;
+  *   5. (optional, `tokenBudget`) token-space quota: cap each language at
+  *      N tokens in deterministic hash order
+  *      ([[Sampling.tokenBudgetSample]] over the ALREADY-annotated
+  *      n_tokens — no second tokenize pass), the final "stop at the token
+  *      count the training run needs" cut.
   *
   * Output: one curation record per kept document —
-  * (doc_id, `langCol`, pred_lang, n_tokens, quality_score).
+  * (doc_id, `langCol`, pred_lang, n_tokens, quality_score), plus
+  * `cum_tokens` (the stratum's running token total in draw order) when
+  * `tokenBudget` is set.
   */
 object Curation {
 
@@ -39,7 +46,8 @@ object Curation {
       dedupThreshold: Double = 0.8,
       langCol: String = "lang",
       seed: String = "graft",
-      bloomGrams: Option[Long] = None): DataFrame = {
+      bloomGrams: Option[Long] = None,
+      tokenBudget: Option[Long] = None): DataFrame = {
     // 1: one annotate pass — langId over quality's output keeps both stages
     // in a single scan-stage projection (no join of two derivations)
     val annotated = TextAnalysis.langId(
@@ -66,7 +74,14 @@ object Curation {
     val sampled =
       if (langFracs.isEmpty) deduped
       else Sampling.stratifiedSample(deduped, langCol, langFracs, defaultFrac, seed)
-    sampled.select(col("doc_id"), col(langCol), col("pred_lang"),
+    val base = sampled.select(col("doc_id"), col(langCol), col("pred_lang"),
       col("n_tokens"), col("quality_score"))
+    // 5: token quota over the annotated counts (hierarchical exact prefix —
+    // never a one-task-per-language window)
+    tokenBudget match {
+      case Some(b) =>
+        Sampling.tokenBudgetSample(base, b, langCol, tokensCol = Some("n_tokens"))
+      case None => base
+    }
   }
 }

@@ -124,16 +124,22 @@ object Sampling {
       strataCol: String,
       seed: String = "budget",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokensCol: Option[String] = None): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     val h = pmod(
       TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
         * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    // token counts come from `tokensCol` when the pipeline already
+    // annotated them (the curation chain does — no second tokenize pass),
+    // otherwise from the standard whitespace count over `textCol`
+    val nTok = tokensCol.map(tc => col(tc).cast("long"))
+      .getOrElse(size(TextFunctions.tokens(col(textCol))).cast("long"))
     // hv < 2^31, so hv >> 21 is an order-preserving range id in [0, 1024)
     val perDoc = docs
       .withColumn("__hv", h)
       .withColumn("__rng", shiftright(col("__hv"), 21))
-      .withColumn("n_tokens", size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("n_tokens", nTok)
     val wRange = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(col("__rng").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

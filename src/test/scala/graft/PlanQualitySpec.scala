@@ -60,16 +60,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p4.contains("BroadcastHashJoin"), "q4 should broadcast dims")
   }
 
-  test("pipeline_curate: no cartesian product, no UDFs, pruned documents scan") {
-    val plan = formatted(SparkEntry.queries("pipeline_curate")(spark, sf))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "the composed pipeline must stay equi-join only")
-    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
-      "every stage must stay a codegen'd expression")
-    // the documents scans feed (doc_id, text, lang/source filters) — the
-    // wide embedding-adjacent columns must never be read
-    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
-      assert(!l.contains("embedding"), s"unexpected column in curate scan: $l")
+  test("pipeline_curate (+budget variant): no cartesian product, no UDFs, pruned documents scan") {
+    for (name <- Seq("pipeline_curate", "pipeline_curate_budget")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the composed pipeline must stay equi-join only")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name: every stage must stay a codegen'd expression")
+      // the documents scans feed (doc_id, text, lang/source filters) — the
+      // wide embedding-adjacent columns must never be read
+      plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+        assert(!l.contains("embedding"), s"$name: unexpected column in curate scan: $l")
+      }
     }
   }
 
