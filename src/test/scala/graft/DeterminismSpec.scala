@@ -18,7 +18,13 @@ class DeterminismSpec extends SparkTestBase {
         // argmax over (prio, -id), and the bloom-prefiltered report
         "search_hybrid_rrf", "q19_salted_join", "dedup_incremental",
         "dedup_keepers", "text_decontaminate_bloom", "corpus_report",
-        "mm_similar_media")) {
+        "mm_similar_media",
+        // round-6: the hierarchical prefix/rank samplers (the range
+        // decomposition must not depend on how ranges land on reducers)
+        // and the LM score (integer-quantized log terms — THE query a
+        // naive float sum would pass at one parallelism and fail at
+        // another)
+        "sample_token_budget", "sample_shuffle_order", "text_lm_score")) {
       def run(parts: String): Array[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         // Double.toString is the shortest round-trip representation, so any
