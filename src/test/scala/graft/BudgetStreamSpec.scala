@@ -50,6 +50,64 @@ class BudgetStreamSpec extends SparkTestBase {
     }
   }
 
+  test("checkpointed file stream survives a RESTART: consumed counters recovered, no dup/gap") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-budget-restart").toFile
+    val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val outDir = new java.io.File(root, "out").getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+
+    // three doc_id-ordered slices — each file is one micro-batch, so the
+    // admission order is (slice, doc_id): the same order the replay folds
+    val all = corpus.orderBy("doc_id").collect()
+    val third = all.length / 3
+    val slices = Seq(all.slice(0, third), all.slice(third, 2 * third), all.slice(2 * third, all.length))
+    def writeChunk(name: String, rows: Array[org.apache.spark.sql.Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      val q = BudgetAdmission.admit(BudgetAdmission.withTokens(src, "lang"), budget)
+        .toDF().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeChunk("c1", slices(0))
+    runOnce() // phase 1: first slice consumes part of each stratum's budget
+    writeChunk("c2", slices(1))
+    writeChunk("c3", slices(2))
+    runOnce() // phase 2: the RESTART must recover consumed counters from state
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+    assert(got.map(_._1).distinct.length == got.length, "a doc was admitted twice across the restart")
+
+    // expected: the same three slices folded through the relational form
+    var consumed = Map.empty[String, Long]
+    val expected = slices.flatMap { sl =>
+      val batch = spark.createDataFrame(
+        spark.sparkContext.parallelize(sl.toIndexedSeq, 4), schema)
+      val adm = BudgetAdmission.admitBatch(consumed, batch, budget, "lang").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      consumed = consumed ++ adm.groupBy(_._2._1).map { case (s, rs) => s -> rs.map(_._2._3).max }
+      adm
+    }.toMap
+    assert(got.toMap == expected,
+      "restarted stream must equal the uninterrupted replay fold (lost or reset counters otherwise)")
+    // the restart must matter: phase 1 cannot have satisfied every stratum
+    val phase1Strata = expected.collect { case (id, (s, _, _)) if id < all(third).getLong(0) => s }
+    assert(expected.exists { case (id, _) => id >= all(third).getLong(0) },
+      s"fixture too small: no admissions after the restart (phase-1 strata: ${phase1Strata.toSet})")
+  }
+
   test("MemoryStream in 3 micro-batches == replay fold; strata close across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
