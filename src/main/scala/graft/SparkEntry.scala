@@ -328,7 +328,7 @@ object SparkEntry {
       s.read.parquet(s"$dir/events.parquet")
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
           floor(col("value") * lit(1000)).cast("long").as("mv"))
-        .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+        .groupBy((col("k") % lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("mv")).as("sum_mv"))
         .orderBy(col("k_bucket"))),
     "q12_series_compare" -> ((s, dir) => {
@@ -981,7 +981,7 @@ object SparkEntry {
     "q21_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |  count(*) AS n,
-        |  sum(CAST(floor(value * 1000) AS BIGINT)) AS sum_mv
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q12_series_compare" ->
       """WITH l AS (

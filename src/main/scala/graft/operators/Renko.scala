@@ -495,6 +495,18 @@ object Renko {
       .sortWithinPartitions(col("symbol"), col("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // same phase log as the single-series scan: Bench embeds these in its
+    // self-diagnosis JSON, so this path's reps carry their cause too
+    val debug = sys.env.contains("GRAFT_SCAN_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = {
+      val now = System.nanoTime()
+      val sec = (now - tMark) / 1e9
+      phaseLog.add(phase -> sec)
+      if (debug) System.err.println(f"[scan-debug] $phase%-18s $sec%7.3f s")
+      tMark = now
+    }
+
     // job 1: per-partition, per same-symbol run: own replay from a fresh
     // anchor → (prefix ticks, per-tick emission snapshots, exit state)
     val summaries = ticks.as[Tick].rdd
@@ -538,6 +550,7 @@ object Renko {
       }
       .collect()
       .sortBy(_.pidx)
+    mark("job1 sort+summar")
 
     // driver: group runs per symbol (runs arrive in partition order; range
     // partitioning on (symbol, t) keeps each symbol's runs consecutive) and
@@ -594,6 +607,7 @@ object Renko {
         offset += s.nTicks
       }
     }
+    mark("driver stitch")
     if (fellBack) {
       ticks.unpersist(blocking = true)
       return (fromTicks(df, brickSize, Some(symbolCol), datetimeCol, closeCol, tsUnit, dropFirst),
@@ -649,6 +663,7 @@ object Renko {
     val suffixDf = spark.createDataFrame(suffixRdd)
     // same eager-materialization rationale as the single-series scan
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all
     else {

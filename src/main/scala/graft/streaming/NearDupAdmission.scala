@@ -170,15 +170,20 @@ object NearDupAdmission {
     * No recompute: bucket rows are unioned from the existing snapshots,
     * never re-derived from text — compaction is pure IO.
     *
-    * Crash contract: the consolidated epoch commits under the same
-    * double-`_SUCCESS` rule as any epoch, and additionally carries a
-    * `_MERGED` manifest naming the epochs it replaced; [[readStore]]
-    * excludes manifest-listed epochs, so a crash AFTER the commit but
-    * mid-sweep leaves stale directories that are invisible (and swept by
-    * the next compaction) rather than duplicated. A crash BEFORE the
-    * commit leaves an uncommitted epoch that is ignored wholesale. Run it
-    * between triggers or with the stream stopped — the decision loop and
-    * the sweep must not race over the same directories.
+    * Crash contract: the consolidated epoch's COMMIT MARKER is its
+    * `_MERGED` manifest (written last, via atomic rename), not the
+    * double-`_SUCCESS` rule — the data writes land before the manifest,
+    * so a crash in that window must leave the consolidated copy invisible
+    * wholesale, or it and the olds it copied would both be visible and the
+    * next compaction would merge the duplicates in forever. The manifest
+    * names the epochs the compaction replaced; [[readStore]] excludes
+    * manifest-listed epochs, so a crash AFTER the commit but mid-sweep
+    * leaves stale directories that are invisible (and swept by the next
+    * compaction) rather than duplicated. A crash BEFORE the commit leaves
+    * an orphaned compact directory that is ignored wholesale and reclaimed
+    * by the next sweep. Run it between triggers or with the stream
+    * stopped — the decision loop and the sweep must not race over the same
+    * directories.
     */
   def compactStore(
       spark: SparkSession,
@@ -226,6 +231,20 @@ object NearDupAdmission {
       fs.delete(new Path(s"$storeDir/docs/batch=$e"), true)
       fs.delete(new Path(s"$storeDir/buckets/batch=$e"), true)
     }
+    // a compaction that crashed pre-manifest leaves an orphaned compact-*
+    // directory that can never become visible (no _MERGED ⇒ not committed);
+    // reclaim its disk here. Safe because maintenance ops do not run
+    // concurrently (documented contract) and a live compactStore call only
+    // sweeps after committing its own manifest.
+    val root = new Path(s"$storeDir/docs")
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=compact-"))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .filterNot(e => fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
+      .foreach { e =>
+        fs.delete(new Path(s"$storeDir/docs/batch=$e"), true)
+        fs.delete(new Path(s"$storeDir/buckets/batch=$e"), true)
+      }
   }
 
   /** Epoch ids named by the `_MERGED` manifest of any committed epoch. */
@@ -261,6 +280,13 @@ object NearDupAdmission {
       .map(_.getPath.getName.stripPrefix("batch="))
       .filter(e => fs.exists(new Path(s"$storeDir/docs/batch=$e/_SUCCESS")) &&
         fs.exists(new Path(s"$storeDir/buckets/batch=$e/_SUCCESS")))
+      // a consolidated epoch's commit marker is its _MERGED manifest, NOT
+      // the double _SUCCESS: the data writes land before the manifest
+      // rename, and a crash in that window must leave the consolidated
+      // copy invisible wholesale — otherwise it and the olds it copied are
+      // BOTH visible and the next compaction merges the duplicates forever
+      .filter(e => !e.startsWith("compact-") ||
+        fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
       .sorted
   }
 

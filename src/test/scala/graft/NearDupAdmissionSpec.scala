@@ -188,4 +188,51 @@ class NearDupAdmissionSpec extends SparkTestBase {
     assert(probe == Set(900001L),
       s"re-offered docs must reject and the novel doc admit, got $probe")
   }
+
+  test("compaction crash BEFORE the manifest: consolidated copy invisible, no duplication") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("neardup_store_x").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = NearDupAdmission.start(stream.toDF().toDF("doc_id", "text"), storeDir,
+      Files.createTempDirectory("neardup_ckpt_x").toString, Threshold,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      for (e <- 0 until 2) { stream.addData(epochRows(e)); q.processAllAvailable() }
+    } finally q.stop()
+
+    def snapshot() = {
+      val (d, b) = NearDupAdmission.readStore(spark, storeDir).get
+      (d.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq,
+        b.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2)).toSeq)
+    }
+    def epochDirs() = new java.io.File(s"$storeDir/docs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+
+    val before = snapshot()
+    val olds = epochDirs().map(_.stripPrefix("batch="))
+    assert(olds.size == 2)
+
+    // simulate the crash window the advice flagged: a compaction that
+    // finished BOTH data writes (docs + buckets, each _SUCCESS-marked) but
+    // died before the _MERGED manifest rename. The consolidated copy holds
+    // every old row — were it visible, every doc would be duplicated.
+    val cpt = "compact-crashed0"
+    spark.read.parquet(olds.map(e => s"$storeDir/docs/batch=$e"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/docs/batch=$cpt")
+    spark.read.parquet(olds.map(e => s"$storeDir/buckets/batch=$e"): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$cpt")
+
+    assert(snapshot() == before,
+      "pre-manifest consolidated epoch must be invisible wholesale — " +
+        "olds-only view, zero duplicated docs")
+
+    // recovery: the next real compaction consolidates the olds, commits its
+    // manifest, sweeps them AND reclaims the orphaned crashed copy
+    NearDupAdmission.compactStore(spark, storeDir, targetFiles = 2)
+    assert(snapshot() == before, "post-recovery store is content-identical")
+    val after = epochDirs()
+    assert(after.size == 1 && !after.contains(s"batch=$cpt"),
+      s"expected one live epoch and the crashed orphan reclaimed, got $after")
+  }
 }
