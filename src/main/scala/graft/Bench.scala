@@ -107,6 +107,7 @@ object Bench {
       "q21_json_extract" -> q("q21_json_extract"),
       "dedup_admission_replay" -> q("dedup_admission_replay"),
       "sim_topk_ivf_indexed" -> q("sim_topk_ivf_indexed"),
+      "sim_topk_ivf_appended" -> q("sim_topk_ivf_appended"),
       "sim_topk_ivf_sq8" -> q("sim_topk_ivf_sq8"),
       "pipeline_curate" -> q("pipeline_curate"),
       "corpus_diff" -> q("corpus_diff"),

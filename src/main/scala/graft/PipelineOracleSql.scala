@@ -1019,6 +1019,10 @@ object PipelineOracleSql {
     "sim_topk_ivf" -> ivfTopK,
     // the persisted index is bit-transparent: same result, same oracle
     "sim_topk_ivf_indexed" -> ivfTopK,
+    // append under frozen centroids: the initial corpus holds every
+    // lowest-id vector, so the centroids equal the full-corpus build's and
+    // the full-corpus oracle replays the probe exactly
+    "sim_topk_ivf_appended" -> ivfTopK,
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,

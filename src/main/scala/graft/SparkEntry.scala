@@ -505,6 +505,25 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the GROWING-corpus form: build the index on the first 400 vectors,
+    // append the remaining 100 as a committed epoch under the frozen
+    // centroids, probe the union. The initial corpus contains every
+    // lowest-id vector, so the frozen centroids equal the full-corpus
+    // centroids and the same ivfTopK oracle replays the probe exactly —
+    // the append path is bit-transparent
+    "sim_topk_ivf_appended" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // append accretes epochs: a stale dir from a previous run would
+      // double-serve its vectors, so the build starts from nothing
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.write(emb.filter(col("vec_id") < 400), path)
+      IvfIndex.append(emb.filter(col("vec_id") >= 400), path)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the quantized index: int8 inverted lists for the candidate scan (4x
     // fewer hot bytes), exact float rerank of candFactor*k candidates —
     // SQ8-and-refine; the oracle replays assignment, quantization, the

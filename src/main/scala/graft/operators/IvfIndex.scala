@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,13 +23,27 @@ import org.apache.spark.sql.functions._
   *   - `lists/cid=<c>/` — (id, v, nrm): each corpus vector in exactly one
   *     inverted list, its L2 norm precomputed at build so probes never
   *     touch arithmetic the build already paid for.
+  *   - `epochs/<e>/lists/cid=<c>/` — appended vectors ([[append]]): a
+  *     GROWING corpus adds per-epoch list trees under the FROZEN
+  *     centroids instead of full-rebuilding; probes union the base and
+  *     every committed epoch, all still partition-pruned on cid. The same
+  *     epoch-commit discipline as the near-dup admission store
+  *     ([[graft.streaming.NearDupAdmission]]): an ordinary epoch is
+  *     committed iff its lists write carries `_SUCCESS`; a consolidated
+  *     `compact-*` epoch ([[compact]]) is committed iff its `_MERGED`
+  *     manifest exists (written last via atomic rename — the data write
+  *     landing first must stay invisible or it and the roots it copied
+  *     would both be served).
   *
   * Cluster notes: the build is one corpus scan (assignment is the same
   * scan-stage argmax expression ivfTopK uses) plus a partitioned shuffle
   * write; `nlist` should scale with corpus size (sqrt(n) heuristic) so each
   * list stays a few hundred MB — directories-per-table and files-per-probe
   * both stay trivially small. Probes broadcast the (small) query side and
-  * shuffle nothing but scored (query, neighbor) rows.
+  * shuffle nothing but scored (query, neighbor) rows. Appends accrete one
+  * list tree per epoch — files-per-probe grows with epoch count, so
+  * [[compact]] is the standing maintenance op, exactly like the admission
+  * store's.
   */
 object IvfIndex {
 
@@ -111,6 +127,190 @@ object IvfIndex {
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** Append new vectors to an existing index WITHOUT rebuilding: assign
+    * them against the frozen centroids and write one new committed epoch
+    * (`epochs/<e>/lists/cid=<c>/`). The epoch's single lists write is its
+    * commit unit — a crash mid-write leaves no `_SUCCESS` and the epoch is
+    * invisible wholesale; re-running the append after a crash writes a
+    * fresh uniquely-named epoch (append does NOT dedup ids — the caller
+    * owns id uniqueness, e.g. by appending only post-watermark ids or by
+    * fronting the index with the admission store).
+    *
+    * Quantized indexes are detected from the base list schema (`qvec`
+    * present) and appended with the same quantized columns, so
+    * [[probeQuantized]] keeps working across epochs.
+    *
+    * Frozen-centroid caveat (standard IVF serving trade-off): appended
+    * vectors are assigned to the ORIGINAL coarse quantizer; if the data
+    * distribution drifts far from the build corpus, lists skew and recall
+    * degrades — the remedy is a full rebuild, which this layout makes an
+    * offline swap rather than a serving outage.
+    */
+  def append(
+      emb: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerList: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val cents = readCentroids(spark, path)
+    val roots = listRoots(spark, path)
+    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+    val quantized = spark.read.parquet(roots.head).schema.fieldNames.contains("qvec")
+    val base = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+    val withQ =
+      if (!quantized) base
+      else base.join(
+        Similarity.quantize(emb, idCol, vecCol)
+          .select(col("id"), col("scale"), col("qvec"), l2Norm(col("qvec")).as("qnrm")),
+        Seq("id"))
+    val assigned = withQ.withColumn("cid", Similarity.centroidAssignExpr(cents))
+    val clustered =
+      if (filesPerList <= 1) assigned.repartition(col("cid"))
+      else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+    // unique per call (count prefix is cosmetic ordering; the uuid is the
+    // collision guard) — a crashed append never collides with its retry
+    val epoch = f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
+  }
+
+  /** Consolidate the base lists and every committed epoch into ONE
+    * `compact-*` epoch, then sweep the replaced trees — the maintenance op
+    * that stops per-epoch accretion from making probes file-listing-bound
+    * (same small-files argument as the admission store's compaction). Pure
+    * IO: rows are unioned, never re-assigned or re-quantized.
+    *
+    * Crash contract: the consolidated epoch's commit marker is its
+    * `_MERGED` manifest, written last via atomic rename and naming the
+    * roots it replaced; a crash before the rename leaves an orphaned,
+    * invisible compact tree (reclaimed by the next sweep), a crash after
+    * it leaves replaced trees that are already invisible. Run between
+    * probes/appends — maintenance does not race itself.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerList: Int = 1): Unit =
+    compact(spark, path, filesPerList, sweep = true)
+
+  /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
+    * state; exercised by IvfIndexSpec — production uses the sweeping
+    * overload).
+    */
+  private[graft] def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerList: Int,
+      sweep: Boolean): Unit = {
+    val roots = listRootsWithIds(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (roots.size > 1) {
+      val all = roots.map(_._2)
+        .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
+        .reduce(_.unionByName(_))
+      val clustered =
+        if (filesPerList <= 1) all.repartition(col("cid"))
+        else all.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      clustered.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/epochs/$cpt/lists")
+      val tmp = new Path(s"$path/epochs/$cpt/lists/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(roots.map(_._1).mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$path/epochs/$cpt/lists/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, path)
+  }
+
+  /** Delete list trees a committed `_MERGED` manifest replaced, plus any
+    * orphaned pre-manifest compact tree (invisible either way).
+    */
+  private def sweepMerged(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedIds(spark, path).foreach {
+      case "base" => fs.delete(new Path(s"$path/lists"), true)
+      case e => fs.delete(new Path(s"$path/epochs/$e"), true)
+    }
+    rawEpochs(spark, path)
+      .filter(e => e.startsWith("compact-") &&
+        !fs.exists(new Path(s"$path/epochs/$e/lists/_MERGED")))
+      .foreach(e => fs.delete(new Path(s"$path/epochs/$e"), true))
+  }
+
+  /** Root ids named by any committed compact manifest ("base" = the
+    * original `lists` tree).
+    */
+  private def mergedIds(spark: SparkSession, path: String): Set[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedEpochIds(spark, path).flatMap { e =>
+      val m = new Path(s"$path/epochs/$e/lists/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  /** Every epoch directory name under `path/epochs`, committed or not. */
+  private def rawEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(s"$path/epochs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Committed epoch ids: ordinary epochs need their lists `_SUCCESS`;
+    * compact epochs need their `_MERGED` manifest (see [[compact]]).
+    */
+  private def committedEpochIds(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawEpochs(spark, path).filter { e =>
+      if (e.startsWith("compact-")) fs.exists(new Path(s"$path/epochs/$e/lists/_MERGED"))
+      else fs.exists(new Path(s"$path/epochs/$e/lists/_SUCCESS"))
+    }
+  }
+
+  /** (id, path) of every live list tree: the base `lists` plus committed
+    * epochs, minus anything a committed compaction replaced.
+    */
+  private def listRootsWithIds(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedIds(spark, path)
+    val base =
+      if (fs.exists(new Path(s"$path/lists")) && !dead.contains("base"))
+        Seq("base" -> s"$path/lists")
+      else Seq.empty
+    base ++ committedEpochIds(spark, path)
+      .filterNot(dead)
+      .map(e => e -> s"$path/epochs/$e/lists")
+  }
+
+  /** Live list-tree paths for a probe. */
+  private def listRoots(spark: SparkSession, path: String): Seq[String] =
+    listRootsWithIds(spark, path).map(_._2)
+
+  /** One DataFrame over every live list tree: each tree is loaded as its
+    * own partition-discovery base and the trees are unioned — Spark cannot
+    * infer a single partitioning across base + epoch roots (conflicting
+    * directory structures), but a `cid` predicate pushes through the union
+    * into EVERY per-tree scan, so probes stay partition-pruned in each
+    * (IvfIndexSpec pins filters + selected-directory counts across all
+    * scans).
+    */
+  private def readLists(spark: SparkSession, path: String): DataFrame =
+    listRoots(spark, path)
+      .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
+      .reduce(_.unionByName(_))
+
+  /** The driver-resident coarse quantizer (≤ nlist rows by design). */
+  private def readCentroids(
+      spark: SparkSession, path: String): Array[(Long, Array[Double], Double)] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
   /** Probe a quantized index ([[writeQuantized]]): rank each probed list's
     * members by int8-dot cosine (per-vector scales cancel), keep
     * `candFactor * k` candidates per query, then exact-rescore only the
@@ -131,9 +331,7 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents: Array[(Long, Array[Double], Double)] =
-      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     val qq = Similarity.quantize(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("qvec").as("qq"),
@@ -143,8 +341,7 @@ object IvfIndex {
       .join(qq, Seq("query_id"))
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
     def lists(cols: Column*): DataFrame =
-      spark.read.parquet(s"$path/lists")
-        .withColumn("cid", col("cid").cast("long"))
+      readLists(spark, path)
         .filter(col("cid").isin(probed.toIndexedSeq: _*))
         .select(cols: _*)
     val qscored = lists(col("id").as("neighbor_id"), col("qvec").as("qv"),
@@ -186,16 +383,13 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     // ≤ nlist rows: the coarse quantizer is driver-resident by design
-    val cents: Array[(Long, Array[Double], Double)] =
-      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     // the probed-list set is ≤ nlist values regardless of |queries| — an
     // IN over the partition column is what turns the probe into a
     // partition-pruned scan (directories outside it are never listed)
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val corpus = spark.read.parquet(s"$path/lists")
-      .withColumn("cid", col("cid").cast("long"))
+    val corpus = readLists(spark, path)
       .filter(col("cid").isin(probed.toIndexedSeq: _*))
       .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
     Similarity.ivfRank(corpus, qs, k)

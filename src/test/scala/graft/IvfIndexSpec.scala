@@ -119,6 +119,88 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows(auto) == rows(direct), "auto-sized index must equal ivfTopK at the chosen nlist")
   }
 
+  test("append epochs: probe == full-rebuild probe bit-exact; pruning spans every tree; compact crash contract") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+
+    // full-rebuild reference: one write over the whole corpus
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-fullref").toString
+    IvfIndex.write(emb, full, nlist = 16)
+    val want = rows(IvfIndex.probe(spark, full, queries, k = 5, nprobe = 4))
+
+    // grown index: base build on the 400 lowest ids (contains every
+    // centroid-donor id, so the frozen coarse quantizer equals the full
+    // build's), then two append epochs
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    IvfIndex.write(emb.filter(col("vec_id") < 400), path, nlist = 16)
+    IvfIndex.append(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), path)
+    IvfIndex.append(emb.filter(col("vec_id") >= 450), path)
+    val probe = IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)
+    assert(rows(probe) == want, "append must be bit-transparent vs a full rebuild")
+
+    // pruning still holds across base + epoch trees: the union scan keeps
+    // the cid partition filter and reads fewer partition dirs than exist
+    def cidDirs(root: String): Seq[String] = {
+      val f = new java.io.File(root)
+      if (!f.isDirectory) Seq.empty
+      else f.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cid=")).map(_.getName).toSeq
+    }
+    val epochRoots = new java.io.File(s"$path/epochs").listFiles().map(e => s"$e/lists").toSeq
+    val totalDirs = (s"$path/lists" +: epochRoots).map(cidDirs(_).size).sum
+    probe.collect()
+    // one scan per tree (Spark cannot infer one partitioning across base +
+    // epoch roots, so the trees are unioned) — the cid predicate must push
+    // into EVERY per-tree scan
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(scans.size == 3,
+      s"probe must scan base + 2 epoch trees, got ${scans.map(_.relation.location.rootPaths)}")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "every per-tree scan must keep the cid partition filter")
+    val selected = scans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.values).size).sum
+    assert(selected < totalDirs,
+      s"probe must read fewer partition dirs ($selected) than exist ($totalDirs)")
+
+    // crash window: a compact tree whose data landed but whose _MERGED
+    // manifest did not must be invisible wholesale — otherwise its rows and
+    // the trees it copied would BOTH be served (every neighbor duplicated)
+    val orphan = s"$path/epochs/compact-crashed"
+    spark.read.parquet(s"$path/lists").write.parquet(s"$orphan/lists")
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "pre-manifest compact tree must not be served")
+
+    // real compaction: one live tree, orphan reclaimed, probe unchanged
+    IvfIndex.compact(spark, path)
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "compacted index must serve the same results")
+    assert(!new java.io.File(s"$path/lists").exists(), "base tree swept after compaction")
+    assert(!new java.io.File(orphan).exists(), "orphaned compact tree reclaimed")
+    val live = new java.io.File(s"$path/epochs").listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(live.size == 1 && live.head.startsWith("compact-"),
+      s"expected a single consolidated epoch, got $live")
+  }
+
+  test("append auto-detects a quantized index and keeps probeQuantized exact under a wide cut") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    val qpath = java.nio.file.Files.createTempDirectory("graft-ivf-appq").toString
+    IvfIndex.writeQuantized(emb.filter(col("vec_id") < 400), qpath, nlist = 16)
+    IvfIndex.append(emb.filter(col("vec_id") >= 400), qpath)
+    val ppath = java.nio.file.Files.createTempDirectory("graft-ivf-appq-exact").toString
+    IvfIndex.write(emb, ppath, nlist = 16)
+    val wide = IvfIndex.probeQuantized(spark, qpath, queries, k = 5, nprobe = 4, candFactor = 1000)
+    val exact = IvfIndex.probe(spark, ppath, queries, k = 5, nprobe = 4)
+    assert(rows(wide) == rows(exact),
+      "appended quantized index under an exhaustive cut must equal the exact probe")
+  }
+
   test("probe with nprobe = nlist scans every list and matches brute force (filesPerList > 1)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") >= 490)
