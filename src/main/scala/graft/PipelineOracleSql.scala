@@ -164,13 +164,29 @@ object PipelineOracleSql {
     * [[minhashCtes]].
     */
   def pipelineCurate: String = {
-    val gram8 = (0 until 8).map(j => s"w[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
     val sampleBucket =
       """((list_reduce(list_prepend(0::BIGINT,
         |      list_transform(range(1, strlen('graft:' || CAST(doc_id AS VARCHAR)) + 1),
         |        i -> CAST(ascii(substr('graft:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
         |      (a, x) -> (a * 31 + x) % 2147483647)
         |      * 2654435761 + 12345) % 2147483647) % 1000000""".stripMargin
+    s"""$curatePrefix,
+       |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
+       |FROM ded
+       |WHERE $sampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                WHEN 'zh' THEN 300000 ELSE 400000 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared CTE chain of the curation oracles: annotate + filter →
+    * decontaminate → MinHash machinery over the `clean` survivors →
+    * verified pair set `p`. [[pipelineCurate]] appends the keep-lowest
+    * dedup + mixture draw; [[pipelineCurateStream]] appends the epoch-fold
+    * admission + budget window.
+    */
+  private def curatePrefix: String = {
+    val gram8 = (0 until 8).map(j => s"w[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
     s"""WITH ann AS (
        |  SELECT doc_id, lang, text,
        |    CAST(len($Tok) AS BIGINT) AS n_tokens,
@@ -217,14 +233,51 @@ object PipelineOracleSql {
        |p AS (
        |  SELECT id_a, id_b FROM shared
        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-       |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
-       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
-       |FROM ded
-       |WHERE $sampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
-       |                                WHEN 'zh' THEN 300000 ELSE 400000 END
-       |ORDER BY doc_id""".stripMargin
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)""".stripMargin
   }
+
+  /** Three-epoch replay of the STREAMING curation chain (mirrors
+    * `CurationStream.curateBatch` folded over `doc_id % 3` epochs with
+    * budget 2000): the [[curatePrefix]] stages are per-doc projections and
+    * a global pair set, so the epoch restriction commutes with them —
+    * running them once globally and admitting per epoch (the
+    * [[admissionReplay]] unrolled-CTE pattern over `clean`) replays the
+    * fold exactly; budget admission order is (epoch, doc_id) per stratum,
+    * one window.
+    */
+  def pipelineCurateStream: String =
+    s"""$curatePrefix,
+       |psym AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+       |ce AS (SELECT doc_id FROM clean),
+       |adm0 AS (
+       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+       |      AND psym.a < ce.doc_id AND psym.a % 3 = 0)),
+       |adm1 AS (
+       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 1
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+       |      AND psym.a < ce.doc_id AND psym.a % 3 = 1)
+       |    AND NOT EXISTS (SELECT 1 FROM psym JOIN adm0 ON psym.a = adm0.doc_id
+       |      WHERE psym.b = ce.doc_id)),
+       |adm2 AS (
+       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 2
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+       |      AND psym.a < ce.doc_id AND psym.a % 3 = 2)
+       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id AND psym.a IN
+       |      (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1))),
+       |adm AS (
+       |  SELECT doc_id, CAST(0 AS INTEGER) AS epoch FROM adm0
+       |  UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS epoch FROM adm1
+       |  UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS epoch FROM adm2),
+       |fin AS (
+       |  SELECT c.doc_id, c.lang, c.pred_lang, c.n_tokens, c.quality_score, adm.epoch,
+       |    CAST(sum(c.n_tokens) OVER (PARTITION BY c.lang ORDER BY adm.epoch, c.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM adm JOIN clean c ON c.doc_id = adm.doc_id)
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score, cum_tokens, epoch
+       |FROM fin WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin
 
   /** The curation chain plus the final token quota (mirrors
     * `Curation.curate(tokenBudget = Some(1500))`): the whole
@@ -1038,6 +1091,7 @@ object PipelineOracleSql {
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_budget" -> pipelineCurateBudget,
+    "pipeline_curate_stream" -> pipelineCurateStream,
     "corpus_diff" -> corpusDiff,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,

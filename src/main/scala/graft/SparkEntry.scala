@@ -756,6 +756,34 @@ object SparkEntry {
         langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
+    // batch replay of the STREAMING curation front door: the corpus
+    // arrives as three doc_id%3 epochs, each run through the full chain
+    // (annotate+filter → decontaminate → near-dup admit vs the admitted
+    // store → per-language budget gate resuming from the consumed totals
+    // earlier epochs left). The fold IS the stream — CurationStream.start
+    // applies curateBatch per micro-batch against the same two states
+    "pipeline_curate_stream" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 7)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      var store: Option[(DataFrame, DataFrame)] = None
+      var consumed = Map.empty[String, Long]
+      val perEpoch = (0 until 3).map { e =>
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (adm, fin) = graft.streaming.CurationStream.curateBatch(
+          store, consumed, batch, bench, budget = 2000L)
+        val admBuckets = Dedup.minhashBucketsFor(adm)
+        store = Some(store match {
+          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+          case None => (adm, admBuckets)
+        })
+        consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        fin.withColumn("epoch", lit(e))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     // the same chain with the final token-space quota: stop each language
     // at 1500 tokens of post-curation survivors (the training-run cut);
     // the oracle appends the budget window to the staged curate CTEs

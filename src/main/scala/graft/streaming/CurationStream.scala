@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.operators.{Decontamination, Dedup, TextAnalysis}
+import graft.operators.Dedup.MinHashParams
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The STREAMING curation front door: the full [[graft.operators.Curation]]
+  * chain applied at ingest, one micro-batch at a time — quality + language
+  * annotation and filter, benchmark decontamination, near-duplicate
+  * admission against everything already admitted, then the per-stratum
+  * token-budget gate. The online twin of `Curation.curate`, composed from
+  * the SAME stage operators so a batch fold over ordered epochs replays the
+  * stream bit-for-bit (the `pipeline_curate_stream` oracle query).
+  *
+  * Stage order is the batch chain's cost order, which online is also the
+  * state-touching order: the two stateless stages (annotate/filter,
+  * decontamination vs a fixed benchmark set) run first and shrink the
+  * batch before anything probes state; the near-dup store probe sees only
+  * clean survivors; the budget counters move last, so a doc never consumes
+  * quota unless every upstream gate passed it.
+  *
+  * State = ONE epoch-committed store under `storeDir` with three sides per
+  * admitted micro-batch:
+  *   - `docs/batch=<e>`    — stage-3 admitted documents (the dedup corpus),
+  *   - `buckets/batch=<e>` — their LSH bucket snapshot (probes stay
+  *     prebucketed, the store is never re-signatured),
+  *   - `out/batch=<e>`     — the final curated records (post-budget), whose
+  *     per-stratum max `cum_tokens` IS the budget state the next batch
+  *     resumes from.
+  * An epoch is committed iff ALL THREE sides carry `_SUCCESS` (`out` is
+  * written last). The single commit unit is what makes the three states
+  * move atomically: a crash anywhere mid-epoch leaves the whole epoch
+  * invisible, and the replayed batch re-decides against the exact state the
+  * previous trigger left — re-offered documents then reject at the
+  * near-dup gate (each is a Jaccard-1.0 dup of its admitted copy), so
+  * nothing is admitted or budget-counted twice (CurationStreamSpec drives
+  * the stop-resume-and-replay scenario). Split stores would break exactly
+  * here: a doc in the dedup store but not the output (or vice versa) after
+  * a crash between two commits.
+  */
+object CurationStream {
+
+  /** One curation decision in pure batch form: annotate + filter →
+    * decontaminate vs `bench` → near-dup admit vs `store` → budget-admit
+    * against `consumed`. Returns (stage-3 admitted docs, final curated
+    * records): the first accumulates into the dedup store, the second is
+    * the emitted output. Both are eagerly pinned — each is consumed
+    * multiple times downstream of an LSH decision.
+    *
+    * The final record is (doc_id, `langCol`, pred_lang, n_tokens,
+    * quality_score, cum_tokens) — the batch chain's curation record plus
+    * the stratum's inclusive running token total at admission.
+    */
+  def curateBatch(
+      store: Option[(DataFrame, DataFrame)],
+      consumed: Map[String, Long],
+      batch: DataFrame,
+      bench: DataFrame,
+      budget: Long,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      dedupThreshold: Double = 0.8,
+      params: MinHashParams = MinHashParams(),
+      langCol: String = "lang"): (DataFrame, DataFrame) = {
+    // 1: one annotate pass, same fusion as Curation.curate stage 1
+    val annotated = TextAnalysis.langId(
+      TextAnalysis.quality(batch, keep = Seq("text", langCol)),
+      keep = Seq("text", langCol, "n_tokens", "quality_score"))
+    val surv = annotated
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 2: benchmark decontamination — a broadcast-able anti join
+    val overlap = Decontamination.overlapReport(
+      surv.select(col("doc_id"), col("text")), bench)
+    val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // 3: near-dup admission (annotations ride along: the admit functions
+    // anti-join rejects off the frame they are given)
+    val adm = (store match {
+      case Some((sd, sb)) =>
+        NearDupAdmission.admitBatchPrebucketed(sd, sb, clean, dedupThreshold, params)
+      case None =>
+        NearDupAdmission.admitBatch(None, clean, dedupThreshold, params)
+    }).localCheckpoint(true)
+    // 4: budget gate over the survivors, resuming from `consumed`; within
+    // the batch admission order is doc_id order (deterministic)
+    val badm = BudgetAdmission.admitBatch(
+      consumed, adm.select(col("doc_id"), col(langCol), col("text")), budget, langCol)
+    val fin = adm
+      .select(col("doc_id"), col(langCol), col("pred_lang"),
+        col("n_tokens"), col("quality_score"))
+      .join(badm.select(col("doc_id"), col("cum_tokens")), Seq("doc_id"))
+      .localCheckpoint(true)
+    (adm.select(col("doc_id"), col("text")), fin)
+  }
+
+  /** Start the streaming chain: `stream` must carry (doc_id, `langCol`,
+    * text); `bench` is the fixed benchmark frame decontamination screens
+    * against. Admitted state accumulates under `storeDir`; the curated
+    * corpus so far is [[readCurated]].
+    */
+  def start(
+      stream: DataFrame,
+      bench: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      budget: Long,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      dedupThreshold: Double = 0.8,
+      params: MinHashParams = MinHashParams(),
+      langCol: String = "lang",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName("graft-curation-stream")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val (adm, fin) = curateBatch(
+            readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
+            batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol)
+          // unique per decision (same rule as the admission store): replays
+          // re-decide instead of colliding with a committed epoch
+          val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+          if (!adm.isEmpty) {
+            adm.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
+            Dedup.minhashBucketsFor(adm, params)
+              .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
+            // the commit side: the epoch exists only once this lands
+            fin.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The curated corpus so far: every committed epoch's final records. */
+  def readCurated(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val epochs = committedEpochs(spark, storeDir)
+    if (epochs.isEmpty) None
+    else Some(spark.read.parquet(epochs.map(e => s"$storeDir/out/batch=$e"): _*))
+  }
+
+  /** The dedup side of the store (docs + bucket snapshot), committed
+    * epochs only.
+    */
+  private def readStore(
+      spark: SparkSession, storeDir: String): Option[(DataFrame, DataFrame)] = {
+    val epochs = committedEpochs(spark, storeDir)
+    if (epochs.isEmpty) None
+    else Some((
+      spark.read.parquet(epochs.map(e => s"$storeDir/docs/batch=$e"): _*)
+        .select(col("doc_id"), col("text")),
+      spark.read.parquet(epochs.map(e => s"$storeDir/buckets/batch=$e"): _*)
+        .select(col("doc_id"), col("band"), col("bucket"))))
+  }
+
+  /** The budget state: each stratum's max admitted `cum_tokens` across the
+    * committed output — a strata-sized collect, the same driver-resident
+    * map the batch fold carries.
+    */
+  private def readConsumed(
+      spark: SparkSession, storeDir: String, langCol: String): Map[String, Long] =
+    readCurated(spark, storeDir) match {
+      case None => Map.empty
+      case Some(cur) => cur.groupBy(col(langCol)).agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+  /** Epochs whose docs AND buckets AND out writes all carry `_SUCCESS` —
+    * the triple-commit rule that moves the three states atomically.
+    */
+  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val root = new Path(s"$storeDir/docs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .filter(e => Seq("docs", "buckets", "out")
+        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS"))))
+      .sorted
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.CurationStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The streaming curation front door: the stream must equal the batch fold
+  * of `curateBatch` (the `pipeline_curate_stream` oracle), and a
+  * stopped-and-resumed pipeline re-offered already-processed documents must
+  * not re-admit, re-emit, or double-consume budget — the near-dup store
+  * rejects the replays before they can touch the budget counters.
+  */
+class CurationStreamSpec extends SparkTestBase {
+
+  private val Budget = 2000L
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("text")).cache()
+  private lazy val bench = docs.filter(col("doc_id") % 10 === 7)
+  private lazy val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+
+  private def epoch(e: Int): DataFrame =
+    corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+
+  private def epochRows(e: Int): IndexedSeq[(Long, String, String)] =
+    epoch(e).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq
+
+  /** (doc_id, lang, pred_lang, n_tokens, quality_score, cum_tokens) after
+    * folding `curateBatch` over the first `n` epochs — the stream's
+    * expected curated corpus.
+    */
+  private def fold(n: Int): Set[(Long, String, String, Long, Double, Long)] = {
+    var store: Option[(DataFrame, DataFrame)] = None
+    var consumed = Map.empty[String, Long]
+    (0 until n).flatMap { e =>
+      val (adm, fin) = CurationStream.curateBatch(store, consumed, epoch(e), bench, Budget)
+      val admBuckets = graft.operators.Dedup.minhashBucketsFor(adm)
+      store = Some(store match {
+        case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+        case None => (adm, admBuckets)
+      })
+      consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fin.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    }.toSet
+  }
+
+  private def curated(storeDir: String): Set[(Long, String, String, Long, Double, Long)] =
+    CurationStream.readCurated(spark, storeDir).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+
+  test("streamed 3 epochs == batch fold (full chain, budget totals included)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("curation_store").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_ckpt").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      for (e <- 0 until 3) { stream.addData(epochRows(e)); q.processAllAvailable() }
+    } finally q.stop()
+    val want = fold(3)
+    val got = curated(storeDir)
+    assert(want.nonEmpty && got == want,
+      s"stream != fold: only-stream=${got.diff(want).take(3)} only-fold=${want.diff(got).take(3)}")
+    // every gate did real work on this corpus: some docs were filtered,
+    // and at least one stratum hit its budget (a closed stratum is what
+    // the resume test then leans on)
+    assert(got.size < corpus.count(), "chain must reject documents")
+    assert(got.groupBy(_._2).values.exists(_.map(_._6).max >= Budget),
+      "at least one stratum should exhaust its budget")
+  }
+
+  test("resume: re-offered epochs reject at the dedup gate; budget not double-consumed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("curation_store_r").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_ckpt_r").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      stream.addData(epochRows(0)); q.processAllAvailable()
+    } finally q.stop()
+    // new pipeline over the SAME store (fresh source + checkpoint): the
+    // upstream re-offers epoch 0 in full — at-least-once delivery — then
+    // epoch 1 proceeds normally
+    val stream2 = MemoryStream[(Long, String, String)]
+    val q2 = CurationStream.start(
+      stream2.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_ckpt_r2").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      stream2.addData(epochRows(0)); q2.processAllAvailable()
+      stream2.addData(epochRows(1)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got = curated(storeDir)
+    val ids = got.toSeq.map(_._1)
+    assert(ids.length == ids.distinct.length, "no doc emitted twice across the resume")
+    assert(got == fold(2),
+      "store after resume = fold over epochs 0..1 — replayed docs must not " +
+        "re-admit or advance any stratum's consumed total")
+  }
+}
