@@ -80,6 +80,7 @@ object Bench {
       "mm_decode_features" -> q("mm_decode_features"),
       "text_chunk" -> q("text_chunk"),
       "dedup_spans" -> q("dedup_spans"),
+      "dedup_span_removal" -> q("dedup_span_removal"),
       "text_bm25" -> q("text_bm25"),
       "sample_mixture" -> q("sample_mixture"),
       "emb_outliers" -> q("emb_outliers"),

@@ -624,6 +624,47 @@ object PipelineOracleSql {
        |FROM g LEFT JOIN dup ON g.h = dup.h
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** Dup-span removal (mirrors `Dedup.removeDupSpans`, k=8): the same
+    * hashed-gram span arithmetic as [[dupSpans]], extended with the
+    * canonical-keeper rule (min doc_id per duplicated hash), the k-token
+    * cover of each non-canonical occurrence, and the ordered token
+    * rebuild.
+    */
+  def dupSpanRemoval: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g0 AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), g AS (
+       |  SELECT doc_id, pos, ${ph("gram")} AS h FROM g0
+       |), dup AS (
+       |  SELECT h, min(doc_id) AS keeper FROM g
+       |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+       |), dropped AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
+       |  FROM g JOIN dup ON g.h = dup.h AND g.doc_id <> dup.keeper,
+       |    unnest(range(0, 8)) AS u(j)
+       |), toks AS (
+       |  SELECT doc_id, t.i AS t, w[t.i] AS token
+       |  FROM tok, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+       |), kept AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY t) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM toks WHERE NOT EXISTS (
+       |    SELECT 1 FROM dropped
+       |    WHERE dropped.doc_id = toks.doc_id AND dropped.t = toks.t)
+       |  GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(clean_text, '') AS clean_text,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+       |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
   /** BM25 top-20 for the fixed query (dup, vector, join, slow), k1=1.2,
     * b=0.75 (mirrors `Search.bm25TopK`: per-term conditional aggregates
     * added in fixed query order, score rounded to 6 dp).
@@ -1081,6 +1122,7 @@ object PipelineOracleSql {
     "mm_resize" -> resizeOracle,
     "text_chunk" -> textChunk,
     "dedup_spans" -> dupSpans,
+    "dedup_span_removal" -> dupSpanRemoval,
     "text_bm25" -> bm25TopK,
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,

@@ -606,6 +606,12 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.dupSpanStats(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("doc_id"))),
+    // the rewrite the span stats motivate: excise every non-canonical
+    // occurrence of a cross-doc duplicated 8-gram (the lowest doc keeps
+    // its copy) and re-emit the cleaned text
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("doc_id"))),
     // fixed probe query with one rare term (df 25 at sf0.01) and three
     // common ones — exercises the idf spread
     "text_bm25" -> ((s, dir) =>

@@ -531,6 +531,69 @@ object Dedup {
         col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
   }
 
+  /** Dup-span REMOVAL — the rewrite the span statistics motivate (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better": the
+    * cleanup excises duplicated substrings rather than whole documents).
+    * A k-gram occurring in >= 2 distinct docs keeps exactly ONE canonical
+    * copy — every occurrence in its lowest doc_id — and every other doc
+    * drops all k tokens of each of its occurrences; untouched tokens
+    * re-join in order. Output is one row per input doc:
+    * (doc_id, clean_text, n_tokens, n_removed), where `clean_text` is the
+    * kept tokens joined by single spaces (a token-space rewrite: original
+    * inter-token whitespace is normalized, the same contract as chunking).
+    *
+    * Every ORIGINAL duplicated k-gram survives in at most its canonical
+    * doc, so re-running the span stats on the cleaned corpus finds no
+    * residual covered positions (DedupSpec property; new k-grams can in
+    * principle arise where an excision splices distant tokens together —
+    * the standard, documented artifact of span excision).
+    *
+    * 100 TB shape: the same two hash-partitioned aggregates as
+    * [[dupSpanStats]] (gram group-by, then per-doc rebuild) plus one
+    * equi-join of dup positions back to grams — no pairwise work, no
+    * driver state; the per-doc token re-sort is bounded by document
+    * length.
+    */
+  def removeDupSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+    // duplicated gram hashes with their canonical (lowest) doc
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    // non-canonical occurrences → the k token indices each one covers
+    val dropped = grams.join(dup, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+    val toks = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("t", "token")))
+    val kept = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list order is partition-dependent; the struct sort keys
+        // the rebuild on the token index, making the text deterministic
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("token")))),
+            x => x.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the

@@ -52,6 +52,42 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3L) == ((15L, 0L)))
   }
 
+  test("dup span removal: non-canonical copy excised, canonical kept, no residual coverage") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val a = s"$shared ${(1 to 10).map(i => s"a$i").mkString(" ")}"
+    val b = s"${(1 to 10).map(i => s"b$i").mkString(" ")} $shared"
+    val c = (1 to 22).map(i => s"c$i").mkString(" ")
+    val in = docsDF(1L -> a, 2L -> b, 3L -> c)
+    val out = Dedup.removeDupSpans(in, k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    // doc 1 is the lowest doc containing every shared 8-gram → canonical,
+    // untouched; doc 2 drops the whole 12-token shared run; doc 3 untouched
+    assert(out(1L) == ((a, 0L)))
+    assert(out(2L) == (((1 to 10).map(i => s"b$i").mkString(" "), 12L)))
+    assert(out(3L) == ((c, 0L)))
+    // the Lee-et-al. postcondition: the cleaned corpus has zero covered
+    // positions — every duplicated gram now lives in exactly one doc
+    val residual = Dedup.dupSpanStats(
+      Dedup.removeDupSpans(in, k = 8).select(col("doc_id"), col("clean_text").as("text")),
+      k = 8)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_pos")).collect()(0).getLong(0)
+    assert(residual == 0L, s"cleaned corpus must have no residual covered spans, got $residual")
+  }
+
+  test("dup span removal on the test corpus: removes real spans, leaves no residual coverage") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cleaned = Dedup.removeDupSpans(docs, k = 8).cache()
+    val removed = cleaned.filter(col("n_removed") > 0).count()
+    assert(removed > 0, "the corpus plants cross-doc dup spans; some docs must shrink")
+    val residual = Dedup.dupSpanStats(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")), k = 8)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_pos")).collect()(0).getLong(0)
+    assert(residual == 0L, s"no residual covered spans above threshold, got $residual")
+    cleaned.unpersist()
+  }
+
   test("bm25: rare-term docs outrank common-term docs; tf monotonicity") {
     // 'rare' in one doc, 'com' in all; doc 4 has the highest rare tf
     val corpus = docsDF(
