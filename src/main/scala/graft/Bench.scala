@@ -110,6 +110,7 @@ object Bench {
       "sim_topk_ivf_indexed" -> q("sim_topk_ivf_indexed"),
       "sim_topk_ivf_appended" -> q("sim_topk_ivf_appended"),
       "sim_topk_ivf_sq8" -> q("sim_topk_ivf_sq8"),
+      "sim_topk_ivf_pq" -> q("sim_topk_ivf_pq"),
       "pipeline_curate" -> q("pipeline_curate"),
       "corpus_diff" -> q("corpus_diff"),
       "sample_token_budget" -> q("sample_token_budget"),

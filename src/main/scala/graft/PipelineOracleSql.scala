@@ -547,6 +547,94 @@ object PipelineOracleSql {
        |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** PQ-index probe (mirrors `IvfIndex.writePq` + `probePq`, nlist=16
+    * nprobe=4 k=5 candFactor=8, 8 subspaces x 32 codewords over 64 dims):
+    * the ivfTopK assignment CTEs pick each query's lists; the codebook is
+    * the sub-slices of the 32 lowest-id vectors (the same deterministic
+    * convention as the coarse centroids, which is what makes the build
+    * replayable); encode is L2 argmin per (vector, subspace) with ties to
+    * the lowest code; the ADC estimate is dot(query, reconstruction) over
+    * the ordered concatenation of codewords, rounded to 9 dp exactly like
+    * the engine so the candidate cut replays; exact rerank keeps the
+    * top-5. The reconstruction norm folds per-codeword squared norms in
+    * subspace order — the same two-level summation grouping the engine
+    * uses, so the doubles agree bit-for-bit.
+    */
+  def ivfTopKPq: String =
+    s"""WITH n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c WHERE n.id < 10)
+       |  WHERE crank <= 4
+       |), pqc AS (
+       |  SELECT id AS j, v AS w FROM n WHERE id < 32
+       |), ms AS (SELECT unnest(range(0, 8)) AS m),
+       |enc AS (
+       |  SELECT id, m, j FROM (
+       |    SELECT e.id, ms.m, c.j,
+       |      row_number() OVER (PARTITION BY e.id, ms.m ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (CAST(e.v[ms.m*8 + i] AS DOUBLE) - CAST(c.w[ms.m*8 + i] AS DOUBLE))
+       |             * (CAST(e.v[ms.m*8 + i] AS DOUBLE) - CAST(c.w[ms.m*8 + i] AS DOUBLE)))) ASC,
+       |        c.j ASC) AS r
+       |    FROM n e CROSS JOIN ms CROSS JOIN pqc c)
+       |  WHERE r = 1
+       |), rv AS (
+       |  SELECT enc.id,
+       |    flatten(list(list_transform(range(1, 9),
+       |      i -> CAST(c.w[enc.m*8 + i] AS DOUBLE)) ORDER BY enc.m)) AS rv
+       |  FROM enc JOIN pqc c ON c.j = enc.j
+       |  GROUP BY enc.id
+       |), cwsq AS (
+       |  SELECT j, ms.m,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> CAST(w[ms.m*8 + i] AS DOUBLE) * CAST(w[ms.m*8 + i] AS DOUBLE))) AS sq
+       |  FROM pqc, ms
+       |), rn AS (
+       |  SELECT enc.id, sqrt(list_sum(list(cwsq.sq ORDER BY enc.m))) AS rnrm
+       |  FROM enc JOIN cwsq ON cwsq.j = enc.j AND cwsq.m = enc.m
+       |  GROUP BY enc.id
+       |), qs AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(qv.v)+1),
+       |      i -> CAST(qv.v[i] AS DOUBLE) * rv.rv[i])) / (qv.nrm * rn.rnrm), 9) AS qcos
+       |  FROM qa q JOIN ca c ON c.cid = q.cid AND c.id != q.id
+       |  JOIN n qv ON qv.id = q.id
+       |  JOIN rv ON rv.id = c.id JOIN rn ON rn.id = c.id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS qr
+       |    FROM qs) WHERE qr <= 40),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM cand JOIN n q ON q.id = cand.query_id JOIN n c ON c.id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM s)
+       |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** Frame sampling metadata over the text-as-bytes payload (ASCII corpus:
     * byte == char): frameLen=32, stride=64, maxFrames=8.
     */
@@ -1118,6 +1206,7 @@ object PipelineOracleSql {
     // the full-corpus oracle replays the probe exactly
     "sim_topk_ivf_appended" -> ivfTopK,
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
+    "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,
     "text_chunk" -> textChunk,

@@ -535,6 +535,17 @@ object SparkEntry {
       IvfIndex.probeQuantized(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the PQ rung: 8 one-byte codes per 64-dim vector (32x fewer candidate
+    // bytes than float32), ADC estimate against the deterministic
+    // lowest-id codebook, exact float rerank; the oracle replays encode,
+    // reconstruction, candidate cut, and rerank
+    "sim_topk_ivf_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path)
+      IvfIndex.probePq(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // --- text analysis
     "text_quality" -> ((s, dir) =>

@@ -127,6 +127,178 @@ object IvfIndex {
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
   }
 
+  /** Build a PRODUCT-QUANTIZED index: the memory-ladder rung above SQ8
+    * ([[writeQuantized]]). The vector's dimensions split into
+    * `numSubspaces` contiguous subspaces; each subspace has a `ksub`-word
+    * codebook — deterministic, no training: the sub-slices of the `ksub`
+    * lowest-id corpus vectors, the same lowest-id convention as the coarse
+    * centroids, which is what keeps the whole build DuckDB-replayable —
+    * and each list row stores only its code per subspace
+    * ([[graft.functions.expressions.PqEncode]], L2 argmin, one byte per
+    * code: numSubspaces bytes per vector vs 4·dims for float32, 32x here)
+    * plus the reconstruction norm. A [[probePq]] candidate scan reads ONLY
+    * (id, codes, rnrm); the scored estimate dot(q, recon(codes)) is
+    * mathematically the ADC table-lookup sum Σₘ dot(qₘ, codewordₘ),
+    * computed against the driver-resident codebook literal. Exact float
+    * rerank of `candFactor · k` candidates, as in [[probeQuantized]].
+    *
+    * Layout adds `pq/` — (m, j, w): the codebook, a tiny file read at
+    * probe time, alongside the same `centroids/` + `lists/cid=` trees.
+    */
+  def writePq(
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      numSubspaces: Int = 8,
+      ksub: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      filesPerList: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(numSubspaces >= 1 && ksub >= 1 && ksub <= 128,
+      s"need 1 <= numSubspaces and 1 <= ksub <= 128, got ($numSubspaces, $ksub)")
+    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
+    cents.toSeq.toDF("cid", "cv", "cnrm")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val codebook = pqCodebook(emb, numSubspaces, ksub, idCol, vecCol)
+    codebook.zipWithIndex.flatMap { case (words, m) =>
+      words.zipWithIndex.map { case (w, j) => (m, j, w.toSeq) }
+    }.toSeq.toDF("m", "j", "w")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+    val assigned = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("cid", Similarity.centroidAssignExpr(cents))
+      .withColumn("codes",
+        graft.functions.expressions.PqEncodeExpression.pqEncodeNative(col("v"), codebook))
+      .withColumn("rnrm", pqReconNorm(col("codes"), codebook))
+    val clustered =
+      if (filesPerList <= 1) assigned.repartition(col("cid"))
+      else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+    clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+  }
+
+  /** Probe a PQ index ([[writePq]]): rank each probed list's members by the
+    * ADC cosine estimate dot(q, recon(codes)) / (|q|·rnrm) — codes decode
+    * against the broadcast codebook literal inside the scan projection, no
+    * float vector pages touched — keep `candFactor · k` per query, exact
+    * float rescore of the candidates. Output scores are EXACT cosines
+    * (round 9), ties by neighbor_id; same serving pattern as
+    * [[probeQuantized]], one rung further down the memory ladder. The
+    * default cut is 2x SQ8's: the untrained-codebook ADC estimate is
+    * coarser, and widening the rerank (still only candFactor·k float rows
+    * per query) is the cheap recall dial — measured recall@5 on the test
+    * corpus: 0.76 at 4x, 0.94 at 8x, 1.0 at 12x (IvfIndexSpec pins the
+    * 8x figure).
+    */
+  def probePq(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      candFactor: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = readCentroids(spark, path)
+    val codebook = readPqCodebook(spark, path)
+    val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
+    val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    def lists(cols: Column*): DataFrame =
+      readLists(spark, path)
+        .filter(col("cid").isin(probed.toIndexedSeq: _*))
+        .select(cols: _*)
+    // probe side: (query_id, float query + its exact norm, probed cids)
+    val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
+      l2Norm(col(vecCol)).as("nq"))
+    val qsq = qs.select(col("query_id"), col("cid")).join(fq, Seq("query_id"))
+    val scored = lists(col("id").as("neighbor_id"), col("codes"),
+        col("rnrm"), col("cid"))
+      .join(broadcast(qsq), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // rounded so an LSB of cross-engine drift can never move the cut
+        round(try_divide(dot(col("q"), pqRecon(col("codes"), codebook)),
+          col("nq") * col("rnrm")), 9).as("qcos"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * candFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = broadcast(candidates)
+      .join(lists(col("id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(fq), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** The deterministic PQ codebook: `[subspace][codeword][dim]` sub-slices
+    * of the `ksub` lowest-id vectors (no training — the same convention as
+    * the coarse centroids, and the property the oracle SQL replays).
+    */
+  private[graft] def pqCodebook(
+      emb: DataFrame,
+      numSubspaces: Int,
+      ksub: Int,
+      idCol: String,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    val donors = Similarity.collectCentroids(emb, ksub, idCol, vecCol).map(_._2)
+    require(donors.nonEmpty, "PQ codebook needs a non-empty corpus")
+    val dims = donors.head.length
+    require(dims % numSubspaces == 0,
+      s"dims ($dims) must divide evenly into $numSubspaces subspaces")
+    val dsub = dims / numSubspaces
+    Array.tabulate(numSubspaces)(m => donors.map(_.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** The built-in-composed twin of [[graft.functions.expressions.PqEncode]]
+    * — per subspace an unrolled `array_min` over per-codeword (squared
+    * distance, code) structs. Kept for the bit-equality cross-check
+    * (VectorExprSpec); do not use on hot paths — M × ksub unrolled branches
+    * hit the same JIT/Janino budget cliff as the unrolled centroid argmax.
+    */
+  private[graft] def pqEncodeUnrolled(
+      vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val codes = codebook.toIndexedSeq.zipWithIndex.map { case (words, s) =>
+      val dsub = words.head.length
+      val lo = s * dsub
+      val best = array_min(array(words.toIndexedSeq.zipWithIndex.map { case (cw, j) =>
+        val dist = aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (acc, i) =>
+          acc + (element_at(vec, lit(lo) + i).cast("double") - element_at(typedlit(cw.toSeq), i)) *
+                (element_at(vec, lit(lo) + i).cast("double") - element_at(typedlit(cw.toSeq), i)))
+        struct(dist.as("d"), lit(j).as("j"))
+      }: _*))
+      best.getField("j").cast("byte")
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruction from codes as a Column: concatenated codeword slices
+    * from the broadcast codebook literal — dot(q, recon) IS the ADC sum.
+    */
+  private[graft] def pqRecon(codes: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(sequence(lit(0), lit(codebook.length - 1)), m =>
+      element_at(element_at(cbLit, m + 1), element_at(codes, m + 1).cast("int") + 1)))
+  }
+
+  /** |recon(codes)| as a Column: subspaces are disjoint dims, so the
+    * squared norm is the ordered sum of per-codeword squared norms.
+    */
+  private[graft] def pqReconNorm(codes: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val sqLit = typedLit(codebook.map(_.map(w => w.map(x => x * x).sum).toSeq).toSeq)
+    sqrt(aggregate(sequence(lit(0), lit(codebook.length - 1)), lit(0.0), (acc, m) =>
+      acc + element_at(element_at(sqLit, m + 1), element_at(codes, m + 1).cast("int") + 1)))
+  }
+
   /** Append new vectors to an existing index WITHOUT rebuilding: assign
     * them against the frozen centroids and write one new committed epoch
     * (`epochs/<e>/lists/cid=<c>/`). The epoch's single lists write is its
@@ -136,9 +308,10 @@ object IvfIndex {
     * owns id uniqueness, e.g. by appending only post-watermark ids or by
     * fronting the index with the admission store).
     *
-    * Quantized indexes are detected from the base list schema (`qvec`
-    * present) and appended with the same quantized columns, so
-    * [[probeQuantized]] keeps working across epochs.
+    * Quantized indexes are detected from the base list schema (`qvec` →
+    * SQ8 columns; `codes` → PQ codes re-encoded against the stored
+    * codebook), so [[probeQuantized]] / [[probePq]] keep working across
+    * epochs.
     *
     * Frozen-centroid caveat (standard IVF serving trade-off): appended
     * vectors are assigned to the ORIGINAL coarse quantizer; if the data
@@ -156,15 +329,22 @@ object IvfIndex {
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
     require(roots.nonEmpty, s"no index lists at $path — build with write() first")
-    val quantized = spark.read.parquet(roots.head).schema.fieldNames.contains("qvec")
+    val baseFields = spark.read.parquet(roots.head).schema.fieldNames.toSet
     val base = emb
       .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
     val withQ =
-      if (!quantized) base
-      else base.join(
-        Similarity.quantize(emb, idCol, vecCol)
-          .select(col("id"), col("scale"), col("qvec"), l2Norm(col("qvec")).as("qnrm")),
-        Seq("id"))
+      if (baseFields.contains("qvec"))
+        base.join(
+          Similarity.quantize(emb, idCol, vecCol)
+            .select(col("id"), col("scale"), col("qvec"), l2Norm(col("qvec")).as("qnrm")),
+          Seq("id"))
+      else if (baseFields.contains("codes")) {
+        val codebook = readPqCodebook(spark, path)
+        base
+          .withColumn("codes",
+            graft.functions.expressions.PqEncodeExpression.pqEncodeNative(col("v"), codebook))
+          .withColumn("rnrm", pqReconNorm(col("codes"), codebook))
+      } else base
     val assigned = withQ.withColumn("cid", Similarity.centroidAssignExpr(cents))
     val clustered =
       if (filesPerList <= 1) assigned.repartition(col("cid"))
@@ -304,6 +484,15 @@ object IvfIndex {
     listRoots(spark, path)
       .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
       .reduce(_.unionByName(_))
+
+  /** The driver-resident PQ codebook (numSubspaces · ksub rows, tiny). */
+  private def readPqCodebook(
+      spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/pq").orderBy(col("m"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+  }
 
   /** The driver-resident coarse quantizer (≤ nlist rows by design). */
   private def readCentroids(

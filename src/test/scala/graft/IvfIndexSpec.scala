@@ -119,6 +119,41 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows(auto) == rows(direct), "auto-sized index must equal ivfTopK at the chosen nlist")
   }
 
+  test("PQ probe: exhaustive cut == exact probe; serving cut keeps recall; codes scan pruned") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-pq").toString
+    IvfIndex.writePq(emb, path, nlist = 16)
+    IvfIndex.write(emb, s"$path-exact", nlist = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+
+    // candFactor wide enough to keep every probed member: the rerank sees
+    // the same candidate set as the exact probe — bit-identical output
+    val wide = IvfIndex.probePq(spark, path, queries, k = 5, nprobe = 4, candFactor = 1000)
+    val probe = IvfIndex.probe(spark, s"$path-exact", queries, k = 5, nprobe = 4)
+    assert(rows(wide) == rows(probe),
+      "an exhaustive candidate cut must make the PQ probe exact")
+
+    // the serving cut (candFactor=8, the PQ default — the coarser ADC
+    // estimate gets a 2x wider rerank than SQ8): recall stays high
+    val narrow = IvfIndex.probePq(spark, path, queries, k = 5, nprobe = 4, candFactor = 8)
+    val exactSets = rows(probe).groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val narrowSets = rows(narrow).groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exactSets.map { case (q, e) =>
+      e.intersect(narrowSets.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"PQ preselect recall@5 $recall at the default 8x cut")
+
+    // the candidate scan stays partition-pruned
+    narrow.collect()
+    val scan = listsScan(narrow.queryExecution.executedPlan)
+      .getOrElse(fail("no lists scan in PQ probe plan"))
+    assert(scan.partitionFilters.nonEmpty, "PQ probe must keep the cid partition filter")
+  }
+
   test("append epochs: probe == full-rebuild probe bit-exact; pruning spans every tree; compact crash contract") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)

@@ -163,6 +163,24 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("graft_pq_encode == unrolled struct-min twin: corpus-wide bit equality") {
+    import graft.operators.IvfIndex
+    val codebook = IvfIndex.pqCodebook(emb, numSubspaces = 8, ksub = 16,
+      idCol = "vec_id", vecCol = "embedding")
+    val rows = emb.select(col("vec_id"),
+        graft.functions.expressions.PqEncodeExpression
+          .pqEncodeNative(col("embedding"), codebook).as("nat"),
+        IvfIndex.pqEncodeUnrolled(col("embedding"), codebook).as("unr"))
+      .collect()
+    assert(rows.length >= 500)
+    rows.foreach { r =>
+      val nat = r.getSeq[Byte](1)
+      val unr = r.getSeq[Byte](2)
+      assert(nat == unr, s"vec ${r.getLong(0)}: native $nat vs unrolled $unr")
+      assert(nat.length == 8)
+    }
+  }
+
   test("graft_quantize == HOF quantize: corpus-wide bit equality incl. zero vector") {
     import graft.operators.Similarity
     import spark.implicits._
