@@ -799,8 +799,12 @@ object PipelineOracleSql {
     * 1/(60+lex_rank) + 1/(60+sem_rank), -1 sentinels outside a pool
     * (mirrors `Search.hybridRrfTopK`).
     */
-  def hybridRrf: String =
-    s"""WITH tok AS (
+  /** Lexical-arm CTE chain shared by [[hybridRrf]] and
+    * [[hybridRrfIndexed]]: BM25 pool of 50 for the fixed query, same
+    * formulation as [[bm25TopK]].
+    */
+  private def hybridLexCtes: String =
+    s"""tok AS (
        |  SELECT doc_id, $Tok AS w FROM documents
        |), d AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
@@ -834,7 +838,27 @@ object PipelineOracleSql {
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
        |  FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 50
-       |), n AS (
+       |)""".stripMargin
+
+  /** RRF fusion + final ranking tail shared by [[hybridRrf]] and
+    * [[hybridRrfIndexed]] — expects CTEs `lex(doc_id, lex_rank)` and
+    * `sem(doc_id, sem_rank)` in scope.
+    */
+  private def hybridFuseTail: String =
+    """, f AS (
+      |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+      |    lex.lex_rank, sem.sem_rank,
+      |    coalesce(1e0 / (60 + lex.lex_rank), 0e0)
+      |      + coalesce(1e0 / (60 + sem.sem_rank), 0e0) AS rrf
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS "rank",
+      |  round(rrf, 6) AS rrf,
+      |  coalesce(lex_rank, -1) AS lex_rank, coalesce(sem_rank, -1) AS sem_rank
+      |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  def hybridRrf: String =
+    s"""WITH $hybridLexCtes, n AS (
        |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
        |), s AS (
        |  SELECT c.vec_id AS doc_id,
@@ -846,17 +870,50 @@ object PipelineOracleSql {
        |  SELECT doc_id,
        |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
        |  FROM s ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
-       |), f AS (
-       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-       |    lex.lex_rank, sem.sem_rank,
-       |    coalesce(1e0 / (60 + lex.lex_rank), 0e0)
-       |      + coalesce(1e0 / (60 + sem.sem_rank), 0e0) AS rrf
-       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-       |SELECT doc_id,
-       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS "rank",
-       |  round(rrf, 6) AS rrf,
-       |  coalesce(lex_rank, -1) AS lex_rank, coalesce(sem_rank, -1) AS sem_rank
-       |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+       |)$hybridFuseTail""".stripMargin
+
+  /** Index-served hybrid RRF (mirrors `Search.hybridRrfTopKIndexed` over an
+    * `IvfIndex.write`-default index: nlist=16 lowest-id centroids,
+    * nprobe=4, semantic pool 50 for query vec_id=0). The semantic arm
+    * replays the IVF probe of the [[ivfTopK]] oracle — corpus assignment to
+    * nearest centroid, query probe of its 4 nearest lists, exact cosine
+    * within the probed lists — so the approximation the index serves is
+    * CHECKED, not assumed; lexical arm and fusion identical to
+    * [[hybridRrf]].
+    */
+  def hybridRrfIndexed: String =
+    s"""WITH $hybridLexCtes, n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c WHERE n.id = 0)
+       |  WHERE crank <= 4
+       |), ss AS (
+       |  SELECT c.id AS doc_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM ca c JOIN qa q ON q.cid = c.cid AND c.id != q.id
+       |), sem AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+       |  FROM ss ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
+       |)$hybridFuseTail""".stripMargin
 
   /** Weighted mixture with upsampling, seed 'mix' (mirrors
     * `Sampling.mixtureSample` weights src0=2.2, src1=1.0, src2=0.35,
@@ -1218,6 +1275,7 @@ object PipelineOracleSql {
     "text_pack" -> textPack,
     "events_asof" -> eventsAsof,
     "search_hybrid_rrf" -> hybridRrf,
+    "search_hybrid_rrf_indexed" -> hybridRrfIndexed,
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,

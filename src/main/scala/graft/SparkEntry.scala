@@ -638,6 +638,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"),
         Seq("dup", "vector", "join", "slow"), queryVecId = 0L, k = 20)
         .orderBy(col("rank"))),
+    // the SERVING form of hybrid retrieval: same lexical arm and fusion,
+    // semantic arm answered from the persisted IVF index (partition-pruned
+    // probe of nprobe lists) — the oracle replays the IVF pool exactly, so
+    // the approximation is checked, not assumed
+    "search_hybrid_rrf_indexed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_hyb_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path)
+      Search.hybridRrfTopKIndexed(
+        s.read.parquet(s"$dir/documents.parquet"),
+        emb.filter(col("vec_id") === 0L), path,
+        Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
     "emb_outliers" -> ((s, dir) =>
       Clustering.centroidOutliers(s.read.parquet(s"$dir/embeddings.parquet"), k = 3)
         .orderBy(col("label"), col("rank"))),

@@ -112,6 +112,45 @@ object Search {
         emb, emb.filter(col(vecIdCol) === queryVecId), poolK,
         idCol = vecIdCol, vecCol = vecCol)
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    fuseRrf(lex, sem, k, rrfK)
+  }
+
+  /** Index-served hybrid retrieval: the same RRF fusion as
+    * [[hybridRrfTopK]], but the semantic arm is answered from the persisted
+    * IVF index ([[IvfIndex.probe]] — a partition-pruned scan of the
+    * queries' `nprobe` inverted lists) instead of a brute-force pass over
+    * the whole embedding table. This is the serving shape at corpus scale:
+    * the lexical arm explodes only query-term occurrences, the semantic arm
+    * reads only the probed lists, and the fusion still touches 2×`poolK`
+    * rows. With `nprobe` = nlist the semantic pool equals the brute-force
+    * pool and the fusion is bit-identical to [[hybridRrfTopK]] (pinned in
+    * SearchIndexedSpec); at a serving `nprobe` the pool is the IVF
+    * approximation, which the oracle replays exactly.
+    */
+  def hybridRrfTopKIndexed(
+      docs: DataFrame,
+      queries: DataFrame,
+      indexPath: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      nprobe: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lex = bm25TopK(docs, queryTerms, poolK, idCol = idCol, textCol = textCol)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = IvfIndex.probe(docs.sparkSession, indexPath, queries, poolK, nprobe)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    fuseRrf(lex, sem, k, rrfK)
+  }
+
+  /** RRF fusion tail shared by the brute-force and index-served forms:
+    * full-outer join of the two ≤poolK-row pools, 1/(rrfK+rank) added in
+    * fixed arm order, global top-k via TakeOrderedAndProject, ranking
+    * window over just k rows.
+    */
+  private def fuseRrf(lex: DataFrame, sem: DataFrame, k: Int, rrfK: Int): DataFrame = {
     val fused = lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
