@@ -117,7 +117,8 @@ object Bench {
       "sample_shuffle_order" -> q("sample_shuffle_order"),
       "text_lm_score" -> q("text_lm_score"),
       "pipeline_curate_budget" -> q("pipeline_curate_budget"),
-      "pipeline_curate_stream" -> q("pipeline_curate_stream")
+      "pipeline_curate_stream" -> q("pipeline_curate_stream"),
+      "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed")
     )
   }
 
@@ -183,6 +184,18 @@ object Bench {
     val qs = results
       .map { case (k, ts) => "\"" + k + "\":" + ts.map(_.sec).min }
       .mkString("{", ",", "}")
+    // stdout-line form of the metric map: the driver parses the LAST ~2000
+    // chars of captured stdout, and sbt's own "[success] Total time ..."
+    // trailer rides behind our line inside that window. r6 AND r7 both
+    // shipped parsed:null because the full-precision map outgrew the
+    // window, so the line is now LENGTH-BUDGETED: entries are included in
+    // run order (the four baseline renko_14m workloads run first, so they
+    // always make the cut) at 3-dp precision until the budget is reached;
+    // every query at full precision is in BENCH_SELF.json regardless.
+    val lineBudget = 1600
+    val qsParts = results.map { case (k, ts) =>
+      "\"" + k + "\":" + f"${ts.map(_.sec).min}%.3f"
+    }
     // self-diagnosis block (r5 lesson: a contention-polluted artifact was
     // indistinguishable from a regression without a manual judge re-run):
     // per-rep wall times, 1-min loadavg + run-queue depth before/after each
@@ -224,10 +237,22 @@ object Bench {
     // numeric sf (parsed from ".../sf0.1") so the JSON field is a number
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    // the stdout line is what the driver's tail capture parses — keep it to
-    // the compact, bounded metric map (r6 lesson: appending the diag block
-    // here overflowed the capture and shipped an unparseable artifact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    // the stdout line is what the driver's tail capture parses — assemble
+    // it under the hard length budget, dropping later (non-baseline) map
+    // entries first; `covered` records how many of the measured queries the
+    // line itself carries so a truncated map is visible, not silent
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"""
+    val tail = s""","covered":"N/${qsParts.size}","queries_full":"BENCH_SELF.json"}"""
+    val fixed = head.length + """"queries":{}""".length + tail.length + 8
+    var used = 0
+    val kept = qsParts.takeWhile { p =>
+      val ok = fixed + used + p.length + 1 <= lineBudget
+      if (ok) used += p.length + 1
+      ok
+    }
+    println(head +
+      kept.mkString("\"queries\":{", ",", "}") +
+      tail.replace("N/", s"${kept.size}/"))
     // the full self-diagnosis JSON (per-rep times, loadavg, run-queue,
     // parallel-scan phase timings, host) goes to its own file so it survives
     // as a committable artifact without riding the parsed channel
