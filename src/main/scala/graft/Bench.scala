@@ -118,7 +118,9 @@ object Bench {
       "text_lm_score" -> q("text_lm_score"),
       "pipeline_curate_budget" -> q("pipeline_curate_budget"),
       "pipeline_curate_stream" -> q("pipeline_curate_stream"),
-      "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed")
+      "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed"),
+      "dedup_semantic" -> q("dedup_semantic"),
+      "export_shards" -> q("export_shards")
     )
   }
 

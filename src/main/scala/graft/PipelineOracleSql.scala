@@ -444,6 +444,36 @@ object PipelineOracleSql {
        |SELECT id_a, id_b, cos_sim FROM scored
        |WHERE cos_sim >= 0.42 ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup semantic dedup (mirrors `Similarity.semanticDedup`,
+    * minCos=0.42, nlist=16): nearest lowest-id centroid assignment (same
+    * CTE as [[ivfTopK]]), within-cluster smaller-id τ-neighbor scan, keeper
+    * = no such neighbor.
+    */
+  def semanticDedup: String =
+    s"""WITH n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), dup AS (
+       |  SELECT DISTINCT a.id
+       |  FROM ca a JOIN ca b ON a.cid = b.cid AND b.id < a.id
+       |  WHERE round(list_sum(list_transform(range(1, len(a.v)+1),
+       |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) / (a.nrm * b.nrm), 9)
+       |    >= 0.42
+       |)
+       |SELECT ca.id AS vec_id, ca.cid, (dup.id IS NULL) AS is_kept
+       |FROM ca LEFT JOIN dup ON dup.id = ca.id
+       |ORDER BY vec_id""".stripMargin
+
   /** IVF top-k ANN: nlist=16 lowest-id centroids, nprobe=4, k=5. */
   def ivfTopK: String =
     s"""WITH n AS (
@@ -1155,6 +1185,50 @@ object PipelineOracleSql {
     * polyhash, doc_id). One flat window here — the engine's hierarchical
     * rank is exact, so it must reproduce this bit-for-bit.
     */
+  /** Shared CTE chain for the export oracles: the [[sampleShuffleOrder]]
+    * scrambled-hash global rank joined with whitespace token counts.
+    */
+  private def exportBaseCtes: String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    ((list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, strlen('shuffle:' || CAST(doc_id AS VARCHAR)) + 1),
+       |        i -> CAST(ascii(substr('shuffle:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 2147483647)
+       |      * 2654435761 + 12345) % 2147483647) AS hv
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS position
+       |  FROM h
+       |), sa AS (
+       |  SELECT p.doc_id, position,
+       |    CAST((position - 1) % 8 AS BIGINT) AS shard,
+       |    CAST((position - 1) // 8 AS BIGINT) + 1 AS shard_pos,
+       |    CAST(len($Tok) AS BIGINT) AS n_tokens
+       |  FROM p JOIN documents USING (doc_id)
+       |)""".stripMargin
+
+  /** Round-robin shard deal over the deterministic shuffle order (mirrors
+    * `Export.shardAssign`, nShards=8, seed 'shuffle').
+    */
+  def exportShards: String =
+    s"""WITH $exportBaseCtes
+       |SELECT doc_id, position, shard, shard_pos, n_tokens
+       |FROM sa ORDER BY doc_id""".stripMargin
+
+  /** Per-shard export manifest (mirrors `Export.shardManifest`): doc/token
+    * mass + the head-of-order doc id per shard. Sums carry the
+    * CAST(... AS BIGINT) guard (DuckDB HUGEINT -> float64 trap).
+    */
+  def exportManifest: String =
+    s"""WITH $exportBaseCtes
+       |SELECT shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min_by(doc_id, shard_pos) AS first_doc
+       |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
+
   def sampleShuffleOrder: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -1255,6 +1329,7 @@ object PipelineOracleSql {
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,
     "dedup_cosine_neardup" -> cosineNearDup,
+    "dedup_semantic" -> semanticDedup,
     "sim_topk_ivf" -> ivfTopK,
     // the persisted index is bit-transparent: same result, same oracle
     "sim_topk_ivf_indexed" -> ivfTopK,
@@ -1288,6 +1363,8 @@ object PipelineOracleSql {
     "sample_fixed_k" -> sampleFixedK,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,
+    "export_shards" -> exportShards,
+    "export_manifest" -> exportManifest,
     "sample_budget_stream" -> sampleBudgetStream,
     "text_lm_score" -> lmScore,
     "text_length_quantiles" -> lengthQuantiles,

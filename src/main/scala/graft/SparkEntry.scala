@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -457,6 +457,13 @@ object SparkEntry {
     "dedup_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"), 0.42)
         .orderBy(col("id_a"), col("id_b"))),
+    // SemDeDup: cluster-bounded semantic dedup — nearest lowest-id
+    // centroid, drop any vector with a smaller-id τ-similar neighbor in
+    // the same cluster; the oracle replays assignment, the within-cluster
+    // pair scan, and the keeper rule
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(s.read.parquet(s"$dir/embeddings.parquet"), 0.42)
+        .orderBy(col("vec_id"))),
 
     // --- similarity search
     "sim_topk_bruteforce" -> ((s, dir) => {
@@ -602,6 +609,18 @@ object SparkEntry {
     "sample_shuffle_order" -> ((s, dir) =>
       Sampling.shufflePosition(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("position")).orderBy(col("doc_id"))),
+    // training export: deterministic shuffle -> round-robin shard deal;
+    // the whole assignment is a pure function of (seed, doc_id, nShards)
+    "export_shards" -> ((s, dir) =>
+      Export.shardAssign(s.read.parquet(s"$dir/documents.parquet"), nShards = 8)
+        .select(col("doc_id"), col("position"), col("shard"),
+          col("shard_pos"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+    // the export summary a training job plans from: per-shard doc/token
+    // mass + the id at the head of each shard's order
+    "export_manifest" -> ((s, dir) =>
+      Export.shardManifest(s.read.parquet(s"$dir/documents.parquet"), nShards = 8)
+        .orderBy(col("shard"))),
     // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
     // src2 0.35x, src3 dropped, everything else 0.5x
     "sample_mixture" -> ((s, dir) =>

@@ -369,6 +369,50 @@ object Similarity {
     scorePairs(emb, lshCandidatePairs(emb, numPlanes, numTables, idCol, vecCol), idCol, vecCol)
       .filter(col("cos_sim") >= lit(minCos))
 
+  /** SemDeDup-style semantic deduplication [Abbas et al., 2023,
+    * arXiv:2303.09540]: assign every vector to its nearest coarse centroid
+    * (the deterministic lowest-id convention shared with [[ivfTopK]] /
+    * `IvfIndex`), then drop any vector that has a SMALLER-id τ-similar
+    * neighbor in the SAME cluster — one deterministic keeper per semantic
+    * neighborhood, no RNG, no stored model.
+    *
+    * Scale design: this is exactly the SemDeDup trick — the within-cluster
+    * equi-join on `cid` bounds the pairwise cosine work to cluster volumes
+    * (Σ|c|² instead of n²), and `nlist` is the dial that keeps clusters
+    * small as the corpus grows (√n clusters ⇒ expected O(n) pair volume at
+    * uniform occupancy; a hot cluster is the same skew problem — and same
+    * salting/`filesPerList`-style remedies — as everywhere else in the
+    * repo). The centroid assignment is a scan-stage native argmax
+    * ([[centroidAssignExpr]]), the dropped-id set is aggregate-fed so its
+    * join back carries an explicit SHUFFLE_HASH hint (the optimizer's
+    * fake-broadcastability trap, documented in ExtensionsSpec).
+    *
+    * Output: one row per input vector — (idCol, cid, is_kept), is_kept
+    * false iff a smaller-id same-cluster neighbor scores
+    * `round(cos, 9) >= minCos`.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      minCos: Double,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(emb, nlist, idCol, vecCol)
+    val assigned = emb.select(
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("cid", centroidAssignExpr(cents))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cid"))
+    val dropped = assigned.join(b, Seq("cid"))
+      .filter(col("id_b") < col("id"))
+      .filter(round(cosine(col("v"), col("vb"), col("nrm"), col("nb")), 9) >= lit(minCos))
+      .select(col("id")).distinct()
+    assigned
+      .join(dropped.withColumn("__dup", lit(1L)).hint("SHUFFLE_HASH"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Per-vector symmetric int8 scalar quantization: `scale = max|v| / 127`,
     * `q[i] = clamp(floor(v[i]/scale + 0.5), -127, 127)` — 4x less memory
     * and scan bandwidth than float32, the standard first rung of the

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Export, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Training-export shard packing: round-robin deal over the deterministic
+  * shuffle order. Checks the invariants a training job relies on — balance,
+  * within-shard order, manifest consistency, and independence from input
+  * partitioning.
+  */
+class ExportSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("round-robin deal: balanced shards, dense within-shard order, consistent manifest") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val assigned = Export.shardAssign(docs, nShards = 8)
+      .select("doc_id", "position", "shard", "shard_pos", "n_tokens").collect()
+    assert(assigned.length == n, "every document is dealt exactly once")
+
+    // shard = (position-1) % 8, shard_pos dense from 1 within each shard
+    assert(assigned.forall(r => r.getLong(2) == (r.getLong(1) - 1) % 8))
+    val byShard = assigned.groupBy(_.getLong(2))
+    assert(byShard.size == 8 && byShard.values.map(_.length).max
+      - byShard.values.map(_.length).min <= 1, "round-robin balances doc counts to +-1")
+    byShard.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length),
+        "within-shard positions are dense from 1")
+    }
+
+    // manifest aggregates the same deal
+    val man = Export.shardManifest(docs, nShards = 8).orderBy(col("shard")).collect()
+    assert(man.length == 8)
+    man.foreach { m =>
+      val rs = byShard(m.getLong(0))
+      assert(m.getLong(1) == rs.length, "manifest n_docs")
+      assert(m.getLong(2) == rs.map(_.getLong(4)).sum, "manifest n_tokens")
+      assert(m.getLong(3) == rs.minBy(_.getLong(3)).getLong(0), "manifest head-of-order doc")
+    }
+  }
+
+  test("assignment is partitioning-independent and seed-sensitive") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "shard_pos").orderBy(col("doc_id")).collect().toSeq
+    val base = rows(Export.shardAssign(docs, 8))
+    assert(rows(Export.shardAssign(docs.repartition(7), 8)) == base,
+      "shard deal must not depend on input partitioning")
+    assert(rows(Export.shardAssign(docs, 8, seed = "other")) != base,
+      "a different seed is an independent permutation")
+  }
+
+  test("position equals the flat shufflePosition contract") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaExport = Export.shardAssign(docs, 8)
+      .select("doc_id", "position").orderBy(col("doc_id")).collect().toSeq
+    val direct = Sampling.shufflePosition(docs)
+      .select("doc_id", "position").orderBy(col("doc_id")).collect().toSeq
+    assert(viaExport == direct)
+  }
+}
