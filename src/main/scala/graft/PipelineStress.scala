@@ -153,6 +153,21 @@ object PipelineStress {
     val wnRecall = planted.count(wnPairs.contains).toDouble / planted.size
     println(f"[pstress] winnow recall@planted     $wnRecall%.4f ($wnFound pairs found)")
     assert(wnRecall >= 0.95, s"winnow containment recall at scale degraded: $wnRecall")
+    // candidate-set GROWTH at fixed dup rate: the gate's output should grow
+    // ~linearly with corpus size (each half-corpus plants 10% dups, so
+    // doubling the corpus ~doubles true pairs and their candidates); a
+    // superlinear ratio is the prefix gate degenerating toward the naive
+    // join. Both corpora share the generator, so the dup RATE is constant.
+    val docsDiverseHalf = synthDocs(spark, nDocs / 2, pool = 50000L).localCheckpoint(true)
+    def candCount(d: DataFrame): Long =
+      TextAnalysis.winnowCandidates(d, 0.7, 8, 4, "doc_id", "text", 8)._1.count()
+    val candHalf = candCount(docsDiverseHalf)
+    val candFull = candCount(docsDiverse)
+    val candRatio = candFull.toDouble / math.max(1L, candHalf)
+    println(f"[pstress] winnow candidate growth   $candHalf -> $candFull " +
+      f"(x$candRatio%.2f on a 2x corpus)")
+    assert(candRatio <= 3.0,
+      s"candidate gate must stay ~linear: 2x corpus grew candidates x$candRatio")
     // the boilerplate regime, bounded to a slice that keeps the df-quadratic
     // exact join inside a stress budget: survives (no OOM) and stays exact
     val nBoiler = math.min(nDocs, 40000L)
@@ -224,6 +239,41 @@ object PipelineStress {
       "incremental admission must find the planted batch near-dups")
     t("hybrid_rrf", nDocs)(Search.hybridRrfTopK(
       docs, vecs, Seq("w42", "w7", "m13"), queryVecId = 0L, k = 20).count())
+
+    // 3-epoch admission replay at scale: the streaming ingest path's cost
+    // model is O(batch x collisions) per epoch, so per-epoch admitted
+    // counts are recorded and the store-probe epochs must not blow up as
+    // the store grows. Epoch 1 is the original 90%; epochs 2-3 split the
+    // planted dups, so most of each later epoch must be REJECTED against
+    // the store — recall of the admission gate at scale, not just speed.
+    val epoch1 = docs.filter(col("doc_id") < n9)
+    val epoch2 = docs.filter(col("doc_id") >= n9 && col("doc_id") < n9 + nPlanted / 2)
+    val epoch3 = docs.filter(col("doc_id") >= n9 + nPlanted / 2)
+    var store: Option[DataFrame] = None
+    val admittedCounts = Seq(epoch1, epoch2, epoch3).zipWithIndex.map { case (ep, i) =>
+      var admitted = 0L
+      t(s"admission_epoch_${i + 1}", ep.count()) {
+        val adm = graft.streaming.NearDupAdmission
+          .admitBatch(store, ep, 0.8).localCheckpoint(true)
+        admitted = adm.count()
+        store = Some(store.map(_.unionByName(adm)).getOrElse(adm))
+        admitted
+      }
+      admitted
+    }
+    println(s"[pstress] admission per-epoch admitted: ${admittedCounts.mkString(", ")}")
+    // epochs 2-3 are (near-)pure planted dups of epoch-1 docs: the store
+    // probe must reject essentially all of them
+    val lateAdmitted = admittedCounts.drop(1).sum
+    assert(lateAdmitted <= nPlanted / 20,
+      s"admission gate leaked $lateAdmitted of $nPlanted planted dups into the store")
+
+    // SemDeDup at scale: nlist = 256 coarse clusters over the vector
+    // corpus bounds the within-cluster pair volume; every vector gets
+    // exactly one decision
+    val semDecided = t("semantic_dedup", nVecs)(
+      Similarity.semanticDedup(vecs, 0.42, nlist = 256).count())
+    assert(semDecided == nVecs, s"semantic dedup must decide every vector, got $semDecided")
     val keepPrio = pmod(col("doc_id"), lit(4L)).cast("int")
     t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
       docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())

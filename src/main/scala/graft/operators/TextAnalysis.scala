@@ -204,6 +204,25 @@ object TextAnalysis {
       textCol: String = "text",
       prefixSlack: Int = 8,
       broadcastVerifyMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val (cand, fps, sz) =
+      winnowCandidates(docs, minContainment, k, window, idCol, textCol, prefixSlack)
+    winnowVerify(cand, fps, sz, minContainment, broadcastVerifyMaxBytes)
+  }
+
+  /** The candidate gate of [[winnowNearDupPairs]], exposed so scale
+    * harnesses (PipelineStress) can measure candidate-set growth directly:
+    * returns (candidates (id_s, id_l), fingerprint table, per-doc sizes).
+    * At a fixed duplication rate the candidate count should grow ~linearly
+    * with corpus size — superlinear growth is the gate degenerating.
+    */
+  private[graft] def winnowCandidates(
+      docs: DataFrame,
+      minContainment: Double,
+      k: Int,
+      window: Int,
+      idCol: String,
+      textCol: String,
+      prefixSlack: Int): (DataFrame, DataFrame, DataFrame) = {
     require(prefixSlack >= 1, s"prefixSlack must be >= 1, got $prefixSlack")
     // the fingerprint table feeds the frequency/size aggregates AND the
     // join sides — materialize it once (localCheckpoint, ContextCleaner-
@@ -250,6 +269,16 @@ object TextAnalysis {
         least(lit(prefixSlack.toLong), ceil(lit(minContainment) * col("ns"))))
       .select(col("id_s"), col("id_l"))
       .localCheckpoint(false)
+    (cand, fps, sz)
+  }
+
+  /** Exact-verification tail of [[winnowNearDupPairs]]. */
+  private def winnowVerify(
+      cand: DataFrame,
+      fps: DataFrame,
+      sz: DataFrame,
+      minContainment: Double,
+      broadcastVerifyMaxBytes: Long): DataFrame = {
     // exact verify: per-doc fingerprint sets, pruned to candidate-involved
     // docs, probed twice — no fingerprint-level shuffle. Join strategy is
     // ADAPTIVE on the measured candidate fingerprint mass: on a Zipfian
