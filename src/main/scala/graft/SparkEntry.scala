@@ -817,12 +817,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"))
       val bench = d.filter(col("doc_id") % 10 === 7)
       val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      // the eval suite is fixed across epochs: its gram set is prepared
+      // once, exactly as CurationStream.start does per stream
+      val bg = Decontamination.benchGramsOf(bench).localCheckpoint(true)
       var store: Option[(DataFrame, DataFrame)] = None
       var consumed = Map.empty[String, Long]
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
         val (adm, fin) = graft.streaming.CurationStream.curateBatch(
-          store, consumed, batch, bench, budget = 2000L)
+          store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
         val admBuckets = Dedup.minhashBucketsFor(adm)
         store = Some(store match {
           case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))

@@ -34,7 +34,36 @@ object Decontamination {
       n: Int = 8,
       minOverlap: Long = 1L,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    overlapReportPrepared(docs, benchGramsOf(benchmark, n, textCol), minOverlap, idCol, textCol)
+
+  /** The benchmark side of [[overlapReport]] alone: the distinct word
+    * n-gram set of the eval suite. Eval sets are FIXED while the corpus
+    * streams past them, so a per-micro-batch caller (the curation front
+    * door) computes this once — shingle pass, distinct shuffle, and the
+    * broadcast build all happen per STREAM, not per batch — and feeds
+    * [[overlapReportPrepared]].
+    */
+  def benchGramsOf(
+      benchmark: DataFrame,
+      n: Int = 8,
       textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.ShingleExpression.wordShinglesNative
+    benchmark
+      .select(explode(wordShinglesNative(col(textCol), n)).as("gram"))
+      .distinct()
+  }
+
+  /** [[overlapReport]] against a precomputed [[benchGramsOf]] frame —
+    * identical output (the gram set is a pure function of the benchmark).
+    */
+  def overlapReportPrepared(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      minOverlap: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
     // one corpus scan: the doc's gram count rides along the explode, so no
     // second scan + join is needed to recover it after the aggregation.
     // Shingling runs in the native one-walk graft_word_shingles expression
@@ -44,9 +73,6 @@ object Decontamination {
       .select(col(idCol).as("doc_id"), wordShinglesNative(col(textCol), n).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode(col("grams")).as("gram"))
-    val benchGrams = benchmark
-      .select(explode(wordShinglesNative(col(textCol), n)).as("gram"))
-      .distinct()
     docGrams
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("doc_id"))

@@ -64,16 +64,21 @@ object CurationStream {
       minQuality: Double = 0.5,
       dedupThreshold: Double = 0.8,
       params: MinHashParams = MinHashParams(),
-      langCol: String = "lang"): (DataFrame, DataFrame) = {
+      langCol: String = "lang",
+      benchGrams: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
     val surv = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
-    // 2: benchmark decontamination — a broadcast-able anti join
-    val overlap = Decontamination.overlapReport(
-      surv.select(col("doc_id"), col("text")), bench)
+    // 2: benchmark decontamination — a broadcast-able anti join. The eval
+    // suite is FIXED across the stream, so a repeated caller passes its
+    // gram set precomputed (`benchGrams`) instead of re-shingling +
+    // re-distincting the benchmark every micro-batch
+    val overlap = Decontamination.overlapReportPrepared(
+      surv.select(col("doc_id"), col("text")),
+      benchGrams.getOrElse(Decontamination.benchGramsOf(bench)))
     val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // 3: near-dup admission (annotations ride along: the admit functions
     // anti-join rejects off the frame they are given)
@@ -111,7 +116,10 @@ object CurationStream {
       dedupThreshold: Double = 0.8,
       params: MinHashParams = MinHashParams(),
       langCol: String = "lang",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the eval suite never changes over the stream's lifetime: shingle +
+    // distinct it ONCE (pinned eagerly) instead of once per micro-batch
+    val benchGrams = Decontamination.benchGramsOf(bench).localCheckpoint(true)
     stream.writeStream
       .queryName("graft-curation-stream")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -119,7 +127,8 @@ object CurationStream {
         if (!batch.isEmpty) {
           val (adm, fin) = curateBatch(
             readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
-            batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol)
+            batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol,
+            benchGrams = Some(benchGrams))
           // unique per decision (same rule as the admission store): replays
           // re-decide instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -135,6 +144,7 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** The curated corpus so far: every committed epoch's final records. */
   def readCurated(spark: SparkSession, storeDir: String): Option[DataFrame] = {
