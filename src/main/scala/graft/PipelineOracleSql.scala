@@ -1337,6 +1337,9 @@ object PipelineOracleSql {
     // lowest-id vector, so the centroids equal the full-corpus build's and
     // the full-corpus oracle replays the probe exactly
     "sim_topk_ivf_appended" -> ivfTopK,
+    // streaming-ingest fold: bootstrap batch holds every lowest-id vector,
+    // so the frozen centroids equal the full build's — same oracle again
+    "sim_topk_ivf_streamed" -> ivfTopK,
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,

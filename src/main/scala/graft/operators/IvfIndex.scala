@@ -324,7 +324,8 @@ object IvfIndex {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 1,
+      epochId: Option[String] = None): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
@@ -349,9 +350,14 @@ object IvfIndex {
     val clustered =
       if (filesPerList <= 1) assigned.repartition(col("cid"))
       else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
-    // unique per call (count prefix is cosmetic ordering; the uuid is the
-    // collision guard) — a crashed append never collides with its retry
-    val epoch = f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // default: unique per call (count prefix is cosmetic ordering; the uuid
+    // is the collision guard) — a crashed append never collides with its
+    // retry. A STREAMING caller instead passes a DETERMINISTIC `epochId`
+    // keyed by its micro-batch id: an at-least-once replay then OVERWRITES
+    // its own epoch (the overwrite drops `_SUCCESS` first, so the epoch is
+    // invisible during the rewrite) instead of double-serving the batch.
+    val epoch = epochId.getOrElse(
+      f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
   }
 

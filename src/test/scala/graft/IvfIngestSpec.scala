@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.streaming.IvfIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF ingest: micro-batches accrete as deterministic committed
+  * epochs under the frozen coarse quantizer. Pins the three contracts —
+  * stream result == full-rebuild probe, mid-stream restart continues the
+  * same index, and a replayed micro-batch overwrites its own epoch instead
+  * of double-serving it.
+  */
+class IvfIngestSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("query_id"), col("rank")).collect().toSeq
+
+  test("stream with mid-run restart == full-rebuild probe; replayed batch is idempotent") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfing-full").toString
+    IvfIndex.write(emb, full, nlist = 16)
+    val want = rows(IvfIndex.probe(spark, full, queries, k = 5, nprobe = 4))
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = vecs.splitAt(vecs.length / 2)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfing-ckpt").toString
+    val source = MemoryStream[(Long, Array[Float])]
+    def stream = source.toDF().toDF("vec_id", "embedding")
+
+    // run 1: bootstrap batch (contains every centroid-donor id, so the
+    // frozen quantizer equals the full build's), then stop — the restart
+    // must pick up from the checkpoint, not re-bootstrap
+    source.addData(firstHalf.toIndexedSeq)
+    val q1 = IvfIngest.start(stream, path, ckpt, nlist = 16)
+    q1.processAllAvailable(); q1.stop()
+
+    source.addData(secondHalf.toIndexedSeq)
+    val q2 = IvfIngest.start(stream, path, ckpt, nlist = 16)
+    q2.processAllAvailable(); q2.stop()
+
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "streamed index must probe identically to a full rebuild")
+
+    // at-least-once replay: re-applying a batch under its deterministic
+    // epoch id overwrites, never duplicates
+    val epochsBefore = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSet
+    IvfIngest.ingestBatch(
+      spark.createDataset(secondHalf.toIndexedSeq).toDF("vec_id", "embedding"),
+      path, batchId = 1L)
+    val epochsAfter = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSet
+    assert(epochsAfter == epochsBefore, s"replay must not add epochs: $epochsBefore -> $epochsAfter")
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "replayed batch must leave probes unchanged (no double-served vectors)")
+  }
+}
