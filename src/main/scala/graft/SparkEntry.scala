@@ -29,6 +29,15 @@ object SparkEntry {
       .select(col("ts").as("datetime"), col("value").as("close"))
   }
 
+  /** events.ts as epoch-µs LONG whatever its physical type — LONG epoch-ns
+    * (older testdata recordings, read via nanosAsLong) or TIMESTAMP[_NTZ]
+    * µs (current recordings; the driver regenerated the corpus between
+    * rounds). Every direct consumer of `ts` arithmetic goes through this so
+    * a testdata type change cannot break query analysis again.
+    */
+  private def tsUs(ev: DataFrame, c: String = "ts"): org.apache.spark.sql.Column =
+    Renko.toEpochMicros(ev.schema(c).dataType, col(c), "ns")
+
   /** events as one tick series per event_type (multi-series scan). */
   private def eventTicksByType(s: SparkSession, dir: String): DataFrame = {
     ensureConf(s)
@@ -115,13 +124,14 @@ object SparkEntry {
       // checkpoint at the timespan midpoint, resume, emit the post-splice
       // bricks (midpoint = integer mean of min/max epoch-ns — exact and
       // engine-independent, unlike a percentile sketch)
-      val ticks = eventTicks(s, dir)
+      val raw = eventTicks(s, dir)
+      val ticks = raw.select(tsUs(raw, "datetime").as("datetime"), col("close"))
       val mm = ticks.agg(min(col("datetime")), max(col("datetime"))).collect()(0)
       val cut = (mm.getLong(0) + mm.getLong(1)) / 2
-      val headWide = Renko.fromTicks(ticks.filter(col("datetime") <= cut), EventBrick, tsUnit = "ns")
+      val headWide = Renko.fromTicks(ticks.filter(col("datetime") <= cut), EventBrick, tsUnit = "us")
       val init = RenkoWS.stateFromCheckpoint(ToRws.toRws(headWide, EventBrick)).collect().toMap
       import s.implicits._
-      val tail = priceEvents(s, dir).filter(_.timestamp > cut / 1000)
+      val tail = priceEvents(s, dir).filter(_.timestamp > cut)
       emissionOrdered(RenkoWS.replay(tail, EventBrick, initialState = init).toDF())
     }),
 
@@ -218,8 +228,8 @@ object SparkEntry {
       ensureConf(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
       ev.select(col("event_id"), col("event_type"), col("value"),
-          (col("ts").cast("decimal(38,0)") / lit(1000000)).cast("long").as("ts_ms"))
-        // ts_ms is ns truncated to ms, so ties are plausible at larger scale
+          (tsUs(ev).cast("decimal(38,0)") / lit(1000)).cast("long").as("ts_ms"))
+        // ts_ms is truncated to ms, so ties are plausible at larger scale
         // factors — tie-break on event_id exactly like the oracle
         .orderBy(col("ts_ms").desc, col("event_id").desc)
         .limit(10)
@@ -265,8 +275,9 @@ object SparkEntry {
       // but the engine supports time-driven aggregation too — the streaming
       // form with a watermark is exercised in WindowedStreamSpec)
       ensureConf(s)
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("event_time", timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev
+        .withColumn("event_time", timestamp_micros(tsUs(ev)))
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -278,18 +289,19 @@ object SparkEntry {
       // sessionization via gaps-and-islands (30-min inactivity gap) — the
       // training-data-pipeline form of session windows, SQL-oracle-able
       ensureConf(s)
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val gapNs = 30L * 60 * 1000 * 1000 * 1000
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val gapUs = 30L * 60 * 1000 * 1000
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("user_id"), tsUs(ev).as("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
         .withColumn("new_s",
-          when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1).otherwise(0))
         .withColumn("sid", sum(col("new_s")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("sid"))
         .agg(count(lit(1)).as("n_events"),
-          ((min(col("ts")).cast("decimal(38,0)") / lit(1000000)).cast("long")).as("start_ms"),
-          ((max(col("ts")).cast("decimal(38,0)") / lit(1000000)).cast("long")).as("end_ms"))
+          ((min(col("ts_us")).cast("decimal(38,0)") / lit(1000)).cast("long")).as("start_ms"),
+          ((max(col("ts_us")).cast("decimal(38,0)") / lit(1000)).cast("long")).as("end_ms"))
         .orderBy(col("user_id"), col("sid"))
     }),
     // large-x-large join under key skew: fact side salted, dim side
@@ -531,6 +543,24 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the STREAMING-ingest form: the index is grown by a 3-batch fold of
+    // IvfIngest.ingestBatch (bootstrap + two deterministic epochs) — the
+    // exact function the foreachBatch stream applies per micro-batch. The
+    // first batch holds every lowest-id vector, so the frozen centroids
+    // equal the full build's and the same ivfTopK oracle replays the probe
+    "sim_topk_ivf_streamed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_str_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") < 250), path, 0L)
+      graft.streaming.IvfIngest.ingestBatch(
+        emb.filter(col("vec_id") >= 250 && col("vec_id") < 400), path, 1L)
+      graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") >= 400), path, 2L)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the quantized index: int8 inverted lists for the candidate scan (4x
     // fewer hot bytes), exact float rerank of candFactor*k candidates —
     // SQ8-and-refine; the oracle replays assignment, quantization, the
@@ -682,9 +712,9 @@ object SparkEntry {
     // last event + gap, so the oracle's islands add the gap to max(ts).
     "events_session_window" -> ((s, dir) => {
       ensureConf(s)
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("event_time",
-          timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev
+        .withColumn("event_time", timestamp_micros(tsUs(ev)))
         .groupBy(session_window(col("event_time"), "2 hours"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

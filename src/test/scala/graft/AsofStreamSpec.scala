@@ -16,7 +16,7 @@ class AsofStreamSpec extends SparkTestBase {
     // clicks (left) and views (right) from the real events table
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val e = ev.select(col("event_id"),
-      (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("ts_us"),
+      SparkTestBase.tsEpochUs(ev).as("ts_us"),
       col("user_id"), col("event_type"), col("value"))
     val left = e.filter(col("event_type") === "click")
       .select(col("user_id").as("key"), col("ts_us").as("ts"), col("event_id").as("id"))

@@ -21,9 +21,10 @@ class FileStreamSpec extends SparkTestBase {
     val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
     val outDir = new java.io.File(root, "out").getAbsolutePath
 
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = evRaw
       .select(lit("ev").as("symbol"),
-        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("timestamp"),
+        SparkTestBase.tsEpochUs(evRaw).as("timestamp"),
         col("value").as("price"))
       .as[PriceEvent]
       .collect().sortBy(_.timestamp)
@@ -86,9 +87,10 @@ class FileStreamSpec extends SparkTestBase {
       val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
       val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
       val outDir = new java.io.File(root, "out").getAbsolutePath
-      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val events = evRaw
         .select(lit("ev").as("symbol"),
-          (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("timestamp"),
+          SparkTestBase.tsEpochUs(evRaw).as("timestamp"),
           col("value").as("price"))
         .as[PriceEvent].collect().sortBy(_.timestamp)
       val (h1, h2) = events.splitAt(events.length / 2)

@@ -294,6 +294,31 @@ class PlanQualitySpec extends SparkTestBase {
       s"corpus_report grew extra shuffles:\n${resolved.toString.take(1500)}")
   }
 
+  test("semantic dedup: within-cluster equi-join, expression assignment, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.operators.Similarity.semanticDedup(emb, 0.42)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the cluster-bounded pair scan must stay an equi-join:\n${plan.take(1500)}")
+    // centroid assignment is the scan-stage native argmax on BOTH join
+    // sides — a corpus x nlist window would shuffle the corpus twice
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(windows == 0, s"expected no assignment windows, got $windows")
+  }
+
+  test("export shard deal: broadcast range-base, scan pruned to (doc_id, text)") {
+    val plan = formatted(SparkEntry.queries("export_shards")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the 1024-row range-base frame must broadcast:\n${plan.take(1500)}")
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("lang") && !l.contains("source"),
+        s"export scan must read only (doc_id, text): $l")
+    }
+  }
+
   test("incremental dedup: band probe is an equi-join, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val inc = graft.operators.Dedup.minhashIncrementalPairs(

@@ -14,9 +14,10 @@ class ReplaySourceSpec extends SparkTestBase {
   private def recordTicks(): (String, Long) = {
     val dir = Files.createTempDirectory("graft-replay").toFile
     val out = new java.io.File(dir, "rec").getAbsolutePath
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    evRaw
       .select(lit("ev").as("symbol"),
-        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("t"),
+        SparkTestBase.tsEpochUs(evRaw).as("t"),
         col("value").as("price"))
       .orderBy("t").coalesce(1)
       .write.parquet(out)
@@ -102,9 +103,10 @@ class ReplaySourceSpec extends SparkTestBase {
     */
   private def recordThreeFiles(): (String, Seq[Long]) = {
     val dir = Files.createTempDirectory("graft-replay-multi").toFile
-    val ticks = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ticks = evRaw
       .select(lit("ev").as("symbol"),
-        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("t"),
+        SparkTestBase.tsEpochUs(evRaw).as("t"),
         col("value").as("price"))
       .orderBy("t").collect()
     val chunks = ticks.grouped(ticks.length / 3 + 1).toSeq

@@ -99,7 +99,7 @@ class RocksDBStreamSpec extends SparkTestBase {
       implicit val sqlCtx = spark.sqlContext
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       val e = ev.select(col("event_id"),
-        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("ts_us"),
+        SparkTestBase.tsEpochUs(ev).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       val left = e.filter(col("event_type") === "click")
         .select(col("user_id").as("key"), col("ts_us").as("ts"), col("event_id").as("id"))
@@ -167,9 +167,10 @@ class RocksDBStreamSpec extends SparkTestBase {
   test("renko 3-batch replay on RocksDB == default-provider replay, bit-exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = evRaw
       .select(lit("ev").as("symbol"),
-        (col("ts").cast("decimal(38,0)") / lit(1000)).cast("long").as("timestamp"),
+        SparkTestBase.tsEpochUs(evRaw).as("timestamp"),
         col("value").as("price"))
       .as[graft.streaming.PriceEvent].collect().sortBy(_.timestamp)
 

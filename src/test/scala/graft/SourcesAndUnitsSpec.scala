@@ -53,14 +53,15 @@ class SourcesAndUnitsSpec extends SparkTestBase {
 
   test("CSV tick source: same bricks as parquet") {
     val dir = Files.createTempDirectory("graft-csv").toString
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts").cast("long").as("datetime"), col("value").as("close"))
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = evRaw
+      .select(SparkTestBase.tsEpochUs(evRaw).as("datetime"), col("value").as("close"))
     base.coalesce(1).write.option("header", "true").csv(s"$dir/ticks")
     val csv = spark.read.option("header", "true")
       .schema(StructType(Seq(
         StructField("datetime", LongType), StructField("close", DoubleType))))
       .csv(s"$dir/ticks")
-    val fromCsv = Renko.fromTicks(csv, 25.0, tsUnit = "ns").collect()
+    val fromCsv = Renko.fromTicks(csv, 25.0, tsUnit = "us").collect()
     val fromParquet = Renko.fromTicks(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         .select(col("ts").as("datetime"), col("value").as("close")),
@@ -71,26 +72,27 @@ class SourcesAndUnitsSpec extends SparkTestBase {
 
   test("JSON tick source: same bricks as parquet") {
     val dir = Files.createTempDirectory("graft-json").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts").cast("long").as("datetime"), col("value").as("close"))
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    evRaw
+      .select(SparkTestBase.tsEpochUs(evRaw).as("datetime"), col("value").as("close"))
       .coalesce(1).write.json(s"$dir/ticks")
     val json = spark.read
       .schema(StructType(Seq(
         StructField("datetime", LongType), StructField("close", DoubleType))))
       .json(s"$dir/ticks")
-    assert(Renko.fromTicks(json, 25.0, tsUnit = "ns").count() == 874)
+    assert(Renko.fromTicks(json, 25.0, tsUnit = "us").count() == 874)
   }
 
   test("ORC tick source: same bricks as parquet") {
     val dir = Files.createTempDirectory("graft-orc").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("ts").cast("long").as("datetime"), col("value").as("close"))
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    evRaw
+      .select(SparkTestBase.tsEpochUs(evRaw).as("datetime"), col("value").as("close"))
       .write.orc(s"$dir/ticks")
-    val fromOrc = Renko.fromTicks(spark.read.orc(s"$dir/ticks"), 25.0, tsUnit = "ns").collect()
+    val fromOrc = Renko.fromTicks(spark.read.orc(s"$dir/ticks"), 25.0, tsUnit = "us").collect()
     val fromParquet = Renko.fromTicks(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(col("ts").cast("long").as("datetime"), col("value").as("close")),
-      25.0, tsUnit = "ns").collect()
+      evRaw.select(SparkTestBase.tsEpochUs(evRaw).as("datetime"), col("value").as("close")),
+      25.0, tsUnit = "us").collect()
     assert(fromOrc.length == 874)
     fromOrc.zip(fromParquet).foreach { case (a, b) => assert(a == b) }
   }

@@ -9,6 +9,16 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  /** events.ts as epoch-µs LONG whatever its physical type — LONG epoch-ns
+    * (older testdata recordings, via nanosAsLong) or TIMESTAMP[_NTZ] µs
+    * (current recordings). Same dispatch the engine itself uses
+    * (Renko.toEpochMicros), so suites cannot break on a testdata type
+    * change again.
+    */
+  def tsEpochUs(df: org.apache.spark.sql.DataFrame, c: String = "ts"): org.apache.spark.sql.Column =
+    graft.operators.Renko.toEpochMicros(
+      df.schema(c).dataType, org.apache.spark.sql.functions.col(c), "ns")
+
   lazy val session: SparkSession = {
     val s = SparkSession
       .builder()

@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   */
 class StreamJoinSpec extends SparkTestBase {
 
-  private def eventSide(tpe: String) =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .filter(col("event_type") === tpe)
+  private def eventSide(tpe: String) = {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.filter(col("event_type") === tpe)
       .select(
         col("user_id"),
-        timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long"))
-          .as("event_time"),
+        timestamp_micros(SparkTestBase.tsEpochUs(ev)).as("event_time"),
         col("event_id"))
+  }
 
   test("interval join: streamed matches == batch interval join") {
     import spark.implicits._

@@ -13,9 +13,10 @@ class WindowedStreamSpec extends SparkTestBase {
   test("tumbling window + watermark: closed windows == batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = evRaw
       .select(
-        timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")).as("event_time"),
+        timestamp_micros(SparkTestBase.tsEpochUs(evRaw)).as("event_time"),
         col("event_type"), col("value"))
       .orderBy("event_time")
       .collect()
@@ -37,9 +38,9 @@ class WindowedStreamSpec extends SparkTestBase {
 
     val streamed = spark.table("win_out").collect()
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("event_time",
-        timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")))
+    val evRaw2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = evRaw2
+      .withColumn("event_time", timestamp_micros(SparkTestBase.tsEpochUs(evRaw2)))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_millis(col("window.start")).as("w"), col("event_type"), col("n_events"))
@@ -60,9 +61,10 @@ class WindowedStreamSpec extends SparkTestBase {
   test("session window + watermark: closed sessions == batch session_window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rows = evRaw
       .select(
-        timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long")).as("event_time"),
+        timestamp_micros(SparkTestBase.tsEpochUs(evRaw)).as("event_time"),
         col("user_id"), col("value"))
       .orderBy("event_time")
       .collect()
@@ -87,9 +89,9 @@ class WindowedStreamSpec extends SparkTestBase {
 
     val streamed = spark.table("sess_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
-    val batch = sessions(spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("event_time",
-          timestamp_micros((col("ts").cast("decimal(38,0)") / lit(1000)).cast("long"))))
+    val evRaw2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = sessions(evRaw2
+        .withColumn("event_time", timestamp_micros(SparkTestBase.tsEpochUs(evRaw2))))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
 
