@@ -120,7 +120,8 @@ object Bench {
       "pipeline_curate_stream" -> q("pipeline_curate_stream"),
       "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed"),
       "dedup_semantic" -> q("dedup_semantic"),
-      "export_shards" -> q("export_shards")
+      "export_shards" -> q("export_shards"),
+      "text_decontaminate_spans" -> q("text_decontaminate_spans")
     )
   }
 

@@ -825,6 +825,16 @@ object SparkEntry {
         estimatedGrams = 65536L)
         .orderBy(col("doc_id"))
     }),
+    // the surgical decontamination form: excise benchmark-overlapping
+    // 8-gram SPANS and keep the rest of the document (the doc-drop form
+    // above is the blunt instrument); same rewrite contract as
+    // dedup_span_removal, benchmark grams broadcast
+    "text_decontaminate_spans" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Decontamination.decontaminateSpans(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"))
+    }),
     // the composed curation pipeline end-to-end: quality+langid filter →
     // decontaminate vs the doc_id%10=7 eval slice → LSH near-dup drop →
     // per-language mixture draw. One oracle checks the whole chain.

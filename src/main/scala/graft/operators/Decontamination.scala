@@ -82,6 +82,60 @@ object Decontamination {
         (col("n_overlap").cast("double") / col("n_grams").cast("double")).as("overlap_frac"))
   }
 
+  /** Contamination-SPAN removal: excise every word `k`-gram span of a
+    * corpus document that appears verbatim in the benchmark, keep the rest,
+    * and re-emit the cleaned text. [[overlapReport]] + anti-join is the
+    * blunt instrument (drop the whole document); this is the surgical form
+    * for PARTIALLY contaminated documents — a page that quotes one eval
+    * question loses those `k` token runs, not its other 5,000 tokens. Same
+    * rewrite contract as `Dedup.removeDupSpans` (the Lee-et-al. span
+    * machinery, pointed at benchmark grams instead of cross-doc duplicated
+    * grams): output (doc_id, clean_text, n_tokens, n_removed).
+    *
+    * 100 TB shape: the benchmark gram-hash set is tiny and BROADCAST (the
+    * same asymmetry as [[overlapReport]]); corpus-side work is one
+    * posexplode + map-side hash join + the per-doc rebuild aggregate — no
+    * pairwise stage, no corpus shuffle beyond the per-doc group-by.
+    */
+  def decontaminateSpans(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+    val benchHashes = benchmark
+      .select(tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(orderedNgramsFromTokens(col("w"), k)).as("g"))
+      .select(polyHash(col("g")).as("h")).distinct()
+    val dropped = grams.join(broadcast(benchHashes), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+    val toks = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("t", "token")))
+    val kept = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list order is partition-dependent; the struct sort keys
+        // the rebuild on the token index, making the text deterministic
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("token")))),
+            x => x.getField("token")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** [[overlapReport]] with a Bloom prefilter on the corpus-gram stream —
     * identical output (the filter only ever passes a superset of the true
     * matches, and the exact gram join then removes the false positives),

@@ -88,6 +88,45 @@ class CorpusOpsSpec extends SparkTestBase {
     cleaned.unpersist()
   }
 
+  test("contamination-span removal: benchmark quotes excised, clean text kept, report goes quiet") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
+    val clean = (1 to 22).map(i => s"c$i").mkString(" ")
+    val corpus = docsDF(1L -> contaminated, 2L -> clean)
+    val bench = docsDF(100L -> s"$quote ${(1 to 5).map(i => s"z$i").mkString(" ")}")
+    val out = graft.operators.Decontamination.decontaminateSpans(corpus, bench, k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    // doc 1 loses exactly the 12-token quoted run; doc 2 untouched
+    assert(out(1L) == (((1 to 10).map(i => s"a$i").mkString(" "), 12L)))
+    assert(out(2L) == ((clean, 0L)))
+    // postcondition: the cleaned corpus reports zero benchmark overlap
+    val residual = graft.operators.Decontamination.overlapReport(
+      graft.operators.Decontamination.decontaminateSpans(corpus, bench, k = 8)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      bench).count()
+    assert(residual == 0L, s"cleaned corpus must report no benchmark overlap, got $residual")
+  }
+
+  test("contamination-span removal on the test corpus: flagged docs shrink instead of dropping") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 7)
+    val bench = d.filter(col("doc_id") % 10 === 7)
+    val flaggedBefore = graft.operators.Decontamination.overlapReport(corpus, bench)
+      .count()
+    assert(flaggedBefore > 0, "the corpus plants benchmark overlap; the fixture must exercise it")
+    val cleaned = graft.operators.Decontamination.decontaminateSpans(corpus, bench).cache()
+    assert(cleaned.count() == corpus.count(), "every document survives (shrunk, not dropped)")
+    assert(cleaned.filter(col("n_removed") > 0).count() == flaggedBefore,
+      "exactly the overlap-flagged docs lose spans")
+    val flaggedAfter = graft.operators.Decontamination.overlapReport(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")), bench).count()
+    assert(flaggedAfter == 0,
+      s"cleaned corpus must report no benchmark overlap, got $flaggedAfter flagged docs")
+    cleaned.unpersist()
+  }
+
   test("bm25: rare-term docs outrank common-term docs; tf monotonicity") {
     // 'rare' in one doc, 'com' in all; doc 4 has the highest rare tf
     val corpus = docsDF(
