@@ -24,7 +24,13 @@ class DeterminismSpec extends SparkTestBase {
         // and the LM score (integer-quantized log terms — THE query a
         // naive float sum would pass at one parallelism and fail at
         // another)
-        "sample_token_budget", "sample_shuffle_order", "text_lm_score")) {
+        "sample_token_budget", "sample_shuffle_order", "text_lm_score",
+        // round-8: the index-served RRF fusion (float adds in fixed arm
+        // order over the IVF pool), SemDeDup's within-cluster cosine
+        // threshold, the export manifest's token sums, and the
+        // contamination-span rebuild (collect_list re-sorted on position)
+        "search_hybrid_rrf_indexed", "dedup_semantic", "export_manifest",
+        "text_decontaminate_spans")) {
       def run(parts: String): Array[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         // Double.toString is the shortest round-trip representation, so any
