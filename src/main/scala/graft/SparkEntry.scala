@@ -403,15 +403,12 @@ object SparkEntry {
       var store: Option[(DataFrame, DataFrame)] = None
       val perEpoch = (0 until 3).map { e =>
         val batch = d.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val adm = (store match {
-          case Some((sd, sb)) =>
-            graft.streaming.NearDupAdmission.admitBatchPrebucketed(sd, sb, batch, 0.8)
-          case None =>
-            graft.streaming.NearDupAdmission.admitBatch(None, batch, 0.8)
-        }).localCheckpoint(false)
-        // bucket rows derive from the pinned admissions — a narrow
-        // projection, no checkpoint of its own needed
-        val admBuckets = Dedup.minhashBucketsFor(adm)
+        val (admLazy, bb) =
+          graft.streaming.NearDupAdmission.admitBatchWithBuckets(store, batch, 0.8)
+        val adm = admLazy.localCheckpoint(false)
+        // bucket rows are a semi-join filter of the decision's own bucket
+        // table — the epoch is signatured once, exactly like the stream
+        val admBuckets = graft.streaming.NearDupAdmission.bucketsOfAdmitted(bb, adm)
         store = Some(store match {
           case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
           case None => (adm, admBuckets)
@@ -864,9 +861,8 @@ object SparkEntry {
       var consumed = Map.empty[String, Long]
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val (adm, fin) = graft.streaming.CurationStream.curateBatch(
+        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
-        val admBuckets = Dedup.minhashBucketsFor(adm)
         store = Some(store match {
           case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
           case None => (adm, admBuckets)

@@ -277,12 +277,40 @@ object Dedup {
   }
 
   /** LSH candidate pairs from MinHash signatures: (id_a, id_b). */
-  private[graft] def minhashCandidates(sigs: DataFrame, params: MinHashParams): DataFrame = {
-    val buckets = minhashBuckets(sigs, params)
+  private[graft] def minhashCandidates(sigs: DataFrame, params: MinHashParams): DataFrame =
+    minhashCandidatesFromBuckets(minhashBuckets(sigs, params))
+
+  /** LSH candidate pairs from an already-materialized bucket table — the
+    * entry point for callers that hold the (doc_id, band, bucket) snapshot
+    * (the admission front door computes it ONCE per micro-batch and feeds
+    * the internal self-pair gate, the store probe, and the persisted
+    * snapshot from the same frame).
+    */
+  private[graft] def minhashCandidatesFromBuckets(buckets: DataFrame): DataFrame =
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+
+  /** [[minhashLshPairs]] with the document frame's bucket rows supplied by
+    * the caller instead of derived in-plan — identical output (bucket rows
+    * are a pure per-doc projection). The admission path uses this so a
+    * micro-batch is signatured exactly once per trigger, not once for the
+    * internal gate and again for the store probe.
+    */
+  def minhashLshPairsPrebucketed(
+      docs: DataFrame,
+      docBuckets: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val candidates = minhashCandidatesFromBuckets(docBuckets)
+      .localCheckpoint(false)
+    val candIds = candidates.select(col("id_a").as("__cand_id"))
+      .union(candidates.select(col("id_b").as("__cand_id")))
+      .distinct()
+    val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
+    jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
   }
 
   /** One row per (doc, band): bucket key = the band's signature slice
@@ -361,11 +389,27 @@ object Dedup {
       threshold: Double,
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    minhashIncrementalPairsBothPrebucketed(
+      corpus, corpusBuckets, batch,
+      minhashBuckets(minhashSigs(batch, params, idCol, textCol), params),
+      threshold, idCol, textCol)
+
+  /** [[minhashIncrementalPairsPrebucketed]] with BOTH sides' bucket rows
+    * supplied — the probe the admission front door runs after deriving the
+    * batch's buckets once for all its consumers.
+    */
+  def minhashIncrementalPairsBothPrebucketed(
+      corpus: DataFrame,
+      corpusBuckets: DataFrame,
+      batch: DataFrame,
+      batchBuckets: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(Seq("doc_id", "band", "bucket").forall(corpusBuckets.columns.contains),
       s"corpusBuckets needs (doc_id, band, bucket) — the minhashBucketsFor " +
         s"shape — got ${corpusBuckets.columns.mkString(", ")}")
-    val batchBuckets = minhashBuckets(minhashSigs(batch, params, idCol, textCol), params)
     // materialized once (localCheckpoint, ContextCleaner-freed): feeds the
     // shingle prunes AND the verification join, like minhashLshPairs
     val candidates = corpusBuckets.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))

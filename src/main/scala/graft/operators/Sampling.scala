@@ -207,6 +207,79 @@ object Sampling {
       .drop("__hv", "__rng", "__base")
   }
 
+  /** Temperature-based mixture sampling (the multilingual pre-training
+    * standard — sample stratum `l` with probability ∝ n_l^α, α < 1
+    * up-weighting small strata; mBERT/XLM-R exponent-smoothed sampling):
+    * draw a TOTAL of ~`totalDocs` documents with per-stratum quotas
+    * `k_l = floor(totalDocs * n_l^α / Σ_m n_m^α)`, each stratum's draw the
+    * k_l smallest scrambled hashes (the [[fixedSizeSample]] order).
+    *
+    * Exactness contract: α is restricted to {0.0, 0.5, 1.0} so the weight
+    * arithmetic is cross-engine exact — `sqrt` is IEEE-correctly-rounded
+    * on both engines (a general `pow` is not), each stratum weight is
+    * quantized to integer micro-units, and the quota division is INTEGER
+    * division of exact integers. Quota remainders are dropped (the output
+    * is ≤ totalDocs by up to #strata docs) — the deterministic floor rule,
+    * not largest-remainder apportionment.
+    *
+    * Scale shape: the stratum census is one tiny partial-agg'd aggregate
+    * (broadcast back as quota literals per row); selection reuses the
+    * hierarchical 1024-range rank of [[shufflePosition]] — never a
+    * whole-stratum single-task sort. (The WindowGroupLimit heap that
+    * rescues [[fixedSizeSample]] needs a LITERAL limit, which a per-stratum
+    * quota column is not — the range split is what bounds task size here.)
+    *
+    * Output: input columns + (n_tokens-free) `draw_rank` (1-based within
+    * stratum, in draw order).
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      totalDocs: Long,
+      strataCol: String,
+      alpha: Double = 0.5,
+      seed: String = "temp",
+      idCol: String = "doc_id"): DataFrame = {
+    require(totalDocs >= 1, "totalDocs must be >= 1")
+    require(Seq(0.0, 0.5, 1.0).contains(alpha),
+      s"alpha must be one of 0.0, 0.5, 1.0 (cross-engine-exact weights), got $alpha")
+    val census = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val qs = alpha match {
+      case 0.0 => lit(1000000L)
+      case 0.5 => floor(sqrt(col("__n").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+      case _ => col("__n") * lit(1000000L)
+    }
+    val wq = census.select(col(strataCol), qs.as("__qs"))
+    val denom = wq.agg(sum(col("__qs")).as("__denom"))
+    // integer division of exact integers: never route this through a
+    // double — totalDocs * __qs can exceed 2^53
+    val quotas = wq.crossJoin(broadcast(denom))
+      .select(col(strataCol),
+        expr(s"(${totalDocs}L * __qs) div __denom").as("__k"))
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val perDoc = docs
+      .withColumn("__hv", h)
+      .withColumn("__rng", shiftright(col("__hv"), 21))
+    val wRange = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__rng").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = perDoc
+      .groupBy(col(strataCol), col("__rng"))
+      .agg(count(lit(1)).as("__rcnt"))
+      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+      .select(col(strataCol), col("__rng"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol), col("__rng"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    perDoc
+      .join(broadcast(rangeBase), Seq(strataCol, "__rng"))
+      .withColumn("draw_rank", col("__base") + row_number().over(wIn).cast("long"))
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("draw_rank") <= col("__k"))
+      .drop("__hv", "__rng", "__base", "__k")
+  }
+
   /** Weighted mixture with UPSAMPLING: per-stratum weights may exceed 1.0
     * (e.g. 2.2 → every doc emitted twice, plus a third copy for a
     * deterministic 20% of docs). `copies = floor(w) + [bucket < frac(w)]`;

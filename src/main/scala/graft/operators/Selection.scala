@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data SELECTION over hashed n-gram features — the two
+  * standard "pick the training data that looks like your target" methods
+  * from the public literature, built so every arithmetic step is replayable
+  * by the DuckDB oracle:
+  *
+  *  - [[dsirSample]] — importance resampling (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling"): score every
+  *    raw document by the log-likelihood ratio of a target vs a raw hashed
+  *    n-gram bag-of-features model, then draw without replacement via
+  *    deterministic Gumbel top-k.
+  *  - [[nbClassifierScores]] — the fastText-style / CCNet-style quality
+  *    classifier: a Naive-Bayes linear model trained in-engine on a
+  *    positive (curated) and negative (raw) seed, applied as a scan-local
+  *    scoring pass.
+  *
+  * Numerics contract (the [[TextAnalysis.lmScore]] convention): every ln is
+  * quantized to integer micro-units via the engine-stable
+  * `floor(x * 1e6 + 0.5)` BEFORE any summation, so per-doc scores are exact
+  * integer sums — order-independent under any partitioning and
+  * bit-replicable by the oracle. Feature hashing is the SQL-replicable
+  * 31-bit polynomial fold + LCG scramble (the [[Sampling.bucket]]
+  * construction) into `numBuckets` buckets.
+  *
+  * Scale shape: feature extraction is scan-local (tokens → unigrams +
+  * bigrams, no distinct — multiplicity is the bag model); the two model
+  * tables are `numBuckets`-bounded aggregates with map-side partials;
+  * scoring is one broadcast join of the `numBuckets`-row weight table onto
+  * the exploded features plus one partial-agg'd groupBy(doc) — no
+  * corpus-sized shuffle beyond the per-doc score aggregation, and the
+  * selection is a distributed TakeOrdered (k-bounded), never a global
+  * window.
+  */
+object Selection {
+
+  /** Feature-hash bucket of a gram: scrambled polyhash mod `numBuckets`
+    * (the scramble is required for the same reason as [[Sampling.bucket]] —
+    * the raw polynomial fold leaves contiguous runs).
+    */
+  private def bucketOf(g: Column, numBuckets: Int): Column =
+    pmod(
+      pmod(TextFunctions.polyHash(g) * lit(2654435761L) + lit(12345L),
+        lit(2147483647L)),
+      lit(numBuckets.toLong))
+
+  /** (doc_id, b) hashed feature OCCURRENCES (with multiplicity): word
+    * unigrams + bigrams of the whitespace tokenization. Multiplicity is the
+    * point — both models are bag-of-features counts, not sets.
+    */
+  private[graft] def hashedFeatures(
+      docs: DataFrame,
+      numBuckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("w"))
+    toks.select(col("doc_id"),
+      explode(concat(col("w"), TextFunctions.orderedNgramsFromTokens(col("w"), 2))).as("g"))
+      .select(col("doc_id"), bucketOf(col("g"), numBuckets).as("b"))
+  }
+
+  /** The add-one-smoothed log-likelihood-ratio weight table
+    * (b, lw_micro BIGINT) between two feature-occurrence frames:
+    * `lw(b) = ln((cntA(b)+1)/(totA+B)) - ln((cntB(b)+1)/(totB+B))`,
+    * quantized. Covers ALL `numBuckets` buckets (absent buckets get the
+    * smoothing floor), so scoring never needs an outer join.
+    */
+  private[graft] def logRatioWeights(
+      featsA: DataFrame,
+      featsB: DataFrame,
+      numBuckets: Int): DataFrame = {
+    val spark = featsA.sparkSession
+    val allB = spark.range(numBuckets).select(col("id").as("b"))
+    val ca = featsA.groupBy(col("b")).agg(count(lit(1)).as("ca"))
+    val cb = featsB.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val ta = featsA.agg(count(lit(1)).as("ta"))
+    val tb = featsB.agg(count(lit(1)).as("tb"))
+    allB
+      .join(ca.hint("SHUFFLE_HASH"), Seq("b"), "left")
+      .join(cb.hint("SHUFFLE_HASH"), Seq("b"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("b"),
+        floor(
+          (log((coalesce(col("ca"), lit(0L)) + lit(1L)).cast("double")
+            / (col("ta") + lit(numBuckets.toLong)).cast("double"))
+            - log((coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double")
+            / (col("tb") + lit(numBuckets.toLong)).cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long").as("lw_micro"))
+  }
+
+  /** Per-doc integer score against a weight table: (doc_id, n_feats,
+    * score_micro = Σ lw_micro over the doc's feature occurrences). Docs
+    * with zero features (empty token array is impossible — `split` yields
+    * at least one element — but kept total) score through the left join.
+    * The weight table is `numBuckets` rows: broadcast by construction.
+    */
+  private[graft] def scoreDocs(
+      docs: DataFrame,
+      weights: DataFrame,
+      numBuckets: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feats = hashedFeatures(docs, numBuckets, idCol, textCol)
+    val agg = feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw_micro")).as("score_micro"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
+  /** DSIR importance resampling: score each `raw` document by the hashed
+    * n-gram log-likelihood ratio of `target` vs `raw`, add deterministic
+    * per-doc Gumbel noise (`-ln(-ln(u))` with `u` a pure function of
+    * (seed, doc_id)), and keep the top `k` by the noised score — a
+    * without-replacement draw whose inclusion probabilities follow the
+    * softmax of the importance weights, exactly the published procedure
+    * with the RNG replaced by a replayable hash.
+    *
+    * Output: (doc_id, n_feats, score_micro, draw_key) for the k selected,
+    * `draw_key = score_micro + gumbel_micro` — all exact integers.
+    */
+  def dsirSample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      numBuckets: Int = 1024,
+      seed: String = "dsir",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val weights = logRatioWeights(
+      hashedFeatures(target, numBuckets, idCol, textCol),
+      hashedFeatures(raw, numBuckets, idCol, textCol),
+      numBuckets)
+    val scr = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val u = (pmod(scr, lit(1000000L)).cast("double") + lit(0.5)) / lit(1e6)
+    val gumbelMicro = floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+    scoreDocs(raw, weights, numBuckets, idCol, textCol)
+      .withColumn("draw_key", col("score_micro") + gumbelMicro)
+      .orderBy(col("draw_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Naive-Bayes quality classifier, trained in-engine: add-one-smoothed
+    * per-bucket log-odds from a positive seed (`pos` — the curated corpus
+    * you trust) and a negative seed (`neg` — raw/rejected text), plus the
+    * class-prior log-ratio; every `docs` row is scored as
+    * `prior + Σ log-odds(feature)` and labeled `pred = score >= 0` — the
+    * standard scalable quality gate (one trained pass, then scan-local
+    * scoring forever).
+    *
+    * Output: (doc_id, n_feats, score_micro BIGINT, pred BOOLEAN).
+    */
+  def nbClassifierScores(
+      docs: DataFrame,
+      pos: DataFrame,
+      neg: DataFrame,
+      numBuckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val weights = logRatioWeights(
+      hashedFeatures(pos, numBuckets, idCol, textCol),
+      hashedFeatures(neg, numBuckets, idCol, textCol),
+      numBuckets)
+    val np = pos.agg(count(lit(1)).as("np"))
+    val nn = neg.agg(count(lit(1)).as("nn"))
+    val priorMicro = floor(
+      log(col("np").cast("double") / col("nn").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    scoreDocs(docs, weights, numBuckets, idCol, textCol)
+      .crossJoin(broadcast(np.crossJoin(nn)))
+      .select(col("doc_id"), col("n_feats"),
+        (col("score_micro") + priorMicro).as("score_micro"))
+      .withColumn("pred", col("score_micro") >= lit(0L))
+  }
+}

@@ -66,6 +66,30 @@ object CurationStream {
       params: MinHashParams = MinHashParams(),
       langCol: String = "lang",
       benchGrams: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val (adm, buckets, fin) = curateBatchWithBuckets(
+      store, consumed, batch, bench, budget, minTokens, minQuality,
+      dedupThreshold, params, langCol, benchGrams)
+    (adm, fin)
+  }
+
+  /** [[curateBatch]] plus the admitted docs' LSH bucket rows (semi-joined
+    * off the decision's own bucket table — the batch is signatured once per
+    * trigger, and the store snapshot the caller accumulates is a filter,
+    * never a re-signature). Returns (admitted docs, admitted bucket rows,
+    * final curated records).
+    */
+  def curateBatchWithBuckets(
+      store: Option[(DataFrame, DataFrame)],
+      consumed: Map[String, Long],
+      batch: DataFrame,
+      bench: DataFrame,
+      budget: Long,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      dedupThreshold: Double = 0.8,
+      params: MinHashParams = MinHashParams(),
+      langCol: String = "lang",
+      benchGrams: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
@@ -82,12 +106,9 @@ object CurationStream {
     val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
     // 3: near-dup admission (annotations ride along: the admit functions
     // anti-join rejects off the frame they are given)
-    val adm = (store match {
-      case Some((sd, sb)) =>
-        NearDupAdmission.admitBatchPrebucketed(sd, sb, clean, dedupThreshold, params)
-      case None =>
-        NearDupAdmission.admitBatch(None, clean, dedupThreshold, params)
-    }).localCheckpoint(true)
+    val (admLazy, batchBuckets) =
+      NearDupAdmission.admitBatchWithBuckets(store, clean, dedupThreshold, params)
+    val adm = admLazy.localCheckpoint(true)
     // 4: budget gate over the survivors, resuming from `consumed`; within
     // the batch admission order is doc_id order (deterministic)
     val badm = BudgetAdmission.admitBatch(
@@ -97,7 +118,8 @@ object CurationStream {
         col("n_tokens"), col("quality_score"))
       .join(badm.select(col("doc_id"), col("cum_tokens")), Seq("doc_id"))
       .localCheckpoint(true)
-    (adm.select(col("doc_id"), col("text")), fin)
+    (adm.select(col("doc_id"), col("text")),
+      NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin)
   }
 
   /** Start the streaming chain: `stream` must carry (doc_id, `langCol`,
@@ -125,7 +147,7 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val (adm, fin) = curateBatch(
+          val (adm, admBuckets, fin) = curateBatchWithBuckets(
             readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
             batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol,
             benchGrams = Some(benchGrams))
@@ -134,7 +156,7 @@ object CurationStream {
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
           if (!adm.isEmpty) {
             adm.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
-            Dedup.minhashBucketsFor(adm, params)
+            admBuckets
               .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
             // the commit side: the epoch exists only once this lands
             fin.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")

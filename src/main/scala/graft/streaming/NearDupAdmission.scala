@@ -63,17 +63,10 @@ object NearDupAdmission {
       threshold: Double,
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val internal = Dedup.minhashLshPairs(batch, threshold, params, idCol, textCol)
-      .select(col("id_b").as(idCol))
-    val rejects = store match {
-      case Some(st) => internal.unionByName(
-        Dedup.minhashIncrementalPairs(st, batch, threshold, params, idCol, textCol)
-          .select(col(idCol)))
-      case None => internal
-    }
-    batch.join(rejects.distinct(), Seq(idCol), "left_anti")
-  }
+      textCol: String = "text"): DataFrame =
+    admitBatchWithBuckets(
+      store.map(st => (st, Dedup.minhashBucketsFor(st, params, idCol, textCol))),
+      batch, threshold, params, idCol, textCol)._1
 
   /** [[admitBatch]] against a store whose bucket rows are already
     * materialized (the persisted snapshot) — what the streaming query
@@ -86,15 +79,47 @@ object NearDupAdmission {
       threshold: Double,
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val rejects = Dedup.minhashLshPairs(batch, threshold, params, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    admitBatchWithBuckets(Some((store, storeBuckets)), batch, threshold, params, idCol, textCol)._1
+
+  /** The admission decision plus the WHOLE batch's bucket table, with the
+    * batch signatured exactly ONCE: the bucket table is derived a single
+    * time (lazily pinned — it materializes with the decision's first job)
+    * and feeds all three of its consumers — the internal lower-id gate, the
+    * store probe, and (semi-joined against the caller's pinned admitted
+    * ids, see [[bucketsOfAdmitted]]) the persisted snapshot the next epoch
+    * probes. The non-bucket forms above derived buckets independently per
+    * consumer, so every micro-batch paid the shingle+signature scan three
+    * times; output is identical (bucket rows are a pure per-doc
+    * projection).
+    */
+  def admitBatchWithBuckets(
+      store: Option[(DataFrame, DataFrame)],
+      batch: DataFrame,
+      threshold: Double,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val batchBuckets = Dedup.minhashBucketsFor(batch, params, idCol, textCol)
+      .localCheckpoint(false)
+    val internal = Dedup.minhashLshPairsPrebucketed(batch, batchBuckets, threshold, idCol, textCol)
       .select(col("id_b").as(idCol))
-      .unionByName(
-        Dedup.minhashIncrementalPairsPrebucketed(
-          store, storeBuckets, batch, threshold, params, idCol, textCol)
+    val rejects = store match {
+      case Some((st, sb)) => internal.unionByName(
+        Dedup.minhashIncrementalPairsBothPrebucketed(
+          st, sb, batch, batchBuckets, threshold, idCol, textCol)
           .select(col(idCol)))
-    batch.join(rejects.distinct(), Seq(idCol), "left_anti")
+      case None => internal
+    }
+    (batch.join(rejects.distinct(), Seq(idCol), "left_anti"), batchBuckets)
   }
+
+  /** The admitted docs' bucket rows: the batch bucket table filtered to the
+    * (typically pinned) admitted frame — never a re-signature.
+    */
+  def bucketsOfAdmitted(
+      batchBuckets: DataFrame, admitted: DataFrame, idCol: String = "doc_id"): DataFrame =
+    batchBuckets.join(admitted.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
 
   /** Pre-populate the store with an already-deduplicated seed corpus
     * (written as `batch=seed`, bucket snapshot included). Call once before
@@ -106,7 +131,7 @@ object NearDupAdmission {
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
       textCol: String = "text"): Unit =
-    writeEpoch(docs.sparkSession, docs, storeDir, "seed", params, idCol, textCol)
+    writeEpoch(docs.sparkSession, docs, None, storeDir, "seed", params, idCol, textCol)
 
   /** Start the admission stream: `stream` must carry (`idCol`, `textCol`).
     * Admitted documents and their bucket snapshots accumulate under
@@ -126,17 +151,13 @@ object NearDupAdmission {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val admitted = readStore(spark, storeDir, idCol, textCol) match {
-            case Some((docs, buckets)) =>
-              admitBatchPrebucketed(docs, buckets, batch, threshold, params, idCol, textCol)
-            case None =>
-              admitBatch(None, batch, threshold, params, idCol, textCol)
-          }
+          val (admitted, batchBuckets) = admitBatchWithBuckets(
+            readStore(spark, storeDir, idCol, textCol), batch, threshold, params, idCol, textCol)
           // unique per decision: replays re-decide (and, probing a store
           // that already contains this batch's admissions, admit nothing)
           // instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-          writeEpoch(spark, admitted, storeDir, epoch, params, idCol, textCol)
+          writeEpoch(spark, admitted, Some(batchBuckets), storeDir, epoch, params, idCol, textCol)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -299,6 +320,7 @@ object NearDupAdmission {
   private def writeEpoch(
       spark: SparkSession,
       admitted: DataFrame,
+      batchBuckets: Option[DataFrame],
       storeDir: String,
       epoch: String,
       params: MinHashParams,
@@ -309,7 +331,11 @@ object NearDupAdmission {
     val pinned = admitted.select(col(idCol), col(textCol)).localCheckpoint(true)
     if (!pinned.isEmpty) {
       pinned.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
-      Dedup.minhashBucketsFor(pinned, params, idCol, textCol)
+      // with the decision's bucket table in hand the snapshot is a filter
+      // of it, never a re-signature; the seed path (no decision ran)
+      // derives buckets the one time
+      batchBuckets.map(bucketsOfAdmitted(_, pinned, idCol))
+        .getOrElse(Dedup.minhashBucketsFor(pinned, params, idCol, textCol))
         .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
     }
   }
