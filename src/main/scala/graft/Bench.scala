@@ -121,7 +121,10 @@ object Bench {
       "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed"),
       "dedup_semantic" -> q("dedup_semantic"),
       "export_shards" -> q("export_shards"),
-      "text_decontaminate_spans" -> q("text_decontaminate_spans")
+      "text_decontaminate_spans" -> q("text_decontaminate_spans"),
+      "sample_dsir" -> q("sample_dsir"),
+      "text_nb_classifier" -> q("text_nb_classifier"),
+      "sample_temperature" -> q("sample_temperature")
     )
   }
 

@@ -1184,6 +1184,120 @@ object PipelineOracleSql {
       |FROM s1 GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Shared CTE chain for the hashed-ngram selection oracles (mirrors
+    * `Selection.hashedFeatures`, 1024 buckets): word unigrams + bigrams
+    * WITH multiplicity (bag-of-features), bucket = scrambled polyhash
+    * mod 1024.
+    */
+  private def featureCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, $Tok AS w FROM documents
+       |), gr AS (
+       |  SELECT doc_id, unnest(w) AS g FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok
+       |), feats AS (
+       |  SELECT doc_id,
+       |    ((${ph("g")}
+       |      * 2654435761 + 12345) % 2147483647) % 1024 AS b
+       |  FROM gr
+       |)""".stripMargin
+
+  /** Add-one-smoothed log-likelihood-ratio weight table over all 1024
+    * buckets between two doc_id-predicated feature slices (mirrors
+    * `Selection.logRatioWeights`, integer-quantized lns).
+    */
+  private def lrWeightCtes(sideA: String, sideB: String): String =
+    s"""tf AS (SELECT b FROM feats WHERE $sideA),
+       |rf AS (SELECT doc_id, b FROM feats WHERE $sideB),
+       |tc AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
+       |qc AS (SELECT b, count(*) AS c FROM rf GROUP BY b),
+       |tt AS (SELECT count(*) AS t FROM tf),
+       |qt AS (SELECT count(*) AS t FROM rf),
+       |w AS (
+       |  SELECT r.range AS b,
+       |    CAST(floor((ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.t + 1024 AS DOUBLE))
+       |      - ln(CAST(coalesce(qc.c, 0) + 1 AS DOUBLE) / CAST(qt.t + 1024 AS DOUBLE)))
+       |      * 1e6 + 0.5) AS BIGINT) AS lw
+       |  FROM range(1024) r
+       |  LEFT JOIN tc ON tc.b = r.range
+       |  LEFT JOIN qc ON qc.b = r.range
+       |  CROSS JOIN tt CROSS JOIN qt)""".stripMargin
+
+  /** DSIR importance resampling (mirrors `Selection.dsirSample`): target =
+    * bench slice (doc_id%10=7), raw = the rest, Gumbel top-200 with the
+    * deterministic hash noise, reported in doc_id order.
+    */
+  def sampleDsir: String =
+    s"""WITH $featureCtes, ${lrWeightCtes("doc_id % 10 = 7", "doc_id % 10 != 7")},
+       |sc AS (
+       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(w.lw) AS BIGINT) AS score_micro
+       |  FROM rf f JOIN w ON w.b = f.b GROUP BY f.doc_id),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 7),
+       |scored AS (
+       |  SELECT base.doc_id,
+       |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       |    CAST(coalesce(sc.score_micro, 0) AS BIGINT) AS score_micro
+       |  FROM base LEFT JOIN sc ON sc.doc_id = base.doc_id),
+       |gk AS (
+       |  SELECT doc_id, n_feats, score_micro,
+       |    score_micro + CAST(floor(-ln(-ln(
+       |      (CAST(((${ph("'dsir:' || CAST(doc_id AS VARCHAR)")}
+       |        * 2654435761 + 12345) % 2147483647) % 1000000 AS DOUBLE) + 0.5) / 1e6))
+       |      * 1e6 + 0.5) AS BIGINT) AS draw_key
+       |  FROM scored),
+       |top AS (
+       |  SELECT * FROM gk ORDER BY draw_key DESC, doc_id ASC LIMIT 200)
+       |SELECT doc_id, n_feats, score_micro, draw_key FROM top ORDER BY doc_id""".stripMargin
+
+  /** In-engine Naive-Bayes quality classifier (mirrors
+    * `Selection.nbClassifierScores`): pos seed = doc_id%10=7, neg seed =
+    * doc_id%10=3, the rest scored with prior + integer log-odds.
+    */
+  def textNbClassifier: String =
+    s"""WITH $featureCtes, ${lrWeightCtes("doc_id % 10 = 7", "doc_id % 10 = 3")},
+       |np AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 7),
+       |nn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 3),
+       |pr AS (SELECT CAST(floor(ln(CAST(np.n AS DOUBLE) / CAST(nn.n AS DOUBLE))
+       |    * 1e6 + 0.5) AS BIGINT) AS prior FROM np CROSS JOIN nn),
+       |df AS (SELECT doc_id, b FROM feats WHERE doc_id % 10 != 7 AND doc_id % 10 != 3),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(w.lw) AS BIGINT) AS s
+       |  FROM df f JOIN w ON w.b = f.b GROUP BY f.doc_id),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 7 AND doc_id % 10 != 3)
+       |SELECT base.doc_id,
+       |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(sc.s, 0) + pr.prior AS BIGINT) AS score_micro,
+       |  (coalesce(sc.s, 0) + pr.prior) >= 0 AS pred
+       |FROM base LEFT JOIN sc ON sc.doc_id = base.doc_id CROSS JOIN pr
+       |ORDER BY base.doc_id""".stripMargin
+
+  /** Temperature mixture draw, α=0.5, ~500 docs over lang strata, seed
+    * 'temp' (mirrors `Sampling.temperatureSample`): sqrt weights quantized
+    * to micro-units, INTEGER-division quotas, per-stratum rank by scrambled
+    * hash. One flat window here — the engine's hierarchical rank is exact,
+    * so it must reproduce this bit-for-bit.
+    */
+  def sampleTemperature: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |wq AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS qs FROM c),
+       |d AS (SELECT CAST(sum(qs) AS BIGINT) AS denom FROM wq),
+       |k AS (SELECT lang, (500 * qs) // denom AS k FROM wq CROSS JOIN d),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ((${ph("'temp:' || CAST(doc_id AS VARCHAR)")}
+       |      * 2654435761 + 12345) % 2147483647) AS hv
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS draw_rank
+       |  FROM h)
+       |SELECT r.doc_id, r.lang, r.draw_rank FROM r JOIN k USING (lang)
+       |WHERE r.draw_rank <= k.k ORDER BY doc_id""".stripMargin
+
   /** Fixed-size per-stratum sample, k=20 per lang, seed 'fixed' (mirrors
     * `Sampling.fixedSizeSample`): rank by scrambled polyhash of
     * 'fixed:doc_id', ties by doc_id.
@@ -1412,6 +1526,9 @@ object PipelineOracleSql {
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,
     "sample_fixed_k" -> sampleFixedK,
+    "sample_dsir" -> sampleDsir,
+    "text_nb_classifier" -> textNbClassifier,
+    "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,
     "export_shards" -> exportShards,

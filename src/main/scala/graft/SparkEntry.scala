@@ -636,6 +636,33 @@ object SparkEntry {
     "sample_shuffle_order" -> ((s, dir) =>
       Sampling.shufflePosition(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("position")).orderBy(col("doc_id"))),
+    // DSIR importance resampling (hashed-ngram log-likelihood ratio vs the
+    // bench target + deterministic Gumbel top-k): the published data-
+    // selection procedure with the RNG replaced by a replayable hash
+    "sample_dsir" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Selection.dsirSample(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7), k = 200)
+        .orderBy(col("doc_id"))
+    }),
+    // in-engine-trained Naive-Bayes quality classifier: positive seed =
+    // the bench slice, negative seed = the %10==3 slice, score the rest;
+    // integer-quantized log-odds make the scores partition-order-exact
+    "text_nb_classifier" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Selection.nbClassifierScores(
+        d.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 === 7), d.filter(col("doc_id") % 10 === 3))
+        .orderBy(col("doc_id"))
+    }),
+    // temperature mixture draw (n_l^0.5 stratum weights, ~500 docs total):
+    // exponent-smoothed multilingual sampling with cross-engine-exact
+    // sqrt/integer-division quota arithmetic
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        s.read.parquet(s"$dir/documents.parquet"), totalDocs = 500L, strataCol = "lang")
+        .select(col("doc_id"), col("lang"), col("draw_rank"))
+        .orderBy(col("doc_id"))),
     // training export: deterministic shuffle -> round-robin shard deal;
     // the whole assignment is a pure function of (seed, doc_id, nShards)
     "export_shards" -> ((s, dir) =>
