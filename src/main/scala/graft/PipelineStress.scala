@@ -325,6 +325,34 @@ object PipelineStress {
     t("corpus_diff", nDocs)(CorpusDiff.report(
       docsSrc.filter(col("doc_id") % 10 =!= 3), docsSrc.filter(col("doc_id") % 7 =!= 2)).count())
 
+    // model-based selection at scale: the model tables stay 1024 rows no
+    // matter the corpus (two partial-agg'd bucket counts), scoring is one
+    // broadcast join + per-doc partial agg, and the DSIR draw is a
+    // distributed TakeOrdered — so these should track the per-row scan
+    // cost. The draw size is exact by construction (asserted), and the
+    // temperature quotas must match the operator's own integer arithmetic
+    // recomputed driver-side from the census.
+    val selTarget = docs.filter(col("doc_id") % 97 === 0)
+    val selRaw = docs.filter(col("doc_id") % 97 =!= 0)
+    val dsirN = t("dsir_sample", nDocs)(
+      graft.operators.Selection.dsirSample(selRaw, selTarget, k = 1000).count())
+    assert(dsirN == 1000L, s"DSIR draw must be exactly k rows, got $dsirN")
+    val nbScored = t("nb_classifier", nDocs)(graft.operators.Selection.nbClassifierScores(
+      docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3),
+      docs.filter(col("doc_id") % 10 === 7), docs.filter(col("doc_id") % 10 === 3)).count())
+    assert(nbScored == docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3).count(),
+      "NB classifier must score every non-seed doc")
+    val tempOut = t("sample_temperature", nDocs)(
+      Sampling.temperatureSample(docsLang, nDocs / 10, "lang").count())
+    val tempCensus = docsLang.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tempQs = tempCensus.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val tempDenom = tempQs.values.sum
+    val tempExpect = tempQs.values.map(q => (nDocs / 10) * q / tempDenom).sum
+    assert(tempOut == tempExpect,
+      s"temperature quotas drifted from the census arithmetic: $tempOut != $tempExpect")
+
     // time-series join operators at 10M events over 10k keys — the scale
     // question for both is whether they stay ONE shuffle + sort (asof) /
     // one bucketed equi-join (range): 1/5 of events are "clicks" (left),

@@ -104,8 +104,19 @@ object Selection {
       weights: DataFrame,
       numBuckets: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val feats = hashedFeatures(docs, numBuckets, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    scoreFeats(docs, hashedFeatures(docs, numBuckets, idCol, textCol), weights, idCol)
+
+  /** [[scoreDocs]] with the feature frame supplied — so a caller that
+    * already extracted `docs`' features for the weight table (DSIR, where
+    * the raw corpus is both the denominator model and the scored set)
+    * never pays the tokenize+hash scan twice.
+    */
+  private[graft] def scoreFeats(
+      docs: DataFrame,
+      feats: DataFrame,
+      weights: DataFrame,
+      idCol: String): DataFrame = {
     val agg = feats.join(broadcast(weights), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lw_micro")).as("score_micro"))
@@ -135,16 +146,19 @@ object Selection {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the raw corpus is both the denominator model and the scored set:
+    // extract its features once (lazily pinned; materializes with the
+    // weight table's first job) instead of a second tokenize+hash scan
+    val rawFeats = hashedFeatures(raw, numBuckets, idCol, textCol)
+      .localCheckpoint(false)
     val weights = logRatioWeights(
-      hashedFeatures(target, numBuckets, idCol, textCol),
-      hashedFeatures(raw, numBuckets, idCol, textCol),
-      numBuckets)
+      hashedFeatures(target, numBuckets, idCol, textCol), rawFeats, numBuckets)
     val scr = pmod(
       TextFunctions.polyHash(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
         * lit(2654435761L) + lit(12345L), lit(2147483647L))
     val u = (pmod(scr, lit(1000000L)).cast("double") + lit(0.5)) / lit(1e6)
     val gumbelMicro = floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
-    scoreDocs(raw, weights, numBuckets, idCol, textCol)
+    scoreFeats(raw, rawFeats, weights, idCol)
       .withColumn("draw_key", col("score_micro") + gumbelMicro)
       .orderBy(col("draw_key").desc, col("doc_id").asc)
       .limit(k)

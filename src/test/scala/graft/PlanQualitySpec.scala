@@ -327,4 +327,62 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"banded probe degenerated:\n${plan.take(1500)}")
   }
+
+  // every condition-free (cross) join in these plans must carry a provably
+  // 1-row side — the deliberate broadcast of a global total/denominator —
+  // never a corpus x corpus nested loop
+  private def onlySingleRowCrossJoins(
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val crosses = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.isEmpty => j
+    }
+    crosses.foreach { j =>
+      assert(j.left.maxRows.exists(_ <= 1L) || j.right.maxRows.exists(_ <= 1L),
+        s"$name: condition-free join without a 1-row side:\n$j")
+    }
+  }
+
+  test("dsir + nb classifier: model table broadcasts, selection is TakeOrdered, no windows") {
+    val df = SparkEntry.queries("sample_dsir")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"sample_dsir: scoring must stay equi/broadcast joins:\n${plan.take(1500)}")
+    onlySingleRowCrossJoins(df, "sample_dsir")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "sample_dsir: the 1024-row weight table must broadcast onto the feature stream")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "sample_dsir: the top-k draw must be a distributed TakeOrdered, not a sort/window")
+    // no window anywhere: scores are aggregates, the draw is a limit
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(windows == 0, s"sample_dsir: expected no windows, got $windows")
+    val nbDf = SparkEntry.queries("text_nb_classifier")(spark, sf)
+    val nb = formatted(nbDf)
+    assert(!nb.contains("CartesianProduct"),
+      s"text_nb_classifier: scoring must stay equi/broadcast joins:\n${nb.take(1500)}")
+    onlySingleRowCrossJoins(nbDf, "text_nb_classifier")
+    assert(nb.contains("BroadcastHashJoin") || nb.contains("BroadcastExchange"),
+      "text_nb_classifier: the model table must broadcast")
+  }
+
+  test("temperature sample: broadcast quota/range-base joins, windows only over range-split groups") {
+    val df = SparkEntry.queries("sample_temperature")(spark, sf)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"sample_temperature: quota join degenerated:\n${plan.take(1500)}")
+    onlySingleRowCrossJoins(df, "sample_temperature")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "sample_temperature: the stratum-quota and range-base frames must broadcast")
+    // every corpus-side window must partition by the 1024-way range split
+    // (the strata-only window is the tiny per-range count frame) — a
+    // whole-stratum corpus window would be the single-task trap
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "sample_temperature: no partitionless window allowed")
+  }
 }
