@@ -206,7 +206,7 @@ object TextAnalysis {
       broadcastVerifyMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
     val (cand, fps, sz) =
       winnowCandidates(docs, minContainment, k, window, idCol, textCol, prefixSlack)
-    winnowVerify(cand, fps, sz, minContainment, broadcastVerifyMaxBytes)
+    winnowVerify(cand, fps, minContainment, broadcastVerifyMaxBytes)
   }
 
   /** The candidate gate of [[winnowNearDupPairs]], exposed so scale
@@ -276,7 +276,6 @@ object TextAnalysis {
   private def winnowVerify(
       cand: DataFrame,
       fps: DataFrame,
-      sz: DataFrame,
       minContainment: Double,
       broadcastVerifyMaxBytes: Long): DataFrame = {
     // exact verify: per-doc fingerprint sets, pruned to candidate-involved
@@ -292,11 +291,16 @@ object TextAnalysis {
     // a shuffle-hash join — identical output, bounded per-partition memory.
     val docsInCand = cand.select(col("id_s").as("doc_id"))
       .unionByName(cand.select(col("id_l").as("doc_id"))).distinct()
-    val candStats = docsInCand.join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
-      .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+    // the candidate sets are consumed by the sizing decision AND both
+    // probe joins — materialize them once (the sizing sum then reads the
+    // pinned 1-row-per-suspect frame instead of running its own
+    // fps-vs-sz join job, and neither probe can recompute the aggregate)
     val csetsAgg = fps.join(docsInCand, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("fp")).as("set"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val candStats = csetsAgg.agg(coalesce(sum(col("n")), lit(0L)))
+      .collect()(0).getLong(0)
     // 8 bytes per fingerprint long; the 64 MiB default is comfortably
     // within executor broadcast budgets and far below driver limits
     val csets =
