@@ -109,6 +109,7 @@ object Bench {
       "dedup_admission_replay" -> q("dedup_admission_replay"),
       "sim_topk_ivf_indexed" -> q("sim_topk_ivf_indexed"),
       "sim_topk_ivf_appended" -> q("sim_topk_ivf_appended"),
+      "sim_topk_ivf_deleted" -> q("sim_topk_ivf_deleted"),
       "sim_topk_ivf_sq8" -> q("sim_topk_ivf_sq8"),
       "sim_topk_ivf_pq" -> q("sim_topk_ivf_pq"),
       "pipeline_curate" -> q("pipeline_curate"),

@@ -475,7 +475,14 @@ object PipelineOracleSql {
        |ORDER BY vec_id""".stripMargin
 
   /** IVF top-k ANN: nlist=16 lowest-id centroids, nprobe=4, k=5. */
-  def ivfTopK: String =
+  def ivfTopK: String = ivfTopKWhere("TRUE")
+
+  /** [[ivfTopK]] with the SERVED corpus restricted by `corpusPred` while
+    * the coarse quantizer stays the FULL corpus's lowest-16 — exactly the
+    * tombstone-delete semantics (`IvfIndex.delete`): deleted vectors leave
+    * serving, the frozen centroids do not move.
+    */
+  def ivfTopKWhere(corpusPred: String): String =
     s"""WITH n AS (
        |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
        |), cent AS (
@@ -487,7 +494,7 @@ object PipelineOracleSql {
        |        list_sum(list_transform(range(1, len(n.v)+1),
        |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
        |        c.cid ASC) AS crank
-       |    FROM n CROSS JOIN cent c)
+       |    FROM n CROSS JOIN cent c WHERE $corpusPred)
        |  WHERE crank = 1
        |), qa AS (
        |  SELECT id, v, nrm, cid FROM (
@@ -1501,6 +1508,9 @@ object PipelineOracleSql {
     // streaming-ingest fold: bootstrap batch holds every lowest-id vector,
     // so the frozen centroids equal the full build's — same oracle again
     "sim_topk_ivf_streamed" -> ivfTopK,
+    // serve-after-delete: centroids stay the full corpus's (frozen
+    // quantizer), the served corpus drops the tombstoned ids
+    "sim_topk_ivf_deleted" -> ivfTopKWhere("n.id % 7 != 3"),
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,

@@ -540,6 +540,23 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the SERVE-AFTER-DELETE form: full build, tombstone-delete the
+    // vec_id%7==3 slice, probe — deleted vectors must never be returned
+    // while the frozen coarse quantizer (and so the probed-list choice)
+    // stays the full build's. The oracle serves the filtered corpus under
+    // the full corpus's centroids.
+    "sim_topk_ivf_deleted" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_del_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // deletes accrete tombstone epochs: a stale dir would mask extra ids
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.write(emb, path)
+      IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the STREAMING-ingest form: the index is grown by a 3-batch fold of
     // IvfIngest.ingestBatch (bootstrap + two deterministic epochs) — the
     // exact function the foreachBatch stream applies per micro-batch. The

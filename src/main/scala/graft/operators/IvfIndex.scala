@@ -361,11 +361,73 @@ object IvfIndex {
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
   }
 
+  /** DELETE vectors from the index without touching the list trees: write
+    * one committed tombstone epoch (`tombstones/<e>/`, the ids to remove).
+    * Probes anti-join the (small, broadcast) union of committed tombstone
+    * sets against the list rows, so a delete is visible at the next probe
+    * with zero index IO — the standard serving-index delete shape; the
+    * rows leave disk at the next [[compact]], which applies the tombstones
+    * while consolidating and retires them in the same commit.
+    *
+    * Semantics: a tombstoned id is dead until a compaction retires the
+    * tombstone — re-[[append]]ing the same id before compacting leaves the
+    * new copy masked too (the caller owns id lifecycle, same contract as
+    * append's no-dedup rule). Deleting a centroid-donor id removes its
+    * VECTOR from serving but not its centroid — the coarse quantizer is
+    * frozen by design and centroids are reference points, not corpus
+    * members.
+    *
+    * Crash contract: the epoch's `_SUCCESS` is its commit marker — a crash
+    * mid-write leaves it invisible; re-running the delete writes a fresh
+    * uniquely-named epoch (idempotent: tombstoning an id twice is the
+    * identity).
+    */
+  def delete(
+      ids: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      epochId: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    val epoch = epochId.getOrElse(
+      f"${rawTombstoneEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/$epoch")
+  }
+
+  /** Every tombstone epoch directory name, committed or not. */
+  private def rawTombstoneEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(s"$path/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Committed tombstone epochs, minus any a compaction already applied. */
+  private def liveTombstoneEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedIds(spark, path)
+    rawTombstoneEpochs(spark, path)
+      .filter(e => fs.exists(new Path(s"$path/tombstones/$e/_SUCCESS")))
+      .filterNot(e => dead.contains(s"tombstones/$e"))
+  }
+
+  /** The union of live tombstoned ids, or None when nothing is deleted. */
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val epochs = liveTombstoneEpochs(spark, path)
+    if (epochs.isEmpty) None
+    else Some(spark.read.parquet(epochs.map(e => s"$path/tombstones/$e"): _*)
+      .select(col("id")).distinct())
+  }
+
   /** Consolidate the base lists and every committed epoch into ONE
     * `compact-*` epoch, then sweep the replaced trees — the maintenance op
     * that stops per-epoch accretion from making probes file-listing-bound
     * (same small-files argument as the admission store's compaction). Pure
-    * IO: rows are unioned, never re-assigned or re-quantized.
+    * IO: rows are unioned — never re-assigned or re-quantized — with live
+    * tombstones APPLIED and retired in the same `_MERGED` commit (the
+    * manifest names them alongside the replaced roots), so deleted rows
+    * leave disk here.
     *
     * Crash contract: the consolidated epoch's commit marker is its
     * `_MERGED` manifest, written last via atomic rename and naming the
@@ -390,20 +452,29 @@ object IvfIndex {
       filesPerList: Int,
       sweep: Boolean): Unit = {
     val roots = listRootsWithIds(spark, path)
+    val tombstones = liveTombstoneEpochs(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (roots.size > 1) {
+    if (roots.size > 1 || (roots.nonEmpty && tombstones.nonEmpty)) {
       val all = roots.map(_._2)
         .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
         .reduce(_.unionByName(_))
+      // apply live deletes permanently: the consolidated tree is the
+      // anti-joined survivors, and the manifest retires the tombstone
+      // epochs in the same commit
+      val live = readTombstones(spark, path) match {
+        case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
+        case None => all
+      }
       val clustered =
-        if (filesPerList <= 1) all.repartition(col("cid"))
-        else all.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
+        if (filesPerList <= 1) live.repartition(col("cid"))
+        else live.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
       val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
       clustered.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/epochs/$cpt/lists")
       val tmp = new Path(s"$path/epochs/$cpt/lists/_MERGED.tmp")
       val out = fs.create(tmp, true)
-      try out.write(roots.map(_._1).mkString("\n").getBytes("UTF-8")) finally out.close()
+      try out.write((roots.map(_._1) ++ tombstones.map(e => s"tombstones/$e"))
+        .mkString("\n").getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/lists/_MERGED"))
     }
     if (sweep) sweepMerged(spark, path)
@@ -416,6 +487,8 @@ object IvfIndex {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     mergedIds(spark, path).foreach {
       case "base" => fs.delete(new Path(s"$path/lists"), true)
+      case t if t.startsWith("tombstones/") =>
+        fs.delete(new Path(s"$path/$t"), true)
       case e => fs.delete(new Path(s"$path/epochs/$e"), true)
     }
     rawEpochs(spark, path)
@@ -486,10 +559,18 @@ object IvfIndex {
     * (IvfIndexSpec pins filters + selected-directory counts across all
     * scans).
     */
-  private def readLists(spark: SparkSession, path: String): DataFrame =
-    listRoots(spark, path)
+  private def readLists(spark: SparkSession, path: String): DataFrame = {
+    val all = listRoots(spark, path)
       .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
       .reduce(_.unionByName(_))
+    // live deletes mask list rows at probe time (small id set, broadcast
+    // anti-join; the probes' cid predicate still pushes through the join's
+    // left side into every per-tree scan — pruning is unaffected)
+    readTombstones(spark, path) match {
+      case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => all
+    }
+  }
 
   /** The driver-resident PQ codebook (numSubspaces · ksub rows, tiny). */
   private def readPqCodebook(

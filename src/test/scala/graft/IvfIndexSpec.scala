@@ -220,6 +220,65 @@ class IvfIndexSpec extends SparkTestBase {
       s"expected a single consolidated epoch, got $live")
   }
 
+  test("delete tombstones: masked at probe, applied + retired by compact, pruning intact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    IvfIndex.write(emb, path, nlist = 16)
+    val before = rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4))
+
+    // tombstone a slice that includes current top neighbors so the delete
+    // is OBSERVABLE, plus a centroid-donor id (its vector must leave
+    // serving while the frozen quantizer keeps its centroid)
+    val dead = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    IvfIndex.delete(dead, path)
+    val probe = IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)
+    val after = rows(probe)
+    assert(after != before, "deleting served neighbors must change the probe result")
+    assert(after.forall(r => !deadIds.contains(r.getLong(2))),
+      "no tombstoned id may be returned")
+    // a second delete of the same ids is the identity
+    IvfIndex.delete(dead, path)
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == after)
+
+    // pruning must survive the tombstone anti-join: the cid predicate
+    // still reaches the lists scan as a partition filter
+    probe.collect()
+    val scan = listsScan(probe.queryExecution.executedPlan)
+      .getOrElse(fail("no lists scan under the tombstone anti-join"))
+    assert(scan.partitionFilters.nonEmpty,
+      "cid partition filter must push through the delete mask")
+
+    // compact applies the deletes permanently and retires the tombstones
+    IvfIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists() ||
+      new java.io.File(s"$path/tombstones").listFiles().isEmpty,
+      "compaction must retire applied tombstone epochs")
+    val served = spark.read.parquet(
+      new java.io.File(s"$path/epochs").listFiles()
+        .filter(_.isDirectory).map(e => s"$e/lists").head)
+    assert(served.filter(col("id").isin(deadIds.toSeq: _*)).isEmpty,
+      "compacted tree must not contain deleted rows")
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == after,
+      "probe must be unchanged by applying deletes physically")
+
+    // delete-then-append interplay: re-appending a tombstoned id AFTER
+    // compaction serves it again (tombstones retired with the rows)
+    val resurrect = emb.filter(col("vec_id") === deadIds.min)
+    IvfIndex.append(resurrect, path)
+    val res = rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4))
+    // the resurrected vector may or may not crack the top-5; assert it is
+    // SERVABLE by probing with nprobe = nlist and k large
+    val wide = IvfIndex.probe(spark, path, emb.filter(col("vec_id") === 0L),
+      k = 1000, nprobe = 16)
+    assert(wide.filter(col("neighbor_id") === deadIds.min).count() == 1,
+      "post-compaction append of a previously deleted id must serve again")
+    assert(res.forall(r => r.getLong(2) == deadIds.min || !deadIds.contains(r.getLong(2))))
+  }
+
   test("append auto-detects a quantized index and keeps probeQuantized exact under a wide cut") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
