@@ -113,6 +113,7 @@ object Bench {
       "sim_topk_ivf_sq8" -> q("sim_topk_ivf_sq8"),
       "sim_topk_ivf_pq" -> q("sim_topk_ivf_pq"),
       "pipeline_curate" -> q("pipeline_curate"),
+      "pipeline_curate_classified" -> q("pipeline_curate_classified"),
       "corpus_diff" -> q("corpus_diff"),
       "sample_token_budget" -> q("sample_token_budget"),
       "sample_shuffle_order" -> q("sample_shuffle_order"),

@@ -163,21 +163,35 @@ object PipelineOracleSql {
     * the dedup CTEs run over the `clean` survivor set via
     * [[minhashCtes]].
     */
-  def pipelineCurate: String = {
-    val sampleBucket =
-      """((list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, strlen('graft:' || CAST(doc_id AS VARCHAR)) + 1),
-        |        i -> CAST(ascii(substr('graft:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % 2147483647)
-        |      * 2654435761 + 12345) % 2147483647) % 1000000""".stripMargin
+  private def curateSampleBucket: String =
+    """((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('graft:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('graft:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) % 1000000""".stripMargin
+
+  def pipelineCurate: String =
     s"""$curatePrefix,
        |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
        |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
        |FROM ded
-       |WHERE $sampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |WHERE $curateSampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
        |                                WHEN 'zh' THEN 300000 ELSE 400000 END
        |ORDER BY doc_id""".stripMargin
-  }
+
+  /** The curate chain with the learned NB quality gate inserted after the
+    * heuristic floor (mirrors `Curation.curate(classifierSeeds = ...)`);
+    * everything downstream — decontamination, dedup, mixture — composes
+    * over the gated survivor set unchanged.
+    */
+  def pipelineCurateClassified: String =
+    s"""${curatePrefixGated(classifierGate = true)},
+       |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
+       |FROM ded
+       |WHERE $curateSampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                WHEN 'zh' THEN 300000 ELSE 400000 END
+       |ORDER BY doc_id""".stripMargin
 
   /** The shared CTE chain of the curation oracles: annotate + filter →
     * decontaminate → MinHash machinery over the `clean` survivors →
@@ -185,7 +199,36 @@ object PipelineOracleSql {
     * dedup + mixture draw; [[pipelineCurateStream]] appends the epoch-fold
     * admission + budget window.
     */
-  private def curatePrefix: String = {
+  private def curatePrefix: String = curatePrefixGated(classifierGate = false)
+
+  /** `classifierGate = true` inserts the in-engine NB classifier between
+    * the heuristic quality floor and decontamination (mirrors
+    * `Curation.curate(classifierSeeds = ...)`: pos seed = the bench slice
+    * doc_id%10=7, neg seed = doc_id%10=3, keep score >= 0) — the
+    * [[textNbClassifier]] machinery under `c_`-prefixed CTE names, scoped
+    * to the heuristic survivors.
+    */
+  private def curatePrefixGated(classifierGate: Boolean): String = {
+    val survCte =
+      if (!classifierGate)
+        "surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5)"
+      else
+        s"""heur AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5),
+           |${featureCtes("c_")},
+           |${lrWeightCtes("doc_id % 10 = 7", "doc_id % 10 = 3", "c_")},
+           |cnp AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 7),
+           |cnn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 3),
+           |cpr AS (SELECT CAST(floor(ln(CAST(cnp.n AS DOUBLE) / CAST(cnn.n AS DOUBLE))
+           |    * 1e6 + 0.5) AS BIGINT) AS prior FROM cnp CROSS JOIN cnn),
+           |csc AS (
+           |  SELECT f.doc_id, CAST(sum(c_w.lw) AS BIGINT) AS s
+           |  FROM c_feats f JOIN c_w ON c_w.b = f.b
+           |  WHERE f.doc_id IN (SELECT doc_id FROM heur)
+           |  GROUP BY f.doc_id),
+           |surv AS (
+           |  SELECT heur.* FROM heur
+           |  LEFT JOIN csc ON csc.doc_id = heur.doc_id CROSS JOIN cpr
+           |  WHERE coalesce(csc.s, 0) + cpr.prior >= 0)""".stripMargin
     val gram8 = (0 until 8).map(j => s"w[CAST(i+$j AS INT)]").mkString(" || ' ' || ")
     s"""WITH ann AS (
        |  SELECT doc_id, lang, text,
@@ -209,7 +252,7 @@ object PipelineOracleSql {
        |         WHEN s_fr >= s_zh THEN 'fr'
        |         ELSE 'zh' END AS pred_lang
        |  FROM ann),
-       |surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5),
+       |$survCte,
        |btok AS (SELECT doc_id, $Tok AS w FROM documents WHERE doc_id % 10 = 7),
        |bg AS (
        |  SELECT DISTINCT $gram8 AS gram
@@ -1196,41 +1239,47 @@ object PipelineOracleSql {
     * WITH multiplicity (bag-of-features), bucket = scrambled polyhash
     * mod 1024.
     */
-  private def featureCtes: String =
-    s"""tok AS (
+  private def featureCtes: String = featureCtes("")
+
+  /** CTE names get prefix `x` so the chain can compose inside oracles that
+    * already bind `tok` (the curate prefix's minhash machinery does).
+    */
+  private def featureCtes(x: String): String =
+    s"""${x}tok AS (
        |  SELECT doc_id, $Tok AS w FROM documents
-       |), gr AS (
-       |  SELECT doc_id, unnest(w) AS g FROM tok
+       |), ${x}gr AS (
+       |  SELECT doc_id, unnest(w) AS g FROM ${x}tok
        |  UNION ALL
        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-       |    i -> w[i] || ' ' || w[i+1])) AS g FROM tok
-       |), feats AS (
+       |    i -> w[i] || ' ' || w[i+1])) AS g FROM ${x}tok
+       |), ${x}feats AS (
        |  SELECT doc_id,
        |    ((${ph("g")}
        |      * 2654435761 + 12345) % 2147483647) % 1024 AS b
-       |  FROM gr
+       |  FROM ${x}gr
        |)""".stripMargin
 
   /** Add-one-smoothed log-likelihood-ratio weight table over all 1024
     * buckets between two doc_id-predicated feature slices (mirrors
-    * `Selection.logRatioWeights`, integer-quantized lns).
+    * `Selection.logRatioWeights`, integer-quantized lns). Same prefixing
+    * rule as [[featureCtes]].
     */
-  private def lrWeightCtes(sideA: String, sideB: String): String =
-    s"""tf AS (SELECT b FROM feats WHERE $sideA),
-       |rf AS (SELECT doc_id, b FROM feats WHERE $sideB),
-       |tc AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
-       |qc AS (SELECT b, count(*) AS c FROM rf GROUP BY b),
-       |tt AS (SELECT count(*) AS t FROM tf),
-       |qt AS (SELECT count(*) AS t FROM rf),
-       |w AS (
+  private def lrWeightCtes(sideA: String, sideB: String, x: String = ""): String =
+    s"""${x}tf AS (SELECT b FROM ${x}feats WHERE $sideA),
+       |${x}rf AS (SELECT doc_id, b FROM ${x}feats WHERE $sideB),
+       |${x}tc AS (SELECT b, count(*) AS c FROM ${x}tf GROUP BY b),
+       |${x}qc AS (SELECT b, count(*) AS c FROM ${x}rf GROUP BY b),
+       |${x}tt AS (SELECT count(*) AS t FROM ${x}tf),
+       |${x}qt AS (SELECT count(*) AS t FROM ${x}rf),
+       |${x}w AS (
        |  SELECT r.range AS b,
-       |    CAST(floor((ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.t + 1024 AS DOUBLE))
-       |      - ln(CAST(coalesce(qc.c, 0) + 1 AS DOUBLE) / CAST(qt.t + 1024 AS DOUBLE)))
+       |    CAST(floor((ln(CAST(coalesce(${x}tc.c, 0) + 1 AS DOUBLE) / CAST(${x}tt.t + 1024 AS DOUBLE))
+       |      - ln(CAST(coalesce(${x}qc.c, 0) + 1 AS DOUBLE) / CAST(${x}qt.t + 1024 AS DOUBLE)))
        |      * 1e6 + 0.5) AS BIGINT) AS lw
        |  FROM range(1024) r
-       |  LEFT JOIN tc ON tc.b = r.range
-       |  LEFT JOIN qc ON qc.b = r.range
-       |  CROSS JOIN tt CROSS JOIN qt)""".stripMargin
+       |  LEFT JOIN ${x}tc ON ${x}tc.b = r.range
+       |  LEFT JOIN ${x}qc ON ${x}qc.b = r.range
+       |  CROSS JOIN ${x}tt CROSS JOIN ${x}qt)""".stripMargin
 
   /** DSIR importance resampling (mirrors `Selection.dsirSample`): target =
     * bench slice (doc_id%10=7), raw = the rest, Gumbel top-200 with the
@@ -1529,6 +1578,7 @@ object PipelineOracleSql {
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_classified" -> pipelineCurateClassified,
     "pipeline_curate_budget" -> pipelineCurateBudget,
     "pipeline_curate_stream" -> pipelineCurateStream,
     "corpus_diff" -> corpusDiff,

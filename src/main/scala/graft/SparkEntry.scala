@@ -887,6 +887,20 @@ object SparkEntry {
         langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
+    // the curate chain with the LEARNED quality gate (stage 1b): the NB
+    // classifier trained on (bench slice, %10==3 slice) seeds screens the
+    // heuristic survivors before any gram join — the fastText/CCNet-style
+    // filter as a pipeline stage, the whole chain under one oracle
+    "pipeline_curate_classified" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curate(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4,
+        classifierSeeds = Some((
+          d.filter(col("doc_id") % 10 === 7), d.filter(col("doc_id") % 10 === 3))))
+        .orderBy(col("doc_id"))
+    }),
     // batch replay of the STREAMING curation front door: the corpus
     // arrives as three doc_id%3 epochs, each run through the full chain
     // (annotate+filter → decontaminate → near-dup admit vs the admitted

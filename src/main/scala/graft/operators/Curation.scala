@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   *   1. annotate + filter (quality metrics, language ID): pure scan-local
   *      projections ([[TextAnalysis.quality]]/[[TextAnalysis.langId]] fused
   *      over one scan), no shuffle;
+  *   1b. (optional, `classifierSeeds`) model-based quality gate: keep
+  *      documents the in-engine Naive-Bayes classifier
+  *      ([[Selection.nbClassifierScores]], trained on the given pos/neg
+  *      seeds) scores at or above `minScoreMicro` — the fastText/CCNet-
+  *      style learned filter layered over the heuristic floor; one
+  *      broadcast model join + per-doc aggregate, still pre-gram-join;
   *   2. benchmark decontamination: drop any document sharing an 8-gram
   *      with the eval set ([[Decontamination.overlapReport]]; the bloom
   *      variant cuts the gram stream at the scan — identical output);
@@ -47,14 +53,28 @@ object Curation {
       langCol: String = "lang",
       seed: String = "graft",
       bloomGrams: Option[Long] = None,
-      tokenBudget: Option[Long] = None): DataFrame = {
+      tokenBudget: Option[Long] = None,
+      classifierSeeds: Option[(DataFrame, DataFrame)] = None,
+      minScoreMicro: Long = 0L): DataFrame = {
     // 1: one annotate pass — langId over quality's output keeps both stages
     // in a single scan-stage projection (no join of two derivations)
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(docs, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
-    val surv = annotated
+    val heur = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 1b: learned quality gate over the heuristic survivors — semi-join on
+    // the classifier's keep set (scores are exact integers, so the cut is
+    // partition-order-stable and oracle-replayable)
+    val surv = classifierSeeds match {
+      case Some((pos, neg)) =>
+        val keep = Selection
+          .nbClassifierScores(heur.select(col("doc_id"), col("text")), pos, neg)
+          .filter(col("score_micro") >= lit(minScoreMicro))
+          .select(col("doc_id"))
+        heur.join(keep, Seq("doc_id"), "left_semi")
+      case None => heur
+    }
     // 2: decontaminate — overlapReport returns exactly the contaminated
     // doc ids, so removal is a broadcast-able anti join
     val overlap = bloomGrams match {

@@ -56,4 +56,31 @@ class CurationSpec extends SparkTestBase {
         s"near-dup pair ($a, $b) both curated")
     }
   }
+
+  test("classifier gate: every survivor scores >= 0, gate genuinely filters, downstream invariants hold") {
+    val pos = bench
+    val neg = docs.filter(col("doc_id") % 10 === 3)
+    val gated = Curation.curate(
+      corpus, bench, minTokens = 30L, minQuality = 0.5,
+      langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4,
+      classifierSeeds = Some((pos, neg)))
+      .collect().map(_.getLong(0)).toSet
+    val ungated = run(None).collect().map(_.getLong(0)).toSet
+    assert(gated.nonEmpty && gated != ungated,
+      "the learned gate must keep a non-empty, strictly different set")
+
+    // every survivor passes the classifier cut (scored standalone — the
+    // gate is a pure per-doc decision, so composition cannot change it)
+    val scores = graft.operators.Selection
+      .nbClassifierScores(corpus.select(col("doc_id"), col("text")), pos, neg)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    gated.foreach { id =>
+      assert(scores(id) >= 0L, s"doc $id survived below the classifier cut")
+    }
+
+    // downstream stages still hold on the gated chain
+    val contaminated = Decontamination.overlapReport(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(gated.intersect(contaminated).isEmpty)
+  }
 }
