@@ -123,6 +123,7 @@ object Bench {
       "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed"),
       "dedup_semantic" -> q("dedup_semantic"),
       "export_shards" -> q("export_shards"),
+      "export_shards_balanced" -> q("export_shards_balanced"),
       "text_decontaminate_spans" -> q("text_decontaminate_spans"),
       "sample_dsir" -> q("sample_dsir"),
       "text_nb_classifier" -> q("text_nb_classifier"),

@@ -1446,6 +1446,33 @@ object PipelineOracleSql {
        |  min_by(doc_id, shard_pos) AS first_doc
        |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Token-balanced snake shard deal (mirrors
+    * `Export.shardAssignTokenBalanced`, nShards=8, seed 'shuffle'): rank by
+    * (n_tokens DESC, scrambled hash, doc_id) — one flat window here, the
+    * engine's hierarchical rank must reproduce it bit-for-bit — then
+    * even rounds deal left-to-right, odd rounds right-to-left.
+    */
+  def exportShardsBalanced: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+       |    ((list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, strlen('shuffle:' || CAST(doc_id AS VARCHAR)) + 1),
+       |        i -> CAST(ascii(substr('shuffle:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 2147483647)
+       |      * 2654435761 + 12345) % 2147483647) AS hv
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens DESC, hv, doc_id) AS BIGINT) AS position
+       |  FROM h)
+       |SELECT doc_id, position,
+       |  CAST(CASE WHEN ((position - 1) // 8) % 2 = 0 THEN (position - 1) % 8
+       |            ELSE 7 - (position - 1) % 8 END AS BIGINT) AS shard,
+       |  (position - 1) // 8 + 1 AS shard_pos,
+       |  n_tokens
+       |FROM p ORDER BY doc_id""".stripMargin
+
   def sampleShuffleOrder: String =
     """WITH h AS (
       |  SELECT doc_id,
@@ -1592,6 +1619,7 @@ object PipelineOracleSql {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,
     "export_shards" -> exportShards,
+    "export_shards_balanced" -> exportShardsBalanced,
     "export_manifest" -> exportManifest,
     "sample_budget_stream" -> sampleBudgetStream,
     "text_lm_score" -> lmScore,

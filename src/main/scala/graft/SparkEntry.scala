@@ -687,6 +687,13 @@ object SparkEntry {
         .select(col("doc_id"), col("position"), col("shard"),
           col("shard_pos"), col("n_tokens"))
         .orderBy(col("doc_id"))),
+    // TOKEN-balanced export: snake deal over the token-desc rank — per-
+    // shard token mass evens out where round-robin only balances counts
+    "export_shards_balanced" -> ((s, dir) =>
+      Export.shardAssignTokenBalanced(s.read.parquet(s"$dir/documents.parquet"), nShards = 8)
+        .select(col("doc_id"), col("position"), col("shard"),
+          col("shard_pos"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
     // the export summary a training job plans from: per-shard doc/token
     // mass + the id at the head of each shard's order
     "export_manifest" -> ((s, dir) =>

@@ -49,6 +49,67 @@ object Export {
       .withColumn("n_tokens", nTok)
   }
 
+  /** TOKEN-balanced shard assignment: documents ranked by
+    * (n_tokens DESC, scrambled hash, id) and dealt in SNAKE order — round
+    * r hands shards 0..n-1 left-to-right when r is even, right-to-left
+    * when odd (classic folded dealing): consecutive rounds pair each
+    * shard's large draw with a small one, so per-shard TOKEN mass evens
+    * out where plain round-robin only balances document counts. Doc counts
+    * stay balanced to ±1 (each round still touches every shard once), and
+    * the whole deal remains a pure function of (seed, id, nShards) —
+    * byte-identical on re-export, engine-replayable.
+    *
+    * Scale shape: the exact global rank reuses the hierarchical pattern
+    * ([[Sampling.shufflePosition]]) with the range key extended to
+    * (-n_tokens, hash-high-bits) — order-preserving for the token-desc
+    * sort, so no single-task window; the range frame is
+    * |distinct token counts| x 1024 rows, still broadcast-sized.
+    *
+    * Output: input columns + (position — the token-desc global rank,
+    * shard, shard_pos, n_tokens).
+    */
+  def shardAssignTokenBalanced(
+      docs: DataFrame,
+      nShards: Int,
+      seed: String = "shuffle",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensCol: Option[String] = None): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val nTok = tokensCol.map(tc => col(tc).cast("long"))
+      .getOrElse(size(TextFunctions.tokens(col(textCol))).cast("long"))
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val perDoc = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("__hv", h)
+      .withColumn("__nt", -col("n_tokens"))
+      .withColumn("__hb", shiftright(col("__hv"), 21))
+    val wRange = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__nt").asc, col("__hb").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = perDoc
+      .groupBy(col("__nt"), col("__hb"))
+      .agg(count(lit(1)).as("__rcnt"))
+      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+      .select(col("__nt"), col("__hb"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__nt"), col("__hb"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    val p0 = col("position") - lit(1L)
+    val round = (p0 / lit(nShards.toLong)).cast("long")
+    val inRound = pmod(p0, lit(nShards.toLong))
+    perDoc
+      .join(broadcast(rangeBase), Seq("__nt", "__hb"))
+      .withColumn("position", col("__base") + row_number().over(wIn).cast("long"))
+      .withColumn("shard",
+        when(pmod(round, lit(2L)) === lit(0L), inRound)
+          .otherwise(lit(nShards.toLong - 1L) - inRound))
+      .withColumn("shard_pos", round + lit(1L))
+      .drop("__hv", "__nt", "__hb", "__base")
+  }
+
   /** Per-shard manifest: (shard, n_docs, n_tokens, first_doc) — the export
     * summary a training job reads to plan its input streams. `first_doc`
     * (the id at shard_pos 1) pins the head of each shard's order into the

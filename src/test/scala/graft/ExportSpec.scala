@@ -59,4 +59,42 @@ class ExportSpec extends SparkTestBase {
       .select("doc_id", "position").orderBy(col("doc_id")).collect().toSeq
     assert(viaExport == direct)
   }
+
+  test("token-balanced snake deal: tighter token spread than round-robin, counts still +-1") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bal = Export.shardAssignTokenBalanced(docs, nShards = 8)
+      .select("doc_id", "position", "shard", "shard_pos", "n_tokens").collect()
+    assert(bal.length == docs.count(), "every document is dealt exactly once")
+
+    // snake shape: position rank is token-desc; even rounds deal 0..7,
+    // odd rounds 7..0; shard_pos = round+1
+    bal.foreach { r =>
+      val p0 = r.getLong(1) - 1
+      val expect = if ((p0 / 8) % 2 == 0) p0 % 8 else 7 - p0 % 8
+      assert(r.getLong(2) == expect && r.getLong(3) == p0 / 8 + 1)
+    }
+    val byShard = bal.groupBy(_.getLong(2))
+    assert(byShard.values.map(_.length).max - byShard.values.map(_.length).min <= 1,
+      "snake deal still balances doc counts to +-1")
+
+    // the point of the operator: per-shard TOKEN mass is much tighter than
+    // the round-robin deal's on a heterogeneous corpus
+    def spread(rows: Array[org.apache.spark.sql.Row]) = {
+      val sums = rows.groupBy(_.getLong(2)).values.map(_.map(_.getLong(4)).sum)
+      sums.max - sums.min
+    }
+    val rr = Export.shardAssign(docs, nShards = 8)
+      .select("doc_id", "position", "shard", "shard_pos", "n_tokens").collect()
+    assert(spread(bal) < spread(rr),
+      s"snake spread ${spread(bal)} must beat round-robin ${spread(rr)}")
+    // folded dealing over a sorted order stays within ~one max-doc of even
+    assert(spread(bal) <= bal.map(_.getLong(4)).max,
+      "snake spread should be bounded by the largest document")
+
+    // deterministic under repartitioning
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "shard_pos").orderBy(col("doc_id")).collect().toSeq
+    assert(rows(Export.shardAssignTokenBalanced(docs.repartition(7), 8)) ==
+      rows(Export.shardAssignTokenBalanced(docs, 8)))
+  }
 }
