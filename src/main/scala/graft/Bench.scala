@@ -120,6 +120,7 @@ object Bench {
       "text_lm_score" -> q("text_lm_score"),
       "pipeline_curate_budget" -> q("pipeline_curate_budget"),
       "pipeline_curate_stream" -> q("pipeline_curate_stream"),
+      "pipeline_curate_stream_classified" -> q("pipeline_curate_stream_classified"),
       "search_hybrid_rrf_indexed" -> q("search_hybrid_rrf_indexed"),
       "dedup_semantic" -> q("dedup_semantic"),
       "export_shards" -> q("export_shards"),

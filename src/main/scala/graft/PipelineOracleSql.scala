@@ -209,6 +209,13 @@ object PipelineOracleSql {
     * to the heuristic survivors.
     */
   private def curatePrefixGated(classifierGate: Boolean): String = {
+    // the gated survivor tree is an order of magnitude deeper (classifier
+    // feature/weight CTEs), and DuckDB inlines CTEs per REFERENCE — the
+    // stream fold's many `clean` references then re-expand the whole tree
+    // multiplicatively (measured: fd exhaustion at 20k open parquet
+    // handles). MATERIALIZED pins the survivor set once; plain oracles
+    // keep default inlining (unchanged, long-green plans).
+    val cleanMat = if (classifierGate) "MATERIALIZED " else ""
     val survCte =
       if (!classifierGate)
         "surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5)"
@@ -225,7 +232,7 @@ object PipelineOracleSql {
            |  FROM c_feats f JOIN c_w ON c_w.b = f.b
            |  WHERE f.doc_id IN (SELECT doc_id FROM heur)
            |  GROUP BY f.doc_id),
-           |surv AS (
+           |surv AS MATERIALIZED (
            |  SELECT heur.* FROM heur
            |  LEFT JOIN csc ON csc.doc_id = heur.doc_id CROSS JOIN cpr
            |  WHERE coalesce(csc.s, 0) + cpr.prior >= 0)""".stripMargin
@@ -262,7 +269,7 @@ object PipelineOracleSql {
        |  SELECT DISTINCT doc_id, $gram8 AS gram
        |  FROM stok, unnest(range(1, len(w) - 6)) AS t(i)),
        |contam AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gram)),
-       |clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |clean AS $cleanMat(SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
        |${minhashCtes("clean")}, cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM buckets x JOIN buckets y
@@ -288,8 +295,20 @@ object PipelineOracleSql {
     * fold exactly; budget admission order is (epoch, doc_id) per stratum,
     * one window.
     */
-  def pipelineCurateStream: String =
-    s"""$curatePrefix,
+  def pipelineCurateStream: String = pipelineCurateStreamGated(classifierGate = false)
+
+  /** The streaming-curation replay with the learned NB gate inserted —
+    * [[pipelineCurateStream]]'s fold over [[curatePrefixGated]]'s gated
+    * survivor set (mirrors `CurationStream.curateBatch(classifier = ...)`
+    * folded over `doc_id % 3` epochs: the gate is a pure per-doc decision,
+    * so it commutes with the epoch restriction like every other per-doc
+    * stage).
+    */
+  def pipelineCurateStreamClassified: String =
+    pipelineCurateStreamGated(classifierGate = true)
+
+  private def pipelineCurateStreamGated(classifierGate: Boolean): String =
+    s"""${curatePrefixGated(classifierGate)},
        |psym AS (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
@@ -1608,6 +1627,7 @@ object PipelineOracleSql {
     "pipeline_curate_classified" -> pipelineCurateClassified,
     "pipeline_curate_budget" -> pipelineCurateBudget,
     "pipeline_curate_stream" -> pipelineCurateStream,
+    "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,
     "corpus_diff" -> corpusDiff,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,

@@ -353,6 +353,35 @@ object PipelineStress {
     assert(tempOut == tempExpect,
       s"temperature quotas drifted from the census arithmetic: $tempOut != $tempExpect")
 
+    // token-balanced export at scale: the rank is hierarchical (range key
+    // (-n_tokens, hash-bits)), so no single-task window; the deal's token
+    // spread must stay within one max-document of even
+    val balAssign = graft.operators.Export.shardAssignTokenBalanced(docs, nShards = 32)
+      .select(col("shard"), col("n_tokens")).localCheckpoint(true)
+    t("export_balanced", nDocs)(balAssign.count())
+    val balSums = balAssign.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(_.getLong(1))
+    val maxDoc = docs.select(max(size(split(trim(col("text")), "\\s+")))).collect()(0).getInt(0)
+    assert(balSums.max - balSums.min <= maxDoc.toLong,
+      s"snake token spread ${balSums.max - balSums.min} exceeded one max-doc ($maxDoc)")
+
+    // IVF delete at scale: tombstone 10% of the indexed vectors, probe
+    // (masked, still pruned), compact (applied + retired), probe unchanged
+    val delPath = java.nio.file.Files.createTempDirectory("pstress_ivfdel").toString
+    IvfIndex.write(vecs, delPath, nlist = 64, filesPerList = 2)
+    val deadVecs = vecs.filter(col("vec_id") % 10 === 9).select("vec_id")
+    t("ivf_delete_write", nVecs / 10) { IvfIndex.delete(deadVecs, delPath); nVecs / 10 }
+    t("ivf_probe_masked", nVecs)(
+      IvfIndex.probe(spark, delPath, queries, 5, nprobe = 8).count())
+    val maskedRows = IvfIndex.probe(spark, delPath, queries, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(maskedRows.forall(_._3 % 10 != 9), "tombstoned vector served")
+    t("ivf_compact_deletes", nVecs) { IvfIndex.compact(spark, delPath); nVecs }
+    val postCompact = IvfIndex.probe(spark, delPath, queries, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(postCompact.toSeq == maskedRows.toSeq,
+      "probe must be unchanged by applying deletes physically")
+
     // time-series join operators at 10M events over 10k keys — the scale
     // question for both is whether they stay ONE shuffle + sort (asof) /
     // one bucketed equi-join (range): 1/5 of events are "clicks" (left),

@@ -938,6 +938,34 @@ object SparkEntry {
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
     }),
+    // the streaming front door WITH the learned gate: same 3-epoch fold,
+    // classifier model trained once before the fold (exactly what
+    // CurationStream.start does per stream) and applied per epoch
+    "pipeline_curate_stream_classified" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val dd = d.select(col("doc_id"), col("lang"), col("text"))
+      val bench = dd.filter(col("doc_id") % 10 === 7)
+      val corpus = dd.filter(col("doc_id") % 10 =!= 7)
+      val bg = Decontamination.benchGramsOf(bench).localCheckpoint(true)
+      val model = Some(graft.operators.Selection.nbClassifierModel(
+        d.filter(col("doc_id") % 10 === 7), d.filter(col("doc_id") % 10 === 3)))
+      var store: Option[(DataFrame, DataFrame)] = None
+      var consumed = Map.empty[String, Long]
+      val perEpoch = (0 until 3).map { e =>
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
+          store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg),
+          classifier = model)
+        store = Some(store match {
+          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+          case None => (adm, admBuckets)
+        })
+        consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        fin.withColumn("epoch", lit(e))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     // the same chain with the final token-space quota: stop each language
     // at 1500 tokens of post-curation survivors (the training-run cut);
     // the oracle appends the budget window to the staged curate CTEs

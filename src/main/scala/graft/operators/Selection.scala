@@ -196,4 +196,43 @@ object Selection {
         (col("score_micro") + priorMicro).as("score_micro"))
       .withColumn("pred", col("score_micro") >= lit(0L))
   }
+
+  /** Train the NB model ONCE and hand it back as (weight table eagerly
+    * pinned, prior in micro-units) — for repeated scorers (a streaming
+    * curation gate scores every micro-batch against the same seeds, and
+    * must not re-train per trigger). The prior is computed driver-side
+    * with the same `Math.log` the in-plan expression evaluates, so
+    * [[nbScoreWithModel]] output is bit-identical to [[nbClassifierScores]]
+    * (SelectionSpec pins it).
+    */
+  def nbClassifierModel(
+      pos: DataFrame,
+      neg: DataFrame,
+      numBuckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) = {
+    val weights = logRatioWeights(
+      hashedFeatures(pos, numBuckets, idCol, textCol),
+      hashedFeatures(neg, numBuckets, idCol, textCol),
+      numBuckets).localCheckpoint(true)
+    val np = pos.count()
+    val nn = neg.count()
+    require(np > 0 && nn > 0, "both classifier seeds must be non-empty")
+    (weights, math.floor(math.log(np.toDouble / nn.toDouble) * 1e6 + 0.5).toLong)
+  }
+
+  /** Score against a pre-trained [[nbClassifierModel]] — same output shape
+    * and bits as [[nbClassifierScores]], no training work.
+    */
+  def nbScoreWithModel(
+      docs: DataFrame,
+      weights: DataFrame,
+      priorMicro: Long,
+      numBuckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreDocs(docs, weights, numBuckets, idCol, textCol)
+      .select(col("doc_id"), col("n_feats"),
+        (col("score_micro") + lit(priorMicro)).as("score_micro"))
+      .withColumn("pred", col("score_micro") >= lit(0L))
 }

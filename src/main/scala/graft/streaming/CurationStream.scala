@@ -89,13 +89,28 @@ object CurationStream {
       dedupThreshold: Double = 0.8,
       params: MinHashParams = MinHashParams(),
       langCol: String = "lang",
-      benchGrams: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+      benchGrams: Option[DataFrame] = None,
+      classifier: Option[(DataFrame, Long)] = None,
+      minScoreMicro: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
-    val surv = annotated
+    val heur = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 1b: learned quality gate against a PRE-TRAINED model (the seeds are
+    // fixed for the stream's life, so training happens once per stream —
+    // `Selection.nbClassifierModel` — never per micro-batch); the same
+    // per-doc decision as Curation.curate's classifierSeeds stage
+    val surv = classifier match {
+      case Some((w, prior)) =>
+        val keep = graft.operators.Selection
+          .nbScoreWithModel(heur.select(col("doc_id"), col("text")), w, prior)
+          .filter(col("score_micro") >= lit(minScoreMicro))
+          .select(col("doc_id"))
+        heur.join(keep, Seq("doc_id"), "left_semi")
+      case None => heur
+    }
     // 2: benchmark decontamination — a broadcast-able anti join. The eval
     // suite is FIXED across the stream, so a repeated caller passes its
     // gram set precomputed (`benchGrams`) instead of re-shingling +
@@ -138,10 +153,15 @@ object CurationStream {
       dedupThreshold: Double = 0.8,
       params: MinHashParams = MinHashParams(),
       langCol: String = "lang",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      classifierSeeds: Option[(DataFrame, DataFrame)] = None,
+      minScoreMicro: Long = 0L): StreamingQuery = {
     // the eval suite never changes over the stream's lifetime: shingle +
     // distinct it ONCE (pinned eagerly) instead of once per micro-batch
     val benchGrams = Decontamination.benchGramsOf(bench).localCheckpoint(true)
+    // likewise the classifier seeds: train the model once per stream
+    val model = classifierSeeds.map { case (pos, neg) =>
+      graft.operators.Selection.nbClassifierModel(pos, neg) }
     stream.writeStream
       .queryName("graft-curation-stream")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -150,7 +170,7 @@ object CurationStream {
           val (adm, admBuckets, fin) = curateBatchWithBuckets(
             readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
             batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol,
-            benchGrams = Some(benchGrams))
+            benchGrams = Some(benchGrams), classifier = model, minScoreMicro = minScoreMicro)
           // unique per decision (same rule as the admission store): replays
           // re-decide instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"

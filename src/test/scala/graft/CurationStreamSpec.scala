@@ -110,4 +110,47 @@ class CurationStreamSpec extends SparkTestBase {
       "store after resume = fold over epochs 0..1 — replayed docs must not " +
         "re-admit or advance any stratum's consumed total")
   }
+
+  test("classifier-gated stream == gated batch fold; model trained once, gate genuinely filters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seeds = (all.filter(col("doc_id") % 10 === 7), all.filter(col("doc_id") % 10 === 3))
+    val storeDir = Files.createTempDirectory("curation_store_c").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_ckpt_c").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L), classifierSeeds = Some(seeds))
+    try {
+      for (e <- 0 until 3) { stream.addData(epochRows(e)); q.processAllAvailable() }
+    } finally q.stop()
+    // gated fold with the model trained once — the exact stream function
+    val model = Some(graft.operators.Selection.nbClassifierModel(seeds._1, seeds._2))
+    var store: Option[(DataFrame, DataFrame)] = None
+    var consumed = Map.empty[String, Long]
+    val want = (0 until 3).flatMap { e =>
+      val (adm, admBuckets, fin) = CurationStream.curateBatchWithBuckets(
+        store, consumed, epoch(e), bench, Budget, classifier = model)
+      store = Some(store match {
+        case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+        case None => (adm, admBuckets)
+      })
+      consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fin.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    }.toSet
+    val got = curated(storeDir)
+    assert(want.nonEmpty && got == want, "gated stream != gated fold")
+    // the gate changed the outcome vs the ungated chain
+    assert(got.map(_._1) != fold(3).map(_._1),
+      "the learned gate must change the curated set")
+    // every curated doc clears the standalone classifier cut
+    val (w, prior) = model.get
+    val scores = graft.operators.Selection
+      .nbScoreWithModel(corpus, w, prior)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { r => assert(scores(r._1) >= 0L, s"doc ${r._1} below the cut") }
+  }
 }

@@ -101,6 +101,20 @@ class SelectionSpec extends SparkTestBase {
     assert(joined.filter(col("draw_rank") =!= col("flat_rank")).isEmpty)
   }
 
+  test("nb model path == direct path bit-for-bit") {
+    val docs = corpus()
+    val pos = docs.filter(col("doc_id") < 104L)
+    val neg = docs.filter(col("doc_id") >= 204L)
+    val rest = docs.filter(col("doc_id") >= 104L && col("doc_id") < 204L)
+    val direct = Selection.nbClassifierScores(rest, pos, neg)
+      .orderBy("doc_id").collect().toSeq
+    val (w, prior) = Selection.nbClassifierModel(pos, neg)
+    val viaModel = Selection.nbScoreWithModel(rest, w, prior)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaModel == direct,
+      "pre-trained model scoring must be bit-identical to the in-plan form")
+  }
+
   test("temperature: partitioning-independent") {
     val docs = ((0 until 64).map(i => (i.toLong, "aa", s"t $i"))
       ++ (0 until 16).map(i => (100L + i, "bb", s"t $i")))
