@@ -65,13 +65,18 @@ object Curation {
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
     // 1b: learned quality gate over the heuristic survivors — semi-join on
     // the classifier's keep set (scores are exact integers, so the cut is
-    // partition-order-stable and oracle-replayable)
+    // partition-order-stable and oracle-replayable). The keep set is
+    // PINNED: `surv` is consumed by decontamination, the clean anti-join,
+    // and the dedup pair scan, and an unpinned gate would re-run the
+    // feature explode + model aggregation once per consumer (measured 2x
+    // on the composed chain)
     val surv = classifierSeeds match {
       case Some((pos, neg)) =>
         val keep = Selection
           .nbClassifierScores(heur.select(col("doc_id"), col("text")), pos, neg)
           .filter(col("score_micro") >= lit(minScoreMicro))
           .select(col("doc_id"))
+          .localCheckpoint(false)
         heur.join(keep, Seq("doc_id"), "left_semi")
       case None => heur
     }

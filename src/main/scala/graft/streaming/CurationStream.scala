@@ -104,10 +104,13 @@ object CurationStream {
     // per-doc decision as Curation.curate's classifierSeeds stage
     val surv = classifier match {
       case Some((w, prior)) =>
+        // pinned for the same reason as the batch chain's gate: surv is
+        // multi-consumed and the scoring subtree must run once per batch
         val keep = graft.operators.Selection
           .nbScoreWithModel(heur.select(col("doc_id"), col("text")), w, prior)
           .filter(col("score_micro") >= lit(minScoreMicro))
           .select(col("doc_id"))
+          .localCheckpoint(false)
         heur.join(keep, Seq("doc_id"), "left_semi")
       case None => heur
     }
