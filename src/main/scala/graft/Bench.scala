@@ -128,7 +128,15 @@ object Bench {
       "text_decontaminate_spans" -> q("text_decontaminate_spans"),
       "sample_dsir" -> q("sample_dsir"),
       "text_nb_classifier" -> q("text_nb_classifier"),
-      "sample_temperature" -> q("sample_temperature")
+      "sample_temperature" -> q("sample_temperature"),
+      // r8: lexical serving index (build + pruned probe), fully-served
+      // hybrid, block dedup, CMS heavy hitters, per-domain cap, gopher gate
+      "text_bm25_indexed" -> q("text_bm25_indexed"),
+      "search_hybrid_rrf_served" -> q("search_hybrid_rrf_served"),
+      "dedup_blocks" -> q("dedup_blocks"),
+      "text_top_terms_cms" -> q("text_top_terms_cms"),
+      "sample_source_cap" -> q("sample_source_cap"),
+      "text_gopher_rules" -> q("text_gopher_rules")
     )
   }
 

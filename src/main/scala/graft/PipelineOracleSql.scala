@@ -1587,7 +1587,42 @@ object PipelineOracleSql {
       |SELECT source, CAST(rn AS BIGINT) AS "rank", tok, cnt
       |FROM r WHERE rn <= 5 ORDER BY source, "rank"""".stripMargin
 
+  /** Count-min-sketch heavy hitters (mirrors `Sketches.cmsTopTerms`,
+    * k=20 depth=3 width=32): per-depth LCG scrambles of the token polyhash
+    * into 32 buckets, integer bucket sums, estimate = min over depths,
+    * exact count alongside.
+    */
+  def cmsTopTerms: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), h0 AS (
+       |  SELECT term, ${ph("term")} AS h FROM tok
+       |), rows0 AS (
+       |  SELECT ms.d, ((h0.h * ms.m + 12345) % 2147483647) % 32 AS bucket
+       |  FROM h0, (VALUES (0, 2654435761), (1, 1779033703), (2, 3144134277)) AS ms(d, m)
+       |), sketch AS (
+       |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM rows0 GROUP BY d, bucket
+       |), exact AS (
+       |  SELECT term, h, CAST(count(*) AS BIGINT) AS exact_count
+       |  FROM h0 GROUP BY term, h
+       |), probes AS (
+       |  SELECT exact.term, exact.exact_count, ms.d,
+       |    ((exact.h * ms.m + 12345) % 2147483647) % 32 AS bucket
+       |  FROM exact, (VALUES (0, 2654435761), (1, 1779033703), (2, 3144134277)) AS ms(d, m)
+       |), est AS (
+       |  SELECT term, exact_count, CAST(min(cnt) AS BIGINT) AS est_count
+       |  FROM probes JOIN sketch USING (d, bucket) GROUP BY term, exact_count
+       |), r AS (
+       |  SELECT term, est_count, exact_count,
+       |    row_number() OVER (ORDER BY est_count DESC, term ASC) AS rn
+       |  FROM est)
+       |SELECT term, CAST(rn AS BIGINT) AS "rank", est_count, exact_count
+       |FROM r WHERE rn <= 20 ORDER BY "rank"""".stripMargin
+
   def entries: Map[String, String] = Map(
+    "text_top_terms_cms" -> cmsTopTerms,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,
@@ -1615,12 +1650,17 @@ object PipelineOracleSql {
     "dedup_span_removal" -> dupSpanRemoval,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_bm25" -> bm25TopK,
+    // the persisted inverted index is bit-transparent: same result, same oracle
+    "text_bm25_indexed" -> bm25TopK,
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,
     "events_asof" -> eventsAsof,
     "search_hybrid_rrf" -> hybridRrf,
     "search_hybrid_rrf_indexed" -> hybridRrfIndexed,
+    // both arms index-served: lexical arm bit-transparent, semantic arm the
+    // same nlist/nprobe IVF pool — the indexed-hybrid oracle replays it
+    "search_hybrid_rrf_served" -> hybridRrfIndexed,
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -603,6 +603,11 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    // the Gopher rule battery: the standard pre-model web-curation gate
+    // (token bounds, word-length band, symbol/alpha ratios, stopword hits)
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))),
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
     "text_winnow" -> ((s, dir) =>
@@ -634,6 +639,23 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy(col("source"), col("rank"))),
+    // the sketch-served scale path for heavy hitters: count-min estimate
+    // (3x32 bucket table, broadcastable at any corpus size) with the exact
+    // count alongside so the one-sided error is checked, not assumed
+    "text_top_terms_cms" -> ((s, dir) =>
+      Sketches.cmsTopTerms(s.read.parquet(s"$dir/documents.parquet"),
+        k = 20, depth = 3, width = 32)
+        .orderBy(col("rank"))),
+    // RefinedWeb-style per-domain cap: at most 40 docs per source, best
+    // quality first — the rank filter compiles to WindowGroupLimit so a
+    // hot domain pre-prunes map-side
+    "sample_source_cap" -> ((s, dir) =>
+      Sampling.rankCap(
+        TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
+          keep = Seq("source"))
+          .select(col("doc_id"), col("source"), col("quality_score")),
+        cap = 40, strataCol = "source", scoreCol = "quality_score")
+        .orderBy(col("source"), col("cap_rank"))),
     // exact-size eval-set draw: 20 docs per language, deterministic
     "sample_fixed_k" -> ((s, dir) =>
       Sampling.fixedSizeSample(
@@ -720,6 +742,12 @@ object SparkEntry {
     "dedup_span_removal" -> ((s, dir) =>
       Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("doc_id"))),
+    // the CCNet/C4 paragraph-hash pass over fixed 8-token blocks: first
+    // occurrence of every distinct block survives corpus-wide, later
+    // occurrences are dropped and the text re-stitched
+    "dedup_blocks" -> ((s, dir) =>
+      Dedup.blockDedup(s.read.parquet(s"$dir/documents.parquet"), blockWords = 8)
+        .orderBy(col("doc_id"))),
     // fixed probe query with one rare term (df 25 at sf0.01) and three
     // common ones — exercises the idf spread
     "text_bm25" -> ((s, dir) =>
@@ -746,6 +774,34 @@ object SparkEntry {
       Search.hybridRrfTopKIndexed(
         s.read.parquet(s"$dir/documents.parquet"),
         emb.filter(col("vec_id") === 0L), path,
+        Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
+    // the LEXICAL serving shape: the same BM25 probe answered from the
+    // persisted term-bucket-partitioned inverted index — a partition-pruned
+    // postings scan, no corpus tokenization at query time. Bit-transparent,
+    // so the brute-force oracle replays it unchanged
+    "text_bm25_indexed" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_${Integer.toHexString(dir.hashCode)}"
+      TextIndex.write(docs, path)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
+    // the FULLY index-served hybrid stack: lexical arm from the inverted
+    // index, semantic arm from the IVF index, same fusion — no corpus scan
+    // at query time at all. The lexical arm is bit-transparent and the
+    // semantic arm matches the indexed-hybrid probe (same nlist/nprobe), so
+    // the indexed-hybrid oracle replays the whole fusion
+    "search_hybrid_rrf_served" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_srv_${Integer.toHexString(dir.hashCode)}"
+      val lexPath = s"${System.getProperty("java.io.tmpdir")}/graft_lex_srv_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, ivfPath)
+      TextIndex.write(docs, lexPath)
+      Search.hybridRrfTopKServed(s, lexPath, ivfPath,
+        emb.filter(col("vec_id") === 0L),
         Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
@@ -1354,6 +1410,71 @@ object SparkEntry {
          |    + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
          |    + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_blocks" ->
+      s"""WITH toks AS (SELECT doc_id, $Tok AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |    array_to_string(w[(CAST(u.i AS INT)*8+1):(CAST(u.i AS INT)*8+8)], ' ') AS blk
+         |  FROM toks, unnest(range((len(w) + 7) // 8)) AS u(i)),
+         |f AS (SELECT blk, min(doc_id * 1048576 + pos) AS keep_key FROM b GROUP BY blk),
+         |kept AS (
+         |  SELECT b.doc_id, b.pos, b.blk FROM b JOIN f ON b.blk = f.blk
+         |  WHERE b.doc_id * 1048576 + b.pos = f.keep_key),
+         |r AS (
+         |  SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST((len(w) + 7) // 8 AS BIGINT) AS n_blocks FROM toks)
+         |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
+         |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed
+         |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "sample_source_cap" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($Tok)) AS BIGINT) AS n_unique_tokens,
+         |    CAST(len(list_filter($Tok, t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stopword_cnt
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
+         |      + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, source, quality_score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS cap_rank
+         |  FROM q)
+         |SELECT doc_id, source, quality_score, cap_rank
+         |FROM r WHERE cap_rank <= 40 ORDER BY source, cap_rank""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len($Tok) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform($Tok, t -> length(t))) AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter($Tok, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter($Tok, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS BIGINT) AS n_symbol,
+         |    CAST(len(list_filter(list_distinct($Tok), t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS stop_hits
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+         |    CAST(n_symbol AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS symbol_ratio,
+         |    CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS alpha_ratio,
+         |    stop_hits
+         |  FROM f)
+         |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_ratio, stop_hits,
+         |  (n_tokens >= 30 AND n_tokens <= 100000) AS pass_len,
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+         |  (symbol_ratio <= 0.1) AS pass_symbol,
+         |  (alpha_ratio >= 0.8) AS pass_alpha,
+         |  (stop_hits >= 2) AS pass_stop,
+         |  (n_tokens >= 30 AND n_tokens <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+         |    AND stop_hits >= 2) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
     "corpus_report" ->
       s"""WITH f AS (
          |  SELECT source,

@@ -638,6 +638,60 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Block-level corpus dedup (the CCNet/C4 paragraph-hash pass re-expressed
+    * over fixed word blocks, since this corpus has no line structure): split
+    * every document into non-overlapping `blockWords`-token blocks, keep
+    * each distinct block's FIRST occurrence in (doc_id, block position)
+    * order corpus-wide, drop every other occurrence, and re-emit the
+    * stitched remaining text. Unlike [[removeDupSpans]] (which excises
+    * duplicated k-gram RUNS found by coverage statistics), this is the
+    * cheap exact pass pipelines run first: one hash-partitioned group-by on
+    * the block text, no coverage arithmetic.
+    *
+    * Output: (doc_id, clean_text, n_blocks, n_removed) — one row per input
+    * document, fully-deduplicated documents keep an empty clean_text.
+    *
+    * 100 TB shape: blocks shuffle once on their text (hash-partitioned agg
+    * → per-block canonical key), one equi-join back, one per-doc rebuild
+    * aggregate — no pairwise work, no windows. The canonical key is
+    * `doc_id * 2^20 + pos` (exact long arithmetic, SQL-replicable);
+    * documents are bounded to 2^20 blocks, ~8M tokens at the default
+    * width, far above any real document.
+    */
+  def blockDedup(
+      docs: DataFrame,
+      blockWords: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    val bw = blockWords
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_blocks",
+        floor((size(col("w")) + lit(bw - 1)) / lit(bw)).cast("long"))
+    val blocks = tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_blocks") - 1),
+          i => array_join(slice(col("w"), (i * bw + 1).cast("int"), lit(bw)), " ")))
+          .as(Seq("pos", "blk")))
+      .withColumn("key", col("doc_id") * lit(1048576L) + col("pos"))
+    val first = blocks.groupBy(col("blk")).agg(min(col("key")).as("keep_key"))
+    val kept = blocks.join(first, Seq("blk")).filter(col("key") === col("keep_key"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        // collect_list order is partition-dependent; the struct sort keys
+        // the rebuild on the block position, making the text deterministic
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tok.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the

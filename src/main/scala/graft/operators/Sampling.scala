@@ -94,6 +94,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-domain cap by score (the RefinedWeb-style "at most N documents per
+    * domain, best first" pass): keep the `cap` highest-`scoreCol` documents
+    * per stratum, ties broken by id. The caller supplies the score column
+    * (e.g. [[TextAnalysis.quality]]'s quality_score or a classifier
+    * probability), so the same cap composes with any scoring stage.
+    *
+    * Scale shape: the rank-filter idiom compiles to WindowGroupLimit — each
+    * map task pre-prunes to its LOCAL top-cap before the shuffle (pinned in
+    * PlanQualitySpec), so a billion-doc hot domain ships ~cap rows per input
+    * partition instead of concentrating its full sort into one task.
+    *
+    * Output: input columns + cap_rank (1-based, <= cap).
+    */
+  def rankCap(
+      docs: DataFrame,
+      cap: Int,
+      strataCol: String,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** Token-budget cap per stratum: keep documents in deterministic
     * scrambled-hash order until the stratum's running token total reaches
     * `budget` — per-domain quota drawing in TOKEN space, the unit training

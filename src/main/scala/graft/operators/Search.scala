@@ -35,7 +35,6 @@ object Search {
       textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
-    val terms = queryTerms.map(t => lit(t): Column)
     val tok = docs.select(
       col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"),
@@ -49,6 +48,23 @@ object Search {
       .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, stats, queryTerms, k, k1, b)
+  }
+
+  /** Scoring tail shared bit-for-bit by the in-plan scan ([[bm25TopK]]) and
+    * the persisted-index probe ([[TextIndex.bm25TopK]]): both feed the same
+    * (doc_id, dl, term, tf) rows and (n_docs, avgdl) stats, so sharing the
+    * tail — dfreq, idf/tf saturation, per-term conditional aggregates added
+    * in fixed query order, TakeOrderedAndProject top-k — is what makes the
+    * index bit-transparent rather than approximately equal.
+    */
+  private[operators] def bm25Score(
+      tf: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     // document frequency per query term: at most |queryTerms| rows
     val dfreq = tf.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
     val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
@@ -141,6 +157,34 @@ object Search {
     val lex = bm25TopK(docs, queryTerms, poolK, idCol = idCol, textCol = textCol)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val sem = IvfIndex.probe(docs.sparkSession, indexPath, queries, poolK, nprobe)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
+    fuseRrf(lex, sem, k, rrfK)
+  }
+
+  /** Fully index-served hybrid retrieval: BOTH arms answered from persisted
+    * layouts — the lexical arm from the term-bucket-partitioned inverted
+    * index ([[TextIndex.bm25TopK]], bit-transparent vs the in-plan scan)
+    * and the semantic arm from the IVF index ([[IvfIndex.probe]]). This is
+    * the complete serving stack: no corpus scan at query time at all; the
+    * lexical probe reads only the query terms' posting buckets, the
+    * semantic probe only the `nprobe` inverted lists, and the fusion still
+    * touches 2×`poolK` rows. Because the lexical arm is bit-identical to
+    * [[bm25TopK]], the fusion equals [[hybridRrfTopKIndexed]] at the same
+    * `nprobe` (pinned in SearchIndexedSpec) and the same oracle replays it.
+    */
+  def hybridRrfTopKServed(
+      spark: org.apache.spark.sql.SparkSession,
+      textIndexPath: String,
+      ivfIndexPath: String,
+      queries: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      nprobe: Int = 4): DataFrame = {
+    val lex = TextIndex.bm25TopK(spark, textIndexPath, queryTerms, poolK)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = IvfIndex.probe(spark, ivfIndexPath, queries, poolK, nprobe)
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
     fuseRrf(lex, sem, k, rrfK)
   }

@@ -40,6 +40,64 @@ object TextAnalysis {
           + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2))
   }
 
+  /** Gopher-style composite quality gate (Rae et al. 2021, §A1.1 adapted to
+    * this engine's whitespace tokenization): the standard rule battery a
+    * web-scale curation pipeline runs before any model-based scoring —
+    * token-count bounds, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word ratio, and a minimum distinct-stopword hit count.
+    *
+    * Output: (doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_ratio,
+    * stop_hits, pass_len, pass_word_len, pass_symbol, pass_alpha,
+    * pass_stop, keep) with `keep` = conjunction of the five rules.
+    *
+    * Determinism: every ratio is ONE division of two exact integer
+    * aggregates (token count, summed token lengths, filtered counts), so
+    * the doubles are bit-stable across partitionings and match the
+    * oracle's identical formulation. Scale shape: a single scan-local
+    * projection — no shuffle, no UDF, fully codegen'd.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minTokens: Long = 30,
+      maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("long")).as("sum_len"),
+        size(filter(w, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(filter(w, t => t.contains("#") || t.contains("...") || t.contains("…")))
+          .cast("long").as("n_symbol"),
+        size(filter(array_distinct(w), t => t.isin(StopwordsEn.map(x => x: Any): _*)))
+          .cast("long").as("stop_hits"))
+      .withColumn("mean_word_len",
+        col("sum_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("symbol_ratio",
+        col("n_symbol").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("pass_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("pass_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("pass_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("pass_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("pass_len") && col("pass_word_len") && col("pass_symbol") &&
+          col("pass_alpha") && col("pass_stop"))
+      .select("doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "alpha_ratio", "stop_hits", "pass_len", "pass_word_len",
+        "pass_symbol", "pass_alpha", "pass_stop", "keep")
+  }
+
   /** Heuristic language ID via marker-token counts with a fixed argmax
     * tie-break order. Output: (doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang).
     */

@@ -127,6 +127,64 @@ class CorpusOpsSpec extends SparkTestBase {
     cleaned.unpersist()
   }
 
+  test("block dedup: later occurrences drop, first survives, within-doc repeat collapses") {
+    val blk = (1 to 8).map(i => s"w$i").mkString(" ")     // one exact 8-token block
+    val other = (1 to 8).map(i => s"x$i").mkString(" ")
+    val out = Dedup.blockDedup(docsDF(
+      1L -> s"$blk $other",        // canonical occurrence of both blocks
+      2L -> s"$blk $blk",          // two copies of doc 1's block: both drop
+      3L -> other),                // duplicate of doc 1's second block: drops
+      blockWords = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == s"$blk $other" && out(1L).getLong(3) == 0)
+    assert(out(2L).getString(1) == "" && out(2L).getLong(3) == 2,
+      s"both copies in doc 2 must drop, got ${out(2L)}")
+    assert(out(3L).getString(1) == "" && out(3L).getLong(3) == 1)
+    // every distinct block survives exactly once corpus-wide
+    val keptBlocks = out.values.flatMap(r =>
+      r.getString(1).split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" "))).toSeq
+    assert(keptBlocks.distinct == keptBlocks)
+  }
+
+  test("cms top terms: estimate >= exact always, exact at wide width, collisions inflate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val narrow = Sketches.cmsTopTerms(docs, k = 20, depth = 3, width = 8).collect()
+    assert(narrow.forall(r => r.getLong(2) >= r.getLong(3)),
+      "count-min error is one-sided: est >= exact")
+    // a width far above the vocabulary gives no collisions: est == exact,
+    // and the ranking equals the exact heavy-hitter ranking
+    val wide = Sketches.cmsTopTerms(docs, k = 20, depth = 3, width = 65536)
+    assert(wide.collect().forall(r => r.getLong(2) == r.getLong(3)),
+      "no-collision sketch must be exact")
+  }
+
+  test("rank cap: keeps exactly the top-cap per stratum, ties by id") {
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.7), (4L, "a", 0.1),
+      (5L, "b", 0.5)).toDF("doc_id", "source", "score")
+    val out = Sampling.rankCap(df, cap = 2, strataCol = "source", scoreCol = "score")
+      .orderBy(col("source"), col("cap_rank")).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq ==
+      Seq((1L, "a", 1L), (2L, "a", 2L), (5L, "b", 1L)))
+  }
+
+  test("gopher rules: each rule trips on its planted violator, clean doc keeps") {
+    val good = (1 to 10).map(_ => "the quick brown fox jumps over a lazy dog kind of").mkString(" ")
+    val df = graft.operators.TextAnalysis.gopherRules(docsDF(
+      1L -> good,                                   // passes everything
+      2L -> "the a of way too short",               // < 30 tokens
+      3L -> good.replace("the ", "### ").replace(" a ", " #it# "), // symbols, no stopwords
+      4L -> (1 to 30).map(_ => "pneumonoultramicroscopic supercalifragilistic the a").mkString(" ")), // long words
+      minTokens = 30)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getBoolean(11), "clean doc must keep")
+    assert(!byId(2L).getBoolean(6) && !byId(2L).getBoolean(11), "short doc fails pass_len")
+    assert(!byId(3L).getBoolean(8) && !byId(3L).getBoolean(10),
+      "symbol doc fails pass_symbol and pass_stop")
+    assert(!byId(4L).getBoolean(7) && !byId(4L).getBoolean(11),
+      "long-word doc fails pass_word_len")
+  }
+
   test("bm25: rare-term docs outrank common-term docs; tf monotonicity") {
     // 'rare' in one doc, 'com' in all; doc 4 has the highest rare tf
     val corpus = docsDF(

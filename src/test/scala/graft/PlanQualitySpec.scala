@@ -253,7 +253,7 @@ class PlanQualitySpec extends SparkTestBase {
     // Spark's WindowGroupLimit turns rank-then-filter into a bounded per-
     // partition heap BEFORE the shuffle — the difference between sorting
     // O(distinct hashes) and keeping k per group at 100 TB
-    for (name <- Seq("text_vocab_sketch", "emb_outliers")) {
+    for (name <- Seq("text_vocab_sketch", "emb_outliers", "sample_source_cap")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),

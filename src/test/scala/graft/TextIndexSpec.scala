@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{IvfIndex, Search, TextIndex}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index: bit-transparency against the in-plan BM25
+  * scan, partition pruning of the postings scan to the query terms' buckets,
+  * and the fully index-served hybrid fusion.
+  */
+class TextIndexSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val terms = Seq("dup", "vector", "join", "slow")
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def postingsScan(p: SparkPlan): Option[FileSourceScanExec] =
+    allNodes(p).collectFirst {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("rank")).collect().toSeq
+
+  test("indexed probe == in-plan bm25TopK bit-exact; postings scan is bucket-pruned; rebuild idempotent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+    TextIndex.write(docs, path, nBuckets = 64)
+    val probe = TextIndex.bm25TopK(spark, path, terms, k = 20)
+    val direct = Search.bm25TopK(docs, terms, k = 20)
+    assert(rows(probe) == rows(direct),
+      "indexed probe must be bit-identical to the in-plan bm25TopK")
+
+    // the layout really is one directory per populated term bucket
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(dirs.size > 4, s"expected many bucket dirs, got ${dirs.size}")
+
+    // partition pruning: the postings scan carries a bucket partition
+    // filter and selects at most |terms| of the populated buckets
+    probe.collect()
+    val scan = postingsScan(probe.queryExecution.executedPlan)
+      .getOrElse(fail(s"no postings scan in:\n${probe.queryExecution.executedPlan}"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"probe scan must carry a bucket partition filter:\n$scan")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .map(_.values).size
+    assert(selected <= terms.size && selected < dirs.size,
+      s"probe must read <= ${terms.size} buckets, got $selected of ${dirs.size}")
+
+    // rebuild over the same corpus overwrites in place; probes unchanged
+    TextIndex.write(docs, path, nBuckets = 64)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == rows(direct))
+  }
+
+  test("single-bucket degenerate index still answers exactly; filesPerBucket spreads a hot bucket") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = Search.bm25TopK(docs, terms, k = 20)
+    val one = java.nio.file.Files.createTempDirectory("graft-text-index-1b").toString
+    TextIndex.write(docs, one, nBuckets = 1)
+    assert(rows(TextIndex.bm25TopK(spark, one, terms, k = 20)) == rows(direct))
+
+    val spread = java.nio.file.Files.createTempDirectory("graft-text-index-fb").toString
+    TextIndex.write(docs, spread, nBuckets = 8, filesPerBucket = 3)
+    assert(rows(TextIndex.bm25TopK(spark, spread, terms, k = 20)) == rows(direct))
+    val files = new java.io.File(s"$spread/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(files.exists(_ > 1),
+      s"filesPerBucket=3 should write multiple files for at least one bucket, got $files")
+  }
+
+  test("fully index-served hybrid fusion == indexed-hybrid fusion at the same nprobe") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-srv-lex").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-srv-ivf").toString
+    TextIndex.write(docs, lexPath)
+    IvfIndex.write(emb, ivfPath, nlist = 16)
+    val served = Search.hybridRrfTopKServed(
+      spark, lexPath, ivfPath, emb.filter(col("vec_id") === 0L), terms, nprobe = 4)
+    val indexed = Search.hybridRrfTopKIndexed(
+      docs, emb.filter(col("vec_id") === 0L), ivfPath, terms, nprobe = 4)
+    assert(rows(served) == rows(indexed),
+      "served fusion must equal the indexed-hybrid fusion bit-exactly")
+    // both persisted arms stay partition-pruned
+    served.collect()
+    val nodes = allNodes(served.queryExecution.executedPlan)
+    val pruned = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths.exists(p =>
+        p.toString.contains("postings") || p.toString.contains("lists")) => s
+    }
+    assert(pruned.nonEmpty && pruned.forall(_.partitionFilters.nonEmpty),
+      "both the postings and lists scans must keep their partition filters")
+  }
+}
