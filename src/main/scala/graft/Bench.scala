@@ -136,7 +136,9 @@ object Bench {
       "dedup_blocks" -> q("dedup_blocks"),
       "text_top_terms_cms" -> q("text_top_terms_cms"),
       "sample_source_cap" -> q("sample_source_cap"),
-      "text_gopher_rules" -> q("text_gopher_rules")
+      "text_gopher_rules" -> q("text_gopher_rules"),
+      "emb_kmeans" -> q("emb_kmeans"),
+      "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained")
     )
   }
 

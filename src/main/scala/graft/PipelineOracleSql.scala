@@ -579,6 +579,98 @@ object PipelineOracleSql {
        |SELECT DISTINCT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** CTE chain replaying `Clustering.kmeansTrain(k, iters)`: lowest-id
+    * init, cosine argmax assignment with ties to the lowest cid,
+    * exact-integer scaled-mean update, empty clusters keeping their
+    * previous centroid. Emits CTEs `n`, `cent0` .. `cent$iters`; each
+    * `cent$i` carries (cid, cv DOUBLE[], cnrm, cnt) with `cnt` the member
+    * count of the update that produced it.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""n AS (
+         |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+         |), cent0 AS (
+         |  SELECT id AS cid, list_transform(v, e -> CAST(e AS DOUBLE)) AS cv,
+         |    nrm AS cnrm, CAST(0 AS BIGINT) AS cnt
+         |  FROM n ORDER BY id LIMIT $k
+         |)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""", a$i AS (
+         |  SELECT id, v, nrm, cid FROM (
+         |    SELECT n.id, n.v, n.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY n.id ORDER BY
+         |        list_sum(list_transform(range(1, len(n.v)+1),
+         |          jj -> CAST(n.v[jj] AS DOUBLE) * c.cv[jj])) / (n.nrm * c.cnrm) DESC,
+         |        c.cid ASC) AS crank
+         |    FROM n CROSS JOIN cent${i - 1} c)
+         |  WHERE crank = 1
+         |), m$i AS (
+         |  SELECT cid, CAST(u.j AS BIGINT) - 1 AS pos,
+         |    CAST(sum(CAST(floor(CAST(v[CAST(u.j AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM a$i, unnest(range(1, len(v)+1)) AS u(j)
+         |  GROUP BY cid, u.j
+         |), g$i AS (
+         |  SELECT cid, list(CAST(sx AS DOUBLE) / (cnt * 1e6) ORDER BY pos) AS cv,
+         |    max(cnt) AS cnt
+         |  FROM m$i GROUP BY cid
+         |), cent$i AS (
+         |  SELECT p.cid, coalesce(g.cv, p.cv) AS cv,
+         |    sqrt(list_sum(list_transform(coalesce(g.cv, p.cv), e -> e * e))) AS cnrm,
+         |    CAST(coalesce(g.cnt, 0) AS BIGINT) AS cnt
+         |  FROM cent${i - 1} p LEFT JOIN g$i g ON g.cid = p.cid
+         |)""".stripMargin
+    }
+    init + steps.mkString
+  }
+
+  /** Deterministic k-means centroids (mirrors `Clustering.kmeansCentroids`,
+    * k=4 iters=2): one row per (cluster, dimension).
+    */
+  def kmeansCentroids: String =
+    s"""WITH ${kmeansCtes(4, 2)}
+       |SELECT c.cid, CAST(u.j AS BIGINT) - 1 AS pos,
+       |  c.cv[CAST(u.j AS INT)] AS x, c.cnt AS n
+       |FROM cent2 c, unnest(range(1, len(c.cv)+1)) AS u(j)
+       |ORDER BY cid, pos""".stripMargin
+
+  /** IVF probe under the TRAINED coarse quantizer (mirrors
+    * `IvfIndex.write(trainIters = 2)` + probe, nlist=16 nprobe=4 k=5):
+    * the kmeans chain replays the training, then the standard probe tail
+    * assigns corpus and queries under the final centroids.
+    */
+  def ivfTopKTrained: String =
+    s"""WITH ${kmeansCtes(16, 2)}, ca AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          jj -> CAST(n.v[jj] AS DOUBLE) * c.cv[jj])) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent2 c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, v, nrm, cid FROM (
+       |    SELECT n.id, n.v, n.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          jj -> CAST(n.v[jj] AS DOUBLE) * c.cv[jj])) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent2 c WHERE n.id < 10)
+       |  WHERE crank <= 4
+       |), scored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM ca c JOIN qa q ON q.cid = c.cid AND c.id != q.id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM scored)
+       |SELECT DISTINCT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
   /** Quantized-index probe (mirrors `IvfIndex.writeQuantized` +
     * `probeQuantized`, nlist=16 nprobe=4 k=5 candFactor=4): the ivfTopK
     * assignment/probe CTEs select each query's lists, the sim_topk_quantized
@@ -1642,6 +1734,8 @@ object PipelineOracleSql {
     // quantizer), the served corpus drops the tombstoned ids
     "sim_topk_ivf_deleted" -> ivfTopKWhere("n.id % 7 != 3"),
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
+    "sim_topk_ivf_trained" -> ivfTopKTrained,
+    "emb_kmeans" -> kmeansCentroids,
     "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,

@@ -808,6 +808,23 @@ object SparkEntry {
     "emb_outliers" -> ((s, dir) =>
       Clustering.centroidOutliers(s.read.parquet(s"$dir/embeddings.parquet"), k = 3)
         .orderBy(col("label"), col("rank"))),
+    // deterministic distributed Lloyd k-means: lowest-id init, native
+    // argmax assignment, exact-integer scaled-mean updates — the coarse-
+    // quantizer trainer, oracle-replayed iteration by iteration
+    "emb_kmeans" -> ((s, dir) =>
+      Clustering.kmeansCentroids(s.read.parquet(s"$dir/embeddings.parquet"),
+        k = 4, iters = 2)
+        .orderBy(col("cid"), col("pos"))),
+    // the TRAINED-quantizer index: 2 Lloyd iterations tighten the lists
+    // under the same frozen-centroid serving discipline; the oracle
+    // replays the training and the probe
+    "sim_topk_ivf_trained" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_trn_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path, nlist = 16, trainIters = 2)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "text_pack" -> ((s, dir) =>
       Chunking.packOffsets(s.read.parquet(s"$dir/documents.parquet"), budget = 512)
         .orderBy(col("source"), col("doc_id"))),

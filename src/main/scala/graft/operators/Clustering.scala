@@ -50,6 +50,93 @@ object Clustering {
           .as("centroid"))
   }
 
+  /** Deterministic distributed Lloyd k-means over the embedding column —
+    * the trainer for the IVF coarse quantizer ([[IvfIndex.write]]'s
+    * `trainIters` dial) and a standalone clustering operator. No RNG
+    * anywhere: initialization is the repo's lowest-id convention
+    * ([[Similarity.collectCentroids]]), assignment is the native
+    * nearest-centroid argmax by cosine with ties to the lowest cid, and
+    * each update is the exact-integer scaled mean ([[labelCentroids]]'
+    * arithmetic), so any partitioning — and the DuckDB oracle — reproduces
+    * the centroids bit-for-bit. A cluster that loses every member keeps
+    * its previous centroid (count 0) instead of being reseeded, keeping
+    * the iteration a pure function of the corpus.
+    *
+    * Scale shape per iteration: one corpus scan (the assignment is a
+    * scan-stage compiled expression, nlist-independent codegen) + one
+    * hash aggregate on (cid, pos) with map-side partials — O(N·d) →
+    * O(k·d) — and a k·d-row collect; centroids stay driver-resident like
+    * every coarse-quantizer consumer here (k <= 4096).
+    *
+    * Returns the final centroids and the member counts of the assignment
+    * that PRODUCED them (the last update's; retained empty clusters count
+    * 0).
+    */
+  private[graft] def kmeansTrain(
+      emb: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Array[(Long, Array[Double], Double)], Map[Long, Long]) = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    var cents = Similarity.collectCentroids(emb, k, idCol, vecCol)
+    var counts: Map[Long, Long] = cents.map(_._1 -> 0L).toMap
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn("cid", Similarity.centroidAssignExpr(cents))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(
+          sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+      val rows = sums.groupBy(col("cid"))
+        .agg(
+          max(col("n")).as("n"),
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("sx"), col("n")))),
+            t => t.getField("sx").cast("double") / (t.getField("n") * 1e6)).as("cv"))
+        .collect()
+      val updated = rows.map { r =>
+        val cv = r.getSeq[Double](2).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        r.getLong(0) -> ((cv, math.sqrt(acc)))
+      }.toMap
+      val newCounts = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cents = cents.map { case (cid, oldCv, oldNrm) =>
+        updated.get(cid) match {
+          case Some((cv, nrm)) => (cid, cv, nrm)
+          case None => (cid, oldCv, oldNrm)
+        }
+      }
+      counts = cents.map { case (cid, _, _) => cid -> newCounts.getOrElse(cid, 0L) }.toMap
+    }
+    (cents, counts)
+  }
+
+  /** [[kmeansTrain]] as a relation: one row per (cluster, dimension) —
+    * (cid, pos, x, n) with `x` the centroid element and `n` the last
+    * update's member count. Scalar rows rather than an array column so the
+    * result is directly hash-comparable against the oracle.
+    */
+  def kmeansCentroids(
+      emb: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, counts) = kmeansTrain(emb, k, iters, idCol, vecCol)
+    cents.toSeq.flatMap { case (cid, cv, _) =>
+      cv.zipWithIndex.map { case (x, pos) => (cid, pos.toLong, x, counts(cid)) }
+    }.toDF("cid", "pos", "x", "n")
+  }
+
   /** Per-label outliers: the `k` vectors FURTHEST from their own label's
     * centroid by cosine. Output: (label, rank, vec_id, cos_centroid) with
     * cosine rounded to 9 dp and rank over (cos ASC, vec_id ASC).

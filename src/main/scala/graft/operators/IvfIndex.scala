@@ -60,6 +60,22 @@ object IvfIndex {
     else math.min(4096, math.max(16, math.sqrt(emb.count().toDouble).toInt))
   }
 
+  /** Coarse quantizer for a build: the lowest-id convention by default, or
+    * `trainIters` Lloyd iterations of the deterministic distributed
+    * k-means ([[Clustering.kmeansTrain]]) seeded from it — trained
+    * centroids tighten the lists, so probes at a fixed `nprobe` see more
+    * of each query's true neighborhood. Either way the quantizer is a
+    * pure function of the corpus (no RNG), so the oracle replays it.
+    */
+  private def buildCentroids(
+      emb: DataFrame,
+      nlist: Int,
+      idCol: String,
+      vecCol: String,
+      trainIters: Int): Array[(Long, Array[Double], Double)] =
+    if (trainIters <= 0) Similarity.collectCentroids(emb, nlist, idCol, vecCol)
+    else Clustering.kmeansTrain(emb, nlist, trainIters, idCol, vecCol)._1
+
   /** Build the index at `path` (overwrites). One scan + one partitioned
     * write. `filesPerList` is the skew/parallelism dial: 1 (default)
     * clusters each inverted list into a single writer task — one file per
@@ -68,7 +84,9 @@ object IvfIndex {
     * `filesPerList` tasks/files, bounding both task size AND file count —
     * `repartition(cid)` alone writes a 100 GB list single-threaded, while
     * an unpartitioned write emits one file per input-task × cid).
-    * `nlist = 0` selects the sqrt(n) auto heuristic ([[resolveNlist]]).
+    * `nlist = 0` selects the sqrt(n) auto heuristic ([[resolveNlist]]);
+    * `trainIters > 0` trains the coarse quantizer ([[buildCentroids]]) at
+    * a cost of one extra corpus scan + tiny aggregate per iteration.
     */
   def write(
       emb: DataFrame,
@@ -76,10 +94,11 @@ object IvfIndex {
       nlist: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 1,
+      trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
+    val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")

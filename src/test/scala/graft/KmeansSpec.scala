@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Clustering, IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means and the trained IVF coarse quantizer:
+  * partitioning independence of the exact-integer updates, the
+  * empty-cluster retention contract, and exhaustive-probe equality of the
+  * trained index against brute force.
+  */
+class KmeansSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("kmeans is partitioning-independent and counts cover the corpus") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kmeansCentroids(df, k = 4, iters = 2)
+        .orderBy(col("cid"), col("pos")).collect().toSeq
+    val a = rows(emb)
+    val b = rows(emb.repartition(7))
+    assert(a == b, "scaled-integer means must be bit-identical under any partitioning")
+    val n = emb.count()
+    val counts = a.groupBy(_.getLong(0)).map { case (_, rs) => rs.head.getLong(3) }.sum
+    assert(counts == n, s"last-update member counts must cover the corpus: $counts != $n")
+    // training moved at least one centroid off its lowest-id seed
+    val init = Similarity.collectCentroids(emb, 4, "vec_id", "embedding")
+    val trained = a.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray)
+    assert(init.exists { case (cid, cv, _) => !java.util.Arrays.equals(cv, trained(cid)) },
+      "two Lloyd iterations should move the centroids")
+  }
+
+  test("a cluster that loses every member keeps its previous centroid at count 0") {
+    // ids 0 and 1 are identical vectors; both seed clusters, but every
+    // point tied between them assigns to the lowest cid — cluster 1 goes
+    // empty and must survive with its seed centroid
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansCentroids(emb, k = 3, iters = 2)
+      .orderBy(col("cid"), col("pos")).collect()
+    val byCid = out.groupBy(_.getLong(0))
+    assert(byCid(1L).forall(_.getLong(3) == 0L), "cluster 1 must be empty")
+    assert(byCid(1L).map(_.getDouble(2)).toSeq == Seq(1.0, 0.0),
+      "empty cluster must keep its seed centroid")
+    assert(byCid(0L).head.getLong(3) == 3L && byCid(2L).head.getLong(3) == 2L)
+  }
+
+  test("trained index with exhaustive nprobe equals brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString
+    IvfIndex.write(emb, path, nlist = 8, trainIters = 2)
+    val probe = IvfIndex.probe(spark, path, emb.filter(col("vec_id") < 5), k = 5, nprobe = 8)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank").cast("long"), col("neighbor_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(rows(probe) == rows(brute),
+      "exhaustive probe must be centroid-independent and equal brute force")
+  }
+}
