@@ -138,7 +138,8 @@ object Bench {
       "sample_source_cap" -> q("sample_source_cap"),
       "text_gopher_rules" -> q("text_gopher_rules"),
       "emb_kmeans" -> q("emb_kmeans"),
-      "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained")
+      "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained"),
+      "text_bm25_appended" -> q("text_bm25_appended")
     )
   }
 

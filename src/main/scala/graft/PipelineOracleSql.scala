@@ -1746,6 +1746,8 @@ object PipelineOracleSql {
     "text_bm25" -> bm25TopK,
     // the persisted inverted index is bit-transparent: same result, same oracle
     "text_bm25_indexed" -> bm25TopK,
+    // append epochs are additive in df/n_docs/avgdl: same oracle again
+    "text_bm25_appended" -> bm25TopK,
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,

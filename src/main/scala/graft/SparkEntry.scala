@@ -788,6 +788,23 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
+    // the GROWING-corpus form of the lexical index: build on half the
+    // corpus, append the rest as a committed epoch — df/n_docs/avgdl are
+    // additive, so the probe answers bit-identically to a full rebuild and
+    // the same brute-force oracle replays it
+    "text_bm25_appended" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_app_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // append accretes epochs: a stale dir from a previous run would
+      // double-serve its documents, so the build starts from nothing
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path)
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
     // the FULLY index-served hybrid stack: lexical arm from the inverted
     // index, semantic arm from the IVF index, same fusion — no corpus scan
     // at query time at all. The lexical arm is bit-transparent and the

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
+
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,6 +29,18 @@ import org.apache.spark.sql.functions._
   *     probed rows with the exact aggregate the in-plan scan uses —
   *     [[Search.bm25Score]] is shared, which is what makes the index
   *     bit-transparent rather than approximately equal.
+  *   - `epochs/<e>/{postings,meta}/` — appended documents ([[append]]): a
+  *     GROWING corpus adds per-epoch posting trees plus a delta meta
+  *     (n_docs, sum_dl of just that batch) under the base build's FROZEN
+  *     bucket count, instead of full-rebuilding. Probes union the base and
+  *     every committed epoch's postings (the bucket predicate pushes into
+  *     each tree's scan) and SUM the metas — df, n_docs and avgdl are all
+  *     additive, so an appended index answers bit-identically to a full
+  *     rebuild over the union (pinned in TextIndexSpec). Commit protocol:
+  *     postings are written FIRST, the epoch's meta LAST — the meta
+  *     `_SUCCESS` is the commit marker, so a crash mid-append leaves the
+  *     epoch invisible; replays with a deterministic `epochId` uncommit
+  *     (delete the meta) before rewriting.
   *
   * Cluster notes: the build is one tokenize scan + one partial-aggregated
   * groupBy + a partitioned shuffle write. `nBuckets` should scale with
@@ -39,6 +53,43 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  /** (meta, postings) frames for a batch of documents under a fixed bucket
+    * count — shared by [[write]] and [[append]] so base and epoch trees
+    * carry identical arithmetic and schema.
+    */
+  private def postingRows(
+      docs: DataFrame,
+      nBuckets: Int,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val tok = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    // batch stats at build time: the probe must not touch the corpus
+    val meta = tok.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+    val postings = tok
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    (meta, postings)
+  }
+
+  /** The spread branch pins an explicit partition count: without it AQE
+    * coalesces a small shuffle back to one task and the dial is a no-op.
+    */
+  private def clusterForWrite(
+      postings: DataFrame,
+      nBuckets: Int,
+      filesPerBucket: Int): DataFrame =
+    if (filesPerBucket <= 1) postings.repartition(col("bucket"))
+    else postings.repartition(nBuckets * filesPerBucket, col("bucket"),
+      pmod(xxhash64(col("doc_id")), lit(filesPerBucket.toLong)))
+
   /** Build the index at `path` (overwrites). One corpus scan + one
     * partitioned write.
     */
@@ -50,29 +101,62 @@ object TextIndex {
       textCol: String = "text",
       filesPerBucket: Int = 1): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val tok = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      tokens(col(textCol)).as("toks"))
-    // corpus stats once, at build: the probe must not touch the corpus
-    tok.agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-    val postings = tok
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-    // the spread branch pins an explicit partition count: without it AQE
-    // coalesces a small shuffle back to one task and the dial is a no-op
-    val clustered =
-      if (filesPerBucket <= 1) postings.repartition(col("bucket"))
-      else postings.repartition(nBuckets * filesPerBucket, col("bucket"),
-        pmod(xxhash64(col("doc_id")), lit(filesPerBucket.toLong)))
-    clustered.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol)
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    clusterForWrite(postings, nBuckets, filesPerBucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Append a batch of NEW documents as a committed epoch under the base
+    * build's frozen bucket count. Probes answer over base + every committed
+    * epoch bit-identically to a full rebuild of the union — df/n_docs/avgdl
+    * are additive, nothing needs retraining. The caller's contract is the
+    * same as [[IvfIndex.append]]'s: appended doc_ids are disjoint from
+    * what the index already serves (a re-appended document would
+    * double-count itself into df and the corpus stats).
+    *
+    * Crash/replay contract: postings land first, the epoch's meta last —
+    * the meta `_SUCCESS` commits the epoch, so a crash mid-append leaves
+    * it invisible. A streaming caller passes a deterministic `epochId`
+    * keyed by micro-batch; the replay deletes the stale meta (uncommits)
+    * before rewriting, so a half-rewritten tree is never served.
+    */
+  def append(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      filesPerBucket: Int = 1,
+      epochId: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = baseMeta(spark, path).getAs[Int]("n_buckets")
+    val epoch = epochId.getOrElse(
+      f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
+    val root = s"$path/epochs/$epoch"
+    val metaPath = new Path(s"$root/meta")
+    if (fs.exists(metaPath)) fs.delete(metaPath, true)
+    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol)
+    clusterForWrite(postings, nBuckets, filesPerBucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  private def baseMeta(spark: SparkSession, path: String) =
+    spark.read.parquet(s"$path/meta").collect().head
+
+  private def rawEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(s"$path/epochs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Committed epoch ids: the epoch's meta `_SUCCESS` is the commit marker. */
+  private def committedEpochs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawEpochs(spark, path)
+      .filter(e => fs.exists(new Path(s"$path/epochs/$e/meta/_SUCCESS")))
   }
 
   /** BM25 top-k answered from the persisted index: same output contract as
@@ -92,17 +176,27 @@ object TextIndex {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").collect().head
-    val nDocs = meta.getAs[Long]("n_docs")
-    val sumDl = meta.getAs[Long]("sum_dl")
+    val meta = baseMeta(spark, path)
     val nBuckets = meta.getAs[Int]("n_buckets")
+    // base + committed-epoch metas: n_docs and sum_dl are additive, and
+    // each meta is one tiny file — a driver-side sum, like the centroids
+    // read of an IVF probe
+    val epochs = committedEpochs(spark, path)
+    val metas = meta +: epochs.map(e =>
+      spark.read.parquet(s"$path/epochs/$e/meta").collect().head)
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
+    val sumDl = metas.map(_.getAs[Long]("sum_dl")).sum
     // bucket of each query term via the SAME Catalyst hash the build
     // partitioned with, evaluated over a |terms|-row local relation —
     // never a driver-side reimplementation that could drift from it
     val buckets = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
       .as[Long].collect().toSeq.distinct
-    val tf = spark.read.parquet(s"$path/postings")
+    // each tree is its own partition-discovery base; the bucket predicate
+    // pushes through the union into every per-tree scan, so probes stay
+    // partition-pruned across base + epochs (pinned in TextIndexSpec)
+    val roots = s"$path/postings" +: epochs.map(e => s"$path/epochs/$e/postings")
+    val tf = roots.map(r => spark.read.parquet(r)).reduce(_ unionAll _)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms.map(x => x: Any): _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))

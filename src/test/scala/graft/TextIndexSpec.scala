@@ -82,6 +82,39 @@ class TextIndexSpec extends SparkTestBase {
       s"filesPerBucket=3 should write multiple files for at least one bucket, got $files")
   }
 
+  test("append epochs: probe == full-rebuild bit-exact; uncommitted epoch invisible; pruning spans trees") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-index-app").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, nBuckets = 32)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+    val probe = TextIndex.bm25TopK(spark, path, terms, k = 20)
+    val direct = Search.bm25TopK(docs, terms, k = 20)
+    assert(rows(probe) == rows(direct),
+      "appended index must answer bit-identically to a full rebuild")
+
+    // pruning holds across base + epoch trees: every postings scan keeps
+    // its bucket partition filter
+    probe.collect()
+    val scans = allNodes(probe.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(scans.size >= 2, s"expected base + epoch scans, got ${scans.size}")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "every tree's scan must carry the bucket partition filter")
+
+    // crash contract: an epoch without its meta _SUCCESS is uncommitted —
+    // append a double-serving batch, then delete its meta (simulating a
+    // crash before the commit write): the probe must not change
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path,
+      epochId = Some("zz-crashed"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/epochs/zz-crashed/meta"), true)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == rows(direct),
+      "an uncommitted epoch must be invisible to probes")
+  }
+
   test("fully index-served hybrid fusion == indexed-hybrid fusion at the same nprobe") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
