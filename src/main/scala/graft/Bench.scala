@@ -139,7 +139,8 @@ object Bench {
       "text_gopher_rules" -> q("text_gopher_rules"),
       "emb_kmeans" -> q("emb_kmeans"),
       "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained"),
-      "text_bm25_appended" -> q("text_bm25_appended")
+      "text_bm25_appended" -> q("text_bm25_appended"),
+      "text_bm25_streamed" -> q("text_bm25_streamed")
     )
   }
 

@@ -1748,6 +1748,8 @@ object PipelineOracleSql {
     "text_bm25_indexed" -> bm25TopK,
     // append epochs are additive in df/n_docs/avgdl: same oracle again
     "text_bm25_appended" -> bm25TopK,
+    // streaming-ingest fold: additivity again — same oracle
+    "text_bm25_streamed" -> bm25TopK,
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,

@@ -805,6 +805,21 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
+    // the STREAMING-ingest form of the lexical index: a 3-batch fold of
+    // the ingest decision (bootstrap, then deterministic append epochs) —
+    // additivity makes the result equal a full rebuild, same oracle
+    "text_bm25_streamed" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_str_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 0), path, 0L)
+      graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 1), path, 1L)
+      graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 2), path, 2L)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
     // the FULLY index-served hybrid stack: lexical arm from the inverted
     // index, semantic arm from the IVF index, same fusion — no corpus scan
     // at query time at all. The lexical arm is bit-transparent and the
