@@ -140,7 +140,9 @@ object Bench {
       "emb_kmeans" -> q("emb_kmeans"),
       "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained"),
       "text_bm25_appended" -> q("text_bm25_appended"),
-      "text_bm25_streamed" -> q("text_bm25_streamed")
+      "text_bm25_streamed" -> q("text_bm25_streamed"),
+      "pipeline_curate_gopher" -> q("pipeline_curate_gopher"),
+      "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher")
     )
   }
 

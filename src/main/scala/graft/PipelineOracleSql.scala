@@ -206,9 +206,34 @@ object PipelineOracleSql {
     * `Curation.curate(classifierSeeds = ...)`: pos seed = the bench slice
     * doc_id%10=7, neg seed = doc_id%10=3, keep score >= 0) — the
     * [[textNbClassifier]] machinery under `c_`-prefixed CTE names, scoped
-    * to the heuristic survivors.
+    * to the heuristic survivors. `gopherGate = true` instead adds the
+    * Gopher rule battery's per-doc predicates to the heuristic floor
+    * (mirrors `Curation.curate(gopherGate = true)`, default thresholds) —
+    * the extra integer aggregates ride the same `ann` scan and the ratios
+    * are the [[SparkEntry]] text_gopher_rules formulation verbatim.
     */
-  private def curatePrefixGated(classifierGate: Boolean): String = {
+  private def curatePrefixGated(
+      classifierGate: Boolean,
+      gopherGate: Boolean = false): String = {
+    val gopherAnnCols =
+      if (!gopherGate) ""
+      else
+        s""",
+           |    CAST(list_sum(list_transform($Tok, t -> length(t))) AS BIGINT) AS g_sum_len,
+           |    CAST(len(list_filter($Tok, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS g_alpha,
+           |    CAST(len(list_filter($Tok, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS BIGINT) AS g_sym,
+           |    CAST(len(list_filter(list_distinct($Tok), t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS g_stop""".stripMargin
+    val gopherQaCols = if (!gopherGate) "" else ", g_sum_len, g_alpha, g_sym, g_stop"
+    val gopherPred =
+      if (!gopherGate) ""
+      else
+        """
+          |  AND n_tokens <= 100000
+          |  AND CAST(g_sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+          |  AND CAST(g_sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0
+          |  AND CAST(g_sym AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.1
+          |  AND CAST(g_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8
+          |  AND g_stop >= 2""".stripMargin
     // the gated survivor tree is an order of magnitude deeper (classifier
     // feature/weight CTEs), and DuckDB inlines CTEs per REFERENCE — the
     // stream fold's many `clean` references then re-expand the whole tree
@@ -218,9 +243,9 @@ object PipelineOracleSql {
     val cleanMat = if (classifierGate) "MATERIALIZED " else ""
     val survCte =
       if (!classifierGate)
-        "surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5)"
+        s"surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred)"
       else
-        s"""heur AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5),
+        s"""heur AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred),
            |${featureCtes("c_")},
            |${lrWeightCtes("doc_id % 10 = 7", "doc_id % 10 = 3", "c_")},
            |cnp AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 7),
@@ -246,10 +271,10 @@ object PipelineOracleSql {
        |    CAST(len(list_filter($Tok, t -> t IN ('der','die','das','und'))) AS BIGINT) AS s_de,
        |    CAST(len(list_filter($Tok, t -> t IN ('el','la','los','y'))) AS BIGINT) AS s_es,
        |    CAST(len(list_filter($Tok, t -> t IN ('le','les','et','une'))) AS BIGINT) AS s_fr,
-       |    CAST(len(list_filter($Tok, t -> t IN ('de5','le5','shi4'))) AS BIGINT) AS s_zh
+       |    CAST(len(list_filter($Tok, t -> t IN ('de5','le5','shi4'))) AS BIGINT) AS s_zh$gopherAnnCols
        |  FROM documents WHERE doc_id % 10 <> 7),
        |qa AS (
-       |  SELECT doc_id, lang, text, n_tokens,
+       |  SELECT doc_id, lang, text, n_tokens$gopherQaCols,
        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
        |      + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
        |      + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score,
@@ -295,6 +320,18 @@ object PipelineOracleSql {
     * fold exactly; budget admission order is (epoch, doc_id) per stratum,
     * one window.
     */
+  /** The curate chain with the Gopher rule battery on the heuristic floor
+    * (mirrors `Curation.curate(gopherGate = true)`).
+    */
+  def pipelineCurateGopher: String =
+    s"""${curatePrefixGated(classifierGate = false, gopherGate = true)},
+       |ded AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p))
+       |SELECT doc_id, lang, pred_lang, n_tokens, quality_score
+       |FROM ded
+       |WHERE $curateSampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                WHEN 'zh' THEN 300000 ELSE 400000 END
+       |ORDER BY doc_id""".stripMargin
+
   def pipelineCurateStream: String = pipelineCurateStreamGated(classifierGate = false)
 
   /** The streaming-curation replay with the learned NB gate inserted —
@@ -307,8 +344,16 @@ object PipelineOracleSql {
   def pipelineCurateStreamClassified: String =
     pipelineCurateStreamGated(classifierGate = true)
 
-  private def pipelineCurateStreamGated(classifierGate: Boolean): String =
-    s"""${curatePrefixGated(classifierGate)},
+  /** The streaming fold with the Gopher battery on the front door (mirrors
+    * `CurationStream.curateBatch(gopher = true)` folded over epochs).
+    */
+  def pipelineCurateStreamGopher: String =
+    pipelineCurateStreamGated(classifierGate = false, gopherGate = true)
+
+  private def pipelineCurateStreamGated(
+      classifierGate: Boolean,
+      gopherGate: Boolean = false): String =
+    s"""${curatePrefixGated(classifierGate, gopherGate)},
        |psym AS (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
@@ -1763,6 +1808,8 @@ object PipelineOracleSql {
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_classified" -> pipelineCurateClassified,
+    "pipeline_curate_gopher" -> pipelineCurateGopher,
+    "pipeline_curate_stream_gopher" -> pipelineCurateStreamGopher,
     "pipeline_curate_budget" -> pipelineCurateBudget,
     "pipeline_curate_stream" -> pipelineCurateStream,
     "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,

@@ -999,6 +999,18 @@ object SparkEntry {
         langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
+    // the curate chain with the Gopher rule battery layered on the
+    // heuristic floor — the standard pre-model web-curation gate as a
+    // pipeline stage, the whole chain still under one oracle
+    "pipeline_curate_gopher" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curate(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4,
+        gopherGate = true)
+        .orderBy(col("doc_id"))
+    }),
     // the curate chain with the LEARNED quality gate (stage 1b): the NB
     // classifier trained on (bench slice, %10==3 slice) seeds screens the
     // heuristic survivors before any gram join — the fastText/CCNet-style
@@ -1033,6 +1045,31 @@ object SparkEntry {
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
         val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+        store = Some(store match {
+          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
+          case None => (adm, admBuckets)
+        })
+        consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        fin.withColumn("epoch", lit(e))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
+    // the streaming front door with the Gopher battery at stage 1a' —
+    // same 3-epoch fold; the per-doc gate commutes with the epoch split
+    "pipeline_curate_stream_gopher" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 7)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val bg = Decontamination.benchGramsOf(bench).localCheckpoint(true)
+      var store: Option[(DataFrame, DataFrame)] = None
+      var consumed = Map.empty[String, Long]
+      val perEpoch = (0 until 3).map { e =>
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
+          store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg),
+          gopher = true)
         store = Some(store match {
           case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
           case None => (adm, admBuckets)

@@ -55,14 +55,27 @@ object Curation {
       bloomGrams: Option[Long] = None,
       tokenBudget: Option[Long] = None,
       classifierSeeds: Option[(DataFrame, DataFrame)] = None,
-      minScoreMicro: Long = 0L): DataFrame = {
+      minScoreMicro: Long = 0L,
+      gopherGate: Boolean = false): DataFrame = {
     // 1: one annotate pass — langId over quality's output keeps both stages
     // in a single scan-stage projection (no join of two derivations)
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(docs, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
-    val heur = annotated
+    val heur0 = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 1a': (optional) the Gopher rule battery as a stage — the standard
+    // pre-model web-curation gate ([[TextAnalysis.gopherRules]], default
+    // thresholds) layered over the heuristic floor. A pure scan-local
+    // per-doc decision, so it needs no pinning and commutes with the
+    // stream's epoch restriction like every other per-doc stage
+    val heur =
+      if (!gopherGate) heur0
+      else {
+        val keep = TextAnalysis.gopherRules(heur0.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select(col("doc_id"))
+        heur0.join(keep, Seq("doc_id"), "left_semi")
+      }
     // 1b: learned quality gate over the heuristic survivors — semi-join on
     // the classifier's keep set (scores are exact integers, so the cut is
     // partition-order-stable and oracle-replayable). The keep set is

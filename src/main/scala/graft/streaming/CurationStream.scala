@@ -91,13 +91,23 @@ object CurationStream {
       langCol: String = "lang",
       benchGrams: Option[DataFrame] = None,
       classifier: Option[(DataFrame, Long)] = None,
-      minScoreMicro: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+      minScoreMicro: Long = 0L,
+      gopher: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
-    val heur = annotated
+    val heur0 = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    // 1a': the Gopher battery as the same per-doc gate the batch chain runs
+    // (Curation.curate(gopherGate = true)); scan-local, no state touched
+    val heur =
+      if (!gopher) heur0
+      else {
+        val keep = TextAnalysis.gopherRules(heur0.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select(col("doc_id"))
+        heur0.join(keep, Seq("doc_id"), "left_semi")
+      }
     // 1b: learned quality gate against a PRE-TRAINED model (the seeds are
     // fixed for the stream's life, so training happens once per stream —
     // `Selection.nbClassifierModel` — never per micro-batch); the same
@@ -158,7 +168,8 @@ object CurationStream {
       langCol: String = "lang",
       trigger: Trigger = Trigger.AvailableNow(),
       classifierSeeds: Option[(DataFrame, DataFrame)] = None,
-      minScoreMicro: Long = 0L): StreamingQuery = {
+      minScoreMicro: Long = 0L,
+      gopher: Boolean = false): StreamingQuery = {
     // the eval suite never changes over the stream's lifetime: shingle +
     // distinct it ONCE (pinned eagerly) instead of once per micro-batch
     val benchGrams = Decontamination.benchGramsOf(bench).localCheckpoint(true)
@@ -173,7 +184,8 @@ object CurationStream {
           val (adm, admBuckets, fin) = curateBatchWithBuckets(
             readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
             batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol,
-            benchGrams = Some(benchGrams), classifier = model, minScoreMicro = minScoreMicro)
+            benchGrams = Some(benchGrams), classifier = model,
+            minScoreMicro = minScoreMicro, gopher = gopher)
           // unique per decision (same rule as the admission store): replays
           // re-decide instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
