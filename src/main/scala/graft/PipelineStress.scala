@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, IvfIndex, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, IvfIndex, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -324,6 +324,46 @@ object PipelineStress {
     val docsSrc = docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))
     t("corpus_diff", nDocs)(CorpusDiff.report(
       docsSrc.filter(col("doc_id") % 10 =!= 3), docsSrc.filter(col("doc_id") % 7 =!= 2)).count())
+
+    // round-8 lexical serving index at scale: build the posting layout
+    // once, probe just the query terms' buckets — asserted identical to
+    // the in-plan scan
+    val lexPath = java.nio.file.Files.createTempDirectory("pstress_lex").toString
+    val lexTerms = Seq("w1", "w2", "w3", "w4")
+    t("text_index_write", nDocs) {
+      TextIndex.write(docs, lexPath, nBuckets = 256, filesPerBucket = 2); nDocs
+    }
+    t("text_index_probe", nDocs)(TextIndex.bm25TopK(spark, lexPath, lexTerms, 20).count())
+    val lexIdx = TextIndex.bm25TopK(spark, lexPath, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lexPlan = Search.bm25TopK(docs, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lexIdx == lexPlan, "indexed BM25 must equal the in-plan scan at scale")
+
+    // block dedup: a planted copy differs from its source in ONE token, so
+    // all but the mutated block (7 of its 8) duplicate the source's and
+    // must drop — removed-block mass grows linearly with the planted count
+    t("block_dedup", nDocs) {
+      val bd = Dedup.blockDedup(docs, blockWords = 8)
+      val removed = bd.agg(sum(col("n_removed"))).collect()(0).getLong(0)
+      val out = bd.count()
+      assert(out == nDocs, s"one row per doc expected, got $out")
+      assert(removed >= nPlanted * 6,
+        s"planted copies must shed their duplicate blocks, removed=$removed of >=${nPlanted * 6}")
+      out
+    }
+
+    // CMS heavy hitters: ~1000 distinct terms into 3x64 buckets — heavy
+    // collisions, so the one-sided error bound is exercised for real
+    t("cms_top_terms", nDocs) {
+      val cms = Sketches.cmsTopTerms(docs, k = 20, depth = 3, width = 64).collect()
+      assert(cms.forall(r => r.getLong(2) >= r.getLong(3)), "est >= exact must hold")
+      cms.length.toLong
+    }
+
+    // deterministic k-means: 2 Lloyd iterations over the full vector
+    // corpus (per iteration: one scan + a k x d aggregate + a k·d collect)
+    t("kmeans_train", nVecs)(Clustering.kmeansCentroids(vecs, k = 64, iters = 2).count())
 
     // model-based selection at scale: the model tables stay 1024 rows no
     // matter the corpus (two partial-agg'd bucket counts), scoring is one

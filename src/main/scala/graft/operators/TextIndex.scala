@@ -40,7 +40,9 @@ import org.apache.spark.sql.functions._
   *     postings are written FIRST, the epoch's meta LAST — the meta
   *     `_SUCCESS` is the commit marker, so a crash mid-append leaves the
   *     epoch invisible; replays with a deterministic `epochId` uncommit
-  *     (delete the meta) before rewriting.
+  *     (delete the meta) before rewriting. [[compact]] consolidates the
+  *     live trees into one `compact-*` epoch behind an atomic `_MERGED`
+  *     manifest — the same maintenance discipline as the IVF index.
   *
   * Cluster notes: the build is one tokenize scan + one partial-aggregated
   * groupBy + a partitioned shuffle write. `nBuckets` should scale with
@@ -130,7 +132,7 @@ object TextIndex {
       epochId: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nBuckets = baseMeta(spark, path).getAs[Int]("n_buckets")
+    val nBuckets = liveNBuckets(spark, path)
     val epoch = epochId.getOrElse(
       f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
     val root = s"$path/epochs/$epoch"
@@ -142,8 +144,114 @@ object TextIndex {
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
-  private def baseMeta(spark: SparkSession, path: String) =
-    spark.read.parquet(s"$path/meta").collect().head
+  /** Consolidate every live tree (base + committed epochs) into ONE
+    * compact epoch — the standing maintenance op once appends accrete and
+    * files-per-probe grows, exactly like [[IvfIndex.compact]]. Pure IO:
+    * posting rows are unioned and rewritten bucket-partitioned, the
+    * merged meta is the exact integer sum of the replaced metas, so
+    * probes are bit-identical before and after.
+    *
+    * Crash contract: the compact epoch's commit marker is its `_MERGED`
+    * manifest, written last via atomic rename and naming the trees it
+    * replaced; a crash before the rename leaves an orphaned invisible
+    * compact tree (reclaimed by the next sweep), a crash after it leaves
+    * replaced trees that are already invisible. Run between
+    * probes/appends — maintenance does not race itself.
+    */
+  def compact(spark: SparkSession, path: String, filesPerBucket: Int = 1): Unit =
+    compact(spark, path, filesPerBucket, sweep = true)
+
+  /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
+    * state; exercised by TextIndexSpec — production uses the sweeping
+    * overload).
+    */
+  private[graft] def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerBucket: Int,
+      sweep: Boolean): Unit = {
+    val trees = liveTrees(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (trees.size > 1) {
+      val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
+      val nBuckets = metas.head.getAs[Int]("n_buckets")
+      val all = trees.map(t => spark.read.parquet(treePostings(path, t)))
+        .reduce(_.unionByName(_))
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      clusterForWrite(all, nBuckets, filesPerBucket)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/epochs/$cpt/postings")
+      import spark.implicits._
+      Seq((metas.map(_.getAs[Long]("n_docs")).sum,
+          metas.map(_.getAs[Long]("sum_dl")).sum, nBuckets))
+        .toDF("n_docs", "sum_dl", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/epochs/$cpt/meta")
+      val tmp = new Path(s"$path/epochs/$cpt/postings/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(trees.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$path/epochs/$cpt/postings/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, path)
+  }
+
+  /** Delete trees a committed `_MERGED` manifest replaced, plus any
+    * orphaned pre-manifest compact tree (invisible either way).
+    */
+  private def sweepMerged(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedIds(spark, path).foreach {
+      case "base" =>
+        fs.delete(new Path(s"$path/postings"), true)
+        fs.delete(new Path(s"$path/meta"), true)
+      case e => fs.delete(new Path(s"$path/epochs/$e"), true)
+    }
+    rawEpochs(spark, path)
+      .filter(e => e.startsWith("compact-") &&
+        !fs.exists(new Path(s"$path/epochs/$e/postings/_MERGED")))
+      .foreach(e => fs.delete(new Path(s"$path/epochs/$e"), true))
+  }
+
+  /** Tree ids named by any committed compact manifest ("base" = the
+    * original `postings`/`meta` pair).
+    */
+  private def mergedIds(spark: SparkSession, path: String): Set[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedEpochs(spark, path).flatMap { e =>
+      val m = new Path(s"$path/epochs/$e/postings/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  private def treePostings(path: String, id: String): String =
+    if (id == "base") s"$path/postings" else s"$path/epochs/$id/postings"
+
+  private def treeMeta(path: String, id: String): String =
+    if (id == "base") s"$path/meta" else s"$path/epochs/$id/meta"
+
+  /** Live tree ids for a probe: base + committed epochs, minus anything a
+    * committed compact manifest replaced.
+    */
+  private def liveTrees(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedIds(spark, path)
+    val base =
+      if (fs.exists(new Path(s"$path/postings")) && !dead("base")) Seq("base")
+      else Seq.empty
+    base ++ committedEpochs(spark, path).filterNot(dead)
+  }
+
+  /** Bucket count of the build, read from any live tree's meta (every
+    * tree carries it; the base pair may have been compacted away).
+    */
+  private def liveNBuckets(spark: SparkSession, path: String): Int = {
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    spark.read.parquet(treeMeta(path, trees.head)).collect().head.getAs[Int]("n_buckets")
+  }
 
   private def rawEpochs(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(s"$path/epochs")
@@ -152,11 +260,16 @@ object TextIndex {
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
   }
 
-  /** Committed epoch ids: the epoch's meta `_SUCCESS` is the commit marker. */
+  /** Committed epoch ids: an ordinary epoch's commit marker is its meta
+    * `_SUCCESS`; a `compact-*` epoch's is its `_MERGED` manifest.
+    */
   private def committedEpochs(spark: SparkSession, path: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawEpochs(spark, path)
-      .filter(e => fs.exists(new Path(s"$path/epochs/$e/meta/_SUCCESS")))
+    rawEpochs(spark, path).filter { e =>
+      if (e.startsWith("compact-"))
+        fs.exists(new Path(s"$path/epochs/$e/postings/_MERGED"))
+      else fs.exists(new Path(s"$path/epochs/$e/meta/_SUCCESS"))
+    }
   }
 
   /** BM25 top-k answered from the persisted index: same output contract as
@@ -176,14 +289,13 @@ object TextIndex {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     import spark.implicits._
-    val meta = baseMeta(spark, path)
-    val nBuckets = meta.getAs[Int]("n_buckets")
-    // base + committed-epoch metas: n_docs and sum_dl are additive, and
-    // each meta is one tiny file — a driver-side sum, like the centroids
-    // read of an IVF probe
-    val epochs = committedEpochs(spark, path)
-    val metas = meta +: epochs.map(e =>
-      spark.read.parquet(s"$path/epochs/$e/meta").collect().head)
+    // live-tree metas (base + committed epochs, compaction-aware): n_docs
+    // and sum_dl are additive, and each meta is one tiny file — a
+    // driver-side sum, like the centroids read of an IVF probe
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
+    val nBuckets = metas.head.getAs[Int]("n_buckets")
     val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
     val sumDl = metas.map(_.getAs[Long]("sum_dl")).sum
     // bucket of each query term via the SAME Catalyst hash the build
@@ -195,7 +307,7 @@ object TextIndex {
     // each tree is its own partition-discovery base; the bucket predicate
     // pushes through the union into every per-tree scan, so probes stay
     // partition-pruned across base + epochs (pinned in TextIndexSpec)
-    val roots = s"$path/postings" +: epochs.map(e => s"$path/epochs/$e/postings")
+    val roots = trees.map(t => treePostings(path, t))
     val tf = roots.map(r => spark.read.parquet(r)).reduce(_ unionAll _)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms.map(x => x: Any): _*))

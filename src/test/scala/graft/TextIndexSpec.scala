@@ -115,6 +115,35 @@ class TextIndexSpec extends SparkTestBase {
       "an uncommitted epoch must be invisible to probes")
   }
 
+  test("compact: manifest-committed tree serves alone, probes unchanged, sweep reclaims the dead trees") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-index-cpt").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, nBuckets = 16)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+    val want = rows(TextIndex.bm25TopK(spark, path, terms, k = 20))
+
+    // crash-mid-sweep state: the manifest is committed, replaced trees are
+    // still on disk — they must already be invisible
+    TextIndex.compact(spark, path, 1, sweep = false)
+    assert(new java.io.File(s"$path/postings").exists, "pre-sweep: base tree still on disk")
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
+      "probe must be bit-identical served from the compact tree alone")
+
+    // the sweeping overload: one live tree -> no new epoch, dead trees gone
+    TextIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/postings").exists, "sweep must reclaim the base tree")
+    val epochs = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSeq
+    assert(epochs.size == 1 && epochs.head.startsWith("compact-"),
+      s"exactly the compact epoch should remain, got $epochs")
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want)
+
+    // growth continues after compaction: a fresh append still serves
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L), path)
+    val grown = TextIndex.bm25TopK(spark, path, terms, k = 20).collect()
+    assert(grown.nonEmpty, "post-compaction append must serve")
+  }
+
   test("fully index-served hybrid fusion == indexed-hybrid fusion at the same nprobe") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
