@@ -142,7 +142,8 @@ object Bench {
       "text_bm25_appended" -> q("text_bm25_appended"),
       "text_bm25_streamed" -> q("text_bm25_streamed"),
       "pipeline_curate_gopher" -> q("pipeline_curate_gopher"),
-      "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher")
+      "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher"),
+      "dedup_blocks_stream" -> q("dedup_blocks_stream")
     )
   }
 

@@ -1758,8 +1758,41 @@ object PipelineOracleSql {
        |SELECT term, CAST(rn AS BIGINT) AS "rank", est_count, exact_count
        |FROM r WHERE rn <= 20 ORDER BY "rank"""".stripMargin
 
+  /** Streaming block dedup as one relational statement (mirrors the
+    * `dedup_blocks_stream` 3-epoch fold of `Dedup.blockDedupIncremental`):
+    * an occurrence survives iff its (epoch, doc_id, pos) composite key is
+    * the global minimum for its 62-bit block hash — "first epoch wins,
+    * keep-first within the epoch" collapsed into one min.
+    */
+  def blockDedupStream: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |    array_to_string(w[(CAST(u.i AS INT)*8+1):(CAST(u.i AS INT)*8+8)], ' ') AS blk
+       |  FROM toks, unnest(range((len(w) + 7) // 8)) AS u(i)),
+       |bh AS (
+       |  SELECT doc_id, pos, blk,
+       |    ${ph("blk")} + ${ph("blk", 131L, 2147483629L)} * 2147483648 AS h,
+       |    (doc_id % 3) * 1099511627776 + doc_id * 1048576 + pos AS ckey
+       |  FROM b),
+       |f AS (SELECT h, min(ckey) AS keep_key FROM bh GROUP BY h),
+       |kept AS (
+       |  SELECT bh.doc_id, bh.pos, bh.blk FROM bh
+       |  JOIN f ON bh.h = f.h AND bh.ckey = f.keep_key),
+       |r AS (
+       |  SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST((len(w) + 7) // 8 AS BIGINT) AS n_blocks FROM toks)
+       |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
+       |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed,
+       |  CAST(n.doc_id % 3 AS BIGINT) AS epoch
+       |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin
+
   def entries: Map[String, String] = Map(
     "text_top_terms_cms" -> cmsTopTerms,
+    "dedup_blocks_stream" -> blockDedupStream,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,

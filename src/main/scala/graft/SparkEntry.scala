@@ -748,6 +748,25 @@ object SparkEntry {
     "dedup_blocks" -> ((s, dir) =>
       Dedup.blockDedup(s.read.parquet(s"$dir/documents.parquet"), blockWords = 8)
         .orderBy(col("doc_id"))),
+    // the STREAMING form: a 3-epoch fold of the incremental admission —
+    // every block seen in an earlier epoch drops, keep-first within the
+    // epoch; the oracle collapses the fold into one composite-key min
+    "dedup_blocks_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      var seen: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (out, fresh) = Dedup.blockDedupIncremental(seen, batch, blockWords = 8)
+        // pinned: the store is re-probed by every later epoch
+        val pinned = fresh.localCheckpoint(true)
+        seen = Some(seen match {
+          case Some(x) => x.unionByName(pinned)
+          case None => pinned
+        })
+        out.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     // fixed probe query with one rare term (df 25 at sf0.01) and three
     // common ones — exercises the idf spread
     "text_bm25" -> ((s, dir) =>

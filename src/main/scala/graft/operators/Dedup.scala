@@ -692,6 +692,66 @@ object Dedup {
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** 62-bit block hash: two independent 31-bit polynomial folds
+    * concatenated (the [[SimhashBits]] convention) — wide enough that
+    * corpus-scale block collisions stay negligible while the DuckDB
+    * oracle can replay every bit.
+    */
+  private def blockHash(blk: Column): Column =
+    polyHash(blk) + polyHash(blk, mult = 131L, prime = 2147483629L) * lit(2147483648L)
+
+  /** One admission decision of the STREAMING block dedup: drop every block
+    * of `batch` whose hash is already in `seen` (the store of all block
+    * hashes that have ever arrived), keep-first within the batch by
+    * (doc_id, pos), and re-emit the stitched survivors. Returns
+    * (cleaned batch, the batch's fresh distinct block hashes — the store
+    * delta). A fold over ordered batches replays the stream exactly
+    * (the `dedup_blocks_stream` oracle query collapses the fold into one
+    * min over an (epoch, doc_id, pos) composite key).
+    *
+    * 100 TB shape: the store probe is one hash-partitioned anti-join on
+    * the 62-bit block hash — O(batch blocks), never corpus-sized — and
+    * the store grows by exactly the fresh distinct hashes, one long each.
+    */
+  def blockDedupIncremental(
+      seen: Option[DataFrame],
+      batch: DataFrame,
+      blockWords: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    val bw = blockWords
+    val tok = batch.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_blocks",
+        floor((size(col("w")) + lit(bw - 1)) / lit(bw)).cast("long"))
+    val blocks = tok
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_blocks") - 1),
+          i => array_join(slice(col("w"), (i * bw + 1).cast("int"), lit(bw)), " ")))
+          .as(Seq("pos", "blk")))
+      .withColumn("h", blockHash(col("blk")))
+      .withColumn("key", col("doc_id") * lit(1048576L) + col("pos"))
+    val fresh = seen match {
+      case Some(s) => blocks.join(s.select(col("h")), Seq("h"), "left_anti")
+      case None => blocks
+    }
+    val first = fresh.groupBy(col("h")).agg(min(col("key")).as("keep_key"))
+    val kept = fresh.join(first, Seq("h")).filter(col("key") === col("keep_key"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val out = tok.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    (out, fresh.select(col("h")).distinct())
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the

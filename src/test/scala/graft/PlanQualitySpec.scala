@@ -61,7 +61,7 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("pipeline_curate (+budget variant): no cartesian product, no UDFs, pruned documents scan") {
-    for (name <- Seq("pipeline_curate", "pipeline_curate_budget")) {
+    for (name <- Seq("pipeline_curate", "pipeline_curate_budget", "pipeline_curate_gopher")) {
       val plan = formatted(SparkEntry.queries(name)(spark, sf))
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name: the composed pipeline must stay equi-join only")
