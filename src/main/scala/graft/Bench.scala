@@ -143,7 +143,8 @@ object Bench {
       "text_bm25_streamed" -> q("text_bm25_streamed"),
       "pipeline_curate_gopher" -> q("pipeline_curate_gopher"),
       "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher"),
-      "dedup_blocks_stream" -> q("dedup_blocks_stream")
+      "dedup_blocks_stream" -> q("dedup_blocks_stream"),
+      "corpus_overlap_matrix" -> q("corpus_overlap_matrix")
     )
   }
 

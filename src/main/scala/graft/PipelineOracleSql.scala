@@ -438,6 +438,37 @@ object PipelineOracleSql {
        |  CAST(sum(td) AS BIGINT) AS token_delta
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** Cross-source overlap matrix (mirrors `CorpusDiff.overlapMatrix`,
+    * k=8): distinct shared 8-gram polyhashes and gram-set Jaccard per
+    * unordered source pair, zero-pairs included.
+    */
+  def corpusOverlapMatrix: String = {
+    // the gram position variable must NOT be named `i`: the ph() fold
+    // binds a lambda `i` over the hashed string's characters, and a
+    // same-named outer column inside the gram expression would be
+    // captured by it (per-character gram corruption)
+    val gram8 = (0 until 8).map(j => s"w[CAST(gi+$j AS INT)]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, ${ph(s"($gram8)")} AS h
+       |  FROM toks, unnest(range(1, len(w) - 6)) AS t(gi)
+       |  WHERE len(w) >= 8),
+       |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+       |s AS (SELECT DISTINCT source FROM documents),
+       |p AS (SELECT a.source AS sa, b.source AS sb FROM s a JOIN s b ON a.source < b.source),
+       |sh AS (
+       |  SELECT x.source AS sa, y.source AS sb, CAST(count(*) AS BIGINT) AS c
+       |  FROM g x JOIN g y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2)
+       |SELECT p.sa AS source_a, p.sb AS source_b,
+       |  CAST(coalesce(sh.c, 0) AS BIGINT) AS shared_grams,
+       |  round(CAST(coalesce(sh.c, 0) AS DOUBLE)
+       |    / CAST(ta.n + tb.n - coalesce(sh.c, 0) AS DOUBLE), 6) AS jaccard
+       |FROM p JOIN t ta ON ta.source = p.sa JOIN t tb ON tb.source = p.sb
+       |LEFT JOIN sh ON sh.sa = p.sa AND sh.sb = p.sb
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
     * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
@@ -1847,6 +1878,7 @@ object PipelineOracleSql {
     "pipeline_curate_stream" -> pipelineCurateStream,
     "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,
     "corpus_diff" -> corpusDiff,
+    "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1149,6 +1149,12 @@ object SparkEntry {
     // snapshot diff: v1 = docs without the %10==3 slice, v2 = docs without
     // the %7==2 slice — overlapping cuts so every class (added / removed /
     // retained) is non-empty per source
+    // which feeds are copying each other: distinct shared 8-gram hashes
+    // and gram-set Jaccard per source pair — the corpus-analytics screen
+    // run before any pairwise document work
+    "corpus_overlap_matrix" -> ((s, dir) =>
+      CorpusDiff.overlapMatrix(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("source_a"), col("source_b"))),
     "corpus_diff" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text"))

@@ -39,4 +39,51 @@ object CorpusDiff {
           .as("token_delta"))
       .orderBy(col("source"))
   }
+
+  /** Cross-source overlap matrix: for every source pair, how many distinct
+    * verbatim `k`-gram hashes they share and the gram-set Jaccard — the
+    * corpus-analytics answer to "which of my feeds are copying each
+    * other" (mirror sites, syndication, scraped re-hosts) before any
+    * pairwise document work is spent on them.
+    *
+    * Output: (source_a, source_b, shared_grams, jaccard rounded 6 dp),
+    * one row per unordered pair (a < b), zero-pairs included.
+    *
+    * Scale shape: one distinct (source, gram-hash) aggregate — the same
+    * fixed-width shuffle keys as [[Dedup.dupSpanStats]] — then a
+    * hash-equi self-join grouped to |sources|² rows; per-source totals
+    * are a tiny aggregate, the pair frame is source-cardinality-sized.
+    */
+  def overlapMatrix(
+      docs: DataFrame,
+      k: Int = 8,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{orderedNgramsFromTokens, polyHash}
+    require(k >= 1, "k must be >= 1")
+    val g = docs.select(col(srcCol).as("source"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"), explode(orderedNgramsFromTokens(col("w"), k)).as("gram"))
+      .select(col("source"), polyHash(col("gram")).as("h"))
+      .distinct()
+    val totals = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sources = docs.select(col(srcCol).as("source")).distinct()
+    val pairs = sources.as("a").select(col("source").as("source_a"))
+      .crossJoin(sources.as("b").select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val shared = g.as("x").join(g.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        round(coalesce(col("shared_grams"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("shared_grams"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -168,6 +168,21 @@ class CorpusOpsSpec extends SparkTestBase {
       Seq((1L, "a", 1L), (2L, "a", 2L), (5L, "b", 1L)))
   }
 
+  test("overlap matrix: planted shared 8-gram counted once, disjoint pair zero, jaccard exact") {
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")  // the shared 8-token run
+    val docs = Seq(
+      (1L, "a", s"$run a1 a2 a3 a4 a5 a6 a7"),
+      (2L, "b", s"$run b1 b2 b3 b4 b5 b6 b7"),
+      (3L, "c", "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusDiff.overlapMatrix(docs, k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // each doc has 8 grams (15 tokens), all distinct; a and b share exactly
+    // the one planted run gram: jaccard = 1 / (8 + 8 - 1)
+    assert(out(("a", "b")) == ((1L, BigDecimal(1.0 / 15).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(("a", "c")) == ((0L, 0.0)) && out(("b", "c")) == ((0L, 0.0)))
+    assert(out.size == 3, "all pairs present, zero-pairs included")
+  }
+
   test("gopher rules: each rule trips on its planted violator, clean doc keeps") {
     val good = (1 to 10).map(_ => "the quick brown fox jumps over a lazy dog kind of").mkString(" ")
     val df = graft.operators.TextAnalysis.gopherRules(docsDF(
