@@ -438,6 +438,66 @@ object PipelineOracleSql {
        |  CAST(sum(td) AS BIGINT) AS token_delta
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** BPE merge learning (mirrors `Bpe.learnMerges`, 6 rounds): word
+    * dictionary with frequencies, per-round pair counts + lexicographic-
+    * tie argmax, and the greedy left-to-right application replayed
+    * relationally — match islands via gaps-and-islands, merges at odd
+    * row_number parity within each island, rebuild via an ordered list
+    * aggregate. Six unrolled rounds of identical CTE blocks.
+    */
+  def bpeMerges: String = {
+    val n = 6
+    val rounds = (0 until n).map { k =>
+      s"""p$k AS (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT sym[CAST(u.i AS INT)] AS l, sym[CAST(u.i AS INT) + 1] AS r, freq
+         |    FROM w$k, unnest(range(1, len(sym))) AS u(i))
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |ps$k AS (
+         |  SELECT word, freq, CAST(u.i AS BIGINT) AS pos, sym[CAST(u.i AS INT)] AS s
+         |  FROM w$k, unnest(range(1, len(sym) + 1)) AS u(i)),
+         |fl$k AS (
+         |  SELECT ps$k.word, ps$k.freq, ps$k.pos, ps$k.s,
+         |    (ps$k.s = b.l AND coalesce(
+         |      lead(ps$k.s) OVER (PARTITION BY ps$k.word ORDER BY ps$k.pos) = b.r,
+         |      false)) AS m
+         |  FROM ps$k CROSS JOIN b$k b),
+         |il$k AS (
+         |  SELECT *, CASE WHEN m THEN pos - row_number()
+         |      OVER (PARTITION BY word, m ORDER BY pos) END AS isl
+         |  FROM fl$k),
+         |kp$k AS (
+         |  SELECT *, (m AND row_number()
+         |      OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1) AS kp
+         |  FROM il$k),
+         |rb$k AS (
+         |  SELECT kp$k.word, kp$k.freq, kp$k.pos,
+         |    CASE WHEN kp THEN b.l || b.r ELSE kp$k.s END AS osym,
+         |    lag(kp, 1, false) OVER (PARTITION BY kp$k.word ORDER BY kp$k.pos) AS consumed
+         |  FROM kp$k CROSS JOIN b$k b),
+         |w${k + 1} AS (
+         |  SELECT word, freq, list(osym ORDER BY pos) AS sym
+         |  FROM rb$k WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+    }
+    val finalSel = (0 until n).map(k =>
+      s"""SELECT CAST(${k + 1} AS BIGINT) AS "rank", l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS pair_count FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, strlen(word) + 1),
+       |      c -> substr(word, CAST(c AS INT), 1)) AS sym
+       |  FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |      FROM documents)
+       |    WHERE strlen(word) >= 1 GROUP BY word)),
+       |${rounds.mkString(",\n")}
+       |$finalSel
+       |ORDER BY "rank"""".stripMargin
+  }
+
   /** Cross-source overlap matrix (mirrors `CorpusDiff.overlapMatrix`,
     * k=8): distinct shared 8-gram polyhashes and gram-set Jaccard per
     * unordered source pair, zero-pairs included.
@@ -1879,6 +1939,7 @@ object PipelineOracleSql {
     "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,
     "corpus_diff" -> corpusDiff,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
+    "text_bpe_merges" -> bpeMerges,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

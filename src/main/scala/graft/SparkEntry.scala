@@ -639,6 +639,14 @@ object SparkEntry {
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy(col("source"), col("rank"))),
+    // tokenizer training as a corpus operator: 6 BPE merge rounds learned
+    // from the word dictionary, the greedy application replayed
+    // relationally (match islands + parity) so the oracle checks every
+    // round bit-for-bit
+    "text_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(
+        s.read.parquet(s"$dir/documents.parquet"), nMerges = 6)
+        .orderBy(col("rank"))),
     // the sketch-served scale path for heavy hitters: count-min estimate
     // (3x32 bucket table, broadcastable at any corpus size) with the exact
     // count alongside so the one-sided error is checked, not assumed
