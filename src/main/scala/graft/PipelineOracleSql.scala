@@ -447,6 +447,36 @@ object PipelineOracleSql {
     */
   def bpeMerges: String = {
     val n = 6
+    val finalSel = (0 until n).map(k =>
+      s"""SELECT CAST(${k + 1} AS BIGINT) AS "rank", l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS pair_count FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(n)}
+       |$finalSel
+       |ORDER BY "rank"""".stripMargin
+  }
+
+  /** Corpus token counts under the learned vocabulary (mirrors
+    * `Bpe.tokenCounts`, 6 rounds): the same training chain, tailed by a
+    * dictionary join back onto the exploded corpus.
+    */
+  def bpeTokenCounts: String = {
+    val n = 6
+    s"""WITH ${bpeCtes(n)},
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |wl AS (SELECT word, CAST(len(sym) AS BIGINT) AS nw FROM w$n)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nw) AS BIGINT) AS n_bpe_tokens
+       |FROM tok JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The `n`-round BPE training chain: `w0` (word dictionary) then per
+    * round pair counts `p$k`, argmax `b$k`, application windows, and the
+    * next dictionary `w${k+1}`.
+    */
+  private def bpeCtes(n: Int): String = {
     val rounds = (0 until n).map { k =>
       s"""p$k AS (
          |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -480,11 +510,7 @@ object PipelineOracleSql {
          |  SELECT word, freq, list(osym ORDER BY pos) AS sym
          |  FROM rb$k WHERE NOT consumed GROUP BY word, freq)""".stripMargin
     }
-    val finalSel = (0 until n).map(k =>
-      s"""SELECT CAST(${k + 1} AS BIGINT) AS "rank", l AS "left", r AS "right",
-         |  l || r AS merged, cnt AS pair_count FROM b$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, freq,
        |    list_transform(range(1, strlen(word) + 1),
        |      c -> substr(word, CAST(c AS INT), 1)) AS sym
@@ -493,9 +519,7 @@ object PipelineOracleSql {
        |      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |      FROM documents)
        |    WHERE strlen(word) >= 1 GROUP BY word)),
-       |${rounds.mkString(",\n")}
-       |$finalSel
-       |ORDER BY "rank"""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   /** Cross-source overlap matrix (mirrors `CorpusDiff.overlapMatrix`,
@@ -1940,6 +1964,7 @@ object PipelineOracleSql {
     "corpus_diff" -> corpusDiff,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "text_bpe_merges" -> bpeMerges,
+    "text_bpe_tokenize" -> bpeTokenCounts,
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,

@@ -647,6 +647,12 @@ object SparkEntry {
       graft.operators.Bpe.learnMerges(
         s.read.parquet(s"$dir/documents.parquet"), nMerges = 6)
         .orderBy(col("rank"))),
+    // the corpus tokenized under that vocabulary: per-doc whitespace word
+    // count and BPE token count — the training-budget question
+    "text_bpe_tokenize" -> ((s, dir) =>
+      graft.operators.Bpe.tokenCounts(
+        s.read.parquet(s"$dir/documents.parquet"), nMerges = 6)
+        .orderBy(col("doc_id"))),
     // the sketch-served scale path for heavy hitters: count-min estimate
     // (3x32 bucket table, broadcastable at any corpus size) with the exact
     // count alongside so the one-sided error is checked, not assumed

@@ -45,6 +45,40 @@ object Bpe {
       docs: DataFrame,
       nMerges: Int = 6,
       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learn(docs, nMerges, textCol)._1
+      .map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Tokenize the corpus under the `nMerges`-round learned vocabulary:
+    * per document, the whitespace word count and the BPE token count
+    * (sum of each word's final symbol-sequence length). One dictionary
+    * join back onto the exploded corpus — the "how many tokens is my
+    * corpus under this tokenizer" question every training-budget
+    * calculation starts from.
+    */
+  def tokenCounts(
+      docs: DataFrame,
+      nMerges: Int = 6,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (_, words) = learn(docs, nMerges, textCol)
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
+      .join(words.select(col("word"), size(col("sym")).cast("long").as("nw")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nw")).as("n_bpe_tokens"))
+  }
+
+  /** The training loop shared by [[learnMerges]] and [[tokenCounts]]:
+    * returns the merge list and the final word dictionary (word, freq,
+    * sym).
+    */
+  private def learn(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -102,8 +136,6 @@ object Bpe {
         words = next
       }
     }
-    merges.toSeq
-      .map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
-      .toDF("rank", "left", "right", "merged", "pair_count")
+    (merges.toSeq, words)
   }
 }
