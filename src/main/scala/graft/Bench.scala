@@ -146,7 +146,8 @@ object Bench {
       "dedup_blocks_stream" -> q("dedup_blocks_stream"),
       "corpus_overlap_matrix" -> q("corpus_overlap_matrix"),
       "text_bpe_merges" -> q("text_bpe_merges"),
-      "text_bpe_tokenize" -> q("text_bpe_tokenize")
+      "text_bpe_tokenize" -> q("text_bpe_tokenize"),
+      "corpus_drift" -> q("corpus_drift")
     )
   }
 

@@ -553,6 +553,44 @@ object PipelineOracleSql {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** Per-source token-distribution drift (mirrors `CorpusDiff.driftReport`
+    * over corpus_diff's two overlapping cuts): add-one-smoothed unigram
+    * KL(new ‖ old) on the union vocabulary, per-term contributions
+    * quantized to integer picos before summing.
+    */
+  def corpusDrift: String =
+    s"""WITH oc AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS co FROM (
+       |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents WHERE doc_id % 10 <> 3)
+       |  GROUP BY source, tok),
+       |nc AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cn FROM (
+       |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents WHERE doc_id % 7 <> 2)
+       |  GROUP BY source, tok),
+       |j AS (
+       |  SELECT coalesce(oc.source, nc.source) AS source,
+       |    coalesce(oc.tok, nc.tok) AS tok,
+       |    coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+       |  FROM oc FULL OUTER JOIN nc ON oc.source = nc.source AND oc.tok = nc.tok),
+       |t AS (
+       |  SELECT source, CAST(sum(co) AS BIGINT) AS o, CAST(sum(cn) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM j GROUP BY source),
+       |c AS (
+       |  SELECT j.source, t.o, t.n, t.v,
+       |    CAST(floor(
+       |      (CAST(cn + 1 AS DOUBLE) / CAST(t.n + t.v AS DOUBLE))
+       |        * ln((CAST(cn + 1 AS DOUBLE) / CAST(t.n + t.v AS DOUBLE))
+       |              / (CAST(co + 1 AS DOUBLE) / CAST(t.o + t.v AS DOUBLE)))
+       |        * 1e12 + 0.5) AS BIGINT) AS contrib
+       |  FROM j JOIN t ON t.source = j.source)
+       |SELECT source, max(o) AS n_tokens_old, max(n) AS n_tokens_new,
+       |  max(v) AS vocab_union,
+       |  CAST(CAST(sum(contrib) AS BIGINT) AS DOUBLE) / 1e12 AS kl
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
     * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
@@ -1963,6 +2001,7 @@ object PipelineOracleSql {
     "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,
     "corpus_diff" -> corpusDiff,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
+    "corpus_drift" -> corpusDrift,
     "text_bpe_merges" -> bpeMerges,
     "text_bpe_tokenize" -> bpeTokenCounts,
     "text_vocab_sketch" -> vocabSketch,

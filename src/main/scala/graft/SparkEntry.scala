@@ -1169,6 +1169,15 @@ object SparkEntry {
     "corpus_overlap_matrix" -> ((s, dir) =>
       CorpusDiff.overlapMatrix(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("source_a"), col("source_b"))),
+    // distribution drift next to the membership diff: per-source smoothed
+    // unigram KL(new || old) over the same two overlapping cuts
+    "corpus_drift" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      CorpusDiff.driftReport(
+        d.filter(col("doc_id") % 10 =!= 3), d.filter(col("doc_id") % 7 =!= 2))
+        .orderBy(col("source"))
+    }),
     "corpus_diff" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text"))

@@ -40,6 +40,52 @@ object CorpusDiff {
       .orderBy(col("source"))
   }
 
+  /** Token-distribution drift between two corpus snapshots, per source:
+    * KL(new ‖ old) over add-one-smoothed unigram distributions on the
+    * union vocabulary — the "did my feed change character, not just size"
+    * monitor a corpus team runs next to the membership diff ([[report]]).
+    *
+    * Determinism: each term's contribution `p·ln(p/q)` is quantized to
+    * integer picos (`floor(x·1e12 + 0.5)`) BEFORE summing — the per-source
+    * sum is exact integer arithmetic, order-independent under any
+    * partitioning, and divided once at the end (the [[TextAnalysis]]
+    * lmScore discipline). The oracle replays the identical arithmetic.
+    *
+    * Output: (source, n_tokens_old, n_tokens_new, vocab_union, kl).
+    *
+    * Scale shape: two (source, token) count aggregates with map-side
+    * partials, one full-outer equi-join on the vocabulary, a broadcast of
+    * the per-source totals, one rollup. Nothing corpus-sized shuffles
+    * twice; the join is vocabulary-sized.
+    */
+  def driftReport(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as(s"c_$side"))
+    val j = counts(oldDocs, "old")
+      .join(counts(newDocs, "new"), Seq("source", "tok"), "full_outer")
+      .select(col("source"), col("tok"),
+        coalesce(col("c_old"), lit(0L)).as("co"),
+        coalesce(col("c_new"), lit(0L)).as("cn"))
+    val tot = j.groupBy(col("source"))
+      .agg(sum(col("co")).as("o"), sum(col("cn")).as("n"), count(lit(1)).as("v"))
+    j.join(broadcast(tot), Seq("source"))
+      .withColumn("p", (col("cn") + 1).cast("double") / (col("n") + col("v")).cast("double"))
+      .withColumn("q", (col("co") + 1).cast("double") / (col("o") + col("v")).cast("double"))
+      .withColumn("contrib",
+        floor(col("p") * log(col("p") / col("q")) * lit(1e12) + 0.5).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("o")).as("n_tokens_old"), max(col("n")).as("n_tokens_new"),
+        max(col("v")).as("vocab_union"), sum(col("contrib")).as("klp"))
+      .select(col("source"), col("n_tokens_old"), col("n_tokens_new"),
+        col("vocab_union"), (col("klp").cast("double") / lit(1e12)).as("kl"))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source overlap matrix: for every source pair, how many distinct
     * verbatim `k`-gram hashes they share and the gram-set Jaccard — the
     * corpus-analytics answer to "which of my feeds are copying each

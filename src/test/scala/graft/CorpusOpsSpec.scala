@@ -168,6 +168,26 @@ class CorpusOpsSpec extends SparkTestBase {
       Seq((1L, "a", 1L), (2L, "a", 2L), (5L, "b", 1L)))
   }
 
+  test("drift report: identical snapshots give zero KL, a shifted feed reads positive, partition-free") {
+    val a = Seq((1L, "s", "x x x y"), (2L, "s", "x y y z")).toDF("doc_id", "source", "text")
+    val same = graft.operators.CorpusDiff.driftReport(a, a).collect()
+    assert(same.length == 1 && same(0).getDouble(4) == 0.0,
+      s"identical distributions must give exactly 0 KL, got ${same.toSeq}")
+    // the new snapshot shifts mass onto z: KL must be strictly positive
+    val b = Seq((1L, "s", "z z z z"), (2L, "s", "z z x y")).toDF("doc_id", "source", "text")
+    val drift = graft.operators.CorpusDiff.driftReport(a, b).collect()(0)
+    assert(drift.getDouble(4) > 0.0, s"shifted feed must drift, got $drift")
+    assert(drift.getLong(1) == 8L && drift.getLong(2) == 8L && drift.getLong(3) == 3L)
+    // integer-quantized contributions: bit-identical under repartitioning
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r1 = graft.operators.CorpusDiff.driftReport(
+      big.filter(col("doc_id") % 10 =!= 3), big.filter(col("doc_id") % 7 =!= 2)).collect().toSeq
+    val r2 = graft.operators.CorpusDiff.driftReport(
+      big.filter(col("doc_id") % 10 =!= 3).repartition(7),
+      big.filter(col("doc_id") % 7 =!= 2).repartition(5)).collect().toSeq
+    assert(r1 == r2, "pico-quantized KL must be partitioning-independent")
+  }
+
   test("overlap matrix: planted shared 8-gram counted once, disjoint pair zero, jaccard exact") {
     val run = (1 to 8).map(i => s"s$i").mkString(" ")  // the shared 8-token run
     val docs = Seq(
