@@ -147,7 +147,8 @@ object Bench {
       "corpus_overlap_matrix" -> q("corpus_overlap_matrix"),
       "text_bpe_merges" -> q("text_bpe_merges"),
       "text_bpe_tokenize" -> q("text_bpe_tokenize"),
-      "corpus_drift" -> q("corpus_drift")
+      "corpus_drift" -> q("corpus_drift"),
+      "corpus_drift_stream" -> q("corpus_drift_stream")
     )
   }
 

@@ -591,6 +591,51 @@ object PipelineOracleSql {
        |  CAST(CAST(sum(contrib) AS BIGINT) AS DOUBLE) / 1e12 AS kl
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Streaming drift fold (mirrors the `corpus_drift_stream` 3-epoch fold
+    * of `DriftMonitor`): epoch e scored against the union of epochs < e,
+    * same pico-quantized KL arithmetic per block.
+    */
+  def corpusDriftStream: String = {
+    def block(e: Int): String =
+      s"""oc$e AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS co FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    FROM documents WHERE doc_id % 3 < $e)
+         |  GROUP BY source, tok),
+         |nc$e AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cn FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    FROM documents WHERE doc_id % 3 = $e)
+         |  GROUP BY source, tok),
+         |j$e AS (
+         |  SELECT coalesce(oc$e.source, nc$e.source) AS source,
+         |    coalesce(oc$e.tok, nc$e.tok) AS tok,
+         |    coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+         |  FROM oc$e FULL OUTER JOIN nc$e
+         |    ON oc$e.source = nc$e.source AND oc$e.tok = nc$e.tok),
+         |t$e AS (
+         |  SELECT source, CAST(sum(co) AS BIGINT) AS o, CAST(sum(cn) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM j$e GROUP BY source),
+         |c$e AS (
+         |  SELECT j$e.source, t$e.o, t$e.n, t$e.v,
+         |    CAST(floor(
+         |      (CAST(cn + 1 AS DOUBLE) / CAST(t$e.n + t$e.v AS DOUBLE))
+         |        * ln((CAST(cn + 1 AS DOUBLE) / CAST(t$e.n + t$e.v AS DOUBLE))
+         |              / (CAST(co + 1 AS DOUBLE) / CAST(t$e.o + t$e.v AS DOUBLE)))
+         |        * 1e12 + 0.5) AS BIGINT) AS contrib
+         |  FROM j$e JOIN t$e ON t$e.source = j$e.source),
+         |r$e AS (
+         |  SELECT source, max(o) AS n_tokens_old, max(n) AS n_tokens_new,
+         |    max(v) AS vocab_union,
+         |    CAST(CAST(sum(contrib) AS BIGINT) AS DOUBLE) / 1e12 AS kl,
+         |    CAST($e AS BIGINT) AS epoch
+         |  FROM c$e GROUP BY source)""".stripMargin
+    s"""WITH ${(0 until 3).map(block).mkString(",\n")}
+       |SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+       |ORDER BY epoch, source""".stripMargin
+  }
+
   /** SimHash near-duplicate pairs over word-3-gram shingles, hamming <= 11
     * via a `maxHamming + 1` evenly-split chunk join (mirrors
     * `Dedup.simhash`/`simhashPairs` incl. the shared chunk bounds).
@@ -2002,6 +2047,7 @@ object PipelineOracleSql {
     "corpus_diff" -> corpusDiff,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,
     "corpus_drift" -> corpusDrift,
+    "corpus_drift_stream" -> corpusDriftStream,
     "text_bpe_merges" -> bpeMerges,
     "text_bpe_tokenize" -> bpeTokenCounts,
     "text_vocab_sketch" -> vocabSketch,

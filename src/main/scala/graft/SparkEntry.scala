@@ -1178,6 +1178,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 3), d.filter(col("doc_id") % 7 =!= 2))
         .orderBy(col("source"))
     }),
+    // the STREAMING monitor's fold: each epoch scored against everything
+    // ingested before it (epoch 0 against the empty reference)
+    "corpus_drift_stream" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val perEpoch = (0 until 3).map { e =>
+        CorpusDiff.driftReport(
+          d.filter(pmod(col("doc_id"), lit(3L)) < e),
+          d.filter(pmod(col("doc_id"), lit(3L)) === e))
+          .withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("source"))
+    }),
     "corpus_diff" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text"))

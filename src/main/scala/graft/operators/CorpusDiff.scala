@@ -62,12 +62,27 @@ object CorpusDiff {
       oldDocs: DataFrame,
       newDocs: DataFrame,
       srcCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, side: String) = df
-      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as(s"c_$side"))
-    val j = counts(oldDocs, "old")
-      .join(counts(newDocs, "new"), Seq("source", "tok"), "full_outer")
+      textCol: String = "text"): DataFrame =
+    driftFromCounts(
+      tokenCounts(oldDocs, "old", srcCol, textCol),
+      tokenCounts(newDocs, "new", srcCol, textCol))
+
+  /** Per-(source, token) counts of one snapshot — the additive state the
+    * STREAMING monitor accumulates (counts of a union == summed counts of
+    * its parts, so a count store replaces re-scanning history).
+    */
+  private[graft] def tokenCounts(
+      df: DataFrame, side: String,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = df
+    .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+    .groupBy(col("source"), col("tok")).agg(count(lit(1)).as(s"c_$side"))
+
+  /** [[driftReport]]'s arithmetic over already-aggregated count frames
+    * (source, tok, c_old) and (source, tok, c_new).
+    */
+  private[graft] def driftFromCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val j = oldCounts
+      .join(newCounts, Seq("source", "tok"), "full_outer")
       .select(col("source"), col("tok"),
         coalesce(col("c_old"), lit(0L)).as("co"),
         coalesce(col("c_new"), lit(0L)).as("cn"))

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.operators.CorpusDiff
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING corpus drift monitor: every micro-batch is scored against the
+  * token distribution of EVERYTHING ingested before it — per-source
+  * smoothed unigram KL ([[CorpusDiff.driftReport]]'s exact pico-quantized
+  * arithmetic), emitted as one report row per (epoch, source). The alarm a
+  * corpus team wires to a feed: a syndication change or scraper breakage
+  * shows up as a KL spike the moment the batch lands, not at the next
+  * nightly diff.
+  *
+  * State = an epoch-committed store of per-(source, token) COUNT deltas —
+  * counts are additive, so history is one summed union of tiny epoch
+  * frames, never a re-scan of old documents. Commit protocol mirrors
+  * [[BlockAdmission]]: counts land first, the epoch's report last (its
+  * `_SUCCESS` is the commit marker); deterministic batch-keyed epochs
+  * uncommit-then-rewrite on replay, so at-least-once delivery never
+  * double-counts a batch into the reference distribution.
+  */
+object DriftMonitor {
+
+  /** The per-epoch decision shared by [[start]] and the batch replay. */
+  def admitEpoch(
+      storeDir: String,
+      batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = f"batch-$batchId%08d"
+    fs.delete(new Path(s"$storeDir/reports/batch=$epoch"), true)
+    fs.delete(new Path(s"$storeDir/counts/batch=$epoch"), true)
+    val batchCounts = CorpusDiff.tokenCounts(batch, "new").localCheckpoint(true)
+    val oldCounts = readCounts(spark, storeDir).getOrElse(
+      batchCounts.select(col("source"), col("tok"), col("c_new").as("c_old")).limit(0))
+    val report = CorpusDiff.driftFromCounts(oldCounts, batchCounts)
+      .withColumn("epoch", lit(batchId))
+    batchCounts.select(col("source"), col("tok"), col("c_new").as("cnt"))
+      .write.mode("overwrite").parquet(s"$storeDir/counts/batch=$epoch")
+    report.write.mode("overwrite").parquet(s"$storeDir/reports/batch=$epoch")
+  }
+
+  /** Start the monitor: `stream` must carry (source, text). */
+  def start(
+      stream: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .queryName("graft-drift-monitor")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) admitEpoch(storeDir, batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Every committed epoch's drift report. */
+  def readReports(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val epochs = committedEpochs(spark, storeDir)
+    if (epochs.isEmpty) None
+    else Some(spark.read.parquet(epochs.map(e => s"$storeDir/reports/batch=$e"): _*))
+  }
+
+  /** The reference distribution: summed committed count deltas. */
+  private def readCounts(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val epochs = committedEpochs(spark, storeDir)
+    if (epochs.isEmpty) None
+    else Some(
+      spark.read.parquet(epochs.map(e => s"$storeDir/counts/batch=$e"): _*)
+        .groupBy(col("source"), col("tok")).agg(sum(col("cnt")).as("c_old")))
+  }
+
+  /** Epochs whose counts AND report writes both carry `_SUCCESS` (the
+    * report is written last — it is the commit side).
+    */
+  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val root = new Path(s"$storeDir/counts")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .filter(e => Seq("counts", "reports")
+        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS"))))
+      .sorted
+  }
+}
