@@ -148,7 +148,8 @@ object Bench {
       "text_bpe_merges" -> q("text_bpe_merges"),
       "text_bpe_tokenize" -> q("text_bpe_tokenize"),
       "corpus_drift" -> q("corpus_drift"),
-      "corpus_drift_stream" -> q("corpus_drift_stream")
+      "corpus_drift_stream" -> q("corpus_drift_stream"),
+      "sample_length_stratified" -> q("sample_length_stratified")
     )
   }
 

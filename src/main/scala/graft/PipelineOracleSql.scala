@@ -1894,6 +1894,38 @@ object PipelineOracleSql {
     * `TextAnalysis.lengthQuantiles`): quantile_cont == Spark's exact
     * percentile (order statistics + linear interpolation).
     */
+  /** Length-stratified eval draw, k=5 per (source, tercile) (mirrors
+    * `Sampling.lengthStratifiedSample`): per-source exact p50/p90 cut
+    * points (rounded to 6 dp like the quantile report), then the seeded
+    * scrambled-hash rank inside each (source, bucket).
+    */
+  def sampleLengthStratified: String =
+    """WITH l AS (
+      |  SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS len FROM documents
+      |), q AS (
+      |  SELECT source, quantile_cont(len, [0.5e0, 0.9e0]) AS qq
+      |  FROM l GROUP BY source
+      |), b AS (
+      |  SELECT l.doc_id, l.source, l.len,
+      |    CASE WHEN CAST(l.len AS DOUBLE) <= round(qq[1], 6) THEN 0
+      |         WHEN CAST(l.len AS DOUBLE) <= round(qq[2], 6) THEN 1
+      |         ELSE 2 END AS lb
+      |  FROM l JOIN q ON q.source = l.source
+      |), h AS (
+      |  SELECT doc_id, source, len, lb,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('len:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('len:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) AS hv
+      |  FROM b
+      |), r AS (
+      |  SELECT doc_id, source, len, lb,
+      |    row_number() OVER (PARTITION BY source, lb ORDER BY hv, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, source, len, CAST(lb AS BIGINT) AS len_bucket
+      |FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin
+
   def lengthQuantiles: String =
     """WITH l AS (
       |  SELECT source, CAST(strlen(text) AS BIGINT) AS len FROM documents
@@ -2054,6 +2086,7 @@ object PipelineOracleSql {
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,
     "sample_fixed_k" -> sampleFixedK,
+    "sample_length_stratified" -> sampleLengthStratified,
     "sample_dsir" -> sampleDsir,
     "text_nb_classifier" -> textNbClassifier,
     "sample_temperature" -> sampleTemperature,

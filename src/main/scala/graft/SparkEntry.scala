@@ -630,6 +630,12 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("source"))),
+    // length-balanced eval draw: 5 docs per (source, length tercile), the
+    // terciles cut at each source's own exact p50/p90
+    "sample_length_stratified" -> ((s, dir) =>
+      Sampling.lengthStratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"), k = 5)
+        .orderBy(col("doc_id"))),
     // perplexity-proxy filter: avg add-one bigram log-likelihood under the
     // corpus's own statistics; integer-quantized log terms make the score
     // bit-stable under any partitioning

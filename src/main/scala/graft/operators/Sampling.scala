@@ -94,6 +94,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Length-stratified eval draw: exactly `k` documents per (group, length
+    * tercile), the terciles cut at the group's OWN exact p50/p90
+    * ([[TextAnalysis.lengthQuantiles]] — interpolated order statistics, so
+    * the buckets follow each source's real length distribution instead of
+    * global guesses). The draw inside each stratum is the deterministic
+    * scrambled-hash rank [[fixedSizeSample]] uses — reproducible, nested,
+    * WindowGroupLimit-bounded. The balanced-by-length eval/calibration
+    * sample a corpus team pulls before shipping a tokenizer or filter
+    * change.
+    *
+    * Output: (doc_id, group, len, len_bucket) with len_bucket in {0,1,2}.
+    */
+  def lengthStratifiedSample(
+      docs: DataFrame,
+      k: Int,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: String = "len"): DataFrame = {
+    val qs = TextAnalysis.lengthQuantiles(docs, groupCol, textCol)
+      .select(col(groupCol), col("p50"), col("p90"))
+    val bucketed = docs
+      .withColumn("len", length(col(textCol)).cast("long"))
+      .join(broadcast(qs), Seq(groupCol))
+      .withColumn("len_bucket",
+        when(col("len").cast("double") <= col("p50"), 0L)
+          .when(col("len").cast("double") <= col("p90"), 1L)
+          .otherwise(2L))
+      .withColumn("__stratum", concat_ws(":", col(groupCol), col("len_bucket")))
+    fixedSizeSample(bucketed, k, "__stratum", seed, idCol)
+      .select(col(idCol).as("doc_id"), col(groupCol), col("len"), col("len_bucket"))
+  }
+
   /** Per-domain cap by score (the RefinedWeb-style "at most N documents per
     * domain, best first" pass): keep the `cap` highest-`scoreCol` documents
     * per stratum, ties broken by id. The caller supplies the score column
