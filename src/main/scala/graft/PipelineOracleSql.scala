@@ -240,10 +240,15 @@ object PipelineOracleSql {
     // multiplicatively (measured: fd exhaustion at 20k open parquet
     // handles). MATERIALIZED pins the survivor set once; plain oracles
     // keep default inlining (unchanged, long-green plans).
-    val cleanMat = if (classifierGate) "MATERIALIZED " else ""
+    // the gopher battery deepens the survivor tree the same way (five
+    // token-fold aggregates per doc in `ann`) — measured: the un-pinned
+    // gopher stream fold re-expands it past 9 MINUTES in DuckDB, the
+    // pinned one runs in seconds
+    val cleanMat = if (classifierGate || gopherGate) "MATERIALIZED " else ""
+    val survMat = if (gopherGate) "MATERIALIZED " else ""
     val survCte =
       if (!classifierGate)
-        s"surv AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred)"
+        s"surv AS $survMat(SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred)"
       else
         s"""heur AS (SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred),
            |${featureCtes("c_")},

@@ -100,12 +100,17 @@ object CurationStream {
     val heur0 = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
     // 1a': the Gopher battery as the same per-doc gate the batch chain runs
-    // (Curation.curate(gopherGate = true)); scan-local, no state touched
+    // (Curation.curate(gopherGate = true)); scan-local, no state touched.
+    // The keep set is pinned for the same reason as the classifier's: the
+    // gated survivor frame feeds three consumers per epoch, and re-running
+    // the five-aggregate token fold per consumer measured ~+45% on the
+    // 3-epoch stream fold
     val heur =
       if (!gopher) heur0
       else {
         val keep = TextAnalysis.gopherRules(heur0.select(col("doc_id"), col("text")))
           .filter(col("keep")).select(col("doc_id"))
+          .localCheckpoint(false)
         heur0.join(keep, Seq("doc_id"), "left_semi")
       }
     // 1b: learned quality gate against a PRE-TRAINED model (the seeds are
