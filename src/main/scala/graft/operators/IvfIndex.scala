@@ -127,10 +127,11 @@ object IvfIndex {
       nlist: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 1,
+      trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
+    val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -172,12 +173,13 @@ object IvfIndex {
       ksub: Int = 32,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 1,
+      trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     require(numSubspaces >= 1 && ksub >= 1 && ksub <= 128,
       s"need 1 <= numSubspaces and 1 <= ksub <= 128, got ($numSubspaces, $ksub)")
-    val cents = Similarity.collectCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol)
+    val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")

@@ -48,6 +48,21 @@ class KmeansSpec extends SparkTestBase {
     assert(byCid(0L).head.getLong(3) == 3L && byCid(2L).head.getLong(3) == 2L)
   }
 
+  test("trained quantized index: exhaustive candidate cut equals the trained exact probe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = java.nio.file.Files.createTempDirectory("graft-ivf-tq-e").toString
+    val quant = java.nio.file.Files.createTempDirectory("graft-ivf-tq-q").toString
+    IvfIndex.write(emb, exact, nlist = 8, trainIters = 2)
+    IvfIndex.writeQuantized(emb, quant, nlist = 8, trainIters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    val want = rows(IvfIndex.probe(spark, exact, emb.filter(col("vec_id") < 5), k = 5, nprobe = 4))
+    val got = rows(IvfIndex.probeQuantized(spark, quant,
+      emb.filter(col("vec_id") < 5), k = 5, nprobe = 4, candFactor = 100000))
+    assert(got == want,
+      "exhaustive-cut quantized probe under trained centroids must equal the trained exact probe")
+  }
+
   test("trained index with exhaustive nprobe equals brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-trained").toString

@@ -39,6 +39,8 @@ def main() -> int:
             print(f"{name}: NO SPARK DUMP")
             bad.append(name)
             continue
+        import time
+        t0 = time.time()
         try:
             ora = con.execute(sql).df()
         except Exception as e:
@@ -57,7 +59,7 @@ def main() -> int:
                 hash_ok = False
         status = "OK" if (rows_ok and schema_ok and hash_ok) else \
             f"FAIL rows={rows_ok}({len(ora)}/{len(got)}) schema={schema_ok} hash={hash_ok}"
-        print(f"{name}: {status}")
+        print(f"{name}: {status} ({time.time() - t0:.1f}s)", flush=True)
         if not (rows_ok and schema_ok and hash_ok):
             bad.append(name)
             if rows_ok and schema_ok:
