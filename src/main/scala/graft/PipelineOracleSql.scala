@@ -214,7 +214,8 @@ object PipelineOracleSql {
     */
   private def curatePrefixGated(
       classifierGate: Boolean,
-      gopherGate: Boolean = false): String = {
+      gopherGate: Boolean = false,
+      streamFold: Boolean = false): String = {
     val gopherAnnCols =
       if (!gopherGate) ""
       else
@@ -243,8 +244,11 @@ object PipelineOracleSql {
     // the gopher battery deepens the survivor tree the same way (five
     // token-fold aggregates per doc in `ann`) — measured: the un-pinned
     // gopher stream fold re-expands it past 9 MINUTES in DuckDB, the
-    // pinned one runs in seconds
-    val cleanMat = if (classifierGate || gopherGate) "MATERIALIZED " else ""
+    // pinned one runs in seconds. The STREAM folds pin `clean`
+    // unconditionally: even the plain survivor tree re-expands across the
+    // fold's many references (measured 385 s -> seconds at sf0.01)
+    val cleanMat =
+      if (classifierGate || gopherGate || streamFold) "MATERIALIZED " else ""
     val survMat = if (gopherGate) "MATERIALIZED " else ""
     val survCte =
       if (!classifierGate)
@@ -358,7 +362,7 @@ object PipelineOracleSql {
   private def pipelineCurateStreamGated(
       classifierGate: Boolean,
       gopherGate: Boolean = false): String =
-    s"""${curatePrefixGated(classifierGate, gopherGate)},
+    s"""${curatePrefixGated(classifierGate, gopherGate, streamFold = true)},
        |psym AS (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
