@@ -515,11 +515,11 @@ object PipelineOracleSql {
          |    CASE WHEN kp THEN b.l || b.r ELSE kp$k.s END AS osym,
          |    lag(kp, 1, false) OVER (PARTITION BY kp$k.word ORDER BY kp$k.pos) AS consumed
          |  FROM kp$k CROSS JOIN b$k b),
-         |w${k + 1} AS (
+         |w${k + 1} AS MATERIALIZED (
          |  SELECT word, freq, list(osym ORDER BY pos) AS sym
          |  FROM rb$k WHERE NOT consumed GROUP BY word, freq)""".stripMargin
     }
-    s"""w0 AS (
+    s"""w0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    list_transform(range(1, strlen(word) + 1),
        |      c -> substr(word, CAST(c AS INT), 1)) AS sym
