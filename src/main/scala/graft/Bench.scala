@@ -149,7 +149,8 @@ object Bench {
       "text_bpe_tokenize" -> q("text_bpe_tokenize"),
       "corpus_drift" -> q("corpus_drift"),
       "corpus_drift_stream" -> q("corpus_drift_stream"),
-      "sample_length_stratified" -> q("sample_length_stratified")
+      "sample_length_stratified" -> q("sample_length_stratified"),
+      "pipeline_curate_funnel" -> q("pipeline_curate_funnel")
     )
   }
 

@@ -329,6 +329,31 @@ object PipelineOracleSql {
     * fold exactly; budget admission order is (epoch, doc_id) per stratum,
     * one window.
     */
+  /** Per-stage funnel over the curate chain (mirrors
+    * `Curation.curateFunnel`): doc/token counts at input, quality floor,
+    * decontamination, dedup, and mixture. The prefix is pinned — the
+    * funnel references every intermediate twice.
+    */
+  def pipelineCurateFunnel: String =
+    s"""${curatePrefixGated(classifierGate = false, gopherGate = false, streamFold = true)},
+       |ded AS MATERIALIZED (
+       |  SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p)),
+       |samp AS (
+       |  SELECT * FROM ded
+       |  WHERE $curateSampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                  WHEN 'zh' THEN 300000 ELSE 400000 END)
+       |SELECT '00_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM qa
+       |UNION ALL SELECT '10_quality_floor', CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT) FROM surv
+       |UNION ALL SELECT '20_decontaminated', CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT) FROM clean
+       |UNION ALL SELECT '30_deduped', CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT) FROM ded
+       |UNION ALL SELECT '40_sampled', CAST(count(*) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT) FROM samp
+       |ORDER BY stage""".stripMargin
+
   /** The curate chain with the Gopher rule battery on the heuristic floor
     * (mirrors `Curation.curate(gopherGate = true)`).
     */
@@ -2081,6 +2106,7 @@ object PipelineOracleSql {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_classified" -> pipelineCurateClassified,
     "pipeline_curate_gopher" -> pipelineCurateGopher,
+    "pipeline_curate_funnel" -> pipelineCurateFunnel,
     "pipeline_curate_stream_gopher" -> pipelineCurateStreamGopher,
     "pipeline_curate_budget" -> pipelineCurateBudget,
     "pipeline_curate_stream" -> pipelineCurateStream,

@@ -1038,6 +1038,16 @@ object SparkEntry {
         langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
         .orderBy(col("doc_id"))
     }),
+    // the waterfall over the same chain: per-stage surviving doc/token
+    // counts, the report read before arguing about any single gate
+    "pipeline_curate_funnel" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Curation.curateFunnel(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
+        .orderBy(col("stage"))
+    }),
     // the curate chain with the Gopher rule battery layered on the
     // heuristic floor — the standard pre-model web-curation gate as a
     // pipeline stage, the whole chain still under one oracle

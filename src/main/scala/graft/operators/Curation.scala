@@ -122,4 +122,54 @@ object Curation {
       case None => base
     }
   }
+
+  /** The curation FUNNEL: one row per pipeline stage with surviving doc
+    * and token counts — the waterfall a corpus team reads before arguing
+    * about any single gate ("we lost 40% at decontamination" is a funnel
+    * row, not a rerun). Stages mirror [[curate]] with the same defaults:
+    * annotated input → heuristic quality floor → decontaminated →
+    * near-dup-deduped → mixture-sampled.
+    *
+    * Output: (stage, n_docs, n_tokens), stage names sorted in pipeline
+    * order. Each intermediate feeds both its own rollup and the next
+    * stage, so the expensive survivor set is pinned once.
+    */
+  def curateFunnel(
+      docs: DataFrame,
+      bench: DataFrame,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      langFracs: Map[String, Double] = Map.empty,
+      defaultFrac: Double = 1.0,
+      dedupThreshold: Double = 0.8,
+      langCol: String = "lang",
+      seed: String = "graft"): DataFrame = {
+    val annotated = TextAnalysis.langId(
+      TextAnalysis.quality(docs, keep = Seq("text", langCol)),
+      keep = Seq("text", langCol, "n_tokens", "quality_score"))
+    val heur = annotated
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val overlap = Decontamination.overlapReport(
+      heur.select(col("doc_id"), col("text")), bench)
+    val clean = heur.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val pairs = Dedup.minhashLshPairs(
+      clean.select(col("doc_id"), col("text")), dedupThreshold)
+    val deduped = clean.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val sampled =
+      if (langFracs.isEmpty) deduped
+      else Sampling.stratifiedSample(deduped, langCol, langFracs, defaultFrac, seed)
+    val stages = Seq(
+      "00_input" -> annotated,
+      "10_quality_floor" -> heur,
+      "20_decontaminated" -> clean,
+      "30_deduped" -> deduped,
+      "40_sampled" -> sampled)
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _).orderBy(col("stage"))
+  }
 }
