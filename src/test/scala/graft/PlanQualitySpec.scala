@@ -249,6 +249,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"range join degenerated to a nested-loop cross product:\n$plan")
   }
 
+  test("block dedup and drift plans: equi-joins only, no UDFs") {
+    for (name <- Seq("dedup_blocks", "dedup_blocks_stream", "corpus_drift")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join only:\n${plan.take(2000)}")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name must stay codegen'd expressions")
+    }
+  }
+
   test("bounded top-k pushdown: kmv sketch and centroid outliers use WindowGroupLimit") {
     // Spark's WindowGroupLimit turns rank-then-filter into a bounded per-
     // partition heap BEFORE the shuffle — the difference between sorting
