@@ -141,6 +141,7 @@ object Bench {
       "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained"),
       "text_bm25_appended" -> q("text_bm25_appended"),
       "text_bm25_streamed" -> q("text_bm25_streamed"),
+      "text_bm25_deleted" -> q("text_bm25_deleted"),
       "pipeline_curate_gopher" -> q("pipeline_curate_gopher"),
       "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher"),
       "dedup_blocks_stream" -> q("dedup_blocks_stream"),

@@ -1272,9 +1272,16 @@ object PipelineOracleSql {
     * b=0.75 (mirrors `Search.bm25TopK`: per-term conditional aggregates
     * added in fixed query order, score rounded to 6 dp).
     */
-  def bm25TopK: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  def bm25TopK: String = bm25TopKWhere("TRUE")
+
+  /** [[bm25TopK]] over a restricted corpus — the tombstone-delete
+    * semantics of `TextIndex.delete`: deleted documents leave serving
+    * (scores, df, n_docs and avgdl all shrink to the surviving corpus).
+    */
+  def bm25TopKWhere(corpusPred: String): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM documents WHERE $corpusPred
       |), d AS (
       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
       |    list_filter(w, t -> t IN ('dup', 'vector', 'join', 'slow')) AS qw
@@ -2092,6 +2099,8 @@ object PipelineOracleSql {
     "text_bm25_appended" -> bm25TopK,
     // streaming-ingest fold: additivity again — same oracle
     "text_bm25_streamed" -> bm25TopK,
+    // serve-after-delete: the oracle is BM25 over the surviving corpus
+    "text_bm25_deleted" -> bm25TopKWhere("doc_id % 7 != 3"),
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,

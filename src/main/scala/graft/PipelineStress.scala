@@ -340,6 +340,33 @@ object PipelineStress {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(lexIdx == lexPlan, "indexed BM25 must equal the in-plan scan at scale")
 
+    // lexical index GROWTH: append half the corpus as a committed epoch
+    // onto a half-corpus base, then compact — probes must equal the
+    // in-plan scan of the full corpus at every step (additive stats)
+    val lexGrow = java.nio.file.Files.createTempDirectory("pstress_lex_grow").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), lexGrow,
+      nBuckets = 256, filesPerBucket = 2)
+    t("text_index_append", nDocs / 2) {
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), lexGrow, filesPerBucket = 2)
+      nDocs / 2
+    }
+    assert(TextIndex.bm25TopK(spark, lexGrow, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == lexPlan,
+      "appended index must equal the in-plan scan at scale")
+    t("text_index_compact", nDocs) { TextIndex.compact(spark, lexGrow, 2); nDocs }
+    assert(TextIndex.bm25TopK(spark, lexGrow, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == lexPlan,
+      "compacted index must still equal the in-plan scan")
+
+    // BPE training at vocabulary scale: the 200k-doc corpus collapses to
+    // the word dictionary once, then 4 merge rounds of pair counting +
+    // relational greedy application
+    t("bpe_learn", nDocs) {
+      val m = graft.operators.Bpe.learnMerges(docs, nMerges = 4).collect()
+      assert(m.length == 4, s"expected 4 merges, got ${m.length}")
+      m.length.toLong
+    }
+
     // block dedup: a planted copy differs from its source in ONE token, so
     // all but the mutated block (7 of its 8) duplicate the source's and
     // must drop — removed-block mass grows linearly with the planted count

@@ -844,6 +844,22 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
+    // the SERVE-AFTER-DELETE form: full build, tombstone-delete the
+    // doc_id%7==3 slice, probe — deleted docs leave serving and the
+    // corpus stats (df/n_docs/avgdl) shrink to the survivors exactly,
+    // so the oracle serves the filtered corpus
+    "text_bm25_deleted" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_del_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // deletes accrete tombstone epochs: a stale dir would mask extra ids
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs, path)
+      TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
     // the STREAMING-ingest form of the lexical index: a 3-batch fold of
     // the ingest decision (bootstrap, then deterministic append epochs) —
     // additivity makes the result equal a full rebuild, same oracle

@@ -144,6 +144,60 @@ object TextIndex {
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
+  /** Tombstone-delete documents from serving: each call writes a committed
+    * tombstone epoch of (doc_id, dl) — captured from the delete request's
+    * own rows, so no index IO is paid per delete — and probes mask the
+    * postings with a broadcast anti-join while subtracting the tombstoned
+    * (doc count, token mass) from the corpus stats, so scores/df/avgdl all
+    * shrink to the surviving corpus exactly ([[compact]] later applies and
+    * retires the tombstones, removing the rows from disk). Caller
+    * contract, same as [[IvfIndex.delete]]'s: only delete documents the
+    * index currently serves (the stats subtraction assumes membership); a
+    * doc tombstoned twice counts once; a tombstoned id stays masked until
+    * a compaction retires it, after which a fresh [[append]] serves it
+    * again.
+    */
+  def delete(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val epoch =
+      f"${rawTombstones(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/$epoch")
+  }
+
+  private def rawTombstones(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(s"$path/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+  }
+
+  /** Committed, un-retired tombstone epochs (retired ones are named in a
+    * compact manifest and swept).
+    */
+  private def liveTombstones(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedIds(spark, path)
+    rawTombstones(spark, path)
+      .filter(e => fs.exists(new Path(s"$path/tombstones/$e/_SUCCESS")))
+      .filterNot(e => dead.contains(s"tombstones/$e"))
+  }
+
+  /** One row per tombstoned doc (a doc deleted twice counts once). */
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val ts = liveTombstones(spark, path)
+    if (ts.isEmpty) None
+    else Some(
+      spark.read.parquet(ts.map(e => s"$path/tombstones/$e"): _*)
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+  }
+
   /** Consolidate every live tree (base + committed epochs) into ONE
     * compact epoch — the standing maintenance op once appends accrete and
     * files-per-probe grows, exactly like [[IvfIndex.compact]]. Pure IO:
@@ -171,23 +225,39 @@ object TextIndex {
       filesPerBucket: Int,
       sweep: Boolean): Unit = {
     val trees = liveTrees(spark, path)
+    val tombs = liveTombstones(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (trees.size > 1) {
+    if (trees.size > 1 || (trees.nonEmpty && tombs.nonEmpty)) {
       val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
       val nBuckets = metas.head.getAs[Int]("n_buckets")
-      val all = trees.map(t => spark.read.parquet(treePostings(path, t)))
+      val all0 = trees.map(t => spark.read.parquet(treePostings(path, t)))
         .reduce(_.unionByName(_))
+      // apply live deletes permanently: the consolidated tree holds the
+      // anti-joined survivors, the merged meta their exact stats, and the
+      // manifest retires the tombstone epochs in the same commit
+      val ts = readTombstones(spark, path)
+      val all = ts match {
+        case Some(t) => all0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        case None => all0
+      }
+      val (nDel, sumDlDel) = ts match {
+        case Some(t) =>
+          val r = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect().head
+          (r.getLong(0), r.getLong(1))
+        case None => (0L, 0L)
+      }
       val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
       clusterForWrite(all, nBuckets, filesPerBucket)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/epochs/$cpt/postings")
       import spark.implicits._
-      Seq((metas.map(_.getAs[Long]("n_docs")).sum,
-          metas.map(_.getAs[Long]("sum_dl")).sum, nBuckets))
+      Seq((metas.map(_.getAs[Long]("n_docs")).sum - nDel,
+          metas.map(_.getAs[Long]("sum_dl")).sum - sumDlDel, nBuckets))
         .toDF("n_docs", "sum_dl", "n_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/epochs/$cpt/meta")
       val tmp = new Path(s"$path/epochs/$cpt/postings/_MERGED.tmp")
       val out = fs.create(tmp, true)
-      try out.write(trees.mkString("\n").getBytes("UTF-8")) finally out.close()
+      try out.write((trees ++ tombs.map(e => s"tombstones/$e"))
+        .mkString("\n").getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/postings/_MERGED"))
     }
     if (sweep) sweepMerged(spark, path)
@@ -202,6 +272,8 @@ object TextIndex {
       case "base" =>
         fs.delete(new Path(s"$path/postings"), true)
         fs.delete(new Path(s"$path/meta"), true)
+      case t if t.startsWith("tombstones/") =>
+        fs.delete(new Path(s"$path/$t"), true)
       case e => fs.delete(new Path(s"$path/epochs/$e"), true)
     }
     rawEpochs(spark, path)
@@ -296,8 +368,17 @@ object TextIndex {
     require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
     val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
     val nBuckets = metas.head.getAs[Int]("n_buckets")
-    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
-    val sumDl = metas.map(_.getAs[Long]("sum_dl")).sum
+    // live tombstones shrink the corpus stats exactly (tombstones carry
+    // the dl captured at delete time, so no postings read is needed)
+    val tombstones = readTombstones(spark, path)
+    val (nDel, sumDlDel) = tombstones match {
+      case Some(t) =>
+        val r = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect().head
+        (r.getLong(0), r.getLong(1))
+      case None => (0L, 0L)
+    }
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum - nDel
+    val sumDl = metas.map(_.getAs[Long]("sum_dl")).sum - sumDlDel
     // bucket of each query term via the SAME Catalyst hash the build
     // partitioned with, evaluated over a |terms|-row local relation —
     // never a driver-side reimplementation that could drift from it
@@ -308,9 +389,14 @@ object TextIndex {
     // pushes through the union into every per-tree scan, so probes stay
     // partition-pruned across base + epochs (pinned in TextIndexSpec)
     val roots = trees.map(t => treePostings(path, t))
-    val tf = roots.map(r => spark.read.parquet(r)).reduce(_ unionAll _)
+    val masked = roots.map(r => spark.read.parquet(r)).reduce(_ unionAll _)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms.map(x => x: Any): _*))
+    val tf = (tombstones match {
+        case Some(t) =>
+          masked.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        case None => masked
+      })
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     // the same sum(dl)::double / n_docs division the in-plan stats
     // aggregate performs — one IEEE op over the stored exact integers

@@ -115,6 +115,42 @@ class TextIndexSpec extends SparkTestBase {
       "an uncommitted epoch must be invisible to probes")
   }
 
+  test("delete tombstones: masked at probe with exact stats, applied + retired by compact, resurrect after") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-index-del").toString
+    TextIndex.write(docs, path, nBuckets = 16)
+    val slice = docs.filter(col("doc_id") % 7 === 3)
+    TextIndex.delete(slice, path)
+    val want = rows(Search.bm25TopK(docs.filter(col("doc_id") % 7 =!= 3), terms, k = 20))
+    val probe = TextIndex.bm25TopK(spark, path, terms, k = 20)
+    assert(rows(probe) == want,
+      "deleted docs must leave serving with df/n_docs/avgdl shrunk exactly")
+    // double-delete is identity (a doc tombstoned twice counts once)
+    TextIndex.delete(slice, path)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want)
+
+    // compaction applies the deletes physically and retires the tombstones
+    TextIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists ||
+      new java.io.File(s"$path/tombstones").listFiles().isEmpty,
+      "compaction must retire applied tombstones")
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
+      "post-compaction probe unchanged")
+    val deletedIds = slice.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val compactRows = {
+      val e = new java.io.File(s"$path/epochs").listFiles().head.getName
+      spark.read.parquet(s"$path/epochs/$e/postings")
+        .filter(col("doc_id").isin(deletedIds.toSeq: _*)).count()
+    }
+    assert(compactRows == 0, "deleted rows must physically leave disk at compaction")
+
+    // a fresh append after retirement serves the ids again
+    TextIndex.append(slice, path)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) ==
+      rows(Search.bm25TopK(docs, terms, k = 20)),
+      "re-appended docs must serve after the tombstones retired")
+  }
+
   test("compact: manifest-committed tree serves alone, probes unchanged, sweep reclaims the dead trees") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft-text-index-cpt").toString
