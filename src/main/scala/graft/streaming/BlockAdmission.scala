@@ -81,18 +81,103 @@ object BlockAdmission {
     else Some(spark.read.parquet(epochs.map(e => s"$storeDir/blocks/batch=$e"): _*))
   }
 
-  /** Epochs whose blocks AND out writes both carry `_SUCCESS` (out is
-    * written last — it is the commit side).
+  /** Consolidate the committed epoch dirs into one `compact-*` epoch —
+    * the standing maintenance op once triggers accrete (same discipline as
+    * the near-dup admission store): the hash side dedups to one distinct
+    * set, the out side is a pure union, and the atomic `_MERGED` manifest
+    * (written last into the compact epoch's blocks dir) retires the
+    * replaced epochs in one commit. Probes/readers are identical before
+    * and after. Run between triggers — maintenance does not race itself.
     */
-  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+  def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int = 8): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true)
+
+  /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
+    * state; exercised by BlockAdmissionSpec).
+    */
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean): Unit = {
+    val olds = committedEpochs(spark, storeDir)
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (olds.size > 1) {
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.read.parquet(olds.map(e => s"$storeDir/blocks/batch=$e"): _*)
+        .distinct()
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/blocks/batch=$cpt")
+      spark.read.parquet(olds.map(e => s"$storeDir/out/batch=$e"): _*)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/out/batch=$cpt")
+      val tmp = new Path(s"$storeDir/blocks/batch=$cpt/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$storeDir/blocks/batch=$cpt/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, storeDir)
+  }
+
+  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedEpochs(spark, storeDir).foreach { e =>
+      fs.delete(new Path(s"$storeDir/blocks/batch=$e"), true)
+      fs.delete(new Path(s"$storeDir/out/batch=$e"), true)
+    }
+    val root = new Path(s"$storeDir/blocks")
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=compact-") &&
+        !fs.exists(new Path(s"$storeDir/blocks/$n/_MERGED")))
+      .foreach { n =>
+        fs.delete(new Path(s"$storeDir/blocks/$n"), true)
+        fs.delete(new Path(s"$storeDir/out/$n"), true)
+      }
+  }
+
+  /** Epoch ids a committed `_MERGED` manifest replaced. */
+  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawEpochs(spark, storeDir).flatMap { e =>
+      val m = new Path(s"$storeDir/blocks/batch=$e/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  private def rawEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
     val root = new Path(s"$storeDir/blocks")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch="))
-      .filter(e => Seq("blocks", "out")
-        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS"))))
       .sorted
+  }
+
+  /** Committed, un-retired epochs: ordinary epochs need both sides'
+    * `_SUCCESS` (out written last — the commit side); compact epochs need
+    * their `_MERGED` manifest; anything a committed manifest names is
+    * dead.
+    */
+  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedEpochs(spark, storeDir)
+    rawEpochs(spark, storeDir)
+      .filter { e =>
+        if (e.startsWith("compact-"))
+          fs.exists(new Path(s"$storeDir/blocks/batch=$e/_MERGED"))
+        else Seq("blocks", "out")
+          .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS")))
+      }
+      .filterNot(dead)
   }
 }

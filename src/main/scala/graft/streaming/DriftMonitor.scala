@@ -75,18 +75,98 @@ object DriftMonitor {
         .groupBy(col("source"), col("tok")).agg(sum(col("cnt")).as("c_old")))
   }
 
-  /** Epochs whose counts AND report writes both carry `_SUCCESS` (the
-    * report is written last — it is the commit side).
+  /** Consolidate the committed epochs into one `compact-*` epoch: the
+    * count deltas SUM into one merged delta (additivity again — the
+    * reference distribution is unchanged by construction), reports union,
+    * and the atomic `_MERGED` manifest retires the replaced epochs. Run
+    * between triggers — maintenance does not race itself.
     */
-  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+  def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int = 8): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true)
+
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean): Unit = {
+    val olds = committedEpochs(spark, storeDir)
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (olds.size > 1) {
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.read.parquet(olds.map(e => s"$storeDir/counts/batch=$e"): _*)
+        .groupBy(col("source"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/counts/batch=$cpt")
+      spark.read.parquet(olds.map(e => s"$storeDir/reports/batch=$e"): _*)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$storeDir/reports/batch=$cpt")
+      val tmp = new Path(s"$storeDir/counts/batch=$cpt/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$storeDir/counts/batch=$cpt/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, storeDir)
+  }
+
+  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedEpochs(spark, storeDir).foreach { e =>
+      fs.delete(new Path(s"$storeDir/counts/batch=$e"), true)
+      fs.delete(new Path(s"$storeDir/reports/batch=$e"), true)
+    }
+    val root = new Path(s"$storeDir/counts")
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=compact-") &&
+        !fs.exists(new Path(s"$storeDir/counts/$n/_MERGED")))
+      .foreach { n =>
+        fs.delete(new Path(s"$storeDir/counts/$n"), true)
+        fs.delete(new Path(s"$storeDir/reports/$n"), true)
+      }
+  }
+
+  /** Epoch ids a committed `_MERGED` manifest replaced. */
+  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawEpochs(spark, storeDir).flatMap { e =>
+      val m = new Path(s"$storeDir/counts/batch=$e/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  private def rawEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
     val root = new Path(s"$storeDir/counts")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch="))
-      .filter(e => Seq("counts", "reports")
-        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS"))))
       .sorted
+  }
+
+  /** Committed, un-retired epochs: ordinary epochs need both sides'
+    * `_SUCCESS` (the report is the commit side); compact epochs need
+    * their `_MERGED` manifest; anything a committed manifest names is
+    * dead.
+    */
+  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = mergedEpochs(spark, storeDir)
+    rawEpochs(spark, storeDir)
+      .filter { e =>
+        if (e.startsWith("compact-"))
+          fs.exists(new Path(s"$storeDir/counts/batch=$e/_MERGED"))
+        else Seq("counts", "reports")
+          .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS")))
+      }
+      .filterNot(dead)
   }
 }

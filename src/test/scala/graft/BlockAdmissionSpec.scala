@@ -67,5 +67,18 @@ class BlockAdmissionSpec extends SparkTestBase {
     assert(outRows(replayed) == outRows(foldOut),
       "replayed epoch must rewrite itself, not duplicate output")
     assert(replayed.count() == all.length, "one output row per ingested doc")
+
+    // store compaction: crash-mid-sweep state first (manifest committed,
+    // old dirs on disk but dead), then the sweeping run reclaims them —
+    // readers identical throughout
+    BlockAdmission.compactStore(spark, store, 2, sweep = false)
+    assert(outRows(BlockAdmission.readClean(spark, store).get) == outRows(foldOut),
+      "pre-sweep readers must already serve only the compact epoch")
+    BlockAdmission.compactStore(spark, store, 2)
+    val dirs = new java.io.File(s"$store/blocks").listFiles().map(_.getName).toSeq
+    assert(dirs.size == 1 && dirs.head.startsWith("batch=compact-"),
+      s"sweep must leave only the compact epoch, got $dirs")
+    assert(outRows(BlockAdmission.readClean(spark, store).get) == outRows(foldOut),
+      "post-compaction readers unchanged")
   }
 }

@@ -65,5 +65,21 @@ class DriftMonitorSpec extends SparkTestBase {
       df(secondHalf).select(col("source"), col("text")), batchId = 1L)
     assert(rows(DriftMonitor.readReports(spark, store).get) == rows(fold),
       "replayed epoch must not double-count into the reference")
+
+    // store compaction: count deltas SUM into one epoch (additivity), the
+    // next batch's drift against the compacted reference equals the
+    // uncompacted fold's
+    DriftMonitor.compactStore(spark, store, 2)
+    val dirs = new java.io.File(s"$store/counts").listFiles().map(_.getName).toSeq
+    assert(dirs.size == 1 && dirs.head.startsWith("batch=compact-"),
+      s"sweep must leave only the compact epoch, got $dirs")
+    assert(rows(DriftMonitor.readReports(spark, store).get) == rows(fold),
+      "reports unchanged by compaction")
+    DriftMonitor.admitEpoch(store, df(firstHalf).select(col("source"), col("text")), batchId = 2L)
+    val want2 = rows(CorpusDiff.driftReport(df(all.toIndexedSeq), df(firstHalf))
+      .withColumn("epoch", lit(2L)))
+    assert(rows(DriftMonitor.readReports(spark, store).get
+      .filter(col("epoch") === 2L)) == want2,
+      "post-compaction drift must score against the same summed reference")
   }
 }
