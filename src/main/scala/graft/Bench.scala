@@ -151,7 +151,11 @@ object Bench {
       "corpus_drift" -> q("corpus_drift"),
       "corpus_drift_stream" -> q("corpus_drift_stream"),
       "sample_length_stratified" -> q("sample_length_stratified"),
-      "pipeline_curate_funnel" -> q("pipeline_curate_funnel")
+      "pipeline_curate_funnel" -> q("pipeline_curate_funnel"),
+      // r9: worst maintained serving state — 10 append epochs + tombstones,
+      // probed without compaction (planning pays one merged meta read)
+      "text_bm25_epochs" -> q("text_bm25_epochs"),
+      "sim_topk_ivf_epochs" -> q("sim_topk_ivf_epochs")
     )
   }
 
@@ -166,6 +170,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()
 
     // untimed actions to absorb session/JIT/codegen warmup, incl. the typed
     // shuffle+sort+scan path the renko workloads use

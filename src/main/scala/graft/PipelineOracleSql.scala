@@ -522,11 +522,16 @@ object PipelineOracleSql {
          |  SELECT word, freq, CAST(u.i AS BIGINT) AS pos, sym[CAST(u.i AS INT)] AS s
          |  FROM w$k, unnest(range(1, len(sym) + 1)) AS u(i)),
          |fl$k AS (
+         |  -- LEFT JOIN ON TRUE (not CROSS JOIN): an exhausted vocabulary
+         |  -- empties b$k, and the round must then be a NO-OP carrying w$k
+         |  -- forward (m coalesces to false on the null-padded row) exactly
+         |  -- like the Scala loop — a cross join would empty every later
+         |  -- dictionary and zero text_bpe_tokenize on degenerate corpora
          |  SELECT ps$k.word, ps$k.freq, ps$k.pos, ps$k.s,
-         |    (ps$k.s = b.l AND coalesce(
+         |    coalesce(ps$k.s = b.l AND coalesce(
          |      lead(ps$k.s) OVER (PARTITION BY ps$k.word ORDER BY ps$k.pos) = b.r,
-         |      false)) AS m
-         |  FROM ps$k CROSS JOIN b$k b),
+         |      false), false) AS m
+         |  FROM ps$k LEFT JOIN b$k b ON true),
          |il$k AS (
          |  SELECT *, CASE WHEN m THEN pos - row_number()
          |      OVER (PARTITION BY word, m ORDER BY pos) END AS isl
@@ -539,7 +544,7 @@ object PipelineOracleSql {
          |  SELECT kp$k.word, kp$k.freq, kp$k.pos,
          |    CASE WHEN kp THEN b.l || b.r ELSE kp$k.s END AS osym,
          |    lag(kp, 1, false) OVER (PARTITION BY kp$k.word ORDER BY kp$k.pos) AS consumed
-         |  FROM kp$k CROSS JOIN b$k b),
+         |  FROM kp$k LEFT JOIN b$k b ON true),
          |w${k + 1} AS MATERIALIZED (
          |  SELECT word, freq, list(osym ORDER BY pos) AS sym
          |  FROM rb$k WHERE NOT consumed GROUP BY word, freq)""".stripMargin
@@ -580,9 +585,12 @@ object PipelineOracleSql {
        |  FROM g x JOIN g y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2)
        |SELECT p.sa AS source_a, p.sb AS source_b,
        |  CAST(coalesce(sh.c, 0) AS BIGINT) AS shared_grams,
-       |  round(CAST(coalesce(sh.c, 0) AS DOUBLE)
-       |    / CAST(ta.n + tb.n - coalesce(sh.c, 0) AS DOUBLE), 6) AS jaccard
-       |FROM p JOIN t ta ON ta.source = p.sa JOIN t tb ON tb.source = p.sb
+       |  CASE WHEN coalesce(ta.n, 0) + coalesce(tb.n, 0) - coalesce(sh.c, 0) = 0
+       |    THEN 0.0
+       |    ELSE round(CAST(coalesce(sh.c, 0) AS DOUBLE)
+       |      / CAST(coalesce(ta.n, 0) + coalesce(tb.n, 0) - coalesce(sh.c, 0) AS DOUBLE), 6)
+       |  END AS jaccard
+       |FROM p LEFT JOIN t ta ON ta.source = p.sa LEFT JOIN t tb ON tb.source = p.sb
        |LEFT JOIN sh ON sh.sa = p.sa AND sh.sb = p.sb
        |ORDER BY source_a, source_b""".stripMargin
   }
@@ -2082,6 +2090,10 @@ object PipelineOracleSql {
     // serve-after-delete: centroids stay the full corpus's (frozen
     // quantizer), the served corpus drops the tombstoned ids
     "sim_topk_ivf_deleted" -> ivfTopKWhere("n.id % 7 != 3"),
+    // ten append epochs + a tombstone set: epoch layout is invisible to
+    // the answer (lists/df additive, low-id base freezes the full-corpus
+    // centroids), so the serve-after-delete oracle replays it
+    "sim_topk_ivf_epochs" -> ivfTopKWhere("n.id % 7 != 3"),
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "sim_topk_ivf_trained" -> ivfTopKTrained,
     "emb_kmeans" -> kmeansCentroids,
@@ -2101,6 +2113,9 @@ object PipelineOracleSql {
     "text_bm25_streamed" -> bm25TopK,
     // serve-after-delete: the oracle is BM25 over the surviving corpus
     "text_bm25_deleted" -> bm25TopKWhere("doc_id % 7 != 3"),
+    // ten append epochs + a tombstone set: BM25 stats are additive across
+    // epochs, so the serve-after-delete oracle replays it unchanged
+    "text_bm25_epochs" -> bm25TopKWhere("doc_id % 7 != 3"),
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,

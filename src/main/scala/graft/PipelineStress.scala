@@ -62,6 +62,7 @@ object PipelineStress {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()
 
     // materialize the corpus once so synthesis cost is excluded from every
     // operator measurement (the parquet-scan analog); RDD blocks are

@@ -557,6 +557,33 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the EPOCH-ACCRETION form: base build on the low-id half (so the
+    // frozen centroids equal the full-corpus convention), TEN append
+    // epochs over the rest, a tombstone delete — the worst maintained
+    // serving state before compaction. Probe planning pays ONE merged
+    // meta/tombstone read regardless of epoch count; the same
+    // filtered-corpus oracle as the single-delete form replays it because
+    // df/n_docs and list contents are additive across epochs
+    "sim_topk_ivf_epochs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_ep_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val n = emb.count()
+      val half = n / 2
+      IvfIndex.write(emb.filter(col("vec_id") < half), path)
+      val step = math.max(1L, (n - half + 9) / 10)
+      for (i <- 0 until 10) {
+        val lo = half + i * step
+        val hi = if (i == 9) n else math.min(n, lo + step)
+        if (lo < hi)
+          IvfIndex.append(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
+      }
+      IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the STREAMING-ingest form: the index is grown by a 3-batch fold of
     // IvfIngest.ingestBatch (bootstrap + two deterministic epochs) — the
     // exact function the foreachBatch stream applies per micro-batch. The
@@ -856,6 +883,24 @@ object SparkEntry {
       // deletes accrete tombstone epochs: a stale dir would mask extra ids
       if (fs.exists(p)) fs.delete(p, true)
       TextIndex.write(docs, path)
+      TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
+        .orderBy(col("rank"))
+    }),
+    // the EPOCH-ACCRETION form of the lexical index: base + TEN append
+    // epochs + a tombstone delete — the worst maintained serving state
+    // before compaction. Probe planning pays ONE merged meta read and one
+    // tombstone read regardless of epoch count; BM25 stats are additive,
+    // so the single-delete oracle replays it unchanged
+    "text_bm25_epochs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_ep_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path)
+      for (i <- 1 to 10)
+        TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
       TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))

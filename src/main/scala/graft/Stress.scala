@@ -55,6 +55,7 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     println(s"[stress] driver heap ${heapGb} GiB (SPARK_DRIVER_MEM; 100M ticks want >= 8)")
 

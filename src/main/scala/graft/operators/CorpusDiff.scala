@@ -136,14 +136,23 @@ object CorpusDiff {
         col("x.h") === col("y.h") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
       .agg(count(lit(1)).as("shared_grams"))
+    // totals join LEFT + coalesced to 0: a source whose documents are all
+    // shorter than k tokens has no gram totals row, and the zero-pairs
+    // contract says such pairs still appear (shared_grams = 0, jaccard 0.0
+    // by the empty-union convention) rather than silently vanishing
+    val sg = coalesce(col("shared_grams"), lit(0L))
+    val denom =
+      coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) - sg
     pairs
-      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
-      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"), "left")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"), "left")
       .join(shared, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
-        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
-        round(coalesce(col("shared_grams"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("shared_grams"), lit(0L))).cast("double"), 6)
+        sg.as("shared_grams"),
+        when(denom === 0, lit(0.0))
+          .otherwise(round(sg.cast("double") / denom.cast("double"), 6))
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }

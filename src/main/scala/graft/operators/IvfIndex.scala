@@ -60,6 +60,18 @@ object IvfIndex {
     else math.min(4096, math.max(16, math.sqrt(emb.count().toDouble).toInt))
   }
 
+  /** Uncommit the base before a (re)build: the base's commit marker is its
+    * lists `_SUCCESS` — the last write of every builder — so dropping it
+    * first means a crash mid-build leaves the base invisible to
+    * [[listRootsWithIds]] instead of pairing stale lists with fresh
+    * centroids, mirroring the epoch commit protocol.
+    */
+  private def uncommitBase(spark: SparkSession, path: String): Unit = {
+    val p = new Path(s"$path/lists/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
   /** Coarse quantizer for a build: the lowest-id convention by default, or
     * `trainIters` Lloyd iterations of the deterministic distributed
     * k-means ([[Clustering.kmeansTrain]]) seeded from it — trained
@@ -98,6 +110,7 @@ object IvfIndex {
       trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
@@ -131,6 +144,7 @@ object IvfIndex {
       trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
@@ -179,6 +193,7 @@ object IvfIndex {
     import spark.implicits._
     require(numSubspaces >= 1 && ksub >= 1 && ksub <= 128,
       s"need 1 <= numSubspaces and 1 <= ksub <= 128, got ($numSubspaces, $ksub)")
+    uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
@@ -460,20 +475,39 @@ object IvfIndex {
   def compact(
       spark: SparkSession,
       path: String,
-      filesPerList: Int = 1): Unit =
-    compact(spark, path, filesPerList, sweep = true)
+      filesPerList: Int = 1,
+      keepLatest: Int = 0): Unit =
+    compact(spark, path, filesPerList, sweep = true, keepLatest)
+
+  private[graft] def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerList: Int,
+      sweep: Boolean): Unit =
+    compact(spark, path, filesPerList, sweep, keepLatest = 0)
 
   /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
     * state; exercised by IvfIndexSpec — production uses the sweeping
-    * overload).
+    * overload). `keepLatest > 0` excludes the newest N ordinary epochs from
+    * the merge (the streaming ingester's replay-safety guard: an epoch not
+    * yet past its streaming checkpoint must stay un-merged so a replay
+    * rewrites only itself); tombstones are applied and retired only on a
+    * FULL compact, since a protected epoch may hold rows of a tombstoned id
+    * and retiring the tombstone would resurrect them.
     */
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerList: Int,
-      sweep: Boolean): Unit = {
-    val roots = listRootsWithIds(spark, path)
-    val tombstones = liveTombstoneEpochs(spark, path)
+      sweep: Boolean,
+      keepLatest: Int): Unit = {
+    val allRoots = listRootsWithIds(spark, path)
+    val protectSet = allRoots.map(_._1)
+      .filter(t => t != "base" && !t.startsWith("compact-"))
+      .sorted.takeRight(keepLatest).toSet
+    val roots = allRoots.filterNot(r => protectSet(r._1))
+    val tombstones =
+      if (protectSet.isEmpty) liveTombstoneEpochs(spark, path) else Seq.empty
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (roots.size > 1 || (roots.nonEmpty && tombstones.nonEmpty)) {
       val all = roots.map(_._2)
@@ -482,10 +516,11 @@ object IvfIndex {
       // apply live deletes permanently: the consolidated tree is the
       // anti-joined survivors, and the manifest retires the tombstone
       // epochs in the same commit
-      val live = readTombstones(spark, path) match {
-        case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
-        case None => all
-      }
+      val live =
+        (if (protectSet.isEmpty) readTombstones(spark, path) else None) match {
+          case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
+          case None => all
+        }
       val clustered =
         if (filesPerList <= 1) live.repartition(col("cid"))
         else live.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
@@ -559,14 +594,22 @@ object IvfIndex {
   private def listRootsWithIds(spark: SparkSession, path: String): Seq[(String, String)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
+    // base live iff its lists `_SUCCESS` exists — the marker every builder
+    // writes LAST ([[uncommitBase]]), so a half-built base stays invisible
     val base =
-      if (fs.exists(new Path(s"$path/lists")) && !dead.contains("base"))
+      if (fs.exists(new Path(s"$path/lists/_SUCCESS")) && !dead.contains("base"))
         Seq("base" -> s"$path/lists")
       else Seq.empty
     base ++ committedEpochIds(spark, path)
       .filterNot(dead)
       .map(e => e -> s"$path/epochs/$e/lists")
   }
+
+  /** Live tree ids (base + committed epochs) — the streaming ingester's
+    * liveness/auto-compaction probe.
+    */
+  private[graft] def liveTreeIds(spark: SparkSession, path: String): Seq[String] =
+    listRootsWithIds(spark, path).map(_._1)
 
   /** Live list-tree paths for a probe. */
   private def listRoots(spark: SparkSession, path: String): Seq[String] =
@@ -581,9 +624,17 @@ object IvfIndex {
     * scans).
     */
   private def readLists(spark: SparkSession, path: String): DataFrame = {
-    val all = listRoots(spark, path)
-      .map(r => spark.read.parquet(r).withColumn("cid", col("cid").cast("long")))
+    // each tree is its own partition-discovery base (Spark refuses one
+    // multi-root discovery across the base/epoch depth mismatch); the
+    // first tree's schema is reused so the union pays ONE footer
+    // inference, and a cid predicate pushes into every per-tree scan
+    // (IvfIndexSpec pins filters + selected-directory counts). The
+    // ingester's auto-compaction bounds the tree count.
+    val roots = listRoots(spark, path)
+    val firstTree = spark.read.parquet(roots.head)
+    val all = (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
       .reduce(_.unionByName(_))
+      .withColumn("cid", col("cid").cast("long"))
     // live deletes mask list rows at probe time (small id set, broadcast
     // anti-join; the probes' cid predicate still pushes through the join's
     // left side into every per-tree scan — pruning is unaffected)

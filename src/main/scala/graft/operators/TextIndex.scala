@@ -103,10 +103,18 @@ object TextIndex {
       textCol: String = "text",
       filesPerBucket: Int = 1): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // the base pair follows the SAME commit protocol as an epoch: uncommit
+    // (delete the meta) first, postings next, meta LAST — its `_SUCCESS` is
+    // the base's commit marker. A crash mid-build leaves the base invisible
+    // to [[liveTrees]] instead of half-served, and a rebuild over an
+    // existing index can never pair fresh postings with a stale meta.
+    val spark = docs.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/meta"), true)
     val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol)
-    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Append a batch of NEW documents as a committed epoch under the base
@@ -198,6 +206,31 @@ object TextIndex {
         .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
   }
 
+  /** Summed (n_docs, sum_dl, n_buckets) over the given trees' metas in ONE
+    * multi-root read — probe planning pays one driver job regardless of how
+    * many epochs are live, instead of one per tree.
+    */
+  private def sumMetas(
+      spark: SparkSession, path: String, trees: Seq[String]): (Long, Long, Int) = {
+    val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
+        max(col("n_buckets")).as("b"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** (deleted docs, deleted token mass) of the live tombstone set — the
+    * sums coalesce to 0 so an empty tombstone epoch (a [[delete]] call with
+    * no rows) can never turn the stats aggregate null and wedge probes.
+    */
+  private def tombstoneStats(ts: Option[DataFrame]): (Long, Long) = ts match {
+    case Some(t) =>
+      val r = t.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s")).collect().head
+      (r.getLong(0), r.getLong(1))
+    case None => (0L, 0L)
+  }
+
   /** Consolidate every live tree (base + committed epochs) into ONE
     * compact epoch — the standing maintenance op once appends accrete and
     * files-per-probe grows, exactly like [[IvfIndex.compact]]. Pure IO:
@@ -212,46 +245,63 @@ object TextIndex {
     * replaced trees that are already invisible. Run between
     * probes/appends — maintenance does not race itself.
     */
-  def compact(spark: SparkSession, path: String, filesPerBucket: Int = 1): Unit =
-    compact(spark, path, filesPerBucket, sweep = true)
+  def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerBucket: Int = 1,
+      keepLatest: Int = 0): Unit =
+    compact(spark, path, filesPerBucket, sweep = true, keepLatest)
+
+  private[graft] def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerBucket: Int,
+      sweep: Boolean): Unit =
+    compact(spark, path, filesPerBucket, sweep, keepLatest = 0)
 
   /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
     * state; exercised by TextIndexSpec — production uses the sweeping
-    * overload).
+    * overload). `keepLatest > 0` excludes the newest N ordinary epochs from
+    * the merge: a streaming ingester compacts with `keepLatest = 1` so the
+    * epoch of a micro-batch not yet past its streaming checkpoint is never
+    * folded away — a replay then uncommits and rewrites ONLY its own epoch,
+    * instead of re-appending docs the compact tree already serves.
     */
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerBucket: Int,
-      sweep: Boolean): Unit = {
-    val trees = liveTrees(spark, path)
-    val tombs = liveTombstones(spark, path)
+      sweep: Boolean,
+      keepLatest: Int): Unit = {
+    val allTrees = liveTrees(spark, path)
+    val protectSet = allTrees
+      .filter(t => t != "base" && !t.startsWith("compact-"))
+      .sorted.takeRight(keepLatest).toSet
+    val trees = allTrees.filterNot(protectSet)
+    // tombstones are applied (and retired) only on a FULL compact: a
+    // protected epoch may carry postings of a tombstoned doc, and retiring
+    // the tombstone while those rows stay on disk would resurrect them
+    val tombs =
+      if (protectSet.isEmpty) liveTombstones(spark, path) else Seq.empty
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (trees.size > 1 || (trees.nonEmpty && tombs.nonEmpty)) {
-      val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
-      val nBuckets = metas.head.getAs[Int]("n_buckets")
       val all0 = trees.map(t => spark.read.parquet(treePostings(path, t)))
         .reduce(_.unionByName(_))
       // apply live deletes permanently: the consolidated tree holds the
       // anti-joined survivors, the merged meta their exact stats, and the
       // manifest retires the tombstone epochs in the same commit
-      val ts = readTombstones(spark, path)
+      val ts = if (protectSet.isEmpty) readTombstones(spark, path) else None
       val all = ts match {
         case Some(t) => all0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         case None => all0
       }
-      val (nDel, sumDlDel) = ts match {
-        case Some(t) =>
-          val r = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect().head
-          (r.getLong(0), r.getLong(1))
-        case None => (0L, 0L)
-      }
+      val (nDocsAll, sumDlAll, nBuckets) = sumMetas(spark, path, trees)
+      val (nDel, sumDlDel) = tombstoneStats(ts)
       val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
       clusterForWrite(all, nBuckets, filesPerBucket)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/epochs/$cpt/postings")
       import spark.implicits._
-      Seq((metas.map(_.getAs[Long]("n_docs")).sum - nDel,
-          metas.map(_.getAs[Long]("sum_dl")).sum - sumDlDel, nBuckets))
+      Seq((nDocsAll - nDel, sumDlAll - sumDlDel, nBuckets))
         .toDF("n_docs", "sum_dl", "n_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/epochs/$cpt/meta")
       val tmp = new Path(s"$path/epochs/$cpt/postings/_MERGED.tmp")
@@ -305,13 +355,17 @@ object TextIndex {
     if (id == "base") s"$path/meta" else s"$path/epochs/$id/meta"
 
   /** Live tree ids for a probe: base + committed epochs, minus anything a
-    * committed compact manifest replaced.
+    * committed compact manifest replaced. The base is live only when its
+    * meta carries `_SUCCESS` — the marker [[write]] lands last — so a
+    * half-built base (crash mid-bootstrap) is invisible, mirroring
+    * [[committedEpochs]].
     */
-  private def liveTrees(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def liveTrees(spark: SparkSession, path: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
     val base =
-      if (fs.exists(new Path(s"$path/postings")) && !dead("base")) Seq("base")
+      if (fs.exists(new Path(s"$path/postings")) &&
+          fs.exists(new Path(s"$path/meta/_SUCCESS")) && !dead("base")) Seq("base")
       else Seq.empty
     base ++ committedEpochs(spark, path).filterNot(dead)
   }
@@ -362,34 +416,33 @@ object TextIndex {
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     import spark.implicits._
     // live-tree metas (base + committed epochs, compaction-aware): n_docs
-    // and sum_dl are additive, and each meta is one tiny file — a
-    // driver-side sum, like the centroids read of an IVF probe
+    // and sum_dl are additive, so ONE multi-root read sums them — probe
+    // planning cost stays flat in the number of live epochs
     val trees = liveTrees(spark, path)
     require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-    val metas = trees.map(t => spark.read.parquet(treeMeta(path, t)).collect().head)
-    val nBuckets = metas.head.getAs[Int]("n_buckets")
+    val (nDocsAll, sumDlAll, nBuckets) = sumMetas(spark, path, trees)
     // live tombstones shrink the corpus stats exactly (tombstones carry
     // the dl captured at delete time, so no postings read is needed)
     val tombstones = readTombstones(spark, path)
-    val (nDel, sumDlDel) = tombstones match {
-      case Some(t) =>
-        val r = t.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).collect().head
-        (r.getLong(0), r.getLong(1))
-      case None => (0L, 0L)
-    }
-    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum - nDel
-    val sumDl = metas.map(_.getAs[Long]("sum_dl")).sum - sumDlDel
+    val (nDel, sumDlDel) = tombstoneStats(tombstones)
+    val nDocs = nDocsAll - nDel
+    val sumDl = sumDlAll - sumDlDel
     // bucket of each query term via the SAME Catalyst hash the build
     // partitioned with, evaluated over a |terms|-row local relation —
     // never a driver-side reimplementation that could drift from it
     val buckets = queryTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
       .as[Long].collect().toSeq.distinct
-    // each tree is its own partition-discovery base; the bucket predicate
-    // pushes through the union into every per-tree scan, so probes stay
-    // partition-pruned across base + epochs (pinned in TextIndexSpec)
+    // each tree is its own partition-discovery base (Spark refuses one
+    // multi-root discovery across the base/epoch depth mismatch); the first
+    // tree's schema is reused so the union pays ONE footer inference, and
+    // the bucket predicate pushes into every per-tree scan (TextIndexSpec
+    // pins the pruning). Auto-compaction bounds the tree count, so probe
+    // planning stays flat for a maintained index.
     val roots = trees.map(t => treePostings(path, t))
-    val masked = roots.map(r => spark.read.parquet(r)).reduce(_ unionAll _)
+    val first = spark.read.parquet(roots.head)
+    val masked = (first +: roots.tail.map(r => spark.read.schema(first.schema).parquet(r)))
+      .reduce(_ unionAll _)
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = (tombstones match {

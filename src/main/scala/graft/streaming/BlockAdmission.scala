@@ -38,6 +38,16 @@ object BlockAdmission {
     val spark = batch.sparkSession
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = f"batch-$batchId%08d"
+    // a replayed epoch that a compaction already folded away CANNOT safely
+    // re-decide: its blocks and output live inside the compact epoch, so
+    // the rewrite would read its own contribution as duplicates and the
+    // clean output would be double-served. Fail loudly — the operator must
+    // compact with keepLatest >= 1 so epochs still inside the streaming
+    // checkpoint's uncommitted window are never merged.
+    require(!mergedEpochs(spark, storeDir).contains(epoch),
+      s"epoch $epoch was already merged by a store compaction; replaying it would " +
+        "double-serve its output — compact with keepLatest >= 1 (never fold the " +
+        "newest epoch) to keep replays safe")
     // uncommit first (out, then blocks): the replay must not see its own
     // prior attempt in the store, and a crash here leaves the epoch
     // invisible rather than half-served
@@ -92,18 +102,34 @@ object BlockAdmission {
   def compactStore(
       spark: SparkSession,
       storeDir: String,
-      targetFiles: Int = 8): Unit =
-    compactStore(spark, storeDir, targetFiles, sweep = true)
+      targetFiles: Int = 8,
+      keepLatest: Int = 0): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true, keepLatest)
+
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep, keepLatest = 0)
 
   /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
-    * state; exercised by BlockAdmissionSpec).
+    * state; exercised by BlockAdmissionSpec). `keepLatest > 0` excludes the
+    * newest N ordinary epochs from the merge — REQUIRED (>= 1) while the
+    * stream is live: an epoch whose micro-batch has not passed its
+    * streaming checkpoint may replay, and [[admitEpoch]] refuses to replay
+    * a merged epoch rather than double-serve it.
     */
   private[graft] def compactStore(
       spark: SparkSession,
       storeDir: String,
       targetFiles: Int,
-      sweep: Boolean): Unit = {
-    val olds = committedEpochs(spark, storeDir)
+      sweep: Boolean,
+      keepLatest: Int): Unit = {
+    val committed = committedEpochs(spark, storeDir)
+    val protectSet = committed.filterNot(_.startsWith("compact-"))
+      .sorted.takeRight(keepLatest).toSet
+    val olds = committed.filterNot(protectSet)
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (olds.size > 1) {
       val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"

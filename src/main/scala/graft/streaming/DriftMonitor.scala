@@ -32,6 +32,14 @@ object DriftMonitor {
     val spark = batch.sparkSession
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = f"batch-$batchId%08d"
+    // a replayed epoch a compaction already folded away cannot re-decide:
+    // its count deltas live inside the compact epoch, so the rewrite would
+    // score against a reference that double-counts its own batch. Fail
+    // loudly — compact with keepLatest >= 1 while the stream is live.
+    require(!mergedEpochs(spark, storeDir).contains(epoch),
+      s"epoch $epoch was already merged by a store compaction; replaying it would " +
+        "double-count its batch into the reference — compact with keepLatest >= 1 " +
+        "(never fold the newest epoch) to keep replays safe")
     fs.delete(new Path(s"$storeDir/reports/batch=$epoch"), true)
     fs.delete(new Path(s"$storeDir/counts/batch=$epoch"), true)
     val batchCounts = CorpusDiff.tokenCounts(batch, "new").localCheckpoint(true)
@@ -84,15 +92,32 @@ object DriftMonitor {
   def compactStore(
       spark: SparkSession,
       storeDir: String,
-      targetFiles: Int = 8): Unit =
-    compactStore(spark, storeDir, targetFiles, sweep = true)
+      targetFiles: Int = 8,
+      keepLatest: Int = 0): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true, keepLatest)
 
   private[graft] def compactStore(
       spark: SparkSession,
       storeDir: String,
       targetFiles: Int,
-      sweep: Boolean): Unit = {
-    val olds = committedEpochs(spark, storeDir)
+      sweep: Boolean): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep, keepLatest = 0)
+
+  /** `keepLatest > 0` excludes the newest N ordinary epochs from the merge
+    * — required (>= 1) while the stream is live, so a replay of an
+    * un-checkpointed batch rewrites only its own epoch ([[admitEpoch]]
+    * refuses to replay a merged one).
+    */
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean,
+      keepLatest: Int): Unit = {
+    val committed = committedEpochs(spark, storeDir)
+    val protectSet = committed.filterNot(_.startsWith("compact-"))
+      .sorted.takeRight(keepLatest).toSet
+    val olds = committed.filterNot(protectSet)
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (olds.size > 1) {
       val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"

@@ -27,10 +27,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IvfIngest {
 
-  /** One ingest decision in pure batch form: bootstrap on an absent index,
-    * else append under the deterministic epoch for `batchId`. A fold over
-    * ordered batches replays the stream exactly (the
+  /** One ingest decision in pure batch form: bootstrap on an index with no
+    * live trees, else append under the deterministic epoch for `batchId`.
+    * A fold over ordered batches replays the stream exactly (the
     * `sim_topk_ivf_streamed` oracle query).
+    *
+    * Bootstrap replay safety (mirrors [[TextIngest.ingestBatch]]): the
+    * bootstrap batch id is recorded in a `_bootstrap_batch` marker written
+    * BEFORE the build, so a replay of that batch re-bootstraps — full
+    * overwrite, idempotent — instead of appending itself as an epoch.
+    * Liveness is judged by the commit-marker-aware live-tree listing, not
+    * directory existence: a half-built base (centroids landed, lists
+    * didn't) is invisible and re-bootstraps cleanly, and a compacted-away
+    * base (epochs live) correctly appends.
+    *
+    * `maxLiveTrees > 0` auto-compacts with `keepLatest = 1` once an append
+    * leaves more live trees than the bound — the current batch's epoch
+    * stays un-merged until its checkpoint commits, so a replay rewrites
+    * only its own epoch. Probe planning stays flat for the stream's life.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -39,18 +53,37 @@ object IvfIngest {
       nlist: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 1,
+      maxLiveTrees: Int = 16): Unit = {
     val spark = batch.sparkSession
-    if (!indexExists(spark, indexPath))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_bootstrap_batch")
+    val bootBatch: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    if (IvfIndex.liveTreeIds(spark, indexPath).isEmpty || bootBatch.contains(batchId)) {
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       IvfIndex.write(batch, indexPath, nlist, idCol, vecCol, filesPerList)
-    else
+    } else {
       IvfIndex.append(batch, indexPath, idCol, vecCol, filesPerList,
         epochId = Some(f"batch-$batchId%08d"))
+      if (maxLiveTrees > 0 &&
+          IvfIndex.liveTreeIds(spark, indexPath).size > maxLiveTrees)
+        IvfIndex.compact(spark, indexPath, filesPerList, keepLatest = 1)
+    }
   }
 
   /** Start the ingest stream: `stream` must carry (`idCol`, `vecCol`).
     * The index under `indexPath` grows one committed epoch per non-empty
     * micro-batch; probe it any time with [[IvfIndex.probe]].
+    * `maxLiveTrees` bounds probe planning cost via auto-compaction (see
+    * [[ingestBatch]]); 0 disables it.
     */
   def start(
       stream: DataFrame,
@@ -60,19 +93,16 @@ object IvfIngest {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLiveTrees: Int = 16): StreamingQuery =
     stream.writeStream
       .queryName("graft-ivf-ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          ingestBatch(batch, indexPath, batchId, nlist, idCol, vecCol, filesPerList)
+          ingestBatch(batch, indexPath, batchId, nlist, idCol, vecCol,
+            filesPerList, maxLiveTrees)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-
-  private def indexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

@@ -25,9 +25,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TextIngest {
 
-  /** One ingest decision in pure batch form: bootstrap on an absent index,
-    * else append under the deterministic epoch for `batchId`. A fold over
-    * ordered batches replays the stream exactly.
+  /** One ingest decision in pure batch form: bootstrap on an index with no
+    * live trees, else append under the deterministic epoch for `batchId`.
+    * A fold over ordered batches replays the stream exactly.
+    *
+    * Bootstrap replay safety: the batch id that bootstrapped the base is
+    * recorded in a `_bootstrap_batch` marker written BEFORE the build, so a
+    * replay of that batch (base fully committed, checkpoint not yet
+    * advanced) RE-BOOTSTRAPS — full overwrite, idempotent — instead of
+    * appending itself as an epoch and double-serving batch 0. Liveness is
+    * judged by [[TextIndex.liveTrees]] (commit-marker-aware), never by mere
+    * directory existence: a half-built base from a crash mid-bootstrap is
+    * invisible and triggers a clean re-bootstrap, and a compacted-away base
+    * (epochs still live) correctly appends rather than clobbering.
+    *
+    * `maxLiveTrees > 0` is the auto-compaction dial: after an append that
+    * leaves more than that many live trees, the index is compacted with
+    * `keepLatest = 1` — the current batch's epoch stays un-merged until its
+    * checkpoint commits, so a replay rewrites only its own epoch. Probe
+    * planning cost is thereby bounded for the life of the stream with no
+    * manual maintenance.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -36,18 +53,37 @@ object TextIngest {
       nBuckets: Int = 64,
       idCol: String = "doc_id",
       textCol: String = "text",
-      filesPerBucket: Int = 1): Unit = {
+      filesPerBucket: Int = 1,
+      maxLiveTrees: Int = 16): Unit = {
     val spark = batch.sparkSession
-    if (!indexExists(spark, indexPath))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_bootstrap_batch")
+    val bootBatch: Option[Long] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    if (TextIndex.liveTrees(spark, indexPath).isEmpty || bootBatch.contains(batchId)) {
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       TextIndex.write(batch, indexPath, nBuckets, idCol, textCol, filesPerBucket)
-    else
+    } else {
       TextIndex.append(batch, indexPath, idCol, textCol, filesPerBucket,
         epochId = Some(f"batch-$batchId%08d"))
+      if (maxLiveTrees > 0 &&
+          TextIndex.liveTrees(spark, indexPath).size > maxLiveTrees)
+        TextIndex.compact(spark, indexPath, filesPerBucket, keepLatest = 1)
+    }
   }
 
   /** Start the ingest stream: `stream` must carry (`idCol`, `textCol`).
     * The index under `indexPath` grows one committed epoch per non-empty
     * micro-batch; probe it any time with [[TextIndex.bm25TopK]].
+    * `maxLiveTrees` bounds probe planning cost via auto-compaction (see
+    * [[ingestBatch]]); 0 disables it.
     */
   def start(
       stream: DataFrame,
@@ -57,19 +93,16 @@ object TextIngest {
       idCol: String = "doc_id",
       textCol: String = "text",
       filesPerBucket: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLiveTrees: Int = 16): StreamingQuery =
     stream.writeStream
       .queryName("graft-text-ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          ingestBatch(batch, indexPath, batchId, nBuckets, idCol, textCol, filesPerBucket)
+          ingestBatch(batch, indexPath, batchId, nBuckets, idCol, textCol,
+            filesPerBucket, maxLiveTrees)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-
-  private def indexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

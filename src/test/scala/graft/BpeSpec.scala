@@ -29,6 +29,21 @@ class BpeSpec extends SparkTestBase {
       s"unexpected merge table: $out")
   }
 
+  test("exhausted vocabulary: later rounds are no-ops, tokenize keeps full counts") {
+    // every word is "ab": merge 1 fully merges the vocabulary, rounds 2..6
+    // find no pairs and must carry the dictionary forward — the oracle SQL
+    // pins the same behavior (LEFT JOIN no-op round), so a degenerate
+    // corpus cannot zero text_bpe_tokenize while Spark returns full counts
+    val docs = Seq((1L, "ab ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, nMerges = 6).collect()
+    assert(merges.length == 1 && merges.head.getString(3) == "ab",
+      "one merge then exhaustion")
+    val tk = Bpe.tokenCounts(docs, nMerges = 6).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tk == Seq((1L, 3L, 3L), (2L, 1L, 1L)),
+      s"fully merged words tokenize to one BPE token each, got $tk")
+  }
+
   test("merge table is partitioning-independent on the corpus fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -279,6 +279,40 @@ class IvfIndexSpec extends SparkTestBase {
     assert(res.forall(r => r.getLong(2) == deadIds.min || !deadIds.contains(r.getLong(2))))
   }
 
+  test("probe planning jobs are flat in epoch count; 10-epoch layout answers bit-identically") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val n = emb.count()
+    val half = n / 2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rank")).collect().toSeq
+    // two-tree index: low-id base (full-corpus centroid convention) + 1 epoch
+    val small = java.nio.file.Files.createTempDirectory("graft-ivf-ep2").toString
+    IvfIndex.write(emb.filter(org.apache.spark.sql.functions.col("vec_id") < half), small, nlist = 8)
+    IvfIndex.append(emb.filter(org.apache.spark.sql.functions.col("vec_id") >= half), small)
+    // eleven-tree index: same base, the upper half in 10 epoch slices
+    val big = java.nio.file.Files.createTempDirectory("graft-ivf-ep11").toString
+    IvfIndex.write(emb.filter(org.apache.spark.sql.functions.col("vec_id") < half), big, nlist = 8)
+    val step = math.max(1L, (n - half + 9) / 10)
+    for (i <- 0 until 10) {
+      val lo = half + i * step
+      val hi = if (i == 9) n else math.min(n, lo + step)
+      if (lo < hi)
+        IvfIndex.append(emb.filter(
+          org.apache.spark.sql.functions.col("vec_id") >= lo &&
+          org.apache.spark.sql.functions.col("vec_id") < hi), big)
+    }
+    var smallDf: org.apache.spark.sql.DataFrame = null
+    var bigDf: org.apache.spark.sql.DataFrame = null
+    val jSmall = countJobs { smallDf = IvfIndex.probe(spark, small, queries, k = 5, nprobe = 4) }
+    val jBig = countJobs { bigDf = IvfIndex.probe(spark, big, queries, k = 5, nprobe = 4) }
+    assert(rows(bigDf) == rows(smallDf),
+      "10-epoch layout must answer bit-identically to the 2-tree layout")
+    assert(jBig == jSmall,
+      s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
+  }
+
   test("append auto-detects a quantized index and keeps probeQuantized exact under a wide cut") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)

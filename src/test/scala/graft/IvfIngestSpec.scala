@@ -60,5 +60,50 @@ class IvfIngestSpec extends SparkTestBase {
     assert(epochsAfter == epochsBefore, s"replay must not add epochs: $epochsBefore -> $epochsAfter")
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
       "replayed batch must leave probes unchanged (no double-served vectors)")
+
+    // BOOTSTRAP replay: batch 0 re-delivered after the base fully committed
+    // must RE-BOOTSTRAP (overwrite the base), not append itself as an epoch
+    IvfIngest.ingestBatch(
+      spark.createDataset(firstHalf.toIndexedSeq).toDF("vec_id", "embedding"),
+      path, batchId = 0L)
+    IvfIngest.ingestBatch(
+      spark.createDataset(secondHalf.toIndexedSeq).toDF("vec_id", "embedding"),
+      path, batchId = 1L)
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "a replayed bootstrap batch must overwrite the base, not double-serve it")
+  }
+
+  test("auto-compaction bounds live trees; probes stay bit-exact; newest epoch survives for replay") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfing-ac-full").toString
+    IvfIndex.write(emb, full, nlist = 16)
+    val want = rows(IvfIndex.probe(spark, full, queries, k = 5, nprobe = 4))
+
+    val n = emb.count()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfing-ac").toString
+    // 8 range batches (batch 0 carries the centroid donors) with a tight
+    // tree bound so the ingester compacts mid-stream
+    val step = (n + 7) / 8
+    for (i <- 0 until 8) {
+      val lo = i * step
+      val hi = if (i == 7) n else math.min(n, lo + step)
+      if (lo < hi)
+        IvfIngest.ingestBatch(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path,
+          batchId = i.toLong, nlist = 16, maxLiveTrees = 3)
+    }
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "auto-compacted streamed index must probe identically to a full rebuild")
+    val epochs = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSeq
+    assert(epochs.count(!_.startsWith("compact-")) <= 3,
+      s"ordinary epochs must stay bounded by maxLiveTrees, got $epochs")
+    assert(epochs.contains("batch-00000007"),
+      s"newest epoch must survive compaction for replay safety, got $epochs")
+    IvfIngest.ingestBatch(
+      emb.filter(col("vec_id") >= 7 * step), path,
+      batchId = 7L, nlist = 16, maxLiveTrees = 3)
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
+      "replay of the newest batch after auto-compaction must not double-serve")
   }
 }

@@ -6,6 +6,24 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for suites (one per JVM, reused). */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Spark jobs launched while `body` runs (listener drained before the
+    * count is read) — the probe-planning flatness assertions' instrument.
+    */
+  protected def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.GraftTestShim.waitListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
 }
 
 object SparkTestBase {
@@ -29,6 +47,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()
     // set at runtime (not in the builder) deliberately: proves the conf is
     // session-settable, which GraftSession.ensure relies on when the driver
     // hands us an already-built session

@@ -180,6 +180,33 @@ class TextIndexSpec extends SparkTestBase {
     assert(grown.nonEmpty, "post-compaction append must serve")
   }
 
+  test("probe planning jobs are flat in epoch count; 10-epoch layout answers bit-identically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // two-tree index (base + 1 epoch + tombstones)
+    val small = java.nio.file.Files.createTempDirectory("graft-text-ep2").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), small, nBuckets = 16)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), small)
+    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), small)
+    // eleven-tree index (base + 10 epochs + tombstones), same corpus
+    val big = java.nio.file.Files.createTempDirectory("graft-text-ep11").toString
+    TextIndex.write(docs.filter(col("doc_id") % 11 === 0), big, nBuckets = 16)
+    for (i <- 1 to 10) TextIndex.append(docs.filter(col("doc_id") % 11 === i), big)
+    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), big)
+
+    // epoch layout is invisible to the answer
+    var smallDf: org.apache.spark.sql.DataFrame = null
+    var bigDf: org.apache.spark.sql.DataFrame = null
+    // job counts over probe PLANNING (DataFrame construction): the merged
+    // meta read and the tombstone stats are one multi-root job each, so
+    // the count must not grow with the live tree count
+    val jSmall = countJobs { smallDf = TextIndex.bm25TopK(spark, small, terms, k = 20) }
+    val jBig = countJobs { bigDf = TextIndex.bm25TopK(spark, big, terms, k = 20) }
+    assert(rows(bigDf) == rows(smallDf),
+      "10-epoch layout must answer bit-identically to the 2-tree layout")
+    assert(jBig == jSmall,
+      s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
+  }
+
   test("fully index-served hybrid fusion == indexed-hybrid fusion at the same nprobe") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -57,5 +57,43 @@ class TextIngestSpec extends SparkTestBase {
     assert(epochsAfter == epochsBefore, s"replay must not add epochs: $epochsBefore -> $epochsAfter")
     assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
       "replayed batch must leave probes unchanged (no double-counted documents)")
+
+    // BOOTSTRAP replay: batch 0 re-delivered after the base fully committed
+    // (crash between foreachBatch and the checkpoint commit) must
+    // RE-BOOTSTRAP — overwrite the base — not append itself as an epoch
+    TextIngest.ingestBatch(
+      spark.createDataset(firstHalf.toIndexedSeq).toDF("doc_id", "text"),
+      path, batchId = 0L)
+    // the re-bootstrap clobbers the base back to batch 0 only, so rebuild
+    // the epoch to compare against the full union again
+    TextIngest.ingestBatch(
+      spark.createDataset(secondHalf.toIndexedSeq).toDF("doc_id", "text"),
+      path, batchId = 1L)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
+      "a replayed bootstrap batch must overwrite the base, not double-serve it")
+  }
+
+  test("auto-compaction bounds live trees; probes stay bit-exact; newest epoch survives for replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val want = rows(Search.bm25TopK(docs, terms, k = 20))
+    val path = java.nio.file.Files.createTempDirectory("graft-texting-ac").toString
+    // 8 batches through the ingest decision with a tight tree bound
+    for (i <- 0 until 8)
+      TextIngest.ingestBatch(docs.filter(col("doc_id") % 8 === i), path,
+        batchId = i.toLong, maxLiveTrees = 3)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
+      "auto-compacted streamed index must answer identically to the full scan")
+    // live trees bounded: compact epoch(s) + at most maxLiveTrees ordinaries
+    val epochs = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSeq
+    assert(epochs.count(!_.startsWith("compact-")) <= 3,
+      s"ordinary epochs must stay bounded by maxLiveTrees, got $epochs")
+    // the newest batch's epoch is never folded away (keepLatest = 1), so
+    // its replay rewrites only itself
+    assert(epochs.exists(_ == "batch-00000007"),
+      s"newest epoch must survive compaction for replay safety, got $epochs")
+    TextIngest.ingestBatch(docs.filter(col("doc_id") % 8 === 7), path,
+      batchId = 7L, maxLiveTrees = 3)
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
+      "replay of the newest batch after auto-compaction must not double-serve")
   }
 }
