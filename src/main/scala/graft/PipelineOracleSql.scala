@@ -723,8 +723,10 @@ object PipelineOracleSql {
       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))""".stripMargin
 
   /** Hyperplane-LSH bucketed top-k ANN: 8 tables x 6 planes, candidates
-    * unioned across tables (mirrors `Similarity.lshTopK`), queries
-    * vec_id < 10, k=5.
+    * unioned across tables, queries additionally MULTI-PROBE the buckets
+    * reached by flipping their 3 smallest-|margin| sign bits per table
+    * (mirrors `Similarity.lshTopK` with multiProbe=3 — ranked from the
+    * same dots CTE the signature derives from), queries vec_id < 10, k=5.
     */
   def lshTopK: String =
     s"""WITH n AS (
@@ -740,10 +742,22 @@ object PipelineOracleSql {
        |  SELECT vec_id, t,
        |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS b
        |  FROM dots GROUP BY vec_id, t
+       |), qflip AS (
+       |  SELECT vec_id, t, j FROM (
+       |    SELECT vec_id, t, j,
+       |      row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(d) ASC, j ASC) AS rn
+       |    FROM dots WHERE vec_id < 10)
+       |  WHERE rn <= 3
+       |), qsig AS (
+       |  SELECT vec_id, t, b FROM sig WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT s.vec_id, s.t, CAST(xor(s.b, 1::BIGINT << CAST(f.j AS INT)) AS BIGINT) AS b
+       |  FROM sig s JOIN qflip f ON f.vec_id = s.vec_id AND f.t = s.t
+       |  WHERE s.vec_id < 10
        |), cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM sig c JOIN sig q ON q.t = c.t AND q.b = c.b
-       |    AND q.vec_id < 10 AND c.vec_id != q.vec_id
+       |  FROM sig c JOIN qsig q ON q.t = c.t AND q.b = c.b
+       |    AND c.vec_id != q.vec_id
        |), scored AS (
        |  SELECT cand.query_id, cand.neighbor_id,
        |    round(list_sum(list_transform(range(1, len(q.embedding)+1),

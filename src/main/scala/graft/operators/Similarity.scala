@@ -57,18 +57,22 @@ object Similarity {
     * bit-equality cross-check of the native expression (VectorExprSpec),
     * mirroring `polyHashHof` / `wordShingles`.
     */
+  /** dot(v, plane_p) where plane_p[i] = lcg(p, i)/1e6 - 0.5 — the exact
+    * fold the native signature expression evaluates per plane (bit-equal,
+    * VectorExprSpec), exposed so the multi-probe margin ranking uses the
+    * SAME arithmetic the oracle's dots CTE replays.
+    */
+  private def planeDot(vec: org.apache.spark.sql.Column, p: Int) =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+        x.cast("double") *
+          ((pmod((lit(p.toLong * 1000003L) + i) * lit(2654435761L) + lit(12345L), lit(1000000L))
+            .cast("double") / lit(1000000.0)) - lit(0.5))),
+      lit(0.0), (acc, x) => acc + x)
+
   private[graft] def planeSignatureHof(
       vec: org.apache.spark.sql.Column, planeBase: Int, numPlanes: Int) = {
-    val planeDots = (0 until numPlanes).map { j =>
-      val p = planeBase + j
-      // dot(v, plane_p) where plane_p[i] = lcg(p, i)/1e6 - 0.5
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") *
-            ((pmod((lit(p.toLong * 1000003L) + i) * lit(2654435761L) + lit(12345L), lit(1000000L))
-              .cast("double") / lit(1000000.0)) - lit(0.5))),
-        lit(0.0), (acc, x) => acc + x)
-    }
+    val planeDots = (0 until numPlanes).map(j => planeDot(vec, planeBase + j))
     planeDots.zipWithIndex.map { case (d, j) =>
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -101,12 +105,44 @@ object Similarity {
       k: Int,
       numPlanes: Int = 6,
       numTables: Int = 8,
+      multiProbe: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     def buckets(df: DataFrame, outId: String): DataFrame =
       hyperplaneBuckets(df, outId, idCol, vecCol, numPlanes, numTables)
+    // MULTI-PROBE (the standard LSH recall knob without more tables): each
+    // query also probes, per table, the buckets reached by flipping its
+    // `multiProbe` nearest hyperplane bits — the sign bits most likely to
+    // disagree with a true neighbor's are exactly the smallest-|margin|
+    // ones, so Hamming-1 probes on those recover most of the neighbors a
+    // single bucket misses at a bounded (1 + multiProbe) x L buckets per
+    // query. Margins use the same per-plane fold the native signature
+    // evaluates (bit-equal), ranked (|dot| asc, plane asc), so the DuckDB
+    // oracle replays the probe set exactly from its dots CTE.
+    val qb0 = buckets(queries, "query_id")
+    val qb =
+      if (multiProbe <= 0) qb0
+      else {
+        val m = math.min(multiProbe, numPlanes)
+        val bit = typedLit((0 until numPlanes).map(j => 1L << j))
+        val tables = (0 until numTables).map { t =>
+          val base = t * numPlanes
+          val ranked = slice(sort_array(array((0 until numPlanes).map { j =>
+            struct(abs(planeDot(col(vecCol), base + j)).as("d"), lit(j).as("j"))
+          }: _*)), 1, m)
+          val b = planeSignature(col(vecCol), base, numPlanes)
+          struct(lit(t).as("t"),
+            concat(array(b),
+              transform(ranked, f =>
+                b.bitwiseXOR(element_at(bit, f.getField("j") + 1)))).as("bs"))
+        }
+        queries.select(col(idCol).as("query_id"),
+            explode(array(tables: _*)).as("tb"))
+          .select(col("query_id"), col("tb.t").as("t"),
+            explode(col("tb.bs")).as("b"))
+      }
     val cand = buckets(emb, "neighbor_id")
-      .join(broadcast(buckets(queries, "query_id")), Seq("t", "b"))
+      .join(broadcast(qb), Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()

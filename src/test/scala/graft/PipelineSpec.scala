@@ -410,7 +410,17 @@ class PipelineSpec extends SparkTestBase {
         s"LSH score mismatch for $key")
     }
     val hit = lsh.count(r => bf.contains((r.getLong(0), r.getLong(2))))
-    info(s"LSH ANN recall@5 = $hit/${bf.size} (bucketed, approximate by design)")
+    info(s"LSH ANN recall@5 = $hit/${bf.size} (multi-probe, approximate by design)")
+    // the multi-probe dial (flip the 3 nearest hyperplane bits per table)
+    // must hold serving-grade recall at its bounded 4xL buckets per query
+    assert(hit.toDouble / bf.size >= 0.7,
+      s"multi-probe LSH recall@5 must be >= 0.7, got $hit/${bf.size}")
+    // candidate volume stays bounded: strictly fewer scored pairs than the
+    // brute-force all-pairs scan would touch
+    val nVecs = emb.count()
+    val cands = Similarity.lshTopK(emb, queries, Int.MaxValue).count()
+    assert(cands < 10 * (nVecs - 1),
+      s"multi-probe candidates $cands must stay below the 10-query brute-force volume")
   }
 
   test("IVF ANN: exact scores, recall reported; clusters partition the pair graph") {
