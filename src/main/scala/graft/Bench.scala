@@ -155,7 +155,8 @@ object Bench {
       // r9: worst maintained serving state — 10 append epochs + tombstones,
       // probed without compaction (planning pays one merged meta read)
       "text_bm25_epochs" -> q("text_bm25_epochs"),
-      "sim_topk_ivf_epochs" -> q("sim_topk_ivf_epochs")
+      "sim_topk_ivf_epochs" -> q("sim_topk_ivf_epochs"),
+      "mm_decode_ppm" -> q("mm_decode_ppm")
     )
   }
 

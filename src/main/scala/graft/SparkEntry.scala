@@ -1326,7 +1326,19 @@ object SparkEntry {
       f.select(Seq(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
         col("mean_byte")) ++ histCols ++ embCols: _*)
         .orderBy(col("doc_id"))
-    })
+    }),
+    // REAL image decode: deterministic P6 (binary PPM) payloads built from
+    // the corpus, decoded by the actual netpbm-grammar parser — pixel sums
+    // and ITU-601 luma are genuine decoded stats, and because the fixture
+    // pixel stream is a pure function of the text the oracle replays them
+    "mm_decode_ppm" -> ((s, dir) =>
+      Multimodal.decodePpm(
+          Multimodal.encodePpm(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("luma_micro"))
+        .orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1984,7 +1996,33 @@ object SparkEntry {
          |$histCols,
          |$embCols
          |FROM c ORDER BY doc_id""".stripMargin
-    }
+    },
+    // PPM fixture replica: 16-wide P6 raster, pixel stream = ASCII text
+    // bytes zero-padded to 16*h*3 with h = max(1, ceil(ceil(n/3)/16)) —
+    // channel sums are strided byte sums (padding adds 0), luma is the
+    // integer-weighted 601 mean over ALL n_pixels in exact micro-lumas
+    // (floor division — no cross-engine rounding ties)
+    "mm_decode_ppm" ->
+      """WITH c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(16 * greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS n_pixels,
+        |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS height,
+        |    CAST(coalesce(list_sum(list_transform(range(1, n+1, 3),
+        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_r,
+        |    CAST(coalesce(list_sum(list_transform(range(2, n+1, 3),
+        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_g,
+        |    CAST(coalesce(list_sum(list_transform(range(3, n+1, 3),
+        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_b
+        |  FROM c)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, height,
+        |  CAST(255 AS BIGINT) AS maxval, n_pixels, sum_r, sum_g, sum_b,
+        |  CAST((299*sum_r + 587*sum_g + 114*sum_b) * 1000 // n_pixels AS BIGINT) AS luma_micro
+        |FROM d ORDER BY doc_id""".stripMargin
   ))
 
   /** Queries whose output is identical BY CONSTRUCTION to another query's

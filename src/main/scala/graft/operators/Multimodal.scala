@@ -19,10 +19,13 @@ final case class MediaFeatures(
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in batches.
   *
-  * The actual decode kernel is STUBBED (this environment has no image/audio
-  * codecs): `decodeStub` derives deterministic features from raw bytes where
-  * a real pipeline would decode pixels / PCM frames. Everything around the
-  * stub — binary columns, metadata struct, batch-shaped `mapPartitions`
+  * One decode path is REAL: [[decodePpm]] parses binary PPM (`P6`) images
+  * in-engine — full netpbm header grammar, raw 8-bit RGB rasters — and
+  * emits exact pixel statistics. The compressed-codec kernels remain
+  * STUBBED (this environment has no JPEG/PCM libraries): `decodeStub`
+  * derives deterministic features from raw bytes where a real pipeline
+  * would decode pixels / PCM frames. Everything around the kernels —
+  * binary columns, metadata struct, batch-shaped `mapPartitions`
   * (mirroring the arrow-batch shape a vectorized UDF would see), output
   * schema with an embedding column — is real Spark plumbing and is tested.
   *
@@ -117,6 +120,140 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "media_type", "payload", "resized", "resized_n")
+  }
+
+  /** Build REAL P6 (binary PPM) image payloads from a text corpus: the
+    * deterministic fixture generator for [[decodePpm]]. Text bytes become
+    * the RGB sample stream (row-major, 3 bytes per pixel), zero-padded to a
+    * whole `width x height` raster with `height = max(1, ceil(ceil(n/3) /
+    * width))`; the header is the canonical `P6\n<w> <h>\n255\n`. Because
+    * the pixel stream is a pure function of the text, the expected decoded
+    * stats are SQL-expressible and the decode query is oracle-checkable —
+    * while [[decodePpm]] itself is a full parser, not a fixture-shaped one.
+    */
+  def encodePpm(
+      docs: DataFrame,
+      width: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val npix = (data.length + 2) / 3
+          val h = math.max(1, (npix + width - 1) / width)
+          val header = s"P6\n$width $h\n255\n".getBytes("US-ASCII")
+          val out = new Array[Byte](header.length + width * h * 3)
+          System.arraycopy(header, 0, out, 0, header.length)
+          System.arraycopy(data, 0, out, header.length, data.length)
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded stats of one P6 image: integer channel sums (exact) plus the
+    * ITU-R 601 luma mean in MICRO-lumas — floor((299*sum_r + 587*sum_g +
+    * 114*sum_b) * 1000 / n_pixels), pure integer arithmetic, so no engine
+    * can disagree on a half-way rounding tie. `valid = false` rows carry
+    * zeros (payload was not a parseable 8-bit P6).
+    */
+  final case class PpmStats(
+      doc_id: Long,
+      valid: Boolean,
+      width: Long,
+      height: Long,
+      maxval: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      luma_micro: Long)
+
+  /** REAL image decode for one public format: binary PPM (`P6`, the netpbm
+    * raw-RGB format — magic, whitespace/`#`-comment-separated width,
+    * height, maxval ≤ 255, one whitespace byte, then `w*h*3` raw samples).
+    * Runs as the same batch-shaped `mapPartitions` kernel as the stubbed
+    * codecs — payloads never shuffle, stats are extracted in the scan
+    * stage — but the kernel actually parses pixels instead of faking them.
+    * Output: one [[PpmStats]] row per payload (invalid payloads flagged,
+    * never dropped — the caller decides).
+    */
+  def decodePpm(media: DataFrame, batchSize: Int = 64): Dataset[PpmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[PpmStats] = Encoders.product[PpmStats]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parsePpm(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((w, h, mv, px)) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var i = 0
+                while (i < px.length) {
+                  sr += px(i) & 0xFF
+                  sg += px(i + 1) & 0xFF
+                  sb += px(i + 2) & 0xFF
+                  i += 3
+                }
+                val npix = w.toLong * h
+                val luma =
+                  if (npix == 0) 0L
+                  else (299L * sr + 587L * sg + 114L * sb) * 1000L / npix
+                PpmStats(id, valid = true, w, h, mv, npix, sr, sg, sb, luma)
+              case None =>
+                PpmStats(id, valid = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+  }
+
+  /** The P6 parser: returns (width, height, maxval, samples) or None. Full
+    * header grammar — any run of whitespace between tokens, `#` comments to
+    * end-of-line inside the header, exactly one whitespace byte after
+    * maxval — for 8-bit images (maxval <= 255; 2-byte-sample images are
+    * reported invalid, not misread). Trailing bytes after the raster are
+    * tolerated (netpbm readers ignore them); a short raster is invalid.
+    */
+  private[graft] def parsePpm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    var pos = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    pos = 2
+    def readInt(): Long = {
+      var skipping = true
+      while (skipping && pos < bytes.length) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else skipping = false
+      }
+      val start = pos
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9' &&
+          v <= Int.MaxValue) {
+        v = v * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      if (pos == start || v > Int.MaxValue) -1L else v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    if (w < 0 || h < 0 || mv < 1 || mv > 255) return None
+    if (pos >= bytes.length || !isWs(bytes(pos))) return None
+    pos += 1
+    val need = w * h * 3
+    if (need > bytes.length - pos) return None
+    Some((w.toInt, h.toInt, mv.toInt,
+      java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
   }
 
   /** STUB resize kernel — strided byte sampling standing in for a real

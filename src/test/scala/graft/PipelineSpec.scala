@@ -537,6 +537,49 @@ class PipelineSpec extends SparkTestBase {
     pairs.unpersist()
   }
 
+  test("multimodal P6 decode: real netpbm grammar, exact pixel stats, invalid payloads flagged") {
+    import spark.implicits._
+    def img(hdr: String, px: Array[Byte]) = hdr.getBytes("US-ASCII") ++ px
+    val px = Array[Byte](10, 20, 30, 40, 50, 60) // two RGB pixels
+    val rows = Seq(
+      1L -> img("P6\n2 1\n255\n", px),                      // canonical header
+      2L -> img("P6 # c\n 2\t1 #x\n 255 ", px),             // comments + mixed whitespace
+      3L -> img("P6\n2 1\n255\n", px ++ Array[Byte](9, 9)), // trailing bytes tolerated
+      4L -> img("P6\n2 1\n255\n", px.take(5)),              // short raster
+      5L -> img("P5\n2 1\n255\n", px),                      // wrong magic
+      6L -> img("P6\n2 1\n65535\n", px ++ px),              // 2-byte samples unsupported
+      7L -> "garbage".getBytes("US-ASCII"))
+    val got = Multimodal.decodePpm(rows.toDF("doc_id", "payload"))
+      .collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val s = got(id)
+      assert(s.valid && s.width == 2 && s.height == 1 && s.maxval == 255 &&
+        s.n_pixels == 2 && s.sum_r == 50 && s.sum_g == 70 && s.sum_b == 90,
+        s"doc $id decoded wrong: $s")
+      assert(s.luma_micro == 33150000L, s"doc $id luma: ${s.luma_micro}")
+    }
+    for (id <- Seq(4L, 5L, 6L, 7L))
+      assert(!got(id).valid, s"doc $id must be invalid: ${got(id)}")
+
+    // fixture round-trip: generated payloads are genuinely decodable and
+    // the stats equal the text-derived expectation (the oracle's formula)
+    val sample = docs.limit(50)
+    val decoded = Multimodal.decodePpm(Multimodal.encodePpm(sample)).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.valid),
+      "every generated PPM must parse")
+    val texts = sample.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.foreach { s =>
+      val bytes = texts(s.doc_id).getBytes("UTF-8").map(_ & 0xFF)
+      def strided(off: Int) =
+        bytes.zipWithIndex.collect { case (b, i) if i % 3 == off => b.toLong }.sum
+      assert((s.sum_r, s.sum_g, s.sum_b) == (strided(0), strided(1), strided(2)),
+        s"doc ${s.doc_id}: channel sums diverge from the text bytes")
+      val npixData = (bytes.length + 2) / 3
+      assert(s.height == math.max(1, (npixData + 15) / 16) && s.width == 16)
+    }
+  }
+
   test("multimodal resize: exact strided byte sampling") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = Multimodal.resize(Multimodal.asMedia(docs), targetLen = 64)
