@@ -174,4 +174,12 @@ object GraftExtensions {
       val wide = Renko.fromTicks(spark.table(table), brick, symbolCol = symbolCol, tsUnit = tsUnit)
       RenkoModes.project(wide, mode).queryExecution.logical
     })
+
+  /** Register `graft_renko` on an already-built session — for callers that
+    * did not (or cannot) set `spark.sql.extensions` at session construction
+    * (e.g. the driver's Verify/Bench sessions).
+    */
+  def registerRenkoTvf(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlShim.registerTableFunction(
+      spark, graftRenko._1, graftRenko._2, graftRenko._3)
 }

@@ -215,7 +215,8 @@ object PipelineOracleSql {
   private def curatePrefixGated(
       classifierGate: Boolean,
       gopherGate: Boolean = false,
-      streamFold: Boolean = false): String = {
+      streamFold: Boolean = false,
+      pinStages: Boolean = false): String = {
     val gopherAnnCols =
       if (!gopherGate) ""
       else
@@ -249,7 +250,10 @@ object PipelineOracleSql {
     // fold's many references (measured 385 s -> seconds at sf0.01)
     val cleanMat =
       if (classifierGate || gopherGate || streamFold) "MATERIALIZED " else ""
-    val survMat = if (gopherGate) "MATERIALIZED " else ""
+    // the funnel references qa and surv three times each (once per epoch):
+    // pin both or DuckDB re-inlines the whole tokenize tree per reference
+    val qaMat = if (pinStages) "MATERIALIZED " else ""
+    val survMat = if (gopherGate || pinStages) "MATERIALIZED " else ""
     val survCte =
       if (!classifierGate)
         s"surv AS $survMat(SELECT * FROM qa WHERE n_tokens >= 30 AND quality_score >= 0.5$gopherPred)"
@@ -282,7 +286,7 @@ object PipelineOracleSql {
        |    CAST(len(list_filter($Tok, t -> t IN ('le','les','et','une'))) AS BIGINT) AS s_fr,
        |    CAST(len(list_filter($Tok, t -> t IN ('de5','le5','shi4'))) AS BIGINT) AS s_zh$gopherAnnCols
        |  FROM documents WHERE doc_id % 10 <> 7),
-       |qa AS (
+       |qa AS $qaMat(
        |  SELECT doc_id, lang, text, n_tokens$gopherQaCols,
        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
        |      + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
@@ -388,37 +392,77 @@ object PipelineOracleSql {
       classifierGate: Boolean,
       gopherGate: Boolean = false): String =
     s"""${curatePrefixGated(classifierGate, gopherGate, streamFold = true)},
-       |psym AS (
-       |  SELECT id_a AS a, id_b AS b FROM p
-       |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
-       |ce AS (SELECT doc_id FROM clean),
-       |adm0 AS (
-       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 0 AND NOT EXISTS (
-       |    SELECT 1 FROM psym WHERE psym.b = ce.doc_id
-       |      AND psym.a < ce.doc_id AND psym.a % 3 = 0)),
-       |adm1 AS (
-       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 1
-       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
-       |      AND psym.a < ce.doc_id AND psym.a % 3 = 1)
-       |    AND NOT EXISTS (SELECT 1 FROM psym JOIN adm0 ON psym.a = adm0.doc_id
-       |      WHERE psym.b = ce.doc_id)),
-       |adm2 AS (
-       |  SELECT doc_id FROM ce WHERE doc_id % 3 = 2
-       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
-       |      AND psym.a < ce.doc_id AND psym.a % 3 = 2)
-       |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id AND psym.a IN
-       |      (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1))),
-       |adm AS (
-       |  SELECT doc_id, CAST(0 AS INTEGER) AS epoch FROM adm0
-       |  UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS epoch FROM adm1
-       |  UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS epoch FROM adm2),
-       |fin AS (
-       |  SELECT c.doc_id, c.lang, c.pred_lang, c.n_tokens, c.quality_score, adm.epoch,
-       |    CAST(sum(c.n_tokens) OVER (PARTITION BY c.lang ORDER BY adm.epoch, c.doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM adm JOIN clean c ON c.doc_id = adm.doc_id)
+       |$streamFoldCtes
        |SELECT doc_id, lang, pred_lang, n_tokens, quality_score, cum_tokens, epoch
        |FROM fin WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin
+
+  /** The 3-epoch admission + budget fold over `clean`/`p` — shared by the
+    * stream-record oracles and the streaming funnel.
+    */
+  private def streamFoldCtes: String =
+    """psym AS MATERIALIZED (
+      |  SELECT id_a AS a, id_b AS b FROM p
+      |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+      |ce AS (SELECT doc_id FROM clean),
+      |adm0 AS MATERIALIZED (
+      |  SELECT doc_id FROM ce WHERE doc_id % 3 = 0 AND NOT EXISTS (
+      |    SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+      |      AND psym.a < ce.doc_id AND psym.a % 3 = 0)),
+      |adm1 AS MATERIALIZED (
+      |  SELECT doc_id FROM ce WHERE doc_id % 3 = 1
+      |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+      |      AND psym.a < ce.doc_id AND psym.a % 3 = 1)
+      |    AND NOT EXISTS (SELECT 1 FROM psym JOIN adm0 ON psym.a = adm0.doc_id
+      |      WHERE psym.b = ce.doc_id)),
+      |adm2 AS MATERIALIZED (
+      |  SELECT doc_id FROM ce WHERE doc_id % 3 = 2
+      |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id
+      |      AND psym.a < ce.doc_id AND psym.a % 3 = 2)
+      |    AND NOT EXISTS (SELECT 1 FROM psym WHERE psym.b = ce.doc_id AND psym.a IN
+      |      (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1))),
+      |adm AS (
+      |  SELECT doc_id, CAST(0 AS INTEGER) AS epoch FROM adm0
+      |  UNION ALL SELECT doc_id, CAST(1 AS INTEGER) AS epoch FROM adm1
+      |  UNION ALL SELECT doc_id, CAST(2 AS INTEGER) AS epoch FROM adm2),
+      |fin AS MATERIALIZED (
+      |  SELECT c.doc_id, c.lang, c.pred_lang, c.n_tokens, c.quality_score, adm.epoch,
+      |    CAST(sum(c.n_tokens) OVER (PARTITION BY c.lang ORDER BY adm.epoch, c.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM adm JOIN clean c ON c.doc_id = adm.doc_id)""".stripMargin
+
+  /** Per-epoch, per-stage funnel over the STREAMING fold (mirrors the
+    * pipeline_curate_stream_funnel query's 3-epoch fold over
+    * `CurationStream.curateBatchStages`): the stream-record CTE chain,
+    * tailed by doc/token counts of each stage restricted to its epoch —
+    * per-doc stages restrict by `doc_id % 3` (they commute with the epoch
+    * split), admission by the unrolled `adm$e` sets, budget by the fold's
+    * own window filter.
+    */
+  def pipelineCurateStreamFunnel: String = {
+    val perEpoch = (0 until 3).map { e =>
+      s"""SELECT CAST($e AS INTEGER) AS epoch, '00_input' AS stage,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+         |FROM qa WHERE doc_id % 3 = $e
+         |UNION ALL SELECT CAST($e AS INTEGER), '10_quality_floor',
+         |  CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+         |FROM surv WHERE doc_id % 3 = $e
+         |UNION ALL SELECT CAST($e AS INTEGER), '20_decontaminated',
+         |  CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+         |FROM clean WHERE doc_id % 3 = $e
+         |UNION ALL SELECT CAST($e AS INTEGER), '30_dedup_admitted',
+         |  CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+         |FROM clean WHERE doc_id IN (SELECT doc_id FROM adm$e)
+         |UNION ALL SELECT CAST($e AS INTEGER), '40_budget_admitted',
+         |  CAST(count(*) AS BIGINT), CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+         |FROM fin WHERE epoch = $e AND cum_tokens - n_tokens < 2000""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${curatePrefixGated(classifierGate = false, gopherGate = false,
+          streamFold = true, pinStages = true)},
+       |$streamFoldCtes
+       |$perEpoch
+       |ORDER BY epoch, stage""".stripMargin
+  }
 
   /** The curation chain plus the final token quota (mirrors
     * `Curation.curate(tokenBudget = Some(1500))`): the whole
@@ -2148,6 +2192,7 @@ object PipelineOracleSql {
     "pipeline_curate_stream_gopher" -> pipelineCurateStreamGopher,
     "pipeline_curate_budget" -> pipelineCurateBudget,
     "pipeline_curate_stream" -> pipelineCurateStream,
+    "pipeline_curate_stream_funnel" -> pipelineCurateStreamFunnel,
     "pipeline_curate_stream_classified" -> pipelineCurateStreamClassified,
     "corpus_diff" -> corpusDiff,
     "corpus_overlap_matrix" -> corpusOverlapMatrix,

@@ -359,6 +359,83 @@ object PipelineStress {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == lexPlan,
       "compacted index must still equal the in-plan scan")
 
+    // timed-probe helper for the growth arms: wall seconds, min of 2 reps
+    def tsec(name: String)(f: => Long): Double = {
+      val secs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[pstress] $name%-28s $sec%8.2f s  ($rows rows)")
+        sec
+      }
+      secs.min
+    }
+
+    // PROBE-COST GROWTH at fixed k/terms: buckets scale with the corpus
+    // (128 buckets at n/2 docs vs 256 at n — constant per-bucket size), so
+    // a partition-pruned probe touches the same bytes at either corpus
+    // size. Probed posting rows are the deterministic flatness witness;
+    // wall times are printed with a host-noise-tolerant bound.
+    import spark.implicits._
+    val lexHalfPath = java.nio.file.Files.createTempDirectory("pstress_lex_half").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), lexHalfPath,
+      nBuckets = 128, filesPerBucket = 2)
+    def lexProbedRows(path: String, nBuckets: Int): Long = {
+      val bs = lexTerms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+        .as[Long].collect().distinct.toSeq
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(bs: _*)).count()
+    }
+    val prHalf = lexProbedRows(lexHalfPath, 128)
+    val prFull = lexProbedRows(lexPath, 256)
+    println(s"[pstress] lex probed rows: half-corpus/128b=$prHalf full-corpus/256b=$prFull")
+    assert(prFull <= math.max(1000L, prHalf) * 2,
+      s"probed bytes must stay flat when buckets scale with the corpus: $prHalf -> $prFull")
+    val tLexHalf = tsec("lex_probe_half_128b")(
+      TextIndex.bm25TopK(spark, lexHalfPath, lexTerms, 20).count())
+    val tLexFull = tsec("lex_probe_full_256b")(
+      TextIndex.bm25TopK(spark, lexPath, lexTerms, 20).count())
+    println(f"[pstress] lex probe growth ratio    ${tLexFull / tLexHalf}%.2f (2x corpus, scaled buckets)")
+    assert(tLexFull <= tLexHalf * 3 + 0.5,
+      f"probe time must not track corpus size at scaled buckets: ${tLexHalf}%.2f -> ${tLexFull}%.2f")
+    // IVF twin: nlist scales with the corpus (32 at n/2 vs 64 at n), so a
+    // fixed-nprobe probe reads constant rows per list either way
+    val ivfHalfPath = java.nio.file.Files.createTempDirectory("pstress_ivf_half").toString
+    IvfIndex.write(vecs.filter(col("vec_id") % 2 === 0), ivfHalfPath, nlist = 32, filesPerList = 2)
+    val tIvfHalf = tsec("ivf_probe_half_32l")(
+      IvfIndex.probe(spark, ivfHalfPath, queries, 5, nprobe = 8).count())
+    val tIvfFull = tsec("ivf_probe_full_64l")(
+      IvfIndex.probe(spark, ivfPath, queries, 5, nprobe = 8).count())
+    println(f"[pstress] ivf probe growth ratio    ${tIvfFull / tIvfHalf}%.2f (2x corpus, scaled nlist)")
+    assert(tIvfFull <= tIvfHalf * 3 + 0.5,
+      f"probe time must not track corpus size at scaled nlist: ${tIvfHalf}%.2f -> ${tIvfFull}%.2f")
+
+    // EPOCH-ACCRETION probe cost: the worst maintained serving state (10
+    // append epochs + tombstones) vs the same index compacted. With the
+    // merged-meta planning fix the probe pays one meta job either way, so
+    // the epoch layout should cost only its extra small scans.
+    val lexEpPath = java.nio.file.Files.createTempDirectory("pstress_lex_ep").toString
+    TextIndex.write(docs.filter(col("doc_id") % 11 === 0), lexEpPath,
+      nBuckets = 256, filesPerBucket = 2)
+    for (i <- 1 to 10)
+      TextIndex.append(docs.filter(col("doc_id") % 11 === i), lexEpPath, filesPerBucket = 2)
+    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), lexEpPath)
+    val epRows = TextIndex.bm25TopK(spark, lexEpPath, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val tLexEp = tsec("lex_probe_10epochs")(
+      TextIndex.bm25TopK(spark, lexEpPath, lexTerms, 20).count())
+    TextIndex.compact(spark, lexEpPath, 2)
+    assert(TextIndex.bm25TopK(spark, lexEpPath, lexTerms, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == epRows,
+      "compaction must not change the probe answer")
+    val tLexCpt = tsec("lex_probe_compacted")(
+      TextIndex.bm25TopK(spark, lexEpPath, lexTerms, 20).count())
+    println(f"[pstress] lex 10-epoch/compacted    ${tLexEp / tLexCpt}%.2f probe ratio")
+    assert(tLexEp <= tLexCpt * 2.5 + 0.5,
+      f"10-epoch probe must stay near the compacted probe: $tLexEp%.2f vs $tLexCpt%.2f")
+
     // BPE training at vocabulary scale: the 200k-doc corpus collapses to
     // the word dictionary once, then 4 merge rounds of pair counting +
     // relational greedy application

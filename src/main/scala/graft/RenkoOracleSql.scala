@@ -269,6 +269,7 @@ object RenkoOracleSql {
       "renko_fake_r_nongap" -> modeOracle("fake-r-nongap"),
       "renko_sorted_scan" -> modeOracle("wicks"),
       "renko_parallel_scan" -> modeOracle("wicks"),
+      "renko_sql_tvf" -> modeOracle("wicks"),
       "renko_multi_series" -> modeOracle("wicks", src = eventsByType),
       "renko_multi_series_parallel" -> modeOracle("wicks", src = eventsByType),
       "renko_by_user" -> modeOracle("wicks", src = eventsByUser),

@@ -115,6 +115,15 @@ object SparkEntry {
       emissionOrdered(RenkoModes.project(
         Renko.fromTicksParallel(eventTicks(s, dir), EventBrick, tsUnit = "ns",
           numPartitions = 8), "wicks"))),
+    "renko_sql_tvf" -> ((s, dir) => {
+      // the SQL TVF surface (SURVEY §7.3): the same scan + mode projection
+      // planned entirely through `SELECT * FROM graft_renko(...)`, checked
+      // against the same recursive-CTE oracle as renko_wicks
+      GraftExtensions.registerRenkoTvf(s)
+      eventTicks(s, dir).createOrReplaceTempView("graft_tvf_entry_ticks")
+      emissionOrdered(s.sql(
+        s"SELECT * FROM graft_renko('graft_tvf_entry_ticks', $EventBrick, 'wicks', '', 'ns')"))
+    }),
 
     // --- streaming surface (SURVEY §2.8), exercised in batch-replay form
     // --- (same engine the flatMapGroupsWithState operator wraps)
@@ -1164,6 +1173,47 @@ object SparkEntry {
         fin.withColumn("epoch", lit(e))
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
+    "pipeline_curate_stream_funnel" -> ((s, dir) => {
+      // the STREAMING funnel: per-epoch doc/token attrition at every gate
+      // of the online curation chain — the waterfall an ingest operator
+      // reads per trigger ("epoch 2 lost 60% at the near-dup store" is a
+      // funnel row). Same 3-epoch fold as pipeline_curate_stream, reading
+      // the stage intermediates curateBatchStages exposes
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 7)
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val bg = Decontamination.benchGramsOf(bench).localCheckpoint(true)
+      var store: Option[(DataFrame, DataFrame)] = None
+      var consumed = Map.empty[String, Long]
+      val perEpoch = (0 until 3).map { e =>
+        val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val st = graft.streaming.CurationStream.curateBatchStages(
+          store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+        store = Some(store match {
+          case Some((sd, sb)) =>
+            (sd.unionByName(st.admitted.select(col("doc_id"), col("text"))),
+              sb.unionByName(st.admittedBuckets))
+          case None =>
+            (st.admitted.select(col("doc_id"), col("text")), st.admittedBuckets)
+        })
+        consumed = consumed ++ st.curated.groupBy("lang").agg(max("cum_tokens").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Seq(
+          "00_input" -> st.annotated,
+          "10_quality_floor" -> st.survivors,
+          "20_decontaminated" -> st.clean,
+          "30_dedup_admitted" -> st.admitted,
+          "40_budget_admitted" -> st.curated)
+          .map { case (name, df) =>
+            df.agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+              .select(lit(e).as("epoch"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+          }.reduce(_ unionAll _)
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("stage"))
     }),
     // the streaming front door with the Gopher battery at stage 1a' —
     // same 3-epoch fold; the per-doc gate commutes with the epoch split

@@ -629,12 +629,16 @@ object IvfIndex {
     // first tree's schema is reused so the union pays ONE footer
     // inference, and a cid predicate pushes into every per-tree scan
     // (IvfIndexSpec pins filters + selected-directory counts). The
-    // ingester's auto-compaction bounds the tree count.
+    // ingester's auto-compaction bounds the tree count, and relation
+    // construction runs under driver-side listing — each tree's list-dir
+    // count would otherwise trigger a distributed listing job per tree,
+    // growing probe cost linearly in the live-tree count.
     val roots = listRoots(spark, path)
-    val firstTree = spark.read.parquet(roots.head)
-    val all = (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
-      .reduce(_.unionByName(_))
-      .withColumn("cid", col("cid").cast("long"))
+    val all = graft.util.ProbePlanning.withDriverListing(spark) {
+      val firstTree = spark.read.parquet(roots.head)
+      (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
+        .reduce(_.unionByName(_))
+    }.withColumn("cid", col("cid").cast("long"))
     // live deletes mask list rows at probe time (small id set, broadcast
     // anti-join; the probes' cid predicate still pushes through the join's
     // left side into every per-tree scan — pruning is unaffected)

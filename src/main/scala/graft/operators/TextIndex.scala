@@ -55,6 +55,19 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  /** The postings DATA schema (what a `bucket=<b>` directory's files hold,
+    * exactly as [[postingRows]] writes them — `bucket` itself is the
+    * partition directory) — static, so probes never pay footer inference.
+    */
+  private val PostingsDataSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dl", LongType),
+      StructField("term", StringType),
+      StructField("tf", LongType)))
+  }
+
   /** (meta, postings) frames for a batch of documents under a fixed bucket
     * count — shared by [[write]] and [[append]] so base and epoch trees
     * carry identical arithmetic and schema.
@@ -414,7 +427,6 @@ object TextIndex {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
-    import spark.implicits._
     // live-tree metas (base + committed epochs, compaction-aware): n_docs
     // and sum_dl are additive, so ONE multi-root read sums them — probe
     // planning cost stays flat in the number of live epochs
@@ -422,29 +434,51 @@ object TextIndex {
     require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
     val (nDocsAll, sumDlAll, nBuckets) = sumMetas(spark, path, trees)
     // live tombstones shrink the corpus stats exactly (tombstones carry
-    // the dl captured at delete time, so no postings read is needed)
+    // the dl captured at delete time, so no postings read is needed); the
+    // subtraction rides the probe's own job (see `stats` below) instead of
+    // a planning-time collect — planning pays exactly one Spark job (the
+    // meta sum) whether or not deletes are live
     val tombstones = readTombstones(spark, path)
-    val (nDel, sumDlDel) = tombstoneStats(tombstones)
-    val nDocs = nDocsAll - nDel
-    val sumDl = sumDlAll - sumDlDel
-    // bucket of each query term via the SAME Catalyst hash the build
-    // partitioned with, evaluated over a |terms|-row local relation —
-    // never a driver-side reimplementation that could drift from it
-    val buckets = queryTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
-      .as[Long].collect().toSeq.distinct
-    // each tree is its own partition-discovery base (Spark refuses one
-    // multi-root discovery across the base/epoch depth mismatch); the first
-    // tree's schema is reused so the union pays ONE footer inference, and
-    // the bucket predicate pushes into every per-tree scan (TextIndexSpec
-    // pins the pruning). Auto-compaction bounds the tree count, so probe
-    // planning stays flat for a maintained index.
-    val roots = trees.map(t => treePostings(path, t))
-    val first = spark.read.parquet(roots.head)
-    val masked = (first +: roots.tail.map(r => spark.read.schema(first.schema).parquet(r)))
-      .reduce(_ unionAll _)
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(queryTerms.map(x => x: Any): _*))
+    // bucket of each query term via the SAME Catalyst expression classes
+    // the build partitioned with (`pmod(xxhash64(term), n_buckets)`),
+    // evaluated on the driver — identical arithmetic by construction, and
+    // no per-probe job for a |terms|-sized computation
+    val buckets = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+      import org.apache.spark.sql.types.StringType
+      queryTerms.map { t =>
+        Pmod(
+          new XxHash64(Seq(Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType))),
+          Literal(nBuckets.toLong))
+          .eval().asInstanceOf[Long]
+      }.distinct
+    }
+    // bucket pruning happens on the DRIVER, before any relation exists:
+    // the probed buckets are known (hash of the query terms), so the scan
+    // reads exactly the `bucket=<b>` directories of every live tree as ONE
+    // relation — |terms| x |trees| directory-existence checks and a single
+    // file listing, never a per-tree partition discovery (each tree's
+    // bucket-dir count would trigger a distributed listing job per tree,
+    // growing probe cost linearly in the live-tree count — measured 12x at
+    // 10 epochs). One FileSourceScan also packs the pruned files across
+    // trees into shared task partitions, and `bm25Score`'s two consumers
+    // of the candidate rows re-execute a cheap 1-relation scan. The bucket
+    // column itself is partition metadata the probe no longer needs — the
+    // term filter is an ordinary pushed data filter.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prunedDirs = for {
+      r <- trees.map(t => treePostings(path, t))
+      b <- buckets
+      p = new Path(s"$r/bucket=$b") if fs.exists(p)
+    } yield p.toString
+    val masked =
+      if (prunedDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingsDataSchema)
+      else graft.util.ProbePlanning.withDriverListing(spark) {
+        spark.read.schema(PostingsDataSchema).parquet(prunedDirs: _*)
+      }.filter(col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = (tombstones match {
         case Some(t) =>
           masked.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
@@ -452,10 +486,21 @@ object TextIndex {
       })
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     // the same sum(dl)::double / n_docs division the in-plan stats
-    // aggregate performs — one IEEE op over the stored exact integers
-    val stats = spark.range(1).select(
-      lit(nDocs).as("n_docs"),
-      (lit(sumDl).cast("double") / lit(nDocs)).as("avgdl"))
+    // aggregate performs — one IEEE op over the stored exact integers. The
+    // tombstone subtraction is a 1-row subtree of the probe plan (the sums
+    // coalesce to 0 so an empty tombstone epoch can never null the stats),
+    // not a separate planning job
+    val stats = tombstones match {
+      case None => spark.range(1).select(
+        lit(nDocsAll).as("n_docs"),
+        (lit(sumDlAll).cast("double") / lit(nDocsAll)).as("avgdl"))
+      case Some(t) => t
+        .agg(count(lit(1)).as("n_del"), coalesce(sum(col("dl")), lit(0L)).as("dl_del"))
+        .select(
+          (lit(nDocsAll) - col("n_del")).as("n_docs"),
+          ((lit(sumDlAll) - col("dl_del")).cast("double") /
+            (lit(nDocsAll) - col("n_del"))).as("avgdl"))
+    }
     Search.bm25Score(tf, stats, queryTerms, k, k1, b)
   }
 }

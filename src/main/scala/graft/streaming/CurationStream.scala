@@ -72,6 +72,22 @@ object CurationStream {
     (adm, fin)
   }
 
+  /** Every intermediate of one streaming curation decision, for callers
+    * that report per-epoch stage attrition (the streaming funnel) as well
+    * as the final records: annotated input → heuristic floor (+ optional
+    * gates) → decontaminated → dedup-admitted (full annotated frame) →
+    * budget-admitted curated records. `admittedBuckets` is the admitted
+    * docs' LSH bucket snapshot for store accumulation.
+    */
+  final case class CurateStages(
+      annotated: DataFrame,
+      floored: DataFrame,
+      survivors: DataFrame,
+      clean: DataFrame,
+      admitted: DataFrame,
+      admittedBuckets: DataFrame,
+      curated: DataFrame)
+
   /** [[curateBatch]] plus the admitted docs' LSH bucket rows (semi-joined
     * off the decision's own bucket table — the batch is signatured once per
     * trigger, and the store snapshot the caller accumulates is a filter,
@@ -93,6 +109,32 @@ object CurationStream {
       classifier: Option[(DataFrame, Long)] = None,
       minScoreMicro: Long = 0L,
       gopher: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val st = curateBatchStages(
+      store, consumed, batch, bench, budget, minTokens, minQuality,
+      dedupThreshold, params, langCol, benchGrams, classifier,
+      minScoreMicro, gopher)
+    (st.admitted.select(col("doc_id"), col("text")), st.admittedBuckets, st.curated)
+  }
+
+  /** The same decision with every stage intermediate exposed (see
+    * [[CurateStages]]) — [[curateBatchWithBuckets]] is a projection of
+    * this.
+    */
+  def curateBatchStages(
+      store: Option[(DataFrame, DataFrame)],
+      consumed: Map[String, Long],
+      batch: DataFrame,
+      bench: DataFrame,
+      budget: Long,
+      minTokens: Long = 30L,
+      minQuality: Double = 0.5,
+      dedupThreshold: Double = 0.8,
+      params: MinHashParams = MinHashParams(),
+      langCol: String = "lang",
+      benchGrams: Option[DataFrame] = None,
+      classifier: Option[(DataFrame, Long)] = None,
+      minScoreMicro: Long = 0L,
+      gopher: Boolean = false): CurateStages = {
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
@@ -151,7 +193,7 @@ object CurationStream {
         col("n_tokens"), col("quality_score"))
       .join(badm.select(col("doc_id"), col("cum_tokens")), Seq("doc_id"))
       .localCheckpoint(true)
-    (adm.select(col("doc_id"), col("text")),
+    CurateStages(annotated, heur, surv, clean, adm,
       NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin)
   }
 

@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge into the `private[sql]` Expression <-> Column converters — the
@@ -11,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a table-valued function on an ALREADY-BUILT session — the
+    * runtime twin of `SparkSessionExtensions.injectTableFunction`, for
+    * sessions constructed without `spark.sql.extensions` (the session-state
+    * registry is `private[sql]`, hence this bridge).
+    */
+  def registerTableFunction(
+      spark: SparkSession,
+      ident: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
 }

@@ -55,6 +55,31 @@ class CurationStreamSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
 
+  test("per-epoch funnel: stage counts monotone along the chain and consistent with the emitted records") {
+    var store: Option[(DataFrame, DataFrame)] = None
+    var consumed = Map.empty[String, Long]
+    (0 until 3).foreach { e =>
+      val st = CurationStream.curateBatchStages(store, consumed, epoch(e), bench, Budget)
+      store = Some(store match {
+        case Some((sd, sb)) =>
+          (sd.unionByName(st.admitted.select(col("doc_id"), col("text"))),
+            sb.unionByName(st.admittedBuckets))
+        case None => (st.admitted.select(col("doc_id"), col("text")), st.admittedBuckets)
+      })
+      consumed = consumed ++ st.curated.groupBy("lang").agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = Seq(st.annotated, st.survivors, st.clean, st.admitted, st.curated)
+        .map(_.count())
+      assert(counts.head == epoch(e).count(),
+        s"epoch $e: funnel input must be the epoch's batch, got $counts")
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"epoch $e: stage counts must be monotone non-increasing, got $counts")
+      assert(counts.last == st.curated.count(),
+        s"epoch $e: stage-40 count must equal the emitted records")
+      assert(counts.last > 0, s"epoch $e: the funnel must admit something")
+    }
+  }
+
   test("streamed 3 epochs == batch fold (full chain, budget totals included)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -48,15 +48,16 @@ class TextIndexSpec extends SparkTestBase {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(dirs.size > 4, s"expected many bucket dirs, got ${dirs.size}")
 
-    // partition pruning: the postings scan carries a bucket partition
-    // filter and selects at most |terms| of the populated buckets
+    // bucket pruning happens on the driver, BEFORE the relation exists:
+    // the scan's roots are exactly the probed buckets' directories — at
+    // most |terms| of the populated dirs, never the tree root
     probe.collect()
     val scan = postingsScan(probe.queryExecution.executedPlan)
       .getOrElse(fail(s"no postings scan in:\n${probe.queryExecution.executedPlan}"))
-    assert(scan.partitionFilters.nonEmpty,
-      s"probe scan must carry a bucket partition filter:\n$scan")
-    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
-      .map(_.values).size
+    val roots = scan.relation.location.rootPaths.map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.matches(".*postings/bucket=\\d+$")),
+      s"probe scan roots must be pruned bucket directories, got:\n${roots.mkString("\n")}")
+    val selected = roots.map(_.replaceAll(".*/bucket=", "bucket=")).distinct.size
     assert(selected <= terms.size && selected < dirs.size,
       s"probe must read <= ${terms.size} buckets, got $selected of ${dirs.size}")
 
@@ -92,16 +93,25 @@ class TextIndexSpec extends SparkTestBase {
     assert(rows(probe) == rows(direct),
       "appended index must answer bit-identically to a full rebuild")
 
-    // pruning holds across base + epoch trees: every postings scan keeps
-    // its bucket partition filter
+    // pruning holds across base + epoch trees: ONE scan whose roots are
+    // the probed buckets' directories of BOTH trees (driver-side pruning
+    // packs the trees into a single relation — per-tree scans would pay a
+    // listing per epoch)
     probe.collect()
     val scans = allNodes(probe.queryExecution.executedPlan).collect {
       case s: FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
     }
-    assert(scans.size >= 2, s"expected base + epoch scans, got ${scans.size}")
-    assert(scans.forall(_.partitionFilters.nonEmpty),
-      "every tree's scan must carry the bucket partition filter")
+    // one packed RELATION (bm25Score consumes the candidate rows twice, so
+    // the same pruned-dir scan may appear at two plan positions)
+    assert(scans.nonEmpty &&
+      scans.map(_.relation.location.rootPaths.map(_.toString).toSet).distinct.size == 1,
+      s"expected one packed postings relation, got ${scans.size} distinct")
+    val roots = scans.head.relation.location.rootPaths.map(_.toString)
+    assert(roots.forall(_.matches(".*postings/bucket=\\d+$")),
+      s"scan roots must be pruned bucket dirs:\n${roots.mkString("\n")}")
+    assert(roots.exists(!_.contains("/epochs/")) && roots.exists(_.contains("/epochs/")),
+      s"scan roots must span base AND epoch trees:\n${roots.mkString("\n")}")
 
     // crash contract: an epoch without its meta _SUCCESS is uncommitted —
     // append a double-serving batch, then delete its meta (simulating a
@@ -220,14 +230,23 @@ class TextIndexSpec extends SparkTestBase {
       docs, emb.filter(col("vec_id") === 0L), ivfPath, terms, nprobe = 4)
     assert(rows(served) == rows(indexed),
       "served fusion must equal the indexed-hybrid fusion bit-exactly")
-    // both persisted arms stay partition-pruned
+    // both persisted arms stay partition-pruned: the postings scans read
+    // only driver-pruned bucket directories, the lists scans keep their
+    // cid partition filter
     served.collect()
     val nodes = allNodes(served.queryExecution.executedPlan)
-    val pruned = nodes.collect {
-      case s: FileSourceScanExec if s.relation.location.rootPaths.exists(p =>
-        p.toString.contains("postings") || p.toString.contains("lists")) => s
+    val postings = nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
     }
-    assert(pruned.nonEmpty && pruned.forall(_.partitionFilters.nonEmpty),
-      "both the postings and lists scans must keep their partition filters")
+    assert(postings.nonEmpty && postings.forall(
+        _.relation.location.rootPaths.forall(_.toString.matches(".*postings/bucket=\\d+$"))),
+      "postings scans must read only pruned bucket directories")
+    val lists = nodes.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
+    }
+    assert(lists.nonEmpty && lists.forall(_.partitionFilters.nonEmpty),
+      "lists scans must keep their cid partition filter")
   }
 }
