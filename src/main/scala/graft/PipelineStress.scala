@@ -435,6 +435,27 @@ object PipelineStress {
     println(f"[pstress] lex 10-epoch/compacted    ${tLexEp / tLexCpt}%.2f probe ratio")
     assert(tLexEp <= tLexCpt * 2.5 + 0.5,
       f"10-epoch probe must stay near the compacted probe: $tLexEp%.2f vs $tLexCpt%.2f")
+    // IVF twin of the epoch-accretion arm: 10 append epochs + tombstones
+    // probed directly, then the same index compacted — answers must match
+    // bit-exactly and the accreted probe must stay near the compacted one
+    val ivfEpPath = java.nio.file.Files.createTempDirectory("pstress_ivf_ep").toString
+    IvfIndex.write(vecs.filter(col("vec_id") % 11 === 0), ivfEpPath, nlist = 64, filesPerList = 2)
+    for (i <- 1 to 10)
+      IvfIndex.append(vecs.filter(col("vec_id") % 11 === i), ivfEpPath, filesPerList = 2)
+    IvfIndex.delete(vecs.filter(col("vec_id") % 17 === 3).select(col("vec_id")), ivfEpPath)
+    val ivfEpRows = IvfIndex.probe(spark, ivfEpPath, queries, 5, nprobe = 8)
+      .collect().map(_.toString).toSeq
+    val tIvfEp = tsec("ivf_probe_10epochs")(
+      IvfIndex.probe(spark, ivfEpPath, queries, 5, nprobe = 8).count())
+    IvfIndex.compact(spark, ivfEpPath, 2)
+    assert(IvfIndex.probe(spark, ivfEpPath, queries, 5, nprobe = 8)
+      .collect().map(_.toString).toSeq == ivfEpRows,
+      "IVF compaction must not change the probe answer")
+    val tIvfCpt = tsec("ivf_probe_compacted")(
+      IvfIndex.probe(spark, ivfEpPath, queries, 5, nprobe = 8).count())
+    println(f"[pstress] ivf 10-epoch/compacted    ${tIvfEp / tIvfCpt}%.2f probe ratio")
+    assert(tIvfEp <= tIvfCpt * 2.5 + 0.5,
+      f"10-epoch IVF probe must stay near the compacted probe: $tIvfEp%.2f vs $tIvfCpt%.2f")
 
     // BPE training at vocabulary scale: the 200k-doc corpus collapses to
     // the word dictionary once, then 4 merge rounds of pair counting +

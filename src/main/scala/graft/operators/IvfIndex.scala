@@ -244,9 +244,7 @@ object IvfIndex {
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
     def lists(cols: Column*): DataFrame =
-      readLists(spark, path)
-        .filter(col("cid").isin(probed.toIndexedSeq: _*))
-        .select(cols: _*)
+      readLists(spark, path, probed.toIndexedSeq).select(cols: _*)
     // probe side: (query_id, float query + its exact norm, probed cids)
     val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
       l2Norm(col(vecCol)).as("nq"))
@@ -623,25 +621,45 @@ object IvfIndex {
     * (IvfIndexSpec pins filters + selected-directory counts across all
     * scans).
     */
-  private def readLists(spark: SparkSession, path: String): DataFrame = {
-    // each tree is its own partition-discovery base (Spark refuses one
-    // multi-root discovery across the base/epoch depth mismatch); the
-    // first tree's schema is reused so the union pays ONE footer
-    // inference, and a cid predicate pushes into every per-tree scan
-    // (IvfIndexSpec pins filters + selected-directory counts). The
-    // ingester's auto-compaction bounds the tree count, and relation
-    // construction runs under driver-side listing — each tree's list-dir
-    // count would otherwise trigger a distributed listing job per tree,
-    // growing probe cost linearly in the live-tree count.
+  /** The probed slice of every live list tree as ONE relation: cid pruning
+    * happens on the DRIVER, before any relation exists — the probed cid
+    * set is known (≤ nlist values from the driver-resident quantizer), so
+    * the scan reads exactly the `cid=<c>` directories of every live tree,
+    * with `cid` itself recovered from the file path (it is partition
+    * metadata; the data files don't store it). |cids| x |trees|
+    * directory-existence checks and a single file listing + ONE footer
+    * inference (list schemas differ across float/SQ8/PQ indexes), never a
+    * per-tree partition discovery — each tree's list-dir count would
+    * otherwise trigger a distributed listing job per tree, growing probe
+    * cost linearly in the live-tree count. Fallback for an all-empty probe
+    * set: per-tree relations under driver-side listing (correctness only —
+    * the result is empty).
+    */
+  private def readLists(
+      spark: SparkSession, path: String, probedCids: Seq[Long]): DataFrame = {
     val roots = listRoots(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = for {
+      r <- roots
+      c <- probedCids
+      p = new Path(s"$r/cid=$c") if fs.exists(p)
+    } yield p.toString
     val all = graft.util.ProbePlanning.withDriverListing(spark) {
-      val firstTree = spark.read.parquet(roots.head)
-      (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
-        .reduce(_.unionByName(_))
-    }.withColumn("cid", col("cid").cast("long"))
+      if (dirs.isEmpty) {
+        val firstTree = spark.read.parquet(roots.head)
+        (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
+          .reduce(_.unionByName(_))
+          .withColumn("cid", col("cid").cast("long"))
+          .filter(col("cid").isin(probedCids: _*))
+      } else {
+        val sch = spark.read.parquet(dirs.head).schema
+        spark.read.schema(sch).parquet(dirs: _*)
+          .withColumn("cid",
+            regexp_extract(input_file_name(), "cid=(\\d+)", 1).cast("long"))
+      }
+    }
     // live deletes mask list rows at probe time (small id set, broadcast
-    // anti-join; the probes' cid predicate still pushes through the join's
-    // left side into every per-tree scan — pruning is unaffected)
+    // anti-join over the already-pruned slice)
     readTombstones(spark, path) match {
       case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
       case None => all
@@ -693,9 +711,7 @@ object IvfIndex {
       .join(qq, Seq("query_id"))
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
     def lists(cols: Column*): DataFrame =
-      readLists(spark, path)
-        .filter(col("cid").isin(probed.toIndexedSeq: _*))
-        .select(cols: _*)
+      readLists(spark, path, probed.toIndexedSeq).select(cols: _*)
     val qscored = lists(col("id").as("neighbor_id"), col("qvec").as("qv"),
         col("qnrm").as("qnv"), col("cid"))
       .join(broadcast(qsq), Seq("cid"))
@@ -737,12 +753,10 @@ object IvfIndex {
     // ≤ nlist rows: the coarse quantizer is driver-resident by design
     val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
-    // the probed-list set is ≤ nlist values regardless of |queries| — an
-    // IN over the partition column is what turns the probe into a
-    // partition-pruned scan (directories outside it are never listed)
+    // the probed-list set is ≤ nlist values regardless of |queries| —
+    // readLists prunes to exactly those directories on the driver
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val corpus = readLists(spark, path)
-      .filter(col("cid").isin(probed.toIndexedSeq: _*))
+    val corpus = readLists(spark, path, probed.toIndexedSeq)
       .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
     Similarity.ivfRank(corpus, qs, k)
   }

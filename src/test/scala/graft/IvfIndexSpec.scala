@@ -32,6 +32,17 @@ class IvfIndexSpec extends SparkTestBase {
         if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
     }
 
+  /** cid pruning happens on the driver, before the relation exists: the
+    * scan's roots must be `cid=` directories (never a tree root). Returns
+    * the distinct pruned roots for count assertions.
+    */
+  private def prunedCidRoots(scan: FileSourceScanExec): Seq[String] = {
+    val roots = scan.relation.location.rootPaths.map(_.toString)
+    assert(roots.nonEmpty && roots.forall(_.matches(".*lists/cid=\\d+$")),
+      s"scan roots must be pruned cid directories:\n${roots.mkString("\n")}")
+    roots.distinct
+  }
+
   test("probe == in-plan ivfTopK bit-exact; scan is partition-pruned; rebuild idempotent") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
@@ -49,17 +60,14 @@ class IvfIndexSpec extends SparkTestBase {
       .filter(f => f.isDirectory && f.getName.startsWith("cid=")).map(_.getName).toSet
     assert(dirs.nonEmpty && dirs.size <= 16, s"expected <= nlist cid dirs, got $dirs")
 
-    // partition pruning: the lists scan carries a cid partition filter and
-    // selects strictly fewer directories than exist (nprobe=4 of 16 lists
+    // driver-side pruning: the lists scan's roots are exactly the probed
+    // cid directories — strictly fewer than exist (nprobe=4 of 16 lists
     // per query; 10 queries can union to at most 16 but the planted corpus
     // concentrates them well below the full set)
     probe.collect()
     val scan = listsScan(probe.queryExecution.executedPlan)
       .getOrElse(fail(s"no lists scan in:\n${probe.queryExecution.executedPlan}"))
-    assert(scan.partitionFilters.nonEmpty,
-      s"probe scan must carry a cid partition filter:\n$scan")
-    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
-      .map(_.values).size
+    val selected = prunedCidRoots(scan).size
     assert(selected < dirs.size,
       s"probe must read fewer lists ($selected) than exist (${dirs.size})")
 
@@ -99,7 +107,7 @@ class IvfIndexSpec extends SparkTestBase {
     narrow.collect()
     val scan = listsScan(narrow.queryExecution.executedPlan)
       .getOrElse(fail("no lists scan in quantized probe plan"))
-    assert(scan.partitionFilters.nonEmpty, "quantized probe must keep the cid partition filter")
+    assert(prunedCidRoots(scan).nonEmpty, "quantized probe must stay cid-dir pruned")
   }
 
   test("nlist = 0 auto-sizes to clamp(sqrt(n), 16, 4096); probes still exact") {
@@ -151,7 +159,7 @@ class IvfIndexSpec extends SparkTestBase {
     narrow.collect()
     val scan = listsScan(narrow.queryExecution.executedPlan)
       .getOrElse(fail("no lists scan in PQ probe plan"))
-    assert(scan.partitionFilters.nonEmpty, "PQ probe must keep the cid partition filter")
+    assert(prunedCidRoots(scan).nonEmpty, "PQ probe must stay cid-dir pruned")
   }
 
   test("append epochs: probe == full-rebuild probe bit-exact; pruning spans every tree; compact crash contract") {
@@ -185,21 +193,16 @@ class IvfIndexSpec extends SparkTestBase {
     val epochRoots = new java.io.File(s"$path/epochs").listFiles().map(e => s"$e/lists").toSeq
     val totalDirs = (s"$path/lists" +: epochRoots).map(cidDirs(_).size).sum
     probe.collect()
-    // one scan per tree (Spark cannot infer one partitioning across base +
-    // epoch roots, so the trees are unioned) — the cid predicate must push
-    // into EVERY per-tree scan
-    val scans = allNodes(probe.queryExecution.executedPlan).collect {
-      case s: FileSourceScanExec
-        if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
-    }
-    assert(scans.size == 3,
-      s"probe must scan base + 2 epoch trees, got ${scans.map(_.relation.location.rootPaths)}")
-    assert(scans.forall(_.partitionFilters.nonEmpty),
-      "every per-tree scan must keep the cid partition filter")
-    val selected = scans.map(s =>
-      s.relation.location.listFiles(s.partitionFilters, s.dataFilters).map(_.values).size).sum
-    assert(selected < totalDirs,
-      s"probe must read fewer partition dirs ($selected) than exist ($totalDirs)")
+    // ONE packed relation whose roots are the probed cid dirs of EVERY
+    // tree (driver-side pruning spans base + epochs; per-tree scans would
+    // pay a listing per epoch)
+    val scan = listsScan(probe.queryExecution.executedPlan)
+      .getOrElse(fail("no lists scan in appended probe plan"))
+    val roots = prunedCidRoots(scan)
+    assert(roots.exists(!_.contains("/epochs/")) && roots.exists(_.contains("/epochs/")),
+      s"scan roots must span base AND epoch trees:\n${roots.mkString("\n")}")
+    assert(roots.size < totalDirs,
+      s"probe must read fewer partition dirs (${roots.size}) than exist ($totalDirs)")
 
     // crash window: a compact tree whose data landed but whose _MERGED
     // manifest did not must be invisible wholesale — otherwise its rows and
@@ -244,13 +247,13 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.delete(dead, path)
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == after)
 
-    // pruning must survive the tombstone anti-join: the cid predicate
-    // still reaches the lists scan as a partition filter
+    // pruning must survive the tombstone anti-join: the lists scan under
+    // the delete mask still reads only the probed cid directories
     probe.collect()
     val scan = listsScan(probe.queryExecution.executedPlan)
       .getOrElse(fail("no lists scan under the tombstone anti-join"))
-    assert(scan.partitionFilters.nonEmpty,
-      "cid partition filter must push through the delete mask")
+    assert(prunedCidRoots(scan).nonEmpty,
+      "cid-dir pruning must push through the delete mask")
 
     // compact applies the deletes permanently and retires the tombstones
     IvfIndex.compact(spark, path)
