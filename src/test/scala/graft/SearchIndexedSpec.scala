@@ -59,7 +59,8 @@ class SearchIndexedSpec extends SparkTestBase {
       case s: FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
     }
-    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
-      "the semantic arm's lists scan must keep the cid partition filter")
+    assert(scans.nonEmpty && scans.forall(
+        _.relation.location.rootPaths.forall(_.toString.matches(".*lists/cid=\\d+$"))),
+      "the semantic arm's lists scan must read only driver-pruned cid directories")
   }
 }

@@ -246,7 +246,8 @@ class TextIndexSpec extends SparkTestBase {
       case s: FileSourceScanExec
         if s.relation.location.rootPaths.exists(_.toString.contains("lists")) => s
     }
-    assert(lists.nonEmpty && lists.forall(_.partitionFilters.nonEmpty),
-      "lists scans must keep their cid partition filter")
+    assert(lists.nonEmpty && lists.forall(
+        _.relation.location.rootPaths.forall(_.toString.matches(".*lists/cid=\\d+$"))),
+      "lists scans must read only driver-pruned cid directories")
   }
 }
