@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftSimhashSig)
     ext.injectFunction(GraftExtensions.graftQuantize)
     ext.injectTableFunction(GraftExtensions.graftRenko)
+    ext.injectTableFunction(GraftExtensions.graftBm25)
+    ext.injectTableFunction(GraftExtensions.graftAnn)
   }
 }
 
@@ -149,7 +151,7 @@ object GraftExtensions {
   private def stringLit(e: Expression, what: String): String = e.eval() match {
     case u: UTF8String => u.toString
     case other => throw new IllegalArgumentException(
-      s"graft_renko: $what must be a string literal, got $other")
+      s"$what must be a string literal, got $other")
   }
 
   private[graft] val graftRenko: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
@@ -175,6 +177,43 @@ object GraftExtensions {
       RenkoModes.project(wide, mode).queryExecution.logical
     })
 
+  /** `graft_bm25(index_path, terms_csv [, k])` — BM25 top-k served from a
+    * persisted [[graft.operators.TextIndex]], as a composable SQL relation:
+    * the serving twin of the `graft_renko` TVF. Literal args only.
+    */
+  private[graft] val graftBm25: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_bm25"),
+    new ExpressionInfo(graft.operators.TextIndex.getClass.getName, "graft_bm25"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 2 && children.length <= 3,
+        "graft_bm25 expects (index_path, terms_csv [, k])")
+      val path = stringLit(children(0), "index_path")
+      val terms = stringLit(children(1), "terms_csv").split(",").map(_.trim)
+        .filter(_.nonEmpty).toIndexedSeq
+      val k = intLit(children, 2, 20, "graft_bm25")
+      graft.operators.TextIndex.bm25TopK(SparkSession.active, path, terms, k)
+        .queryExecution.logical
+    })
+
+  /** `graft_ann(index_path, queries_table [, k [, nprobe]])` — IVF ANN
+    * top-k served from a persisted [[graft.operators.IvfIndex]] over a
+    * query table/view carrying (vec_id, embedding). Literal args only.
+    */
+  private[graft] val graftAnn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_ann"),
+    new ExpressionInfo(graft.operators.IvfIndex.getClass.getName, "graft_ann"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 2 && children.length <= 4,
+        "graft_ann expects (index_path, queries_table [, k [, nprobe]])")
+      val path = stringLit(children(0), "index_path")
+      val table = stringLit(children(1), "queries_table")
+      val k = intLit(children, 2, 5, "graft_ann")
+      val nprobe = intLit(children, 3, 4, "graft_ann")
+      val spark = SparkSession.active
+      graft.operators.IvfIndex.probe(spark, path, spark.table(table), k, nprobe)
+        .queryExecution.logical
+    })
+
   /** Register `graft_renko` on an already-built session — for callers that
     * did not (or cannot) set `spark.sql.extensions` at session construction
     * (e.g. the driver's Verify/Bench sessions).
@@ -182,4 +221,12 @@ object GraftExtensions {
   def registerRenkoTvf(spark: SparkSession): Unit =
     org.apache.spark.sql.GraftSqlShim.registerTableFunction(
       spark, graftRenko._1, graftRenko._2, graftRenko._3)
+
+  /** Register every graft table-valued function (`graft_renko`,
+    * `graft_bm25`, `graft_ann`) on an already-built session.
+    */
+  def registerTvfs(spark: SparkSession): Unit =
+    Seq(graftRenko, graftBm25, graftAnn).foreach { f =>
+      org.apache.spark.sql.GraftSqlShim.registerTableFunction(spark, f._1, f._2, f._3)
+    }
 }

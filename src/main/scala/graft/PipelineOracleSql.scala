@@ -2138,6 +2138,8 @@ object PipelineOracleSql {
     "sim_topk_ivf" -> ivfTopK,
     // the persisted index is bit-transparent: same result, same oracle
     "sim_topk_ivf_indexed" -> ivfTopK,
+    // ...and so is the SQL TVF over it
+    "sim_topk_ivf_tvf" -> ivfTopK,
     // append under frozen centroids: the initial corpus holds every
     // lowest-id vector, so the centroids equal the full-corpus build's and
     // the full-corpus oracle replays the probe exactly
@@ -2165,6 +2167,8 @@ object PipelineOracleSql {
     "text_bm25" -> bm25TopK,
     // the persisted inverted index is bit-transparent: same result, same oracle
     "text_bm25_indexed" -> bm25TopK,
+    // ...and so is the SQL TVF over it
+    "text_bm25_tvf" -> bm25TopK,
     // append epochs are additive in df/n_docs/avgdl: same oracle again
     "text_bm25_appended" -> bm25TopK,
     // streaming-ingest fold: additivity again — same oracle

@@ -863,6 +863,25 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
+    "text_bm25_tvf" -> ((s, dir) => {
+      // the SQL serving surface: the same persisted-index probe planned
+      // entirely through `SELECT * FROM graft_bm25(...)`
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_tvf_${Integer.toHexString(dir.hashCode)}"
+      TextIndex.write(docs, path)
+      GraftExtensions.registerTvfs(s)
+      s.sql(s"SELECT * FROM graft_bm25('$path', 'dup,vector,join,slow', 20) ORDER BY rank")
+    }),
+    "sim_topk_ivf_tvf" -> ((s, dir) => {
+      // the vector twin: a persisted-IVF ANN probe from SQL
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_tvf_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path)
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_tvf_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"SELECT * FROM graft_ann('$path', 'graft_ann_tvf_queries', 5, 4) ORDER BY query_id, rank")
+    }),
     // the GROWING-corpus form of the lexical index: build on half the
     // corpus, append the rest as a committed epoch — df/n_docs/avgdl are
     // additive, so the probe answers bit-identically to a full rebuild and

@@ -55,6 +55,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(agg.getLong(0) == viaApi.length)
   }
 
+  test("graft_bm25 / graft_ann serving TVFs: SQL probes == API probes bit-exactly") {
+    GraftExtensions.registerTvfs(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-tvf-lex").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-tvf-ivf").toString
+    graft.operators.TextIndex.write(docs, lexPath)
+    graft.operators.IvfIndex.write(emb, ivfPath, nlist = 16)
+    val bmSql = spark.sql(
+      s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 10) ORDER BY rank").collect().toSeq
+    val bmApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10)
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmSql.nonEmpty && bmSql == bmApi, "graft_bm25 must equal the API probe")
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_tvf_q")
+    val annSql = spark.sql(
+      s"SELECT * FROM graft_ann('$ivfPath', 'graft_tvf_q', 4, 4) ORDER BY query_id, rank")
+      .collect().toSeq
+    val annApi = graft.operators.IvfIndex
+      .probe(spark, ivfPath, emb.filter(col("vec_id") < 3), 4, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(annSql.nonEmpty && annSql == annApi, "graft_ann must equal the API probe")
+    // composable: an aggregate over the TVF relation
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_bm25('$lexPath', 'dup', 5)")
+      .collect()(0).getLong(0) <= 5)
+  }
+
   test("graft_polyhash callable from SQL, matches the Column API") {
     val (pi, pinfo, pbuilder) = GraftExtensions.graftPolyHash
     spark.sessionState.functionRegistry.registerFunction(pi, pinfo, pbuilder)
