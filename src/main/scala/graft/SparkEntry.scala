@@ -1407,6 +1407,17 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("maxval"),
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
           col("luma_micro"))
+        .orderBy(col("doc_id"))),
+    "mm_decode_wav" -> ((s, dir) =>
+      // real RIFF/PCM audio decode (chunk-walking parser) over payloads
+      // whose sample stream is a pure function of the text — the audio
+      // twin of mm_decode_ppm, all-integer stats so the oracle is exact
+      Multimodal.decodeWav(
+          Multimodal.encodeWav(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("doc_id"), col("n_channels"), col("sample_rate"),
+          col("bits"), col("n_frames"), col("dur_micros"), col("sum_abs"),
+          col("peak_abs"), col("sum_sq"))
         .orderBy(col("doc_id")))
   )
 
@@ -2091,7 +2102,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(16 AS BIGINT) AS width, height,
         |  CAST(255 AS BIGINT) AS maxval, n_pixels, sum_r, sum_g, sum_b,
         |  CAST((299*sum_r + 587*sum_g + 114*sum_b) * 1000 // n_pixels AS BIGINT) AS luma_micro
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_decode_wav" ->
+      """WITH c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, (n + (n % 2)) // 2 AS n_frames,
+        |    list_transform(range(1, ((n + (n % 2)) // 2) + 1),
+        |      i -> codes[CAST(2*i - 1 AS INT)]
+        |        + 256 * (CASE WHEN 2*i <= n THEN codes[CAST(2*i AS INT)] ELSE 0 END)) AS v
+        |  FROM c),
+        |t AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(v, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sv
+        |  FROM s)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 1000000 // 8000 AS BIGINT) AS dur_micros,
+        |  CAST(coalesce(list_sum(list_transform(sv, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+        |  CAST(coalesce(list_max(list_transform(sv, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
+        |  CAST(coalesce(list_sum(list_transform(sv, x -> x*x)), 0) AS BIGINT) AS sum_sq
+        |FROM t ORDER BY doc_id""".stripMargin
   ))
 
   /** Queries whose output is identical BY CONSTRUCTION to another query's

@@ -580,6 +580,67 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal WAV decode: real RIFF chunk walking, exact sample stats, invalid payloads flagged") {
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def fmt(tag: Int = 1, ch: Int = 1, rate: Int = 8000, bits: Int = 16) =
+      chunk("fmt ", le16(tag) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch * bits / 8) ++
+        le16(ch * bits / 8) ++ le16(bits))
+    def wav(chunks: Array[Byte]*) = {
+      val body = chunks.flatten.toArray
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        "WAVE".getBytes("US-ASCII") ++ body
+    }
+    // samples 100, -2 → LE bytes (100,0), (254,255)
+    val pcm = Array[Byte](100, 0, (-2 & 0xFF).toByte, (-1 & 0xFF).toByte)
+    val rows = Seq(
+      1L -> wav(fmt(), chunk("data", pcm)),                       // canonical
+      2L -> wav(chunk("LIST", "INFOx".getBytes("US-ASCII")),      // odd-size chunk pad +
+        fmt(), chunk("data", pcm)),                               // unknown chunk walked over
+      3L -> wav(chunk("data", pcm), fmt()),                       // data before fmt
+      4L -> wav(fmt(tag = 3), chunk("data", pcm)),                // float PCM rejected
+      5L -> wav(fmt(bits = 8), chunk("data", pcm)),               // 8-bit rejected
+      6L -> wav(fmt(), "data".getBytes("US-ASCII") ++ le32(99) ++ pcm), // truncated data
+      7L -> wav(fmt()),                                           // no data chunk
+      8L -> "RIFX1234WAVE".getBytes("US-ASCII"))                  // wrong magic
+    val got = Multimodal.decodeWav(rows.toDF("doc_id", "payload"))
+      .collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val s = got(id)
+      assert(s.valid && s.n_channels == 1 && s.sample_rate == 8000 &&
+        s.bits == 16 && s.n_frames == 2 && s.dur_micros == 250 &&
+        s.sum_abs == 102 && s.peak_abs == 100 && s.sum_sq == 10004,
+        s"doc $id decoded wrong: $s")
+    }
+    for (id <- Seq(4L, 5L, 6L, 7L, 8L))
+      assert(!got(id).valid, s"doc $id must be invalid: ${got(id)}")
+
+    // fixture round-trip: generated payloads are genuinely decodable and
+    // the stats equal the text-derived expectation (the oracle's formula)
+    val sample = docs.limit(50)
+    val decoded = Multimodal.decodeWav(Multimodal.encodeWav(sample)).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.valid),
+      "every generated WAV must parse")
+    val texts = sample.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.foreach { s =>
+      val b = texts(s.doc_id).getBytes("UTF-8").map(_ & 0xFF)
+      val padded = if (b.length % 2 == 1) b :+ 0 else b
+      val samples = padded.grouped(2).map { case Array(lo, hi) =>
+        val v = lo | (hi << 8); if (v >= 32768) v - 65536 else v
+      }.toSeq
+      assert(s.n_frames == samples.size &&
+        s.sum_abs == samples.map(x => math.abs(x).toLong).sum &&
+        s.peak_abs == (if (samples.isEmpty) 0L else samples.map(math.abs).max.toLong) &&
+        s.sum_sq == samples.map(x => x.toLong * x).sum,
+        s"doc ${s.doc_id}: sample stats diverge from the text bytes")
+    }
+  }
+
   test("multimodal resize: exact strided byte sampling") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = Multimodal.resize(Multimodal.asMedia(docs), targetLen = 64)
