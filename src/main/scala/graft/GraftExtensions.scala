@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.graftRenko)
     ext.injectTableFunction(GraftExtensions.graftBm25)
     ext.injectTableFunction(GraftExtensions.graftAnn)
+    // the multi-series renko TVF plans through RenkoScanNode: the rule
+    // pushes symbol predicates through the stateful scan to the tick
+    // source, the strategy expands the node after optimization
+    ext.injectOptimizerRule(_ => graft.plans.RenkoSymbolPushdown)
+    ext.injectPlannerStrategy(_ => new graft.plans.RenkoScanStrategy)
   }
 }
 
@@ -174,7 +179,18 @@ object GraftExtensions {
       val tsUnit = if (children.length >= 5) stringLit(children(4), "ts_unit") else "us"
       val spark = SparkSession.active
       val wide = Renko.fromTicks(spark.table(table), brick, symbolCol = symbolCol, tsUnit = tsUnit)
-      RenkoModes.project(wide, mode).queryExecution.logical
+      val projected = RenkoModes.project(wide, mode)
+      symbolCol match {
+        // multi-series: plan through the RenkoScanNode placeholder so
+        // symbol predicates can push through the scan to the tick source
+        // (RenkoSymbolPushdown + RenkoScanStrategy — registerTvfs and the
+        // extensions path both install them)
+        case Some(sc) =>
+          graft.plans.RenkoScanNode(brick, mode, sc, tsUnit,
+            projected.queryExecution.analyzed.output.map(_.newInstance()),
+            spark.table(table).queryExecution.logical)
+        case None => projected.queryExecution.logical
+      }
     })
 
   /** `graft_bm25(index_path, terms_csv [, k])` — BM25 top-k served from a
@@ -223,10 +239,19 @@ object GraftExtensions {
       spark, graftRenko._1, graftRenko._2, graftRenko._3)
 
   /** Register every graft table-valued function (`graft_renko`,
-    * `graft_bm25`, `graft_ann`) on an already-built session.
+    * `graft_bm25`, `graft_ann`) on an already-built session, plus the
+    * optimizer rule and planner strategy the multi-series renko TVF plans
+    * through (via `spark.experimental` — the runtime twin of the
+    * injectOptimizerRule/injectPlannerStrategy extension path).
     */
-  def registerTvfs(spark: SparkSession): Unit =
+  def registerTvfs(spark: SparkSession): Unit = {
     Seq(graftRenko, graftBm25, graftAnn).foreach { f =>
       org.apache.spark.sql.GraftSqlShim.registerTableFunction(spark, f._1, f._2, f._3)
     }
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(graft.plans.RenkoSymbolPushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RenkoSymbolPushdown
+    if (!exp.extraStrategies.exists(_.isInstanceOf[graft.plans.RenkoScanStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new graft.plans.RenkoScanStrategy
+  }
 }

@@ -272,6 +272,10 @@ object RenkoOracleSql {
       "renko_sql_tvf" -> modeOracle("wicks"),
       "renko_multi_series" -> modeOracle("wicks", src = eventsByType),
       "renko_multi_series_parallel" -> modeOracle("wicks", src = eventsByType),
+      // symbol pushdown ≡ restricting the tick SOURCE to that series — the
+      // oracle mirrors the pushed plan exactly
+      "renko_tvf_pushdown" -> modeOracle("wicks",
+        src = eventsByType + " WHERE event_type = 'click'"),
       "renko_by_user" -> modeOracle("wicks", src = eventsByUser),
       "renko_to_rws" -> toRwsOracle,
       "renko_ws_replay" -> wsReplayOracle,

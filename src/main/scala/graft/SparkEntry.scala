@@ -115,6 +115,17 @@ object SparkEntry {
       emissionOrdered(RenkoModes.project(
         Renko.fromTicksParallel(eventTicks(s, dir), EventBrick, tsUnit = "ns",
           numPartitions = 8), "wicks"))),
+    "renko_tvf_pushdown" -> ((s, dir) => {
+      // the custom-Catalyst path end-to-end: multi-series TVF + symbol
+      // predicate, planned through RenkoScanNode with RenkoSymbolPushdown
+      // moving the predicate to the tick source BEFORE the shuffle and the
+      // stateful fold (ExtensionsSpec pins the pushed filter on the scan)
+      GraftExtensions.registerTvfs(s)
+      eventTicksByType(s, dir).createOrReplaceTempView("graft_tvf_pushdown_ticks")
+      emissionOrdered(s.sql(
+        s"SELECT * FROM graft_renko('graft_tvf_pushdown_ticks', $EventBrick, " +
+          "'wicks', 'event_type', 'ns') WHERE symbol = 'click'"))
+    }),
     "renko_sql_tvf" -> ((s, dir) => {
       // the SQL TVF surface (SURVEY §7.3): the same scan + mode projection
       // planned entirely through `SELECT * FROM graft_renko(...)`, checked

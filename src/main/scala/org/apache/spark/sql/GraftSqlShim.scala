@@ -14,6 +14,14 @@ object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — used by planner strategies that expand a custom
+    * logical node by rebuilding a DataFrame pipeline over its child.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a table-valued function on an ALREADY-BUILT session — the
     * runtime twin of `SparkSessionExtensions.injectTableFunction`, for
     * sessions constructed without `spark.sql.extensions` (the session-state

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 /** SQL-surface registration of graft's custom expressions. */
 class ExtensionsSpec extends SparkTestBase {
 
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
   test("graft_dot callable from SQL after registration") {
     // same builder triple the SparkSessionExtensions path injects
     val (ident, info, builder) = GraftExtensions.graftDot
@@ -53,6 +65,44 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT count(*) AS n, sum(volume) AS v FROM graft_renko('graft_tvf_ticks', 25.0, 'normal', '', 'ns')")
       .collect()(0)
     assert(agg.getLong(0) == viaApi.length)
+  }
+
+  test("renko TVF symbol pushdown: predicate reaches the tick scan, bricks bit-identical") {
+    GraftExtensions.registerTvfs(spark)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_type", "ts AS datetime", "value AS close")
+      .createOrReplaceTempView("graft_pushdown_ticks")
+    val sql = spark.sql(
+      """SELECT * FROM graft_renko('graft_pushdown_ticks', 25.0, 'wicks', 'event_type', 'ns')
+        |WHERE symbol = 'click'""".stripMargin)
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+    val viaApi = graft.operators.RenkoModes.project(
+        graft.operators.Renko.fromTicks(spark.table("graft_pushdown_ticks"), 25.0,
+          symbolCol = Some("event_type"), tsUnit = "ns"),
+        "wicks")
+      .filter(col("symbol") === "click")
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    val got = sql.collect()
+    assert(got.nonEmpty && got.length == viaApi.length,
+      s"pushdown result size ${got.length} vs ${viaApi.length}")
+    got.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    // the predicate really reached the parquet scan: the events scan
+    // carries an event_type pushed filter (filtering BEFORE the shuffle
+    // and the stateful fold, not after)
+    val scans = allNodes(sql.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("events")) => s
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata.get("PushedFilters").exists(_.contains("event_type"))),
+      s"symbol predicate must reach the tick scan as a pushed filter:\n${scans.mkString("\n")}")
+    // mixed conjunction: only the symbol conjunct moves, the rest filters bricks
+    val mixed = spark.sql(
+      """SELECT * FROM graft_renko('graft_pushdown_ticks', 25.0, 'wicks', 'event_type', 'ns')
+        |WHERE symbol = 'click' AND volume > 2""".stripMargin).collect()
+    val mixedApi = viaApi.filter(r => r.getLong(r.fieldIndex("volume")) > 2)
+    assert(mixed.toSet == mixedApi.toSet, "mixed conjunction must stay exact")
   }
 
   test("graft_bm25 / graft_ann serving TVFs: SQL probes == API probes bit-exactly") {
