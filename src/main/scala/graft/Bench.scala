@@ -156,7 +156,14 @@ object Bench {
       // probed without compaction (planning pays one merged meta read)
       "text_bm25_epochs" -> q("text_bm25_epochs"),
       "sim_topk_ivf_epochs" -> q("sim_topk_ivf_epochs"),
-      "mm_decode_ppm" -> q("mm_decode_ppm")
+      "mm_decode_ppm" -> q("mm_decode_ppm"),
+      // r9 session 2: real audio decode, SQL serving TVFs, and the
+      // Catalyst symbol-pushdown path (one series' ticks folded, not all)
+      "mm_decode_wav" -> q("mm_decode_wav"),
+      "text_bm25_tvf" -> q("text_bm25_tvf"),
+      "sim_topk_ivf_tvf" -> q("sim_topk_ivf_tvf"),
+      "renko_tvf_pushdown" -> q("renko_tvf_pushdown"),
+      "pipeline_curate_stream_funnel" -> q("pipeline_curate_stream_funnel")
     )
   }
 
