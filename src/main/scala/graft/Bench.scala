@@ -44,6 +44,17 @@ object Bench {
       "renko_14m_32series" -> (s => RenkoModes.project(
         Renko.fromTicks(synthTicks(s, 14700000L, 32), 1.0,
           symbolCol = Some("symbol"), tsUnit = "us"), "wicks")),
+      // the SAME 14.7M/32-series volume probed for ONE series through the
+      // SQL TVF: RenkoSymbolPushdown moves the predicate below the scan,
+      // so 31/32 of the ticks are dropped at the source — before the
+      // exchange and the stateful fold. The pushdown's scale dividend,
+      // measured against renko_14m_32series
+      "renko_14m_pushdown_1of32" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        synthTicks(s, 14700000L, 32).createOrReplaceTempView("bench_14m_ticks")
+        s.sql("SELECT * FROM graft_renko('bench_14m_ticks', 1.0, 'wicks', 'symbol', 'us') " +
+          "WHERE symbol = '7'")
+      }),
       // FEW simultaneously-huge series: the multi-series parallel scan
       // (per-symbol range partitioning + per-symbol stitch) — parallelism
       // stays 32 even though there are only 4 series
