@@ -20,6 +20,42 @@ object PipelineOracleSql {
 
   private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
 
+  /** Serving-state snapshot of the text index built base=doc_id%11=0 +
+    * epochs i=1..10 + delete doc_id%7=3 (mirrors the text_index_describe
+    * query): per-tree doc/token mass is a pure function of the corpus
+    * slices, tombstone mass of the deleted slice.
+    */
+  def textIndexDescribe: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($Tok) AS BIGINT) AS dl FROM documents)
+       |SELECT 'base' AS kind, CAST(0 AS BIGINT) AS ordinal,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl
+       |FROM d WHERE doc_id % 11 = 0
+       |UNION ALL
+       |SELECT 'epoch', CAST(i - 1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(dl), 0) AS BIGINT)
+       |FROM d, unnest(range(1, 11)) AS t(i) WHERE doc_id % 11 = i GROUP BY i
+       |UNION ALL
+       |SELECT 'tombstones', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(dl), 0) AS BIGINT)
+       |FROM d WHERE doc_id % 7 = 3
+       |ORDER BY kind, ordinal""".stripMargin
+
+  /** The vector twin (base=vec_id%5=0 + epochs i=1..4 + delete vec_id%9=2,
+    * mirroring ivf_index_describe).
+    */
+  def ivfIndexDescribe: String =
+    """SELECT 'base' AS kind, CAST(0 AS BIGINT) AS ordinal,
+      |  CAST(count(*) AS BIGINT) AS n_vectors
+      |FROM embeddings WHERE vec_id % 5 = 0
+      |UNION ALL
+      |SELECT 'epoch', CAST(i - 1 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM embeddings, unnest(range(1, 5)) AS t(i) WHERE vec_id % 5 = i GROUP BY i
+      |UNION ALL
+      |SELECT 'tombstones', CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM embeddings WHERE vec_id % 9 = 2
+      |ORDER BY kind, ordinal""".stripMargin
+
   /** polyHash(s) over a SQL string expression. */
   private def ph(s: String, mult: Long = 31L, prime: Long = 2147483647L): String =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -2178,6 +2214,8 @@ object PipelineOracleSql {
     // ten append epochs + a tombstone set: BM25 stats are additive across
     // epochs, so the serve-after-delete oracle replays it unchanged
     "text_bm25_epochs" -> bm25TopKWhere("doc_id % 7 != 3"),
+    "text_index_describe" -> textIndexDescribe,
+    "ivf_index_describe" -> ivfIndexDescribe,
     "sample_mixture" -> sampleMixture,
     "emb_outliers" -> embOutliers,
     "text_pack" -> textPack,

@@ -1411,6 +1411,34 @@ object SparkEntry {
     // the corpus, decoded by the actual netpbm-grammar parser — pixel sums
     // and ITU-601 luma are genuine decoded stats, and because the fixture
     // pixel stream is a pure function of the text the oracle replays them
+    "text_index_describe" -> ((s, dir) => {
+      // serving-state observability: exact per-tree doc/token mass + the
+      // live tombstone mass, the numbers an operator reads to decide when
+      // to compact — over the worst maintained state (10 epochs + deletes)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_desc_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path)
+      for (i <- 1 to 10)
+        TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
+      TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+      TextIndex.describe(s, path)
+    }),
+    "ivf_index_describe" -> ((s, dir) => {
+      // the vector twin: per-tree vector counts + masked-id count
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_desc_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      IvfIndex.write(emb.filter(col("vec_id") % 5 === 0), path, nlist = 16)
+      for (i <- 1 to 4)
+        IvfIndex.append(emb.filter(col("vec_id") % 5 === i), path)
+      IvfIndex.delete(emb.filter(col("vec_id") % 9 === 2), path)
+      IvfIndex.describe(s, path)
+    }),
     "mm_decode_ppm" -> ((s, dir) =>
       Multimodal.decodePpm(
           Multimodal.encodePpm(s.read.parquet(s"$dir/documents.parquet")))

@@ -454,6 +454,36 @@ object IvfIndex {
       .select(col("id")).distinct())
   }
 
+  /** Operational snapshot of the index's serving state: one row per live
+    * tree — (kind = base|epoch|compact, per-kind ordinal in committed
+    * order, exact n_vectors) — plus one `tombstones` row (distinct masked
+    * ids) when deletes are live. The vector twin of
+    * [[TextIndex.describe]]: an operator reads this to decide when to
+    * [[compact]]. The IVF layout stores no per-tree meta, so the counts
+    * come from one id-column count per tree (column-pruned scans — a
+    * maintenance op, not a probe path).
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val roots = listRootsWithIds(spark, path)
+    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+    def kindOf(t: String) =
+      if (t == "base") "base" else if (t.startsWith("compact-")) "compact" else "epoch"
+    val ordinals = roots.map(_._1).groupBy(kindOf).flatMap { case (_, ts) =>
+      ts.zipWithIndex.map { case (t, i) => t -> i.toLong }
+    }
+    val treeRows = roots.map { case (t, r) =>
+      (kindOf(t), ordinals(t), spark.read.parquet(r).select(col("id")).count())
+    }
+    val tombRow = readTombstones(spark, path) match {
+      case Some(ts) => Seq(("tombstones", 0L, ts.count()))
+      case None => Seq.empty
+    }
+    (treeRows ++ tombRow)
+      .toDF("kind", "ordinal", "n_vectors")
+      .orderBy(col("kind"), col("ordinal"))
+  }
+
   /** Consolidate the base lists and every committed epoch into ONE
     * `compact-*` epoch, then sweep the replaced trees — the maintenance op
     * that stops per-epoch accretion from making probes file-listing-bound

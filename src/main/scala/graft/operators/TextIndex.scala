@@ -411,6 +411,45 @@ object TextIndex {
     }
   }
 
+  /** Operational snapshot of the index's serving state: one row per live
+    * tree — (kind = base|epoch|compact, per-kind ordinal in committed
+    * order, exact n_docs / sum_dl from the tree's meta) — plus one
+    * `tombstones` row (distinct masked docs and their token mass) when
+    * deletes are live. The observability half of the maintenance story: an
+    * operator reads this to decide when to [[compact]] (live-tree count,
+    * tombstone mass) without touching a posting. ONE multi-root meta read
+    * (the tree is recovered from the file path); the result is
+    * trees+1-row tiny by construction.
+    */
+  def describe(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    val byTree = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
+      .withColumn("tree",
+        when(input_file_name().contains("/epochs/"),
+          regexp_extract(input_file_name(), "/epochs/([^/]+)/meta/", 1))
+          .otherwise(lit("base")))
+      .select(col("tree"), col("n_docs").cast("long"), col("sum_dl").cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def kindOf(t: String) =
+      if (t == "base") "base" else if (t.startsWith("compact-")) "compact" else "epoch"
+    val ordinals = trees.groupBy(kindOf).flatMap { case (_, ts) =>
+      ts.zipWithIndex.map { case (t, i) => t -> i.toLong }
+    }
+    val treeRows = trees.map { t =>
+      val (n, dl) = byTree(t)
+      (kindOf(t), ordinals(t), n, dl)
+    }
+    val tombRow = tombstoneStats(readTombstones(spark, path)) match {
+      case (0L, _) => Seq.empty
+      case (n, dl) => Seq(("tombstones", 0L, n, dl))
+    }
+    (treeRows ++ tombRow)
+      .toDF("kind", "ordinal", "n_docs", "sum_dl")
+      .orderBy(col("kind"), col("ordinal"))
+  }
+
   /** BM25 top-k answered from the persisted index: same output contract as
     * [[Search.bm25TopK]] — (doc_id, rank, bm25 rounded 6 dp), rank over
     * (bm25 DESC, doc_id ASC) — and bit-identical to it over the indexed

@@ -217,6 +217,27 @@ class TextIndexSpec extends SparkTestBase {
       s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
   }
 
+  test("describe reports the serving state exactly; compaction collapses it") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-desc").toString
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, nBuckets = 16)
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+    val d1 = TextIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(d1.map(_._1).toSeq == Seq("base", "epoch", "tombstones"), d1.mkString(", "))
+    val nEven = docs.filter(col("doc_id") % 2 === 0).count()
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    val nDel = docs.filter(col("doc_id") % 7 === 3).count()
+    assert(d1(0)._3 == nEven && d1(1)._3 == nOdd && d1(2)._3 == nDel,
+      s"describe doc counts must be exact: $nEven/$nOdd/$nDel vs ${d1.mkString(", ")}")
+    TextIndex.compact(spark, path, 1)
+    val d2 = TextIndex.describe(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(d2.length == 1 && d2(0)._1 == "compact" && d2(0)._3 == nEven + nOdd - nDel,
+      s"post-compaction describe must be one tree, survivors only: ${d2.mkString(", ")}")
+  }
+
   test("fully index-served hybrid fusion == indexed-hybrid fusion at the same nprobe") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
