@@ -284,17 +284,119 @@ object CurationStream {
     }
 
   /** Epochs whose docs AND buckets AND out writes all carry `_SUCCESS` —
-    * the triple-commit rule that moves the three states atomically.
+    * the triple-commit rule that moves the three states atomically. A
+    * `compact-*` epoch instead commits via its `_MERGED` manifest (its
+    * three parquet `_SUCCESS` files land BEFORE the manifest, so gating on
+    * them would double-serve the olds it copied during the crash window),
+    * and epochs a committed manifest names are excluded.
     */
   private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
+    val fs = new Path(s"$storeDir/docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = rawEpochs(spark, storeDir).filter { e =>
+      if (e.startsWith("compact-"))
+        fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED"))
+      else Seq("docs", "buckets", "out")
+        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS")))
+    }
+    committed.filterNot(mergedEpochs(spark, storeDir)).sorted
+  }
+
+  private def rawEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
     val root = new Path(s"$storeDir/docs")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch="))
-      .filter(e => Seq("docs", "buckets", "out")
-        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS"))))
       .sorted
+  }
+
+  /** Epoch ids named by the `_MERGED` manifest of any committed compact
+    * epoch — replaced, therefore invisible.
+    */
+  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
+    val fs = new Path(s"$storeDir/docs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rawEpochs(spark, storeDir).flatMap { e =>
+      val m = new Path(s"$storeDir/docs/batch=$e/_MERGED")
+      if (!fs.exists(m)) Seq.empty
+      else {
+        val in = fs.open(m)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }.toSet
+  }
+
+  /** Consolidate every committed epoch's THREE sides into one
+    * `compact-<uuid>` epoch and sweep the replaced directories — the same
+    * standing maintenance op as the admission/block/drift stores (one
+    * docs+buckets+out directory accretes per trigger; at cluster scale
+    * that's the small-files decay that makes the per-trigger store read
+    * file-listing-bound). Pure IO: all three sides are unioned, never
+    * re-derived — the budget state (max `cum_tokens` per stratum over
+    * `out`) and the dedup corpus are row-preserved by construction.
+    *
+    * Crash contract: the consolidated epoch's commit marker is its
+    * `_MERGED` manifest (written last via atomic rename, naming the
+    * replaced epochs) — a crash before it leaves an orphaned invisible
+    * compact epoch (reclaimed by the next sweep), after it leaves replaced
+    * directories that are already invisible. Safe against replays WITHOUT
+    * a keep-latest guard, unlike the block/drift stores: this store's
+    * epoch ids are unique per DECISION (batchId + random suffix), so a
+    * replayed micro-batch never rewrites an old epoch — it re-decides
+    * against the full committed store (its docs reject at the dedup gate
+    * as Jaccard-1.0 dups of their admitted copies), merged or not. Run it
+    * between triggers or with the stream stopped — maintenance and the
+    * decision loop must not race over the same directories.
+    */
+  def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int = 8): Unit =
+    compactStore(spark, storeDir, targetFiles, sweep = true)
+
+  /** `sweep = false` stops after the manifest commit — the post-crash
+    * state the manifest rule makes invisible (exercised by
+    * CurationStreamSpec; production uses the sweeping overload).
+    */
+  private[graft] def compactStore(
+      spark: SparkSession,
+      storeDir: String,
+      targetFiles: Int,
+      sweep: Boolean): Unit = {
+    val olds = committedEpochs(spark, storeDir)
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (olds.size > 1) {
+      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
+      Seq("docs", "buckets", "out").foreach { side =>
+        spark.read.parquet(olds.map(e => s"$storeDir/$side/batch=$e"): _*)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(s"$storeDir/$side/batch=$cpt")
+      }
+      // the commit point, atomic via rename: once the manifest exists the
+      // olds are dead; a partial manifest would resurrect half of them
+      val tmp = new Path(s"$storeDir/docs/batch=$cpt/_MERGED.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new Path(s"$storeDir/docs/batch=$cpt/_MERGED"))
+    }
+    if (sweep) sweepMerged(spark, storeDir)
+  }
+
+  /** Delete directories a committed manifest replaced, plus any orphaned
+    * pre-manifest compact epoch (invisible either way).
+    */
+  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropAllSides(e: String): Unit = Seq("docs", "buckets", "out").foreach { s =>
+      fs.delete(new Path(s"$storeDir/$s/batch=$e"), true)
+    }
+    mergedEpochs(spark, storeDir).foreach(dropAllSides)
+    rawEpochs(spark, storeDir)
+      .filter(e => e.startsWith("compact-") &&
+        !fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
+      .foreach(dropAllSides)
   }
 }

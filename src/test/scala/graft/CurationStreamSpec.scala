@@ -104,6 +104,48 @@ class CurationStreamSpec extends SparkTestBase {
       "at least one stratum should exhaust its budget")
   }
 
+  test("store compaction: readers unchanged, crash-mid-sweep invisible, re-offers still reject") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("curation_cpt_store").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_cpt_ckpt").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      for (e <- 0 until 3) { stream.addData(epochRows(e)); q.processAllAvailable() }
+    } finally q.stop()
+    val snapshot = curated(storeDir)
+    def epochDirs(side: String) =
+      new java.io.File(s"$storeDir/$side").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(epochDirs("docs").size == 3, "expected one epoch per trigger")
+    // crash window: manifest committed, replaced dirs still on disk — the
+    // olds must be invisible (no duplicated rows)
+    CurationStream.compactStore(spark, storeDir, targetFiles = 2, sweep = false)
+    assert(curated(storeDir) == snapshot,
+      "mid-sweep state must serve the compacted epoch only, no dups")
+    // full compaction: one epoch per side, readers bit-identical
+    CurationStream.compactStore(spark, storeDir, targetFiles = 2)
+    assert(epochDirs("docs").size == 1 && epochDirs("buckets").size == 1 &&
+      epochDirs("out").size == 1, s"expected one compact epoch, got ${epochDirs("docs")}")
+    assert(curated(storeDir) == snapshot, "compaction must not change the curated corpus")
+    // continuation against the compacted store: re-offering the whole
+    // corpus admits nothing (every doc is a Jaccard-1.0 dup of its
+    // admitted copy or rejects upstream) and the curated corpus is stable
+    val stream2 = MemoryStream[(Long, String, String)]
+    val q2 = CurationStream.start(
+      stream2.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_cpt_ckpt2").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      for (e <- 0 until 3) { stream2.addData(epochRows(e)); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(curated(storeDir) == snapshot,
+      "re-offered corpus must admit nothing against the compacted store")
+  }
+
   test("resume: re-offered epochs reject at the dedup gate; budget not double-consumed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
