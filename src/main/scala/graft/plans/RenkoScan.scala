@@ -36,6 +36,10 @@ case class RenkoScanNode(
   // referenced attributes and prune the child to nothing
   override def references: AttributeSet = child.outputSet
 
+  // the brick attributes originate HERE, not in the child — declare them
+  // produced so plan-validity checks never report them as missing input
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
   override protected def withNewChildInternal(newChild: LogicalPlan): RenkoScanNode =
     copy(child = newChild)
 }
