@@ -159,13 +159,24 @@ object GraftExtensions {
       s"$what must be a string literal, got $other")
   }
 
+  /** A TVF's tick/query relation argument: either a table/view NAME as a
+    * string literal (`graft_renko('ticks', ...)`) or a SQL TABLE argument
+    * (`graft_renko(TABLE(ticks), ...)`) — the latter arrives as a
+    * subquery-plan expression, whose plan is used directly.
+    */
+  private def relationArg(e: Expression, what: String): LogicalPlan = e match {
+    case t: org.apache.spark.sql.catalyst.expressions.FunctionTableSubqueryArgumentExpression =>
+      t.plan
+    case lit =>
+      SparkSession.active.table(stringLit(lit, what)).queryExecution.logical
+  }
+
   private[graft] val graftRenko: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_renko"),
     new ExpressionInfo(Renko.getClass.getName, "graft_renko"),
     (children: Seq[Expression]) => {
       require(children.length >= 2 && children.length <= 5,
         "graft_renko expects (table, brick_size [, mode [, symbol_col [, ts_unit]]])")
-      val table = stringLit(children(0), "table")
       val brick = children(1).eval() match {
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: java.lang.Number => n.doubleValue()
@@ -178,7 +189,9 @@ object GraftExtensions {
         else None
       val tsUnit = if (children.length >= 5) stringLit(children(4), "ts_unit") else "us"
       val spark = SparkSession.active
-      val wide = Renko.fromTicks(spark.table(table), brick, symbolCol = symbolCol, tsUnit = tsUnit)
+      val tickPlan = relationArg(children(0), "table")
+      val ticks = org.apache.spark.sql.GraftSqlShim.ofRows(spark, tickPlan)
+      val wide = Renko.fromTicks(ticks, brick, symbolCol = symbolCol, tsUnit = tsUnit)
       val projected = RenkoModes.project(wide, mode)
       symbolCol match {
         // multi-series: plan through the RenkoScanNode placeholder so
@@ -188,7 +201,7 @@ object GraftExtensions {
         case Some(sc) =>
           graft.plans.RenkoScanNode(brick, mode, sc, tsUnit,
             projected.queryExecution.analyzed.output.map(_.newInstance()),
-            spark.table(table).queryExecution.logical)
+            ticks.queryExecution.analyzed)
         case None => projected.queryExecution.logical
       }
     })
@@ -222,11 +235,12 @@ object GraftExtensions {
       require(children.length >= 2 && children.length <= 4,
         "graft_ann expects (index_path, queries_table [, k [, nprobe]])")
       val path = stringLit(children(0), "index_path")
-      val table = stringLit(children(1), "queries_table")
       val k = intLit(children, 2, 5, "graft_ann")
       val nprobe = intLit(children, 3, 4, "graft_ann")
       val spark = SparkSession.active
-      graft.operators.IvfIndex.probe(spark, path, spark.table(table), k, nprobe)
+      val queries = org.apache.spark.sql.GraftSqlShim.ofRows(
+        spark, relationArg(children(1), "queries_table"))
+      graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe)
         .queryExecution.logical
     })
 

@@ -65,6 +65,14 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT count(*) AS n, sum(volume) AS v FROM graft_renko('graft_tvf_ticks', 25.0, 'normal', '', 'ns')")
       .collect()(0)
     assert(agg.getLong(0) == viaApi.length)
+    // SQL TABLE() argument form: same relation, passed as a table arg
+    // instead of a name literal
+    val viaTableArg = spark.sql(
+      "SELECT * FROM graft_renko(TABLE(graft_tvf_ticks), 25.0, 'wicks', '', 'ns')")
+      .orderBy(col("datetime"), (col("close") * col("direction")).asc)
+      .collect()
+    assert(viaTableArg.length == viaApi.length)
+    viaTableArg.zip(viaApi).foreach { case (a, b) => assert(a == b) }
   }
 
   test("renko TVF symbol pushdown: predicate reaches the tick scan, bricks bit-identical") {
@@ -129,6 +137,11 @@ class ExtensionsSpec extends SparkTestBase {
     // composable: an aggregate over the TVF relation
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_bm25('$lexPath', 'dup', 5)")
       .collect()(0).getLong(0) <= 5)
+    // TABLE() argument form for the query relation
+    val annTbl = spark.sql(
+      s"SELECT * FROM graft_ann('$ivfPath', TABLE(graft_tvf_q), 4, 4) ORDER BY query_id, rank")
+      .collect().toSeq
+    assert(annTbl == annApi, "graft_ann(TABLE(...)) must equal the API probe")
   }
 
   test("graft_polyhash callable from SQL, matches the Column API") {
