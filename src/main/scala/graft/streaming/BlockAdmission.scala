@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.hadoop.fs.Path
+import graft.util.EpochStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -15,17 +15,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * oracle collapses the fold into one min over an (epoch, doc_id, pos)
   * composite key).
   *
-  * State = an epoch-committed store of 62-bit block hashes under
+  * State = an [[EpochStore]] of 62-bit block hashes under
   * `storeDir/blocks/batch=<e>` (one long per distinct block ever seen),
-  * with the epoch's cleaned output under `storeDir/out/batch=<e>`.
-  * Exactly-once contract: epochs are keyed DETERMINISTICALLY by
-  * micro-batch id; a replayed batch first UNCOMMITS its own epoch (out is
-  * deleted before blocks — out's `_SUCCESS` is the commit marker, written
-  * last), re-decides against the store WITHOUT its own prior attempt, and
-  * rewrites. A crash anywhere mid-epoch leaves it invisible and
-  * replayable; nothing is admitted or emitted twice.
+  * with the epoch's cleaned output under `storeDir/out/batch=<e>` (out is
+  * the commit side — written last). Exactly-once contract: epochs are
+  * keyed DETERMINISTICALLY by micro-batch id; a replayed batch first
+  * UNCOMMITS its own epoch, re-decides against the store WITHOUT its own
+  * prior attempt, and rewrites. A crash anywhere mid-epoch leaves it
+  * invisible and replayable; nothing is admitted or emitted twice.
   */
 object BlockAdmission {
+
+  private def store(storeDir: String): EpochStore =
+    EpochStore(storeDir, Seq("blocks", "out"))
 
   /** The per-epoch decision shared by [[start]] and the batch replay:
     * uncommit-then-rewrite `batchId`'s epoch under `storeDir`.
@@ -36,7 +38,7 @@ object BlockAdmission {
       batchId: Long,
       blockWords: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = store(storeDir)
     val epoch = f"batch-$batchId%08d"
     // a replayed epoch that a compaction already folded away CANNOT safely
     // re-decide: its blocks and output live inside the compact epoch, so
@@ -44,19 +46,18 @@ object BlockAdmission {
     // clean output would be double-served. Fail loudly — the operator must
     // compact with keepLatest >= 1 so epochs still inside the streaming
     // checkpoint's uncommitted window are never merged.
-    require(!mergedEpochs(spark, storeDir).contains(epoch),
+    require(!st.mergedEpochs(spark).contains(epoch),
       s"epoch $epoch was already merged by a store compaction; replaying it would " +
         "double-serve its output — compact with keepLatest >= 1 (never fold the " +
         "newest epoch) to keep replays safe")
     // uncommit first (out, then blocks): the replay must not see its own
     // prior attempt in the store, and a crash here leaves the epoch
     // invisible rather than half-served
-    fs.delete(new Path(s"$storeDir/out/batch=$epoch"), true)
-    fs.delete(new Path(s"$storeDir/blocks/batch=$epoch"), true)
+    st.uncommitEpoch(spark, epoch)
     val (out, fresh) = Dedup.blockDedupIncremental(
       readSeen(spark, storeDir), batch, blockWords)
-    fresh.write.mode("overwrite").parquet(s"$storeDir/blocks/batch=$epoch")
-    out.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")
+    fresh.write.mode("overwrite").parquet(st.sideDir("blocks", epoch))
+    out.write.mode("overwrite").parquet(st.sideDir("out", epoch))
   }
 
   /** Start the stream: `stream` must carry (doc_id, text). Cleaned output
@@ -78,26 +79,20 @@ object BlockAdmission {
       .start()
 
   /** Every committed epoch's cleaned output. */
-  def readClean(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val epochs = committedEpochs(spark, storeDir)
-    if (epochs.isEmpty) None
-    else Some(spark.read.parquet(epochs.map(e => s"$storeDir/out/batch=$e"): _*))
-  }
+  def readClean(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    store(storeDir).readSide(spark, "out")
 
   /** The seen-block store: committed epochs' hash sets. */
-  private def readSeen(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val epochs = committedEpochs(spark, storeDir)
-    if (epochs.isEmpty) None
-    else Some(spark.read.parquet(epochs.map(e => s"$storeDir/blocks/batch=$e"): _*))
-  }
+  private def readSeen(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    store(storeDir).readSide(spark, "blocks")
 
   /** Consolidate the committed epoch dirs into one `compact-*` epoch —
     * the standing maintenance op once triggers accrete (same discipline as
     * the near-dup admission store): the hash side dedups to one distinct
     * set, the out side is a pure union, and the atomic `_MERGED` manifest
-    * (written last into the compact epoch's blocks dir) retires the
-    * replaced epochs in one commit. Probes/readers are identical before
-    * and after. Run between triggers — maintenance does not race itself.
+    * retires the replaced epochs in one commit. Probes/readers are
+    * identical before and after. Run between triggers — maintenance does
+    * not race itself.
     */
   def compactStore(
       spark: SparkSession,
@@ -125,85 +120,9 @@ object BlockAdmission {
       storeDir: String,
       targetFiles: Int,
       sweep: Boolean,
-      keepLatest: Int): Unit = {
-    val committed = committedEpochs(spark, storeDir)
-    val protectSet = committed.filterNot(_.startsWith("compact-"))
-      .sorted.takeRight(keepLatest).toSet
-    val olds = committed.filterNot(protectSet)
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (olds.size > 1) {
-      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
-      spark.read.parquet(olds.map(e => s"$storeDir/blocks/batch=$e"): _*)
-        .distinct()
-        .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$storeDir/blocks/batch=$cpt")
-      spark.read.parquet(olds.map(e => s"$storeDir/out/batch=$e"): _*)
-        .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$storeDir/out/batch=$cpt")
-      val tmp = new Path(s"$storeDir/blocks/batch=$cpt/_MERGED.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(s"$storeDir/blocks/batch=$cpt/_MERGED"))
+      keepLatest: Int): Unit =
+    store(storeDir).compact(spark, targetFiles, sweep, keepLatest) {
+      case ("blocks", union) => union.distinct()
+      case (_, union) => union
     }
-    if (sweep) sweepMerged(spark, storeDir)
-  }
-
-  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedEpochs(spark, storeDir).foreach { e =>
-      fs.delete(new Path(s"$storeDir/blocks/batch=$e"), true)
-      fs.delete(new Path(s"$storeDir/out/batch=$e"), true)
-    }
-    val root = new Path(s"$storeDir/blocks")
-    if (fs.exists(root)) fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("batch=compact-") &&
-        !fs.exists(new Path(s"$storeDir/blocks/$n/_MERGED")))
-      .foreach { n =>
-        fs.delete(new Path(s"$storeDir/blocks/$n"), true)
-        fs.delete(new Path(s"$storeDir/out/$n"), true)
-      }
-  }
-
-  /** Epoch ids a committed `_MERGED` manifest replaced. */
-  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawEpochs(spark, storeDir).flatMap { e =>
-      val m = new Path(s"$storeDir/blocks/batch=$e/_MERGED")
-      if (!fs.exists(m)) Seq.empty
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-    }.toSet
-  }
-
-  private def rawEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val root = new Path(s"$storeDir/blocks")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .sorted
-  }
-
-  /** Committed, un-retired epochs: ordinary epochs need both sides'
-    * `_SUCCESS` (out written last — the commit side); compact epochs need
-    * their `_MERGED` manifest; anything a committed manifest names is
-    * dead.
-    */
-  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dead = mergedEpochs(spark, storeDir)
-    rawEpochs(spark, storeDir)
-      .filter { e =>
-        if (e.startsWith("compact-"))
-          fs.exists(new Path(s"$storeDir/blocks/batch=$e/_MERGED"))
-        else Seq("blocks", "out")
-          .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS")))
-      }
-      .filterNot(dead)
-  }
 }

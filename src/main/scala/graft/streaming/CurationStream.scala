@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.{Decontamination, Dedup, TextAnalysis}
 import graft.operators.Dedup.MinHashParams
-import org.apache.hadoop.fs.Path
+import graft.util.EpochStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -250,24 +250,26 @@ object CurationStream {
       .start()
   }
 
+  private def store(storeDir: String): EpochStore =
+    EpochStore(storeDir, Seq("docs", "buckets", "out"))
+
   /** The curated corpus so far: every committed epoch's final records. */
-  def readCurated(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val epochs = committedEpochs(spark, storeDir)
-    if (epochs.isEmpty) None
-    else Some(spark.read.parquet(epochs.map(e => s"$storeDir/out/batch=$e"): _*))
-  }
+  def readCurated(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    store(storeDir).readSide(spark, "out")
 
   /** The dedup side of the store (docs + bucket snapshot), committed
-    * epochs only.
+    * epochs only — both sides read over the SAME epoch listing so they
+    * can never disagree.
     */
   private def readStore(
       spark: SparkSession, storeDir: String): Option[(DataFrame, DataFrame)] = {
-    val epochs = committedEpochs(spark, storeDir)
+    val st = store(storeDir)
+    val epochs = st.committedEpochs(spark)
     if (epochs.isEmpty) None
     else Some((
-      spark.read.parquet(epochs.map(e => s"$storeDir/docs/batch=$e"): _*)
+      spark.read.parquet(st.sidePaths(epochs, "docs"): _*)
         .select(col("doc_id"), col("text")),
-      spark.read.parquet(epochs.map(e => s"$storeDir/buckets/batch=$e"): _*)
+      spark.read.parquet(st.sidePaths(epochs, "buckets"): _*)
         .select(col("doc_id"), col("band"), col("bucket"))))
   }
 
@@ -282,52 +284,6 @@ object CurationStream {
       case Some(cur) => cur.groupBy(col(langCol)).agg(max("cum_tokens").as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-
-  /** Epochs whose docs AND buckets AND out writes all carry `_SUCCESS` —
-    * the triple-commit rule that moves the three states atomically. A
-    * `compact-*` epoch instead commits via its `_MERGED` manifest (its
-    * three parquet `_SUCCESS` files land BEFORE the manifest, so gating on
-    * them would double-serve the olds it copied during the crash window),
-    * and epochs a committed manifest names are excluded.
-    */
-  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val fs = new Path(s"$storeDir/docs")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = rawEpochs(spark, storeDir).filter { e =>
-      if (e.startsWith("compact-"))
-        fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED"))
-      else Seq("docs", "buckets", "out")
-        .forall(s => fs.exists(new Path(s"$storeDir/$s/batch=$e/_SUCCESS")))
-    }
-    committed.filterNot(mergedEpochs(spark, storeDir)).sorted
-  }
-
-  private def rawEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val root = new Path(s"$storeDir/docs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .sorted
-  }
-
-  /** Epoch ids named by the `_MERGED` manifest of any committed compact
-    * epoch — replaced, therefore invisible.
-    */
-  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
-    val fs = new Path(s"$storeDir/docs")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawEpochs(spark, storeDir).flatMap { e =>
-      val m = new Path(s"$storeDir/docs/batch=$e/_MERGED")
-      if (!fs.exists(m)) Seq.empty
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-    }.toSet
-  }
 
   /** Consolidate every committed epoch's THREE sides into one
     * `compact-<uuid>` epoch and sweep the replaced directories — the same
@@ -365,38 +321,6 @@ object CurationStream {
       spark: SparkSession,
       storeDir: String,
       targetFiles: Int,
-      sweep: Boolean): Unit = {
-    val olds = committedEpochs(spark, storeDir)
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (olds.size > 1) {
-      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
-      Seq("docs", "buckets", "out").foreach { side =>
-        spark.read.parquet(olds.map(e => s"$storeDir/$side/batch=$e"): _*)
-          .coalesce(targetFiles)
-          .write.mode("overwrite").parquet(s"$storeDir/$side/batch=$cpt")
-      }
-      // the commit point, atomic via rename: once the manifest exists the
-      // olds are dead; a partial manifest would resurrect half of them
-      val tmp = new Path(s"$storeDir/docs/batch=$cpt/_MERGED.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(s"$storeDir/docs/batch=$cpt/_MERGED"))
-    }
-    if (sweep) sweepMerged(spark, storeDir)
-  }
-
-  /** Delete directories a committed manifest replaced, plus any orphaned
-    * pre-manifest compact epoch (invisible either way).
-    */
-  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dropAllSides(e: String): Unit = Seq("docs", "buckets", "out").foreach { s =>
-      fs.delete(new Path(s"$storeDir/$s/batch=$e"), true)
-    }
-    mergedEpochs(spark, storeDir).foreach(dropAllSides)
-    rawEpochs(spark, storeDir)
-      .filter(e => e.startsWith("compact-") &&
-        !fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
-      .foreach(dropAllSides)
-  }
+      sweep: Boolean): Unit =
+    store(storeDir).compact(spark, targetFiles, sweep, keepLatest = 0)((_, union) => union)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import graft.operators.Dedup.MinHashParams
-import org.apache.hadoop.fs.Path
+import graft.util.EpochStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -165,19 +165,21 @@ object NearDupAdmission {
       .start()
 
   /** The admitted corpus so far: docs + bucket snapshot, or None if the
-    * store is empty. Committed epochs only (see restart contract).
+    * store is empty. Committed epochs only (see restart contract); both
+    * sides read over the SAME epoch listing so they can never disagree.
     */
   def readStore(
       spark: SparkSession,
       storeDir: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Option[(DataFrame, DataFrame)] = {
-    val epochs = committedEpochs(spark, storeDir)
+    val st = store(storeDir)
+    val epochs = st.committedEpochs(spark)
     if (epochs.isEmpty) None
     else Some((
-      spark.read.parquet(epochs.map(e => s"$storeDir/docs/batch=$e"): _*)
+      spark.read.parquet(st.sidePaths(epochs, "docs"): _*)
         .select(col(idCol), col(textCol)),
-      spark.read.parquet(epochs.map(e => s"$storeDir/buckets/batch=$e"): _*)
+      spark.read.parquet(st.sidePaths(epochs, "buckets"): _*)
         .select(col("doc_id"), col("band"), col("bucket"))))
   }
 
@@ -215,101 +217,21 @@ object NearDupAdmission {
   /** `sweep = false` stops after the manifest commit, leaving the replaced
     * directories on disk — the post-crash state the manifest rule makes
     * invisible (exercised by NearDupAdmissionSpec; production callers use
-    * the sweeping overload).
+    * the sweeping overload). No keep-latest guard is needed, unlike the
+    * block/drift stores: epoch ids are unique per DECISION, so a replayed
+    * micro-batch never rewrites an old epoch — it re-decides against the
+    * full committed store (its docs reject as Jaccard-1.0 dups of their
+    * admitted copies), merged or not.
     */
   private[graft] def compactStore(
       spark: SparkSession,
       storeDir: String,
       targetFiles: Int,
-      sweep: Boolean): Unit = {
-    val olds = committedEpochs(spark, storeDir)
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (olds.size > 1) {
-      val cpt = s"compact-${java.util.UUID.randomUUID.toString.take(8)}"
-      spark.read.parquet(olds.map(e => s"$storeDir/docs/batch=$e"): _*)
-        .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$storeDir/docs/batch=$cpt")
-      spark.read.parquet(olds.map(e => s"$storeDir/buckets/batch=$e"): _*)
-        .coalesce(targetFiles)
-        .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$cpt")
-      // the commit point: once this manifest exists, the olds are dead.
-      // Written to a temp name and renamed so the commit is atomic — a
-      // partial manifest would resurrect half the olds as visible dups.
-      val tmp = new Path(s"$storeDir/docs/batch=$cpt/_MERGED.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(olds.mkString("\n").getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new Path(s"$storeDir/docs/batch=$cpt/_MERGED"))
-    }
-    if (sweep) sweepMerged(spark, storeDir)
-  }
+      sweep: Boolean): Unit =
+    store(storeDir).compact(spark, targetFiles, sweep, keepLatest = 0)((_, union) => union)
 
-  /** Delete epoch directories that a committed `_MERGED` manifest has
-    * replaced (best-effort; invisible to readers either way).
-    */
-  private def sweepMerged(spark: SparkSession, storeDir: String): Unit = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedEpochs(spark, storeDir).foreach { e =>
-      fs.delete(new Path(s"$storeDir/docs/batch=$e"), true)
-      fs.delete(new Path(s"$storeDir/buckets/batch=$e"), true)
-    }
-    // a compaction that crashed pre-manifest leaves an orphaned compact-*
-    // directory that can never become visible (no _MERGED ⇒ not committed);
-    // reclaim its disk here. Safe because maintenance ops do not run
-    // concurrently (documented contract) and a live compactStore call only
-    // sweeps after committing its own manifest.
-    val root = new Path(s"$storeDir/docs")
-    if (fs.exists(root)) fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=compact-"))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .filterNot(e => fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
-      .foreach { e =>
-        fs.delete(new Path(s"$storeDir/docs/batch=$e"), true)
-        fs.delete(new Path(s"$storeDir/buckets/batch=$e"), true)
-      }
-  }
-
-  /** Epoch ids named by the `_MERGED` manifest of any committed epoch. */
-  private def mergedEpochs(spark: SparkSession, storeDir: String): Set[String] = {
-    val fs = new Path(s"$storeDir/docs")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rawCommittedEpochs(spark, storeDir).flatMap { e =>
-      val m = new Path(s"$storeDir/docs/batch=$e/_MERGED")
-      if (!fs.exists(m)) Seq.empty
-      else {
-        val in = fs.open(m)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
-    }.toSet
-  }
-
-  /** Epoch ids whose doc AND bucket writes both carry `_SUCCESS`, minus
-    * any epoch a committed compaction has replaced.
-    */
-  private def committedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val committed = rawCommittedEpochs(spark, storeDir)
-    val dead = mergedEpochs(spark, storeDir)
-    committed.filterNot(dead)
-  }
-
-  private def rawCommittedEpochs(spark: SparkSession, storeDir: String): Seq[String] = {
-    val root = new Path(s"$storeDir/docs")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .filter(e => fs.exists(new Path(s"$storeDir/docs/batch=$e/_SUCCESS")) &&
-        fs.exists(new Path(s"$storeDir/buckets/batch=$e/_SUCCESS")))
-      // a consolidated epoch's commit marker is its _MERGED manifest, NOT
-      // the double _SUCCESS: the data writes land before the manifest
-      // rename, and a crash in that window must leave the consolidated
-      // copy invisible wholesale — otherwise it and the olds it copied are
-      // BOTH visible and the next compaction merges the duplicates forever
-      .filter(e => !e.startsWith("compact-") ||
-        fs.exists(new Path(s"$storeDir/docs/batch=$e/_MERGED")))
-      .sorted
-  }
+  private def store(storeDir: String): EpochStore =
+    EpochStore(storeDir, Seq("docs", "buckets"))
 
   /** Write one epoch's admitted docs + bucket snapshot. Bucket rows are
     * written AFTER the docs succeed and both must be `_SUCCESS`-marked to
