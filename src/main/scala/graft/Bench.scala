@@ -26,6 +26,15 @@ object Bench {
         + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
         ).as("close"))
 
+  // memoized worst-case epoch stores for the *_epochs_probe entries: built
+  // ONCE (untimed, in main before the measurement loop) so the probe-only
+  // timings never absorb construction cost
+  private val preparedStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def preparedEpochLex(s: SparkSession, dir: String): String =
+    preparedStores.getOrElseUpdate(s"lex:$dir", SparkEntry.buildEpochTextIndex(s, dir, "epb"))
+  private def preparedEpochIvf(s: SparkSession, dir: String): String =
+    preparedStores.getOrElseUpdate(s"ivf:$dir", SparkEntry.buildEpochIvfIndex(s, dir, "epb"))
+
   private def headline(sfDir: String): Seq[(String, SparkSession => DataFrame)] = {
     def q(name: String): SparkSession => DataFrame = s => SparkEntry.queries(name)(s, sfDir)
     Seq[(String, SparkSession => DataFrame)](
@@ -164,9 +173,21 @@ object Bench {
       "sample_length_stratified" -> q("sample_length_stratified"),
       "pipeline_curate_funnel" -> q("pipeline_curate_funnel"),
       // r9: worst maintained serving state — 10 append epochs + tombstones,
-      // probed without compaction (planning pays one merged meta read)
+      // probed without compaction (planning pays one merged meta read).
+      // The un-suffixed entries time BUILD + probe (the query-contract
+      // closure rebuilds the store every call — construction dominates);
+      // the _probe twins time the probe ALONE against a store built
+      // untimed in main, which is the serving-latency number the
+      // flat-cost probe design is accountable to
       "text_bm25_epochs" -> q("text_bm25_epochs"),
       "sim_topk_ivf_epochs" -> q("sim_topk_ivf_epochs"),
+      "text_bm25_epochs_probe" -> (s =>
+        operators.TextIndex.bm25TopK(s, preparedEpochLex(s, sfDir),
+          Seq("dup", "vector", "join", "slow"), k = 20).orderBy(col("rank"))),
+      "sim_topk_ivf_epochs_probe" -> (s =>
+        operators.IvfIndex.probe(s, preparedEpochIvf(s, sfDir),
+          s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10), 5)
+          .orderBy(col("query_id"), col("rank"))),
       "mm_decode_ppm" -> q("mm_decode_ppm"),
       // r9 session 2: real audio decode, SQL serving TVFs, and the
       // Catalyst symbol-pushdown path (one series' ticks folded, not all)
@@ -200,6 +221,10 @@ object Bench {
     // optional comma-separated headline filter (local iteration only; the
     // driver sets no filter and measures everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // untimed prep for the probe-only serving entries (skipped when the
+    // filter excludes them)
+    if (only.forall(_.contains("text_bm25_epochs_probe"))) preparedEpochLex(spark, sfDir)
+    if (only.forall(_.contains("sim_topk_ivf_epochs_probe"))) preparedEpochIvf(spark, sfDir)
     val results = headline(sfDir)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>

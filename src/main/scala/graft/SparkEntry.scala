@@ -586,21 +586,7 @@ object SparkEntry {
     // df/n_docs and list contents are additive across epochs
     "sim_topk_ivf_epochs" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_ep_${Integer.toHexString(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      val n = emb.count()
-      val half = n / 2
-      IvfIndex.write(emb.filter(col("vec_id") < half), path)
-      val step = math.max(1L, (n - half + 9) / 10)
-      for (i <- 0 until 10) {
-        val lo = half + i * step
-        val hi = if (i == 9) n else math.min(n, lo + step)
-        if (lo < hi)
-          IvfIndex.append(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
-      }
-      IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+      val path = buildEpochIvfIndex(s, dir, "ep")
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -932,15 +918,7 @@ object SparkEntry {
     // tombstone read regardless of epoch count; BM25 stats are additive,
     // so the single-delete oracle replays it unchanged
     "text_bm25_epochs" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_ep_${Integer.toHexString(dir.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path)
-      for (i <- 1 to 10)
-        TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
-      TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+      val path = buildEpochTextIndex(s, dir, "ep")
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
@@ -1467,6 +1445,49 @@ object SparkEntry {
     * bit-exactly against reference-generated goldens in src/test
     * (GoldenBatchSpec).
     */
+  /** Build the worst-maintained-serving-state lexical index (base + 10
+    * append epochs + a tombstone epoch, never compacted) fresh under a
+    * `tag`-keyed tmp path — the fixture behind `text_bm25_epochs`, also
+    * built untimed by Bench so the probe-only entry measures serving
+    * latency without the construction cost.
+    */
+  private[graft] def buildEpochTextIndex(s: SparkSession, dir: String, tag: String): String = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_${tag}_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path)
+    for (i <- 1 to 10)
+      TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
+    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+    path
+  }
+
+  /** The IVF twin of [[buildEpochTextIndex]]: base half + 10 append epochs
+    * + a tombstone epoch, never compacted (the `sim_topk_ivf_epochs`
+    * fixture).
+    */
+  private[graft] def buildEpochIvfIndex(s: SparkSession, dir: String, tag: String): String = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${tag}_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val n = emb.count()
+    val half = n / 2
+    IvfIndex.write(emb.filter(col("vec_id") < half), path)
+    val step = math.max(1L, (n - half + 9) / 10)
+    for (i <- 0 until 10) {
+      val lo = half + i * step
+      val hi = if (i == 9) n else math.min(n, lo + step)
+      if (lo < hi)
+        IvfIndex.append(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
+    }
+    IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+    path
+  }
+
   private val Tok = """regexp_split_to_array(trim(text), '\s+')"""
 
   /** Shared recursive-CTE prefix: exact 0.5-Jaccard pairs → undirected
