@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVectorDot, GraftMinhashSig, GraftQuantize, GraftSimhashSig, GraftWinnow, GraftWordShingles, HyperplaneSignature, PolyHash}
+import graft.functions.expressions.{FloatVectorDot, GraftMinhashSig, GraftQuantize, GraftSimhashSig, GraftWinnow, GraftWordShingles, HyperplaneSignature, NfcNormalize, PolyHash}
 import graft.operators.{Renko, RenkoModes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -25,6 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    native codegen'd dot product (see [[graft.functions.expressions.FloatVectorDot]]).
   *  - `graft_polyhash(string) -> bigint` — the SQL-replicable polynomial
   *    hash the LSH operators build on (see [[graft.functions.expressions.PolyHash]]).
+  *  - `graft_nfc(string) -> string` — Unicode NFC canonicalization (see
+  *    [[graft.functions.expressions.NfcNormalize]]).
   *  - `graft_winnow(string [, k [, window]]) -> array<bigint>` — sorted
   *    distinct MOSS-winnowed fingerprints, one scan-local byte-walk per
   *    document (see [[graft.functions.expressions.GraftWinnow]]).
@@ -44,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftMinhashSig)
     ext.injectFunction(GraftExtensions.graftSimhashSig)
     ext.injectFunction(GraftExtensions.graftQuantize)
+    ext.injectFunction(GraftExtensions.graftNfc)
     ext.injectTableFunction(GraftExtensions.graftRenko)
     ext.injectTableFunction(GraftExtensions.graftBm25)
     ext.injectTableFunction(GraftExtensions.graftAnn)
@@ -83,6 +86,14 @@ object GraftExtensions {
         "graft_winnow expects (string [, k [, window]])")
       GraftWinnow(children.head, intLit(children, 1, 8, "graft_winnow"),
         intLit(children, 2, 4, "graft_winnow"))
+    })
+
+  private[graft] val graftNfc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_nfc expects exactly 1 argument")
+      NfcNormalize(children.head)
     })
 
   private[graft] val graftWordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

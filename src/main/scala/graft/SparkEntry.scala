@@ -636,6 +636,20 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet")).orderBy(col("doc_id"))),
+    // Unicode canonicalization (native NFC expression + control strip +
+    // whitespace collapse): the corpus is ASCII-clean, so each doc gets a
+    // deliberately denormalized wrapper — a combining-acute Cafe<U+0301>,
+    // a BEL control, tab runs, trailing CRLF — and the oracle replays the
+    // identical pass via DuckDB's nfc_normalize and the same RE2 regexes
+    "text_normalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val messy = docs.withColumn("text",
+        concat(lit("Café doc:\t\t"), col("text"), lit(" \r\n")))
+      TextAnalysis.normalize(messy)
+        .select(col("doc_id"), col("text").as("norm_text"),
+          length(col("text")).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }),
     // the Gopher rule battery: the standard pre-model web-curation gate
     // (token bounds, word-length band, symbol/alpha ratios, stopword hits)
     "text_gopher_rules" -> ((s, dir) =>
@@ -1786,6 +1800,21 @@ object SparkEntry {
          |    + (CAST(n_unique_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.4
          |    + least((CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) * 0.2 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH messy AS (
+        |  SELECT doc_id,
+        |    'Cafe' || chr(769) || chr(7) || ' doc:' || chr(9) || chr(9) || text
+        |      || ' ' || chr(13) || chr(10) AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t\r\n]+', ' ', 'g')) AS norm_text
+        |  FROM messy)
+        |SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM norm ORDER BY doc_id""".stripMargin,
     "dedup_blocks" ->
       s"""WITH toks AS (SELECT doc_id, $Tok AS w FROM documents),
          |b AS (

@@ -65,8 +65,59 @@ case class PolyHash(child: Expression, mult: Long, prime: Long) extends UnaryExp
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical decomposition + canonical
+  * composition, UAX #15) as a codegen'd Catalyst expression — the text
+  * canonicalization pass a multi-source ingest runs before any hashing or
+  * dedup, so that `Cafe` + U+0301 and the precomposed `Café` fingerprint
+  * identically regardless of which scraper produced them.
+  *
+  * Spark has no built-in normalizer; the JDK's `java.text.Normalizer`
+  * implements the same Unicode standard DuckDB's `nfc_normalize` does,
+  * which is what keeps the operator oracle-checkable. Already-normalized
+  * strings (the overwhelming hot path — all ASCII is NFC) return the
+  * input UTF8String unchanged after an O(n) quick check, with no String
+  * round-trip allocation.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+
+  /** Shared by eval and codegen (reference-object call keeps the
+    * projection inside whole-stage codegen, like [[PolyHash]]).
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftNfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.normalize($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StringExpressions {
   /** `graft_polyhash(s)` as a Column. */
   def polyHashNative(c: Column, mult: Long, prime: Long): Column =
     GraftSqlShim.column(PolyHash(GraftSqlShim.expression(c), mult, prime))
+
+  /** `graft_nfc(s)` as a Column. */
+  def nfcNormalize(c: Column): Column =
+    GraftSqlShim.column(NfcNormalize(GraftSqlShim.expression(c)))
 }

@@ -40,6 +40,30 @@ object TextAnalysis {
           + least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2))
   }
 
+  /** Unicode text canonicalization — the normalization pass a multi-source
+    * ingest runs BEFORE any hashing, dedup, or filtering, so that
+    * byte-different spellings of the same text (a scraper emitting
+    * combining marks vs precomposed accents, stray C0 controls, ragged
+    * whitespace) fingerprint identically downstream:
+    *
+    *  1. Unicode NFC ([[graft.functions.expressions.NfcNormalize]], the
+    *     native codegen'd expression — `graft_nfc` in SQL);
+    *  2. strip C0/DEL control characters except tab/newline/CR;
+    *  3. collapse every `[ \t\r\n]+` run to one space and trim.
+    *
+    * Returns `docs` with `textCol` replaced by its canonical form — a
+    * scan-local, fully codegen'd projection (no shuffle, no UDF). Exactly
+    * replayable in DuckDB (`nfc_normalize` + the same RE2-compatible
+    * regexes), which is what makes the pass oracle-checkable.
+    */
+  def normalize(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val nfc = graft.functions.expressions.StringExpressions.nfcNormalize(col(textCol))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    docs.withColumn(textCol, trim(regexp_replace(noCtl, "[ \\t\\r\\n]+", " ")))
+  }
+
   /** Gopher-style composite quality gate (Rae et al. 2021, §A1.1 adapted to
     * this engine's whitespace tokenization): the standard rule battery a
     * web-scale curation pipeline runs before any model-based scoring —

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.expressions.{NfcNormalize, StringExpressions}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode canonicalization: the native NFC expression and the
+  * TextAnalysis.normalize pass built on it.
+  */
+class NormalizeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val udfTwin = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  test("graft_nfc composes canonically and is bit-equal to the JDK twin") {
+    val fixtures = Seq(
+      "Café",            // combining acute -> precomposed é
+      "Café",             // already NFC: unchanged
+      "가",          // Hangul jamo -> syllable 가
+      "Å",               // combining ring -> Å
+      "Å",                // ANGSTROM SIGN -> NFC maps to Å (U+00C5)
+      "plain ascii stays",     // fast path
+      "",                      // empty
+      "mixed Café and 가 tails")
+    val df = fixtures.toDF("s")
+    val got = df.select(StringExpressions.nfcNormalize(col("s"))).as[String].collect()
+    val want = df.select(udfTwin(col("s"))).as[String].collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got(0) == "Café" && got(2) == "가" && got(4) == "Å")
+    // interpreted eval agrees with the codegen'd path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    fixtures.foreach { s =>
+      assert(NfcNormalize(Literal(UTF8String.fromString(s), StringType)).eval(null) ==
+        UTF8String.fromString(
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
+    }
+    assert(NfcNormalize(Literal(null, StringType)).eval(null) == null)
+  }
+
+  test("TextAnalysis.normalize: NFC + control strip + whitespace collapse") {
+    val docs = Seq(
+      (1L, "Café  du\t\tmonde \r\n"),
+      (2L, "already clean"),
+      (3L, "tabs\tand\nnewlines\rcollapse"),
+      (4L, "ctl-only strip")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(docs).orderBy("doc_id").as[(Long, String)].collect()
+    assert(got(0)._2 == "Café du monde")
+    assert(got(1)._2 == "already clean")
+    assert(got(2)._2 == "tabs and newlines collapse")
+    assert(got(3)._2 == "ctl-only strip")
+  }
+
+  test("graft_nfc callable from SQL after registration") {
+    val (ident, info, builder) = GraftExtensions.graftNfc
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    // NB: Spark's chr() wraps mod 256 (DuckDB's is a real codepoint
+    // constructor), so the decomposed input comes in via a view
+    val decomposed = "Cafe" + new String(Character.toChars(0x0301))
+    Seq(decomposed).toDF("raw").createOrReplaceTempView("graft_nfc_in")
+    val r = spark.sql("SELECT graft_nfc(raw) AS s FROM graft_nfc_in").as[String].head()
+    assert(r == "Café")
+  }
+}
