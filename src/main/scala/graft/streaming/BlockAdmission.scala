@@ -62,17 +62,32 @@ object BlockAdmission {
 
   /** Start the stream: `stream` must carry (doc_id, text). Cleaned output
     * accumulates under `storeDir/out`; read it with [[readClean]].
+    *
+    * `maxLiveEpochs > 0` is the auto-compaction dial (same discipline as
+    * the ingest twins' `maxLiveTrees`): once a trigger leaves more than
+    * that many committed epochs, the store is compacted with
+    * `keepLatest = 1` — the newest epoch (the only one still inside the
+    * streaming checkpoint's replay window) is never merged, so replays
+    * stay safe and per-trigger store reads stay file-bounded without a
+    * manual maintenance call.
     */
   def start(
       stream: DataFrame,
       storeDir: String,
       checkpointDir: String,
       blockWords: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLiveEpochs: Int = 16): StreamingQuery =
     stream.writeStream
       .queryName("graft-block-admission")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) admitEpoch(storeDir, batch, batchId, blockWords)
+        if (!batch.isEmpty) {
+          admitEpoch(storeDir, batch, batchId, blockWords)
+          val spark = batch.sparkSession
+          if (maxLiveEpochs > 0 &&
+              store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
+            compactStore(spark, storeDir, targetFiles = 8, keepLatest = 1)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

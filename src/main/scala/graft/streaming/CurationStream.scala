@@ -216,7 +216,8 @@ object CurationStream {
       trigger: Trigger = Trigger.AvailableNow(),
       classifierSeeds: Option[(DataFrame, DataFrame)] = None,
       minScoreMicro: Long = 0L,
-      gopher: Boolean = false): StreamingQuery = {
+      gopher: Boolean = false,
+      maxLiveEpochs: Int = 16): StreamingQuery = {
     // the eval suite never changes over the stream's lifetime: shingle +
     // distinct it ONCE (pinned eagerly) instead of once per micro-batch
     val benchGrams = Decontamination.benchGramsOf(bench).localCheckpoint(true)
@@ -242,6 +243,12 @@ object CurationStream {
               .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
             // the commit side: the epoch exists only once this lands
             fin.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")
+            // auto-compaction dial: keep the per-trigger store read
+            // file-bounded without a manual maintenance call (unique
+            // epoch ids make compacting everything replay-safe)
+            if (maxLiveEpochs > 0 &&
+                store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
+              compactStore(spark, storeDir)
           }
         }
       }

@@ -54,16 +54,31 @@ object DriftMonitor {
     report.write.mode("overwrite").parquet(st.sideDir("reports", epoch))
   }
 
-  /** Start the monitor: `stream` must carry (source, text). */
+  /** Start the monitor: `stream` must carry (source, text).
+    *
+    * `maxLiveEpochs > 0` is the auto-compaction dial: once a trigger
+    * leaves more than that many committed epochs, the store is compacted
+    * with `keepLatest = 1` (the newest epoch — the only one still in the
+    * checkpoint's replay window — is never merged), so the per-trigger
+    * reference-distribution read stays file-bounded without a manual
+    * maintenance call.
+    */
   def start(
       stream: DataFrame,
       storeDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLiveEpochs: Int = 16): StreamingQuery =
     stream.writeStream
       .queryName("graft-drift-monitor")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) admitEpoch(storeDir, batch, batchId)
+        if (!batch.isEmpty) {
+          admitEpoch(storeDir, batch, batchId)
+          val spark = batch.sparkSession
+          if (maxLiveEpochs > 0 &&
+              store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
+            compactStore(spark, storeDir, targetFiles = 8, keepLatest = 1)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

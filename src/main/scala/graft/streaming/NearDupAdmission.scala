@@ -136,6 +136,13 @@ object NearDupAdmission {
   /** Start the admission stream: `stream` must carry (`idCol`, `textCol`).
     * Admitted documents and their bucket snapshots accumulate under
     * `storeDir`; the returned query is the driver of the store.
+    *
+    * `maxLiveEpochs > 0` is the auto-compaction dial: once a trigger
+    * leaves more than that many committed epochs, the store consolidates
+    * to one compact epoch, keeping the per-trigger probe file-bounded
+    * without a manual maintenance call (no keep-latest guard needed —
+    * epoch ids are unique per decision, so replays re-decide safely
+    * against the compacted store).
     */
   def start(
       stream: DataFrame,
@@ -145,7 +152,8 @@ object NearDupAdmission {
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxLiveEpochs: Int = 16): StreamingQuery =
     stream.writeStream
       .queryName("graft-neardup-admission")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -158,6 +166,9 @@ object NearDupAdmission {
           // instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
           writeEpoch(spark, admitted, Some(batchBuckets), storeDir, epoch, params, idCol, textCol)
+          if (maxLiveEpochs > 0 &&
+              store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
+            compactStore(spark, storeDir)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -81,4 +81,45 @@ class BlockAdmissionSpec extends SparkTestBase {
     assert(outRows(BlockAdmission.readClean(spark, store).get) == outRows(foldOut),
       "post-compaction readers unchanged")
   }
+
+  test("auto-compaction dial: store stays file-bounded, readers unchanged") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .orderBy("doc_id").limit(40)
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = docs.as[(Long, String)].collect().sortBy(_._1)
+    val batches = all.grouped(10).toSeq // 5 micro-batches
+
+    def drive(store: String, ckpt: String, maxLive: Int): Unit = {
+      val source = MemoryStream[(Long, String)]
+      batches.foreach { b =>
+        source.addData(b.toIndexedSeq)
+        val q = BlockAdmission.start(source.toDF().toDF("doc_id", "text"),
+          store, ckpt, maxLiveEpochs = maxLive)
+        q.processAllAvailable(); q.stop()
+      }
+    }
+
+    val (storeOff, ckptOff) = (
+      java.nio.file.Files.createTempDirectory("graft-bacomp-off").toString,
+      java.nio.file.Files.createTempDirectory("graft-bacomp-offck").toString)
+    val (storeOn, ckptOn) = (
+      java.nio.file.Files.createTempDirectory("graft-bacomp-on").toString,
+      java.nio.file.Files.createTempDirectory("graft-bacomp-onck").toString)
+    drive(storeOff, ckptOff, maxLive = 0)
+    drive(storeOn, ckptOn, maxLive = 2)
+
+    val epochDirs = new java.io.File(s"$storeOn/blocks").listFiles().map(_.getName).toSeq
+    assert(epochDirs.exists(_.startsWith("batch=compact-")),
+      s"expected an auto-created compact epoch, got $epochDirs")
+    assert(epochDirs.size <= 3,
+      s"auto-compaction must bound live epochs (maxLive=2 + the protected newest), got $epochDirs")
+    assert(new java.io.File(s"$storeOff/blocks").listFiles().length == batches.size,
+      "the undialed store accretes one epoch per trigger")
+    assert(outRows(BlockAdmission.readClean(spark, storeOn).get) ==
+      outRows(BlockAdmission.readClean(spark, storeOff).get),
+      "auto-compaction must be read-transparent")
+  }
 }
