@@ -192,6 +192,7 @@ object Bench {
       // r9 session 2: real audio decode, SQL serving TVFs, and the
       // Catalyst symbol-pushdown path (one series' ticks folded, not all)
       "mm_decode_wav" -> q("mm_decode_wav"),
+      "mm_decode_avi" -> q("mm_decode_avi"),
       "text_normalize" -> q("text_normalize"),
       "text_bm25_tvf" -> q("text_bm25_tvf"),
       "sim_topk_ivf_tvf" -> q("sim_topk_ivf_tvf"),

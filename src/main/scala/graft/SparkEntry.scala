@@ -1449,6 +1449,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_channels"), col("sample_rate"),
           col("bits"), col("n_frames"), col("dur_micros"), col("sum_abs"),
           col("peak_abs"), col("sum_sq"))
+        .orderBy(col("doc_id"))),
+    "mm_decode_avi" -> ((s, dir) =>
+      // real video-container decode (recursive RIFF/LIST walker over an
+      // uncompressed vids/DIB AVI) with every 2nd frame sampled — the
+      // video twin of mm_decode_ppm/mm_decode_wav, all-integer stats so
+      // the oracle is exact
+      Multimodal.decodeAvi(
+          Multimodal.encodeAvi(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("us_per_frame"), col("n_frames"), col("dur_micros"),
+          col("n_sampled"), col("sum_byte"), col("peak_byte"), col("sum_sq"))
         .orderBy(col("doc_id")))
   )
 
@@ -2215,6 +2227,34 @@ object SparkEntry {
         |  CAST(coalesce(list_sum(list_transform(sv, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
         |  CAST(coalesce(list_max(list_transform(sv, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
         |  CAST(coalesce(list_sum(list_transform(sv, x -> x*x)), 0) AS BIGINT) AS sum_sq
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // AVI fixture replica: 8x4 24-bit frames (96 bytes each), frame
+    // stream = text bytes zero-padded to whole frames (>= 1), every 2nd
+    // frame sampled. Sampled-byte aggregates keep only positions whose
+    // frame index is even; padding bytes are 0 so they never move a sum
+    // or a max
+    "mm_decode_avi" ->
+      """WITH c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n, codes, greatest(1, (n + 95)//96) AS nf FROM c),
+        |t AS (
+        |  SELECT doc_id, nf, (nf + 1) // 2 AS n_sampled,
+        |    list_transform(
+        |      list_filter(range(1, n+1), i -> (((i-1)//96) % 2) = 0),
+        |      i -> codes[CAST(i AS INT)]) AS sb
+        |  FROM d)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(40000 AS BIGINT) AS us_per_frame,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 40000 AS BIGINT) AS dur_micros,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(list_sum(sb), 0) AS BIGINT) AS sum_byte,
+        |  CAST(coalesce(list_max(sb), 0) AS BIGINT) AS peak_byte,
+        |  CAST(coalesce(list_sum(list_transform(sb, x -> x*x)), 0) AS BIGINT) AS sum_sq
         |FROM t ORDER BY doc_id""".stripMargin
   ))
 

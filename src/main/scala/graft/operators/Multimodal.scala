@@ -405,6 +405,209 @@ object Multimodal {
     for ((ch, rate, bits) <- fmt; d <- data) yield (ch, rate, bits, d)
   }
 
+  /** Deterministic uncompressed AVI fixtures (RIFF `AVI ` form, one
+    * `vids/DIB ` stream of 24-bit raw frames) from a text corpus: the
+    * video twin of [[encodeWav]]. The concatenated frame payload is the
+    * text's UTF-8 bytes zero-padded to whole `width*height*3`-byte
+    * frames (at least one frame, so empty docs still decode), split into
+    * one `00db` chunk per frame inside the `movi` LIST. A `JUNK` chunk
+    * rides between the header and `movi` so the decoder must actually
+    * walk and skip, never assume offsets. Frame bytes are a pure function
+    * of the text, so the decoded stats are SQL-expressible while
+    * [[decodeAvi]] is a full container parser.
+    */
+  def encodeAvi(
+      docs: DataFrame,
+      width: Int = 8,
+      height: Int = 4,
+      usPerFrame: Int = 40000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val frameBytes = width * height * 3
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val data0 = text.getBytes("UTF-8")
+          val nFrames = math.max(1, (data0.length + frameBytes - 1) / frameBytes)
+          val junk = "graft-avi-fixture".getBytes("US-ASCII")
+          val junkLen = junk.length + (junk.length & 1)
+          // hdrl = avih(56) + LIST strl(4 + strh(8+56) + strf(8+40))
+          val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+          val moviLen = 4 + nFrames * (8 + frameBytes)
+          val riffLen = 4 + (8 + hdrlLen) + (8 + junkLen) + (8 + moviLen)
+          val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fourcc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+          fourcc("RIFF"); out.putInt(riffLen); fourcc("AVI ")
+          fourcc("LIST"); out.putInt(hdrlLen); fourcc("hdrl")
+          fourcc("avih"); out.putInt(56)
+          out.putInt(usPerFrame); out.putInt(0); out.putInt(0); out.putInt(0)
+          out.putInt(nFrames); out.putInt(0); out.putInt(1); out.putInt(frameBytes)
+          out.putInt(width); out.putInt(height)
+          out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+          fourcc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+          fourcc("strh"); out.putInt(56)
+          fourcc("vids"); fourcc("DIB ")
+          out.putInt(0); out.putInt(0); out.putInt(0)              // flags, prio+lang, initial
+          out.putInt(usPerFrame); out.putInt(1000000)              // scale, rate
+          out.putInt(0); out.putInt(nFrames)                       // start, length
+          out.putInt(frameBytes); out.putInt(0); out.putInt(0)     // bufsize, quality, samplesize
+          out.putInt(0); out.putInt(0)                             // rcFrame
+          fourcc("strf"); out.putInt(40)
+          out.putInt(40); out.putInt(width); out.putInt(height)
+          out.putShort(1); out.putShort(24)                        // planes, bpp
+          out.putInt(0); out.putInt(frameBytes)                    // BI_RGB, image size
+          out.putInt(0); out.putInt(0); out.putInt(0); out.putInt(0)
+          fourcc("JUNK"); out.putInt(junkLen); out.put(junk)
+          if ((junk.length & 1) == 1) out.put(0.toByte)
+          fourcc("LIST"); out.putInt(moviLen); fourcc("movi")
+          var f = 0
+          while (f < nFrames) {
+            fourcc("00db"); out.putInt(frameBytes)
+            val lo = f * frameBytes
+            val hi = math.min(data0.length, lo + frameBytes)
+            if (hi > lo) out.put(data0, lo, hi - lo)
+            var pad = frameBytes - math.max(0, hi - lo)
+            while (pad > 0) { out.put(0.toByte); pad -= 1 }
+            f += 1
+          }
+          (id, out.array())
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded stats of one AVI with every `frameStride`-th frame sampled:
+    * exact integer aggregates over the sampled frames' bytes — no float
+    * op anywhere. `dur_micros = n_frames * us_per_frame`. `valid = false`
+    * rows carry zeros.
+    */
+  final case class AviStats(
+      doc_id: Long,
+      valid: Boolean,
+      width: Long,
+      height: Long,
+      us_per_frame: Long,
+      n_frames: Long,
+      dur_micros: Long,
+      n_sampled: Long,
+      sum_byte: Long,
+      peak_byte: Long,
+      sum_sq: Long)
+
+  /** REAL video-container decode for one public format: uncompressed AVI
+    * (RIFF `AVI ` form, `vids` stream, 24-bit `BI_RGB` DIB frames in
+    * `00db`/`00dc` chunks). A full walker — RIFF size + form check, LIST
+    * recursion into `hdrl` (for `avih` dimensions/timing and the `strf`
+    * BITMAPINFOHEADER, which must declare 24 bpp uncompressed or the row
+    * is flagged invalid, never misread) and `movi` (frame chunks counted
+    * and every `frameStride`-th one aggregated), unknown chunks (`JUNK`,
+    * `idx1`) skipped by size with RIFF odd-length padding honored.
+    *
+    * Frame SAMPLING at decode is the production video-pipeline shape:
+    * at stride k only 1/k of the frame bytes are touched, and payloads
+    * never leave the scan stage (same batch-shaped `mapPartitions` kernel
+    * as the other codecs).
+    */
+  def decodeAvi(
+      media: DataFrame,
+      frameStride: Int = 2,
+      batchSize: Int = 64): Dataset[AviStats] = {
+    require(frameStride >= 1, "frameStride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[AviStats] = Encoders.product[AviStats]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parseAvi(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((w, h, usf, frames)) =>
+                var sum = 0L; var peak = 0L; var sumSq = 0L; var sampled = 0L
+                var f = 0
+                while (f < frames.length) {
+                  if (f % frameStride == 0) {
+                    sampled += 1
+                    val fr = frames(f)
+                    var i = 0
+                    while (i < fr.length) {
+                      val b = (fr(i) & 0xFF).toLong
+                      sum += b; sumSq += b * b
+                      if (b > peak) peak = b
+                      i += 1
+                    }
+                  }
+                  f += 1
+                }
+                AviStats(id, valid = true, w, h, usf, frames.length,
+                  frames.length.toLong * usf, sampled, sum, peak, sumSq)
+              case None =>
+                AviStats(id, valid = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+  }
+
+  /** The AVI container parser: returns (width, height, us_per_frame,
+    * frames) or None. Requires a 24-bpp uncompressed (`BI_RGB`) `strf` if
+    * one is present; frame chunks truncated short of their declared size
+    * are invalid; trailing bytes after the RIFF payload are tolerated.
+    */
+  private[graft] def parseAvi(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] = {
+    def u16(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    def tag(p: Int): String =
+      new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4))
+    var width = 0; var height = 0; var usPerFrame = 0
+    var sawAvih = false; var badStrf = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk one chunk run [pos, end); LISTs recurse with their form tag
+    def walk(start: Long, end: Long, form: String): Boolean = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = tag(pos.toInt)
+        val size = u32(pos.toInt + 4)
+        val body = pos + 8
+        if (body + size > bytes.length) return false // truncated chunk
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            if (!walk(body + 4, body + size, tag(body.toInt))) return false
+          case "avih" if size >= 40 =>
+            usPerFrame = u32(body.toInt).toInt
+            width = u32(body.toInt + 32).toInt
+            height = u32(body.toInt + 36).toInt
+            sawAvih = true
+          case "strf" if form == "strl" && size >= 40 =>
+            // BITMAPINFOHEADER: 24 bpp, BI_RGB only
+            if (u16(body.toInt + 14) != 24 || u32(body.toInt + 16) != 0L)
+              badStrf = true
+          case "00db" | "00dc" if form == "movi" =>
+            frames += java.util.Arrays.copyOfRange(
+              bytes, body.toInt, (body + size).toInt)
+          case _ => () // JUNK, idx1, strh, unknown: skip
+        }
+        pos = body + size + (size & 1) // RIFF chunks pad to even
+      }
+      true
+    }
+    if (!walk(12L, riffEnd, "AVI ")) return None
+    if (!sawAvih || badStrf || width < 1 || height < 1 || usPerFrame < 1) None
+    else Some((width, height, usPerFrame, frames.toArray))
+  }
+
   /** STUB resize kernel — strided byte sampling standing in for a real
     * decode→interpolate→encode. Deterministic and SQL-replicable.
     */

@@ -641,6 +641,78 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal AVI decode: recursive LIST walking, sampled frame stats, invalid payloads flagged") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // hand-rolled containers for the grammar edges the fixture never hits
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(form: String, chunks: Array[Byte]*) =
+      chunk("LIST", form.getBytes("US-ASCII") ++ chunks.flatten)
+    def avih(usf: Int = 40000, w: Int = 2, h: Int = 1) =
+      chunk("avih", le32(usf) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++
+        le32(0) ++ le32(1) ++ le32(6) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte))
+    def strf(bpp: Int = 24, compression: Int = 0) =
+      chunk("strf", le32(40) ++ le32(2) ++ le32(1) ++ le16(1) ++ le16(bpp) ++
+        le32(compression) ++ le32(6) ++ Array.fill(16)(0.toByte))
+    def avi(chunks: Array[Byte]*) = {
+      val body = chunks.flatten.toArray
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        "AVI ".getBytes("US-ASCII") ++ body
+    }
+    val frame = Array[Byte](10, 20, 30, 40, 50, 60) // one 2x1 24-bit frame
+    val rows = Seq(
+      1L -> avi(list("hdrl", avih(), list("strl", strf())),       // canonical
+        list("movi", chunk("00db", frame), chunk("00dc", frame))),
+      2L -> avi(list("hdrl", avih()),                             // JUNK skipped, odd-size pad,
+        chunk("JUNK", Array[Byte](1, 2, 3)),                      // no strl at all
+        list("movi", chunk("00db", frame), chunk("00db", frame))),
+      3L -> avi(list("hdrl", avih(), list("strl", strf(bpp = 8))), // 8-bpp rejected
+        list("movi", chunk("00db", frame))),
+      4L -> avi(list("hdrl", avih(), list("strl", strf(compression = 1))), // compressed rejected
+        list("movi", chunk("00db", frame))),
+      5L -> avi(list("movi", chunk("00db", frame))),              // no avih
+      6L -> avi(list("hdrl", avih()), list("movi",                // truncated frame chunk
+        "00db".getBytes("US-ASCII") ++ le32(999) ++ frame)),
+      7L -> "RIFF1234AVIX".getBytes("US-ASCII"))                  // wrong form
+    val got = Multimodal.decodeAvi(rows.toDF("doc_id", "payload"), frameStride = 2)
+      .collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(1L, 2L)) {
+      val s = got(id)
+      // two frames, stride 2 → frame 0 sampled alone
+      assert(s.valid && s.width == 2 && s.height == 1 && s.us_per_frame == 40000 &&
+        s.n_frames == 2 && s.dur_micros == 80000 && s.n_sampled == 1 &&
+        s.sum_byte == 210 && s.peak_byte == 60 && s.sum_sq == 9100,
+        s"doc $id decoded wrong: $s")
+    }
+    for (id <- Seq(3L, 4L, 5L, 6L, 7L))
+      assert(!got(id).valid, s"doc $id must be invalid: ${got(id)}")
+
+    // fixture round-trip: generated payloads decode, and the sampled
+    // stats equal the text-derived expectation (the oracle's formula)
+    val sample = docs.limit(50)
+    val decoded = Multimodal.decodeAvi(Multimodal.encodeAvi(sample)).collect()
+    assert(decoded.nonEmpty && decoded.forall(_.valid),
+      "every generated AVI must parse")
+    val texts = sample.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.foreach { s =>
+      val b = texts(s.doc_id).getBytes("UTF-8").map(_ & 0xFF)
+      val nf = math.max(1, (b.length + 95) / 96)
+      val kept = b.zipWithIndex.collect { case (v, i) if (i / 96) % 2 == 0 => v }
+      assert(s.n_frames == nf && s.n_sampled == (nf + 1) / 2 &&
+        s.dur_micros == nf.toLong * 40000 &&
+        s.sum_byte == kept.map(_.toLong).sum &&
+        s.peak_byte == (if (kept.isEmpty) 0L else kept.max.toLong) &&
+        s.sum_sq == kept.map(v => v.toLong * v).sum,
+        s"doc ${s.doc_id}: frame stats diverge from the text bytes")
+    }
+  }
+
   test("multimodal resize: exact strided byte sampling") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rows = Multimodal.resize(Multimodal.asMedia(docs), targetLen = 64)
