@@ -194,6 +194,7 @@ object Bench {
       "mm_decode_wav" -> q("mm_decode_wav"),
       "mm_decode_avi" -> q("mm_decode_avi"),
       "text_normalize" -> q("text_normalize"),
+      "text_script" -> q("text_script"),
       "text_bm25_tvf" -> q("text_bm25_tvf"),
       "sim_topk_ivf_tvf" -> q("sim_topk_ivf_tvf"),
       "renko_tvf_pushdown" -> q("renko_tvf_pushdown"),

@@ -650,6 +650,15 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars_norm"))
         .orderBy(col("doc_id"))
     }),
+    // script profile (codepoint-class counts + dominant-script argmax):
+    // the ASCII corpus gets a multi-script tail so every class is live;
+    // the oracle replays the identical RE2 character classes
+    "text_script" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tagged = docs.withColumn("text",
+        concat(col("text"), lit(" 汉字漢字 Русский текст 123")))
+      TextAnalysis.scriptProfile(tagged).orderBy(col("doc_id"))
+    }),
     // the Gopher rule battery: the standard pre-model web-curation gate
     // (token bounds, word-length band, symbol/alpha ratios, stopword hits)
     "text_gopher_rules" -> ((s, dir) =>
@@ -1827,6 +1836,24 @@ object SparkEntry {
         |SELECT doc_id, norm_text,
         |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
         |FROM norm ORDER BY doc_id""".stripMargin,
+    "text_script" ->
+      """WITH w AS (
+        |  SELECT doc_id, text || ' 汉字漢字 Русский текст 123' AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_cp,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM w)
+        |SELECT doc_id, n_cp, n_latin, n_cjk, n_cyrillic, n_digit,
+        |  CASE WHEN n_latin + n_cjk + n_cyrillic = 0 THEN 'none'
+        |       WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic THEN 'latin'
+        |       WHEN n_cjk >= n_cyrillic THEN 'cjk'
+        |       ELSE 'cyrillic' END AS dominant_script
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dedup_blocks" ->
       s"""WITH toks AS (SELECT doc_id, $Tok AS w FROM documents),
          |b AS (

@@ -122,6 +122,33 @@ object TextAnalysis {
         "pass_symbol", "pass_alpha", "pass_stop", "keep")
   }
 
+  /** Per-document script profile: codepoint-class counts (Latin letters,
+    * CJK unified ideographs, Cyrillic, ASCII digits) over the text plus a
+    * dominant-script argmax with a fixed tie-break order — the writing-
+    * system signal a multilingual curation pipeline routes on before any
+    * token-level language ID ([[langId]]) is meaningful. One scan-local
+    * codegen'd projection (`regexp_count` per class, no UDF), with the
+    * identical RE2-compatible character classes replayable in DuckDB.
+    */
+  def scriptProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_cp"),
+      regexp_count(t, lit("[A-Za-z]")).cast("long").as("n_latin"),
+      regexp_count(t, lit("[一-鿿]")).cast("long").as("n_cjk"),
+      regexp_count(t, lit("[Ѐ-ӿ]")).cast("long").as("n_cyrillic"),
+      regexp_count(t, lit("[0-9]")).cast("long").as("n_digit"))
+      .withColumn("dominant_script",
+        when(col("n_latin") + col("n_cjk") + col("n_cyrillic") === 0L, lit("none"))
+          .when(col("n_latin") >= col("n_cjk") && col("n_latin") >= col("n_cyrillic"), lit("latin"))
+          .when(col("n_cjk") >= col("n_cyrillic"), lit("cjk"))
+          .otherwise(lit("cyrillic")))
+  }
+
   /** Heuristic language ID via marker-token counts with a fixed argmax
     * tie-break order. Output: (doc_id, s_en, s_de, s_es, s_fr, s_zh, pred_lang).
     */

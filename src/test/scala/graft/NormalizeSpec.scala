@@ -55,6 +55,23 @@ class NormalizeSpec extends SparkTestBase {
     assert(got(3)._2 == "ctl-only strip")
   }
 
+  test("script profile: class counts and every dominant-script branch") {
+    val docs = Seq(
+      (1L, "hello world 123"), // latin + digits
+      (2L, "汉字漢字文本"),      // cjk only
+      (3L, "Русский текст"),   // cyrillic only
+      (4L, "12345 !!!"),       // no letters at all
+      (5L, "ab 汉字 Ру")       // 2/2/2 three-way tie: latin wins by order
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 15L, 10L, 0L, 0L, 3L, "latin")))
+    assert(got(1) == ((2L, 6L, 0L, 6L, 0L, 0L, "cjk")))
+    assert(got(2)._7 == "cyrillic" && got(2)._5 == 12L)
+    assert(got(3)._7 == "none" && got(3)._6 == 5L)
+    assert(got(4) == ((5L, 8L, 2L, 2L, 2L, 0L, "latin")))
+  }
+
   test("graft_nfc callable from SQL after registration") {
     val (ident, info, builder) = GraftExtensions.graftNfc
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
