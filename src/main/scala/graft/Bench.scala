@@ -341,7 +341,10 @@ object Bench {
     // the full self-diagnosis JSON (per-rep times, loadavg, run-queue,
     // parallel-scan phase timings, host) goes to its own file so it survives
     // as a committable artifact without riding the parsed channel
-    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    // a FILTERED run (local iteration) must not clobber the committable
+    // full-sweep artifact with a few-query subset — divert it
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF",
+      if (only.isDefined) "BENCH_SELF.partial.json" else "BENCH_SELF.json")
     try {
       val w = new java.io.PrintWriter(selfPath, "UTF-8")
       try w.println(
