@@ -925,7 +925,7 @@ object PipelineOracleSql {
     */
   def ivfTopKWhere(corpusPred: String): String =
     s"""WITH n AS (
-       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm, label FROM embeddings
        |), cent AS (
        |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
        |), ca AS (
@@ -2186,6 +2186,10 @@ object PipelineOracleSql {
     // serve-after-delete: centroids stay the full corpus's (frozen
     // quantizer), the served corpus drops the tombstoned ids
     "sim_topk_ivf_deleted" -> ivfTopKWhere("n.id % 7 != 3"),
+    // filtered vector search: top-k among label-matching vectors only,
+    // under the full corpus's frozen centroids — the predicate restricts
+    // the SERVED rows exactly like a tombstone set does
+    "sim_topk_ivf_filtered" -> ivfTopKWhere("n.label % 2 = 0"),
     // ten append epochs + a tombstone set: epoch layout is invisible to
     // the answer (lists/df additive, low-id base freezes the full-corpus
     // centroids), so the serve-after-delete oracle replays it

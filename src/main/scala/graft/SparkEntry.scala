@@ -541,6 +541,19 @@ object SparkEntry {
       IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // FILTERED vector search: the build persists the label column into
+    // the inverted lists (keepCols) and the probe takes a metadata
+    // predicate applied to the list rows BEFORE ranking — top-k among
+    // matching vectors, the filter evaluated at the pruned list scan
+    // (plain comparisons reach PushedFilters), never a post-rank re-query
+    "sim_topk_ivf_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_flt_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path, keepCols = Seq("label"))
+      IvfIndex.probe(s, path, emb.filter(col("vec_id") < 10), 5,
+        predicate = Some(pmod(col("label"), lit(2)) === 0))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the GROWING-corpus form: build the index on the first 400 vectors,
     // append the remaining 100 as a committed epoch under the frozen
     // centroids, probe the union. The initial corpus contains every

@@ -99,6 +99,11 @@ object IvfIndex {
     * `nlist = 0` selects the sqrt(n) auto heuristic ([[resolveNlist]]);
     * `trainIters > 0` trains the coarse quantizer ([[buildCentroids]]) at
     * a cost of one extra corpus scan + tiny aggregate per iteration.
+    * `keepCols` persists metadata columns of `emb` INTO the inverted
+    * lists (label, source, timestamp …) so a [[probe]] predicate over
+    * them filters at the pruned list scan itself — filtered vector
+    * search with parquet-level pushdown, no side join. [[append]] carries
+    * the same columns automatically (inferred from the base schema).
     */
   def write(
       emb: DataFrame,
@@ -107,7 +112,8 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     uncommitBase(spark, path)
@@ -116,7 +122,8 @@ object IvfIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val assigned = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        l2Norm(col(vecCol)).as("nrm") +: keepCols.map(col): _*)
       .withColumn("cid", Similarity.centroidAssignExpr(cents))
     val clustered =
       if (filesPerList <= 1) assigned.repartition(col("cid"))
@@ -365,8 +372,14 @@ object IvfIndex {
     val roots = listRoots(spark, path)
     require(roots.nonEmpty, s"no index lists at $path — build with write() first")
     val baseFields = spark.read.parquet(roots.head).schema.fieldNames.toSet
+    // metadata columns the build persisted (write's keepCols): everything
+    // beyond the engine's own list schema — appended rows must carry them
+    // too, or probe-time predicates would see nulls for this epoch
+    val metaCols = (baseFields -- Set(
+      "id", "v", "nrm", "cid", "qvec", "scale", "qnrm", "codes", "rnrm")).toSeq.sorted
     val base = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        l2Norm(col(vecCol)).as("nrm") +: metaCols.map(col): _*)
     val withQ =
       if (baseFields.contains("qvec"))
         base.join(
@@ -666,7 +679,8 @@ object IvfIndex {
     * the result is empty).
     */
   private def readLists(
-      spark: SparkSession, path: String, probedCids: Seq[Long]): DataFrame = {
+      spark: SparkSession, path: String, probedCids: Seq[Long],
+      predicate: Option[Column] = None): DataFrame = {
     val roots = listRoots(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = for {
@@ -674,16 +688,21 @@ object IvfIndex {
       c <- probedCids
       p = new Path(s"$r/cid=$c") if fs.exists(p)
     } yield p.toString
+    // the probe-time metadata predicate applies HERE, directly above the
+    // scan: the cid-recovery projection below uses input_file_name()
+    // (nondeterministic), which blocks predicate pushdown through it — a
+    // filter added above that projection never reaches PushedFilters
+    def pre(df: DataFrame): DataFrame = predicate.map(df.filter).getOrElse(df)
     val all = graft.util.ProbePlanning.withDriverListing(spark) {
       if (dirs.isEmpty) {
         val firstTree = spark.read.parquet(roots.head)
-        (firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
-          .reduce(_.unionByName(_))
+        pre((firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
+          .reduce(_.unionByName(_)))
           .withColumn("cid", col("cid").cast("long"))
           .filter(col("cid").isin(probedCids: _*))
       } else {
         val sch = spark.read.parquet(dirs.head).schema
-        spark.read.schema(sch).parquet(dirs: _*)
+        pre(spark.read.schema(sch).parquet(dirs: _*))
           .withColumn("cid",
             regexp_extract(input_file_name(), "cid=(\\d+)", 1).cast("long"))
       }
@@ -771,6 +790,13 @@ object IvfIndex {
     * nearest inverted lists. Output (query_id, rank, neighbor_id, cos_sim)
     * — bit-identical to [[Similarity.ivfTopK]] with the same
     * (nlist, nprobe, k) on the indexed corpus.
+    *
+    * `predicate` is the FILTERED-vector-search dial: a boolean Column
+    * over the metadata the build persisted (write's `keepCols`), applied
+    * to the list rows BEFORE ranking — top-k among matching vectors, with
+    * the filter evaluated at the pruned parquet scan itself (Catalyst
+    * pushes a plain comparison into `PushedFilters`), never a post-rank
+    * re-query that could return fewer than k survivors.
     */
   def probe(
       spark: SparkSession,
@@ -779,14 +805,15 @@ object IvfIndex {
       k: Int,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      predicate: Option[Column] = None): DataFrame = {
     // ≤ nlist rows: the coarse quantizer is driver-resident by design
     val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     // the probed-list set is ≤ nlist values regardless of |queries| —
     // readLists prunes to exactly those directories on the driver
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
-    val corpus = readLists(spark, path, probed.toIndexedSeq)
+    val corpus = readLists(spark, path, probed.toIndexedSeq, predicate)
       .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
     Similarity.ivfRank(corpus, qs, k)
   }

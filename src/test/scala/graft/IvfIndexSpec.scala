@@ -76,6 +76,44 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == rows(direct))
   }
 
+  test("filtered probe: metadata predicate restricts serving, pushes to the scan, survives append") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-flt").toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+
+    // half the corpus at build, half appended — the epoch must carry the
+    // metadata column too (inferred from the base schema)
+    IvfIndex.write(emb.filter(col("vec_id") < 250), path, nlist = 16, keepCols = Seq("label"))
+    IvfIndex.append(emb.filter(col("vec_id") >= 250), path)
+
+    val allowed = emb.filter(col("label") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(allowed.nonEmpty && allowed.size < emb.count(),
+      "fixture must have a proper label=1 subset")
+    val probe = IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4,
+      predicate = Some(col("label") === 1))
+    val got = probe.collect()
+    assert(got.nonEmpty, "filtered probe must return neighbors")
+    assert(got.forall(r => allowed(r.getLong(2))),
+      "every served neighbor must satisfy the predicate")
+
+    // the unfiltered probe over the same store is unaffected and includes
+    // non-matching neighbors (the filter is per-probe, not baked in)
+    val open = IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4).collect()
+    assert(open.exists(r => !allowed(r.getLong(2))),
+      "unfiltered probe should serve non-label-1 neighbors too")
+
+    // a plain comparison reaches the parquet scan's pushed filters
+    val scan = listsScan(probe.queryExecution.executedPlan)
+      .getOrElse(fail(s"no lists scan in:\n${probe.queryExecution.executedPlan}"))
+    prunedCidRoots(scan)
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("EqualTo(label,1)")),
+      s"label predicate must push into the scan, got ${scan.metadata.get("PushedFilters")}")
+  }
+
   test("quantized probe: wide candFactor == exact probe; narrow cut stays high-recall; pruned scans") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
