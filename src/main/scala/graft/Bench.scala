@@ -198,6 +198,7 @@ object Bench {
       "text_bm25_tvf" -> q("text_bm25_tvf"),
       "sim_topk_ivf_tvf" -> q("sim_topk_ivf_tvf"),
       "sim_topk_ivf_filtered" -> q("sim_topk_ivf_filtered"),
+      "text_bm25_filtered" -> q("text_bm25_filtered"),
       "renko_tvf_pushdown" -> q("renko_tvf_pushdown"),
       "pipeline_curate_stream_funnel" -> q("pipeline_curate_stream_funnel")
     )

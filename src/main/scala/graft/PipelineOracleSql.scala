@@ -1417,6 +1417,54 @@ object PipelineOracleSql {
       |  bm25
       |FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** [[bm25TopK]] with SERVING restricted by `servePred` while every
+    * statistic (n_docs, avgdl, per-term df) stays the FULL corpus's —
+    * `TextIndex.bm25TopK(predicate)`'s filtered-search semantics: a
+    * filter is a view over who can be returned, not a removal, so scores
+    * of surviving docs are identical to the unfiltered ranking's
+    * (contrast [[bm25TopKWhere]], the delete semantics where stats
+    * shrink to the surviving corpus).
+    */
+  def bm25TopKServe(servePred: String): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM documents
+      |), serve AS (
+      |  SELECT doc_id FROM documents WHERE $servePred
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+      |    list_filter(w, t -> t IN ('dup', 'vector', 'join', 'slow')) AS qw
+      |  FROM tok
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM d, LATERAL unnest(qw) AS t(term)
+      |  GROUP BY doc_id, dl, t.term
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+      |      * (tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)) AS tscore
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      |  WHERE tf.doc_id IN (SELECT doc_id FROM serve)
+      |), agg AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN term = 'dup' THEN tscore END) AS s0,
+      |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s1,
+      |    sum(CASE WHEN term = 'join' THEN tscore END) AS s2,
+      |    sum(CASE WHEN term = 'slow' THEN tscore END) AS s3
+      |  FROM sc GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, round(coalesce(s0, 0e0) + coalesce(s1, 0e0)
+      |    + coalesce(s2, 0e0) + coalesce(s3, 0e0), 6) AS bm25
+      |  FROM agg)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS "rank",
+      |  bm25
+      |FROM tot ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** Hybrid RRF top-20: BM25 pool (same formulation as [[bm25TopK]],
     * pool 50) fused with the cosine pool of query vec_id=0 (same
     * formulation as sim_topk_bruteforce, pool 50) via
@@ -2215,6 +2263,9 @@ object PipelineOracleSql {
     "text_bm25_streamed" -> bm25TopK,
     // serve-after-delete: the oracle is BM25 over the surviving corpus
     "text_bm25_deleted" -> bm25TopKWhere("doc_id % 7 != 3"),
+    // filtered lexical search: serving restricted to lang='en' docs under
+    // FULL-corpus statistics — a filter is a view, not a removal
+    "text_bm25_filtered" -> bm25TopKServe("lang = 'en'"),
     // ten append epochs + a tombstone set: BM25 stats are additive across
     // epochs, so the serve-after-delete oracle replays it unchanged
     "text_bm25_epochs" -> bm25TopKWhere("doc_id % 7 != 3"),

@@ -932,6 +932,23 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20)
         .orderBy(col("rank"))
     }),
+    // FILTERED lexical search: the build persists the lang column into
+    // the posting rows (keepCols), the probe restricts SERVING to
+    // lang='en' docs while every statistic (n_docs, avgdl, df) stays the
+    // full corpus's — a filter is a view, not a removal; half built,
+    // half appended so the epoch metadata-carry path is exercised too
+    "text_bm25_filtered" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_flt_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, keepCols = Seq("lang"))
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+      TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20,
+        predicate = Some(col("lang") === "en"))
+        .orderBy(col("rank"))
+    }),
     // the SERVE-AFTER-DELETE form: full build, tombstone-delete the
     // doc_id%7==3 slice, probe — deleted docs leave serving and the
     // corpus stats (df/n_docs/avgdl) shrink to the survivors exactly,

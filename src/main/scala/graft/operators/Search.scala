@@ -64,10 +64,14 @@ object Search {
       queryTerms: Seq[String],
       k: Int,
       k1: Double,
-      b: Double): DataFrame = {
-    // document frequency per query term: at most |queryTerms| rows
+      b: Double,
+      serveFilter: Option[Column] = None): DataFrame = {
+    // document frequency per query term: at most |queryTerms| rows — over
+    // the UNFILTERED candidates (filtered-search semantics: a serving
+    // predicate restricts who can be returned, not the statistics)
     val dfreq = tf.groupBy(col("term")).agg(count_distinct(col("doc_id")).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
+    val served = serveFilter.map(tf.filter).getOrElse(tf)
+    val scored = served.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("tscore",

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A PERSISTED inverted text index: the write-once / probe-many form of
@@ -76,19 +76,22 @@ object TextIndex {
       docs: DataFrame,
       nBuckets: Int,
       idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
+      textCol: String,
+      keepCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val tok = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      tokens(col(textCol)).as("toks"))
+      col(idCol).cast("long").as("doc_id") +:
+        tokens(col(textCol)).as("toks") +: keepCols.map(col): _*)
     // batch stats at build time: the probe must not touch the corpus
     val meta = tok.agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
+    // keepCols are per-DOC metadata; grouping by them alongside the doc
+    // key is the identity on the group structure
     val postings = tok
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        explode(col("toks")).as("term") +: keepCols.map(col): _*)
+      .groupBy(col("doc_id") +: col("dl") +: col("term") +: keepCols.map(col): _*)
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     (meta, postings)
@@ -106,7 +109,10 @@ object TextIndex {
       pmod(xxhash64(col("doc_id")), lit(filesPerBucket.toLong)))
 
   /** Build the index at `path` (overwrites). One corpus scan + one
-    * partitioned write.
+    * partitioned write. `keepCols` persists per-document metadata columns
+    * (lang, source …) into the posting rows so a [[bm25TopK]] `predicate`
+    * over them restricts SERVING at probe time — filtered lexical search;
+    * [[append]] infers and carries the same columns from the base schema.
     */
   def write(
       docs: DataFrame,
@@ -114,7 +120,8 @@ object TextIndex {
       nBuckets: Int = 64,
       idCol: String = "doc_id",
       textCol: String = "text",
-      filesPerBucket: Int = 1): Unit = {
+      filesPerBucket: Int = 1,
+      keepCols: Seq[String] = Nil): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     // the base pair follows the SAME commit protocol as an epoch: uncommit
     // (delete the meta) first, postings next, meta LAST — its `_SUCCESS` is
@@ -124,7 +131,7 @@ object TextIndex {
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/meta"), true)
-    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol)
+    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol, keepCols)
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -159,7 +166,14 @@ object TextIndex {
     val root = s"$path/epochs/$epoch"
     val metaPath = new Path(s"$root/meta")
     if (fs.exists(metaPath)) fs.delete(metaPath, true)
-    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol)
+    // metadata columns the build persisted (write's keepCols): appended
+    // epochs must carry them too, or probe-time predicates would see
+    // nulls for this epoch's docs
+    val metaCols = (spark.read
+      .parquet(treePostings(path, liveTrees(spark, path).head))
+      .schema.fieldNames.toSet -- Set("doc_id", "dl", "term", "tf", "bucket"))
+      .toSeq.sorted
+    val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol, metaCols)
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
@@ -457,13 +471,23 @@ object TextIndex {
     * buckets; the term filter inside a bucket is an ordinary pushed data
     * filter.
     */
+  /** `predicate` is the FILTERED-lexical-search dial: a boolean Column
+    * over the metadata the build persisted (write's `keepCols`),
+    * restricting which documents can be SERVED — standard filtered-search
+    * semantics, so the scoring statistics do NOT move: n_docs/avgdl come
+    * from the (full-corpus) metas and per-term df is computed over the
+    * unfiltered candidate rows; only the ranked documents are restricted.
+    * (Contrast [[delete]], whose tombstones shrink the stats — removal
+    * semantics. A filter is a view, not a removal.)
+    */
   def bm25TopK(
       spark: SparkSession,
       path: String,
       queryTerms: Seq[String],
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      predicate: Option[Column] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     // live-tree metas (base + committed epochs, compaction-aware): n_docs
@@ -516,14 +540,17 @@ object TextIndex {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingsDataSchema)
       else graft.util.ProbePlanning.withDriverListing(spark) {
-        spark.read.schema(PostingsDataSchema).parquet(prunedDirs: _*)
+        // a serving predicate references metadata columns beyond the
+        // static schema — pay one footer read to pick them up
+        val sch = if (predicate.isEmpty) PostingsDataSchema
+          else spark.read.parquet(prunedDirs.head).schema
+        spark.read.schema(sch).parquet(prunedDirs: _*)
       }.filter(col("term").isin(queryTerms.map(x => x: Any): _*))
-    val tf = (tombstones match {
+    val tf = tombstones match {
         case Some(t) =>
           masked.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         case None => masked
-      })
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      }
     // the same sum(dl)::double / n_docs division the in-plan stats
     // aggregate performs — one IEEE op over the stored exact integers. The
     // tombstone subtraction is a 1-row subtree of the probe plan (the sums
@@ -540,6 +567,7 @@ object TextIndex {
           ((lit(sumDlAll) - col("dl_del")).cast("double") /
             (lit(nDocsAll) - col("n_del"))).as("avgdl"))
     }
-    Search.bm25Score(tf, stats, queryTerms, k, k1, b)
+    Search.bm25Score(tf, stats, queryTerms, k, k1, b,
+      serveFilter = if (prunedDirs.isEmpty) None else predicate)
   }
 }

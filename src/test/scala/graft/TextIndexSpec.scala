@@ -66,6 +66,37 @@ class TextIndexSpec extends SparkTestBase {
     assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == rows(direct))
   }
 
+  test("filtered probe: serving restricted, statistics unmoved, metadata survives append") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-text-flt").toString
+    // half built, half appended: the epoch must carry the metadata too
+    TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, keepCols = Seq("lang"))
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(en.nonEmpty && en.size < docs.count(), "fixture must have a proper en subset")
+
+    val filtered = TextIndex.bm25TopK(spark, path, terms, k = 20,
+      predicate = Some(col("lang") === "en")).collect()
+    assert(filtered.nonEmpty, "filtered probe must return docs")
+    assert(filtered.forall(r => en(r.getLong(0))),
+      "every served doc must satisfy the predicate")
+
+    // view-not-removal: a served doc's score equals its score in the
+    // UNFILTERED ranking (stats never moved), and the filtered ranking is
+    // exactly the unfiltered one with non-matching docs skipped
+    val openAll = TextIndex.bm25TopK(spark, path, terms, k = 10000).collect()
+    val openScores = openAll.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    filtered.foreach { r =>
+      assert(openScores(r.getLong(0)) == r.getDouble(2),
+        s"doc ${r.getLong(0)}: filtered score must equal the unfiltered score")
+    }
+    val expectOrder = openAll.filter(r => en(r.getLong(0))).take(20).map(_.getLong(0)).toSeq
+    assert(filtered.sortBy(_.getLong(1)).map(_.getLong(0)).toSeq == expectOrder,
+      "filtered ranking must be the unfiltered ranking restricted to matching docs")
+  }
+
   test("single-bucket degenerate index still answers exactly; filesPerBucket spreads a hot bucket") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = Search.bm25TopK(docs, terms, k = 20)
