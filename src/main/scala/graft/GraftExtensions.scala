@@ -217,21 +217,26 @@ object GraftExtensions {
       }
     })
 
-  /** `graft_bm25(index_path, terms_csv [, k])` — BM25 top-k served from a
-    * persisted [[graft.operators.TextIndex]], as a composable SQL relation:
-    * the serving twin of the `graft_renko` TVF. Literal args only.
+  /** `graft_bm25(index_path, terms_csv [, k [, filter_sql]])` — BM25
+    * top-k served from a persisted [[graft.operators.TextIndex]], as a
+    * composable SQL relation: the serving twin of the `graft_renko` TVF.
+    * `filter_sql` is a literal boolean expression over the build's
+    * `keepCols` metadata (filtered search — serving restricted, stats
+    * unmoved; a WHERE on the TVF result would instead under-fill k).
+    * Literal args only.
     */
   private[graft] val graftBm25: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_bm25"),
     new ExpressionInfo(graft.operators.TextIndex.getClass.getName, "graft_bm25"),
     (children: Seq[Expression]) => {
-      require(children.length >= 2 && children.length <= 3,
-        "graft_bm25 expects (index_path, terms_csv [, k])")
+      require(children.length >= 2 && children.length <= 4,
+        "graft_bm25 expects (index_path, terms_csv [, k [, filter_sql]])")
       val path = stringLit(children(0), "index_path")
       val terms = stringLit(children(1), "terms_csv").split(",").map(_.trim)
         .filter(_.nonEmpty).toIndexedSeq
       val k = intLit(children, 2, 20, "graft_bm25")
-      graft.operators.TextIndex.bm25TopK(SparkSession.active, path, terms, k)
+      graft.operators.TextIndex.bm25TopK(SparkSession.active, path, terms, k,
+        predicate = predicateArg(children, 3, "graft_bm25"))
         .queryExecution.logical
     })
 
@@ -243,17 +248,32 @@ object GraftExtensions {
     FunctionIdentifier("graft_ann"),
     new ExpressionInfo(graft.operators.IvfIndex.getClass.getName, "graft_ann"),
     (children: Seq[Expression]) => {
-      require(children.length >= 2 && children.length <= 4,
-        "graft_ann expects (index_path, queries_table [, k [, nprobe]])")
+      require(children.length >= 2 && children.length <= 5,
+        "graft_ann expects (index_path, queries_table [, k [, nprobe [, filter_sql]]])")
       val path = stringLit(children(0), "index_path")
       val k = intLit(children, 2, 5, "graft_ann")
       val nprobe = intLit(children, 3, 4, "graft_ann")
       val spark = SparkSession.active
       val queries = org.apache.spark.sql.GraftSqlShim.ofRows(
         spark, relationArg(children(1), "queries_table"))
-      graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe)
+      graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe,
+        predicate = predicateArg(children, 4, "graft_ann"))
         .queryExecution.logical
     })
+
+  /** An optional trailing metadata-filter argument: a literal SQL boolean
+    * expression string (e.g. `'lang = ''en'''`) parsed into the Column the
+    * filtered-search probes take; empty or absent means unfiltered.
+    */
+  private def predicateArg(
+      children: Seq[Expression], i: Int, fn: String): Option[org.apache.spark.sql.Column] =
+    if (children.length <= i) None
+    else {
+      val sql = stringLit(children(i), s"$fn filter_sql").trim
+      if (sql.isEmpty) None
+      else Some(org.apache.spark.sql.GraftSqlShim.column(
+        SparkSession.active.sessionState.sqlParser.parseExpression(sql)))
+    }
 
   /** Register `graft_renko` on an already-built session — for callers that
     * did not (or cannot) set `spark.sql.extensions` at session construction

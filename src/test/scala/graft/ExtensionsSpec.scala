@@ -144,6 +144,38 @@ class ExtensionsSpec extends SparkTestBase {
     assert(annTbl == annApi, "graft_ann(TABLE(...)) must equal the API probe")
   }
 
+  test("serving TVFs: trailing filter_sql arg == API predicate (filtered search from SQL)") {
+    GraftExtensions.registerTvfs(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-tvf-lexf").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-tvf-ivff").toString
+    graft.operators.TextIndex.write(docs, lexPath, keepCols = Seq("lang"))
+    graft.operators.IvfIndex.write(emb, ivfPath, nlist = 16, keepCols = Seq("label"))
+    val bmSql = spark.sql(
+      s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 10, 'lang = ''en''') ORDER BY rank")
+      .collect().toSeq
+    val bmApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10,
+        predicate = Some(col("lang") === "en"))
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmSql.nonEmpty && bmSql == bmApi, "filtered graft_bm25 must equal the API probe")
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_tvf_qf")
+    val annSql = spark.sql(
+      s"SELECT * FROM graft_ann('$ivfPath', 'graft_tvf_qf', 4, 4, 'label = 1') " +
+        "ORDER BY query_id, rank").collect().toSeq
+    val annApi = graft.operators.IvfIndex
+      .probe(spark, ivfPath, emb.filter(col("vec_id") < 3), 4, nprobe = 4,
+        predicate = Some(col("label") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(annSql.nonEmpty && annSql == annApi, "filtered graft_ann must equal the API probe")
+    // empty filter string means unfiltered
+    val bmOpen = spark.sql(
+      s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 10, '') ORDER BY rank").collect().toSeq
+    val bmOpenApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10)
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmOpen == bmOpenApi, "empty filter_sql must mean unfiltered")
+  }
+
   test("graft_polyhash callable from SQL, matches the Column API") {
     val (pi, pinfo, pbuilder) = GraftExtensions.graftPolyHash
     spark.sessionState.functionRegistry.registerFunction(pi, pinfo, pbuilder)
