@@ -320,6 +320,23 @@ object PipelineStress {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(sq8Wide == viaIndex, "exhaustive-cut quantized probe must equal the exact probe at scale")
 
+    // FILTERED serving at scale: metadata persisted into the lists
+    // (keepCols), the predicate evaluated at the pruned list scan — the
+    // probe keeps the unfiltered probe's cost shape (same pruned bytes,
+    // one extra scan-local comparison) and every served neighbor matches
+    val vecsL = vecs.withColumn("label", pmod(col("vec_id"), lit(4L)).cast("int"))
+    val fltPath = java.nio.file.Files.createTempDirectory("pstress_ivf_flt").toString
+    t("ivf_flt_write", nVecs) {
+      IvfIndex.write(vecsL, fltPath, nlist = 64, filesPerList = 2, keepCols = Seq("label")); nVecs
+    }
+    t("ivf_flt_probe", nVecs)(IvfIndex.probe(
+      spark, fltPath, queries, 5, nprobe = 8,
+      predicate = Some(col("label") === 1)).count())
+    val fltRows = IvfIndex.probe(spark, fltPath, queries, 5, nprobe = 8,
+      predicate = Some(col("label") === 1)).collect()
+    assert(fltRows.nonEmpty && fltRows.forall(_.getLong(2) % 4 == 1),
+      "filtered probe must serve only label-matching neighbors at scale")
+
     // snapshot diff over two overlapping 200k cuts (scan-local projections
     // + one full-outer join)
     val docsSrc = docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))
