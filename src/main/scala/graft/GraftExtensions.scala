@@ -240,9 +240,11 @@ object GraftExtensions {
         .queryExecution.logical
     })
 
-  /** `graft_ann(index_path, queries_table [, k [, nprobe]])` — IVF ANN
-    * top-k served from a persisted [[graft.operators.IvfIndex]] over a
-    * query table/view carrying (vec_id, embedding). Literal args only.
+  /** `graft_ann(index_path, queries_table [, k [, nprobe [, filter_sql]]])`
+    * — IVF ANN top-k served from a persisted [[graft.operators.IvfIndex]]
+    * over a query table/view carrying (vec_id, embedding). `filter_sql`
+    * is a literal boolean expression over the build's `keepCols` metadata
+    * (filtered vector search). Literal args only.
     */
   private[graft] val graftAnn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_ann"),

@@ -185,10 +185,17 @@ object Search {
       k: Int = 20,
       poolK: Int = 50,
       rrfK: Int = 60,
-      nprobe: Int = 4): DataFrame = {
-    val lex = TextIndex.bm25TopK(spark, textIndexPath, queryTerms, poolK)
+      nprobe: Int = 4,
+      lexPredicate: Option[Column] = None,
+      semPredicate: Option[Column] = None): DataFrame = {
+    // filtered hybrid: each arm's predicate applies INSIDE its probe
+    // (arm pools stay poolK-deep among matching rows), so the fusion
+    // never under-fills the way filtering the fused result would
+    val lex = TextIndex.bm25TopK(spark, textIndexPath, queryTerms, poolK,
+        predicate = lexPredicate)
       .select(col("doc_id"), col("rank").as("lex_rank"))
-    val sem = IvfIndex.probe(spark, ivfIndexPath, queries, poolK, nprobe)
+    val sem = IvfIndex.probe(spark, ivfIndexPath, queries, poolK, nprobe,
+        predicate = semPredicate)
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("sem_rank"))
     fuseRrf(lex, sem, k, rrfK)
   }

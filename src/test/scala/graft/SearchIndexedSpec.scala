@@ -63,4 +63,47 @@ class SearchIndexedSpec extends SparkTestBase {
         _.relation.location.rootPaths.forall(_.toString.matches(".*lists/cid=\\d+$"))),
       "the semantic arm's lists scan must read only driver-pruned cid directories")
   }
+
+  test("filtered served fusion == RRF of the two filtered probes, per-arm") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-hyb-lexf").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-hyb-ivff").toString
+    graft.operators.TextIndex.write(docs, lexPath, keepCols = Seq("lang"))
+    IvfIndex.write(emb, ivfPath, nlist = 16, keepCols = Seq("label"))
+
+    val queries = emb.filter(col("vec_id") === 0L)
+    val fused = Search.hybridRrfTopKServed(spark, lexPath, ivfPath, queries, terms,
+        k = 20, poolK = 50, nprobe = 4,
+        lexPredicate = Some(col("lang") === "en"),
+        semPredicate = Some(col("label") === 1))
+      .orderBy(col("rank")).collect()
+    assert(fused.nonEmpty, "filtered fusion must return rows")
+
+    // replicate the fusion from the two FILTERED arm probes directly
+    val lexPool = graft.operators.TextIndex.bm25TopK(spark, lexPath, terms, 50,
+        predicate = Some(col("lang") === "en"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val semPool = IvfIndex.probe(spark, ivfPath, queries, 50, nprobe = 4,
+        predicate = Some(col("label") === 1))
+      .collect().map(r => r.getLong(2) -> r.getInt(1).toLong).toMap
+    val expect = (lexPool.keySet ++ semPool.keySet).toSeq
+      .map { d =>
+        val rrf = lexPool.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          semPool.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (d, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (d, rrf) => (-rrf, d) }.take(20)
+    assert(fused.map(r => (r.getLong(0), r.getDouble(2))).toSeq == expect,
+      "served fusion must equal the RRF of the two filtered arm pools")
+    // and the arm memberships honor their predicates
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val lbl1 = emb.filter(col("label") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    fused.foreach { r =>
+      if (r.getLong(3) >= 1) assert(en(r.getLong(0)), "lex arm must honor lang='en'")
+      if (r.getLong(4) >= 1) assert(lbl1(r.getLong(0)), "sem arm must honor label=1")
+    }
+  }
 }
