@@ -54,7 +54,8 @@ object IvfIngest {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      maxLiveTrees: Int = 16): Unit = {
+      maxLiveTrees: Int = 16,
+      keepCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,7 +70,10 @@ object IvfIngest {
     if (IvfIndex.liveTreeIds(spark, indexPath).isEmpty || bootBatch.contains(batchId)) {
       val out = fs.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      IvfIndex.write(batch, indexPath, nlist, idCol, vecCol, filesPerList)
+      // keepCols matter only at BOOTSTRAP: appended epochs infer and
+      // carry the base's metadata columns automatically
+      IvfIndex.write(batch, indexPath, nlist, idCol, vecCol, filesPerList,
+        keepCols = keepCols)
     } else {
       IvfIndex.append(batch, indexPath, idCol, vecCol, filesPerList,
         epochId = Some(f"batch-$batchId%08d"))
@@ -94,13 +98,14 @@ object IvfIngest {
       vecCol: String = "embedding",
       filesPerList: Int = 1,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxLiveTrees: Int = 16): StreamingQuery =
+      maxLiveTrees: Int = 16,
+      keepCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .queryName("graft-ivf-ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           ingestBatch(batch, indexPath, batchId, nlist, idCol, vecCol,
-            filesPerList, maxLiveTrees)
+            filesPerList, maxLiveTrees, keepCols)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

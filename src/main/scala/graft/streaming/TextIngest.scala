@@ -54,7 +54,8 @@ object TextIngest {
       idCol: String = "doc_id",
       textCol: String = "text",
       filesPerBucket: Int = 1,
-      maxLiveTrees: Int = 16): Unit = {
+      maxLiveTrees: Int = 16,
+      keepCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,7 +70,9 @@ object TextIngest {
     if (TextIndex.liveTrees(spark, indexPath).isEmpty || bootBatch.contains(batchId)) {
       val out = fs.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      TextIndex.write(batch, indexPath, nBuckets, idCol, textCol, filesPerBucket)
+      // keepCols matter only at BOOTSTRAP: appended epochs infer and
+      // carry the base's metadata columns automatically
+      TextIndex.write(batch, indexPath, nBuckets, idCol, textCol, filesPerBucket, keepCols)
     } else {
       TextIndex.append(batch, indexPath, idCol, textCol, filesPerBucket,
         epochId = Some(f"batch-$batchId%08d"))
@@ -94,13 +97,14 @@ object TextIngest {
       textCol: String = "text",
       filesPerBucket: Int = 1,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxLiveTrees: Int = 16): StreamingQuery =
+      maxLiveTrees: Int = 16,
+      keepCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .queryName("graft-text-ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           ingestBatch(batch, indexPath, batchId, nBuckets, idCol, textCol,
-            filesPerBucket, maxLiveTrees)
+            filesPerBucket, maxLiveTrees, keepCols)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -96,4 +96,25 @@ class TextIngestSpec extends SparkTestBase {
     assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
       "replay of the newest batch after auto-compaction must not double-serve")
   }
+
+  test("keepCols at bootstrap: streamed epochs carry metadata, filtered probes work") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
+    val path = java.nio.file.Files.createTempDirectory("graft-texting-kc").toString
+    // fold form of the stream: bootstrap with keepCols, then two appends
+    // that must infer and carry the metadata from the base schema
+    TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 0), path, 0L,
+      keepCols = Seq("lang"))
+    TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 1), path, 1L)
+    TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 2), path, 2L)
+    val en = docs.filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = TextIndex.bm25TopK(spark, path, terms, k = 20,
+      predicate = Some(col("lang") === "en")).collect()
+    assert(got.nonEmpty && got.forall(r => en(r.getLong(0))),
+      "filtered probe over a streamed index must serve only matching docs")
+    // includes docs from the APPENDED epochs (metadata carried, not null)
+    assert(got.exists(r => r.getLong(0) % 3 != 0),
+      "appended epochs' docs must be servable under the predicate")
+  }
 }
