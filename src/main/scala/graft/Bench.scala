@@ -199,6 +199,7 @@ object Bench {
       "sim_topk_ivf_tvf" -> q("sim_topk_ivf_tvf"),
       "sim_topk_ivf_filtered" -> q("sim_topk_ivf_filtered"),
       "text_bm25_filtered" -> q("text_bm25_filtered"),
+      "emb_mean_pool" -> q("emb_mean_pool"),
       "renko_tvf_pushdown" -> q("renko_tvf_pushdown"),
       "pipeline_curate_stream_funnel" -> q("pipeline_curate_stream_funnel")
     )

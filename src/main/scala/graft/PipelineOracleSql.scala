@@ -2245,6 +2245,17 @@ object PipelineOracleSql {
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
     "sim_topk_ivf_trained" -> ivfTopKTrained,
     "emb_kmeans" -> kmeansCentroids,
+    // exact-integer per-label mean pool (the native aggregate's twin):
+    // micro-quantized elementwise sums are order-independent integers
+    "emb_mean_pool" ->
+      """WITH m AS (
+        |  SELECT label, CAST(u.j AS BIGINT) - 1 AS pos,
+        |    CAST(sum(CAST(floor(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(j)
+        |  GROUP BY label, u.j)
+        |SELECT label, pos, CAST(sx AS DOUBLE) / (n * 1e6) AS x, n
+        |FROM m ORDER BY label, pos""".stripMargin,
     "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,

@@ -1013,6 +1013,15 @@ object SparkEntry {
     // deterministic distributed Lloyd k-means: lowest-id init, native
     // argmax assignment, exact-integer scaled-mean updates — the coarse-
     // quantizer trainer, oracle-replayed iteration by iteration
+    // chunk→document pooling via the native vector-sum AGGREGATE
+    // (VectorMicroSum, the repo's first custom TypedImperativeAggregate):
+    // whole vectors partial-aggregate map-side, only groups×dim longs
+    // shuffle; exploded rows out so the oracle compares scalars
+    "emb_mean_pool" -> ((s, dir) =>
+      Clustering.meanPool(s.read.parquet(s"$dir/embeddings.parquet"), groupCol = "label")
+        .select(col("label"), col("n"), posexplode(col("pooled")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos").cast("long").as("pos"), col("x"), col("n"))
+        .orderBy(col("label"), col("pos"))),
     "emb_kmeans" -> ((s, dir) =>
       Clustering.kmeansCentroids(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 4, iters = 2)

@@ -50,6 +50,30 @@ object Clustering {
           .as("centroid"))
   }
 
+  /** Chunk→document embedding pooling: the elementwise exact-integer mean
+    * of each group's vectors — what a pipeline runs after chunk-level
+    * embedding to get one document vector (or per-cluster/per-label
+    * prototypes). Same micro-quantized arithmetic as [[labelCentroids]],
+    * but computed by the native [[graft.functions.expressions.VectorMicroSum]]
+    * aggregate: one hash aggregate over WHOLE vectors with map-side
+    * combine (`groups × dim` longs shuffle), instead of the exploded
+    * twin's `rows × dim` element shuffle + collect_list reassembly.
+    * Integer addition is order-independent, so the result is bit-identical
+    * to [[labelCentroids]] and the DuckDB oracle under any partitioning.
+    * Output: (`groupCol`, n, pooled array<double>).
+    */
+  def meanPool(
+      chunks: DataFrame,
+      groupCol: String = "doc_id",
+      vecCol: String = "embedding"): DataFrame =
+    chunks.filter(col(vecCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        graft.functions.expressions.VectorSumAgg.vectorMicroSum(col(vecCol)).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        transform(col("sx"), s => s.cast("double") / (col("n") * 1e6)).as("pooled"))
+
   /** Deterministic distributed Lloyd k-means over the embedding column —
     * the trainer for the IVF coarse quantizer ([[IvfIndex.write]]'s
     * `trainIters` dial) and a standalone clustering operator. No RNG

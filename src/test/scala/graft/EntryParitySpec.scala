@@ -24,7 +24,7 @@ class EntryParitySpec extends AnyFunSuite {
   test("query count matches the documented count (README/COVERAGE say 140)") {
     // Bump this alongside README.md and COVERAGE.md when adding a query —
     // the docs are the audit trail and must not drift from the code.
-    assert(SparkEntry.queries.size == 145,
-      s"documented 145 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 146,
+      s"documented 146 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 }

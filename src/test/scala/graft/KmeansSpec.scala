@@ -32,6 +32,31 @@ class KmeansSpec extends SparkTestBase {
       "two Lloyd iterations should move the centroids")
   }
 
+  test("native mean-pool aggregate == exploded labelCentroids twin, bit-exact under any partitioning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pooled(df: org.apache.spark.sql.DataFrame) =
+      Clustering.meanPool(df, groupCol = "label")
+        .orderBy(col("label"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    val a = pooled(emb)
+    val b = pooled(emb.repartition(7)) // different partial-agg merge order
+    assert(a == b, "integer micro-sums must be bit-identical under any partitioning")
+    // the exploded twin: posexplode → (label, pos) sums → reassembly
+    val twin = Clustering.labelCentroids(emb)
+      .orderBy(col("label"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(a == twin, "native aggregate must equal the exploded-formulation twin")
+    // null vectors contribute nothing; a group of only nulls disappears
+    val withNulls = emb.withColumn("embedding",
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")))
+    val c = pooled(withNulls)
+    val twinNN = Clustering.labelCentroids(
+        withNulls.filter(col("embedding").isNotNull))
+      .orderBy(col("label"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(c == twinNN, "null vectors must be skipped, not zero-summed")
+  }
+
   test("a cluster that loses every member keeps its previous centroid at count 0") {
     // ids 0 and 1 are identical vectors; both seed clusters, but every
     // point tied between them assigns to the lowest cid — cluster 1 goes
