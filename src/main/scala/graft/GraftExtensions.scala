@@ -27,6 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    hash the LSH operators build on (see [[graft.functions.expressions.PolyHash]]).
   *  - `graft_nfc(string) -> string` — Unicode NFC canonicalization (see
   *    [[graft.functions.expressions.NfcNormalize]]).
+  *  - `graft_vec_microsum(array<float|double>) -> array<bigint>` — the
+  *    native elementwise micro-quantized vector-sum AGGREGATE (see
+  *    [[graft.functions.expressions.VectorMicroSum]]).
   *  - `graft_winnow(string [, k [, window]]) -> array<bigint>` — sorted
   *    distinct MOSS-winnowed fingerprints, one scan-local byte-walk per
   *    document (see [[graft.functions.expressions.GraftWinnow]]).
@@ -47,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftSimhashSig)
     ext.injectFunction(GraftExtensions.graftQuantize)
     ext.injectFunction(GraftExtensions.graftNfc)
+    ext.injectFunction(GraftExtensions.graftVecMicroSum)
     ext.injectTableFunction(GraftExtensions.graftRenko)
     ext.injectTableFunction(GraftExtensions.graftBm25)
     ext.injectTableFunction(GraftExtensions.graftAnn)
@@ -86,6 +90,15 @@ object GraftExtensions {
         "graft_winnow expects (string [, k [, window]])")
       GraftWinnow(children.head, intLit(children, 1, 8, "graft_winnow"),
         intLit(children, 2, 4, "graft_winnow"))
+    })
+
+  private[graft] val graftVecMicroSum: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_vec_microsum"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.VectorMicroSum].getName, "graft_vec_microsum"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_vec_microsum expects exactly 1 argument")
+      graft.functions.expressions.VectorMicroSum(children.head)
     })
 
   private[graft] val graftNfc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

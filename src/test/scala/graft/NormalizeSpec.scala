@@ -72,6 +72,23 @@ class NormalizeSpec extends SparkTestBase {
     assert(got(4) == ((5L, 8L, 2L, 2L, 2L, 0L, "latin")))
   }
 
+  test("graft_vec_microsum aggregate callable from SQL after registration") {
+    val (ident, info, builder) = GraftExtensions.graftVecMicroSum
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("graft_vms_emb")
+    val sql = spark.sql(
+      """SELECT label, graft_vec_microsum(embedding) AS sx, count(1) AS n
+        |FROM graft_vms_emb GROUP BY label ORDER BY label""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSeq
+    val api = spark.table("graft_vms_emb").groupBy(col("label"))
+      .agg(graft.functions.expressions.VectorSumAgg.vectorMicroSum(col("embedding")).as("sx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("label"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSeq
+    assert(sql.nonEmpty && sql == api, "SQL aggregate must equal the Column API")
+  }
+
   test("graft_nfc callable from SQL after registration") {
     val (ident, info, builder) = GraftExtensions.graftNfc
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
