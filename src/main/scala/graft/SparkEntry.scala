@@ -711,6 +711,19 @@ object SparkEntry {
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))),
+    // the C4/RefinedWeb boilerplate census: 3-token blocks recurring in
+    // >= 5 distinct documents (site chrome, license headers) — one
+    // count-distinct shuffle, output sized by the hot vocabulary
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateStats(
+        s.read.parquet(s"$dir/documents.parquet"), blockWords = 3, minDocs = 5)
+        .orderBy(col("blk"))),
+    // the rewrite the census motivates: EVERY occurrence of a hot block
+    // is dropped (unlike dedup_blocks' keep-first) and the text re-stitched
+    "text_boilerplate_removal" -> ((s, dir) =>
+      TextAnalysis.boilerplateRemove(
+        s.read.parquet(s"$dir/documents.parquet"), blockWords = 3, minDocs = 5)
+        .orderBy(col("doc_id"))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy(col("source"), col("rank"))),
@@ -1908,6 +1921,33 @@ object SparkEntry {
          |    CAST(count(*) AS BIGINT) AS n_kept
          |  FROM kept GROUP BY doc_id),
          |n AS (SELECT doc_id, CAST((len(w) + 7) // 8 AS BIGINT) AS n_blocks FROM toks)
+         |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
+         |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed
+         |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $Tok AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    array_to_string(w[(CAST(u.i AS INT)*3+1):(CAST(u.i AS INT)*3+3)], ' ') AS blk
+         |  FROM toks, unnest(range((len(w) + 2) // 3)) AS u(i))
+         |SELECT blk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 5
+         |ORDER BY blk""".stripMargin,
+    "text_boilerplate_removal" ->
+      s"""WITH toks AS (SELECT doc_id, $Tok AS w FROM documents),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         |    array_to_string(w[(CAST(u.i AS INT)*3+1):(CAST(u.i AS INT)*3+3)], ' ') AS blk
+         |  FROM toks, unnest(range((len(w) + 2) // 3)) AS u(i)),
+         |hot AS (SELECT blk FROM b GROUP BY blk HAVING count(DISTINCT doc_id) >= 5),
+         |kept AS (SELECT b.doc_id, b.pos, b.blk FROM b
+         |  WHERE b.blk NOT IN (SELECT blk FROM hot)),
+         |r AS (
+         |  SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST((len(w) + 2) // 3 AS BIGINT) AS n_blocks FROM toks)
          |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
          |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed
          |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,

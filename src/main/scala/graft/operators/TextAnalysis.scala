@@ -712,4 +712,90 @@ object TextAnalysis {
         round(col("s").cast("double") /
           (col("n_bigrams").cast("double") * lit(1e6)), 9).as("avg_logp"))
   }
+
+  /** Corpus-wide boilerplate census over fixed `blockWords`-token blocks:
+    * the blocks that recur across at least `minDocs` DISTINCT documents
+    * (navigation chrome, license headers, share-bar text in a web corpus).
+    * Output: (blk, n_docs, n_occurrences), hot blocks only.
+    *
+    * This is the frequency-threshold complement of
+    * [[Dedup.blockDedup]]'s keep-first pass (C4 drops any line that
+    * repeats verbatim; RefinedWeb strips lines present on many pages of
+    * a site) — there the FIRST occurrence survives, here EVERY occurrence
+    * of a hot block is condemned, reference-free.
+    *
+    * 100 TB shape: one shuffle on the block string for the two-level
+    * count-distinct (partial aggregation map-side), no joins — output is
+    * proportional to the hot vocabulary, not the corpus.
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      blockWords: Int = 3,
+      minDocs: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    blockRows(docs, blockWords, idCol, textCol)
+      .groupBy(col("blk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= lit(minDocs.toLong))
+  }
+
+  /** The rewrite [[boilerplateStats]] motivates: drop EVERY occurrence of
+    * every hot block (>= `minDocs` distinct documents) and re-stitch each
+    * document from its surviving blocks in position order.
+    * Output: (doc_id, clean_text, n_blocks, n_removed).
+    *
+    * 100 TB shape: blocks shuffle once on the block string; the hot set
+    * is the small side of the equi-join (anti-join on blk) so Catalyst
+    * broadcasts it when it fits and hash-joins otherwise — never a
+    * cartesian. The rebuild groups by doc_id with a position-keyed
+    * array_sort, the same deterministic stitch as [[Dedup.blockDedup]].
+    */
+  def boilerplateRemove(
+      docs: DataFrame,
+      blockWords: Int = 3,
+      minDocs: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val bw = blockWords
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_blocks",
+        floor((size(col("w")) + lit(bw - 1)) / lit(bw)).cast("long"))
+    val blocks = blockRows(docs, blockWords, idCol, textCol)
+    val hot = boilerplateStats(docs, blockWords, minDocs, idCol, textCol)
+      .select(col("blk"))
+    val kept = blocks.join(hot, Seq("blk"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tok.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** (doc_id, pos, blk) rows: each document cut into fixed `blockWords`-
+    * token blocks (last block ragged) — the shared explode under the
+    * boilerplate census and removal.
+    */
+  private def blockRows(
+      docs: DataFrame, blockWords: Int, idCol: String, textCol: String): DataFrame = {
+    val bw = blockWords
+    docs.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), floor((size(col("w")) + lit(bw - 1)) / lit(bw)).cast("long") - 1),
+          i => array_join(slice(col("w"), (i * bw + 1).cast("int"), lit(bw)), " ")))
+          .as(Seq("pos", "blk")))
+  }
 }

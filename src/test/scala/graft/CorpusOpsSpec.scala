@@ -359,6 +359,38 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == s20.toSet)
   }
 
+  test("boilerplate: hot blocks condemned everywhere, cold blocks survive, stats match") {
+    val hot = "copyright acme corp"                        // appears in 3 docs (minDocs = 3)
+    val docs = docsDF(
+      1L -> s"$hot alpha beta gamma",
+      2L -> s"delta epsilon zeta $hot",
+      3L -> s"$hot $hot eta theta iota",                   // twice in one doc: one doc, 2 occurrences
+      4L -> "kappa lambda mu")
+    val stats = graft.operators.TextAnalysis.boilerplateStats(docs, blockWords = 3, minDocs = 3)
+      .collect()
+    assert(stats.length == 1 && stats.head.getString(0) == hot)
+    assert(stats.head.getLong(1) == 3L && stats.head.getLong(2) == 4L,
+      s"3 distinct docs / 4 occurrences expected, got ${stats.head}")
+    val out = graft.operators.TextAnalysis.boilerplateRemove(docs, blockWords = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // EVERY occurrence drops — including the first (unlike blockDedup's keep-first)
+    assert(out(1L).getString(1) == "alpha beta gamma" && out(1L).getLong(3) == 1L)
+    assert(out(2L).getString(1) == "delta epsilon zeta" && out(2L).getLong(3) == 1L)
+    assert(out(3L).getString(1) == "eta theta iota" && out(3L).getLong(3) == 2L)
+    // a doc with no hot blocks is untouched
+    assert(out(4L).getString(1) == "kappa lambda mu" && out(4L).getLong(3) == 0L)
+  }
+
+  test("boilerplate: below-threshold repeats survive removal") {
+    val blk = "one two three"
+    val docs = docsDF(1L -> s"$blk a b c", 2L -> s"$blk d e f")   // 2 docs < minDocs 3
+    val out = graft.operators.TextAnalysis.boilerplateRemove(docs, blockWords = 3, minDocs = 3)
+      .collect()
+    assert(out.forall(_.getLong(3) == 0L), "nothing reaches the threshold, nothing drops")
+    assert(graft.operators.TextAnalysis.boilerplateStats(docs, blockWords = 3, minDocs = 3)
+      .isEmpty)
+  }
+
   test("chunking and mixture sampling stay shuffle-free (scan-local explode + filter)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (plan <- Seq(
