@@ -139,6 +139,7 @@ object Bench {
       "sample_shuffle_order" -> q("sample_shuffle_order"),
       "text_lm_score" -> q("text_lm_score"),
       "text_boilerplate_removal" -> q("text_boilerplate_removal"),
+      "emb_covariance" -> q("emb_covariance"),
       "pipeline_curate_budget" -> q("pipeline_curate_budget"),
       "pipeline_curate_stream" -> q("pipeline_curate_stream"),
       "pipeline_curate_stream_classified" -> q("pipeline_curate_stream_classified"),

@@ -2256,6 +2256,40 @@ object PipelineOracleSql {
         |  GROUP BY label, u.j)
         |SELECT label, pos, CAST(sx AS DOUBLE) / (n * 1e6) AS x, n
         |FROM m ORDER BY label, pos""".stripMargin,
+    // exact integer-quantized second moments: the oracle replays the
+    // micro-quantized product sums and the mean correction bit-for-bit
+    "emb_covariance" ->
+      """WITH p AS (
+        |  SELECT CAST(ui.i AS BIGINT) AS pos_i, CAST(uj.j AS BIGINT) AS pos_j,
+        |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(ui.i AS INT)+1] AS DOUBLE)
+        |      * CAST(e.embedding[CAST(uj.j AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pq,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings e,
+        |    unnest(range(len(e.embedding))) AS ui(i),
+        |    unnest(range(len(e.embedding))) AS uj(j)
+        |  WHERE uj.j >= ui.i
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT CAST(u.i AS BIGINT) AS pos,
+        |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(u.i AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM embeddings e, unnest(range(len(e.embedding))) AS u(i)
+        |  GROUP BY 1)
+        |SELECT p.pos_i, p.pos_j,
+        |  round(CAST(pq AS DOUBLE) / (n * 1e6)
+        |    - (CAST(si.sx AS DOUBLE) / (n * 1e6)) * (CAST(sj.sx AS DOUBLE) / (n * 1e6)), 9) AS cov,
+        |  n
+        |FROM p JOIN s si ON si.pos = p.pos_i JOIN s sj ON sj.pos = p.pos_j
+        |ORDER BY pos_i, pos_j""".stripMargin,
+    // the dots CTE of the LSH oracles, emitted as coordinates: plane
+    // indices 1024..1039 are the JL projection's
+    "emb_project" ->
+      """SELECT e.vec_id, CAST(u.p AS BIGINT) - 1024 AS pos,
+        |  round(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) *
+        |         (CAST(((u.p*1000003 + (i-1)) * 2654435761 + 12345) % 1000000 AS DOUBLE)
+        |          / 1000000.0 - 0.5))), 9) AS x
+        |FROM embeddings e, unnest(range(1024, 1040)) AS u(p)
+        |ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_ivf_pq" -> ivfTopKPq,
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,

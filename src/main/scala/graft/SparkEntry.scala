@@ -1039,6 +1039,21 @@ object SparkEntry {
       Clustering.kmeansCentroids(s.read.parquet(s"$dir/embeddings.parquet"),
         k = 4, iters = 2)
         .orderBy(col("cid"), col("pos"))),
+    // exact corpus covariance of the embedding coordinates in ONE
+    // aggregate: each row's upper-triangle products elementwise-summed by
+    // the native vector-sum aggregate — d(d+1)/2 + d longs shuffle, never
+    // rows x d^2 exploded elements
+    "emb_covariance" -> ((s, dir) =>
+      Clustering.covariance(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy(col("pos_i"), col("pos_j"))),
+    // Johnson-Lindenstrauss projection 64 -> 16 over the LSH family's
+    // deterministic LCG hyperplanes: scan-local, no model, no shuffle
+    "emb_project" -> ((s, dir) =>
+      Similarity.jlProject(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("x"), 9).as("x"))
+        .orderBy(col("vec_id"), col("pos"))),
     // the TRAINED-quantizer index: 2 Lloyd iterations tighten the lists
     // under the same frozen-centroid serving discipline; the oracle
     // replays the training and the probe

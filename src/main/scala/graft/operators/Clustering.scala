@@ -187,4 +187,49 @@ object Clustering {
       .select(col("label"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cos_centroid"))
   }
+
+  /** Exact corpus covariance of the embedding coordinates — the d x d
+    * second-moment summary under PCA/whitening/drift analyses, emitted as
+    * the upper triangle (pos_i <= pos_j): (pos_i, pos_j, cov, n).
+    *
+    * One pass, one aggregate: each row contributes its d(d+1)/2
+    * upper-triangle products as a single array, elementwise-summed by the
+    * native [[graft.functions.expressions.VectorMicroSum]] aggregate
+    * (micro-quantized longs — order-independent integer addition, so any
+    * partitioning and the DuckDB oracle agree bit-for-bit), alongside the
+    * plain coordinate sums for the mean correction. The shuffle is ONE
+    * buffer of d(d+1)/2 + d longs — never `rows x d^2` exploded elements,
+    * and nothing about it grows with the corpus.
+    *
+    * cov = E[x_i x_j] - E[x_i] E[x_j], each expectation from the
+    * quantized integer sums, rounded to 9 dp.
+    */
+  def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val d = size(v)
+    val tri = flatten(transform(sequence(lit(0), d - 1), i =>
+      transform(sequence(i, d - 1), j =>
+        element_at(v, (i + 1).cast("int")).cast("double") *
+          element_at(v, (j + 1).cast("int")).cast("double"))))
+    val agg = emb.filter(v.isNotNull).agg(
+      graft.functions.expressions.VectorSumAgg.vectorMicroSum(tri).as("pp"),
+      graft.functions.expressions.VectorSumAgg.vectorMicroSum(v).as("sx"),
+      count(lit(1)).as("n"),
+      max(d).as("d"))
+    // re-derive the (i, j) labels in the exact order the triangle was
+    // flattened, zip them back onto the aggregated sums, and explode
+    val ij = flatten(transform(sequence(lit(0), col("d") - 1), i =>
+      transform(sequence(i, col("d") - 1), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j")))))
+    val denom = col("n").cast("double") * lit(1e6)
+    agg.select(col("n"), col("sx"),
+        posexplode(arrays_zip(ij.as("ij"), col("pp").as("pq"))).as(Seq("t", "z")))
+      .select(
+        col("z.ij.i").as("pos_i"), col("z.ij.j").as("pos_j"),
+        round(col("z.pq").cast("double") / denom
+          - (element_at(col("sx"), (col("z.ij.i") + 1).cast("int")).cast("double") / denom)
+            * (element_at(col("sx"), (col("z.ij.j") + 1).cast("int")).cast("double") / denom),
+          9).as("cov"),
+        col("n"))
+  }
 }

@@ -542,4 +542,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` coordinates:
+    * `proj_j = dot(vec, plane_{planeBase + j})` over the SAME deterministic
+    * integer-LCG hyperplanes the LSH family hashes with — no stored model,
+    * no RNG, engine-independent, so the DuckDB oracle replays every
+    * coordinate from the dots formula. Output: (`idCol`, proj array<double>).
+    *
+    * The scale story: a 4x smaller payload (64 -> 16 doubles) to
+    * shuffle, broadcast, or persist wherever a coarse geometry suffices.
+    * The projection is scan-local (one fold per output coordinate, no
+    * shuffle at all). Scope it honestly: JL preserves distances to
+    * `1 +- eps` with `eps ~ 1/sqrt(outDim)` (~0.25 at 16), so it is a
+    * payload-compression / coarse-bucketing transform, NOT a top-k
+    * ranking rung — on an isotropic corpus (this repo's benchmark
+    * embeddings: top-5 cosine margins ~0.07) a 16-dim sketch measured
+    * recall@5 of only ~0.07-0.48 even with 20x exact re-ranking, so the
+    * ANN paths here remain [[ivfTopK]] / [[lshTopK]], whose candidate
+    * generation + exact re-score does not depend on sketch margins.
+    *
+    * `planeBase + outDim` must stay under ~3400: the LCG's
+    * `p*1000003*2654435761` multiply crosses 2^63 past that, where Spark
+    * wraps silently but an oracle engine errors — the bound keeps every
+    * replayer in exact-integer agreement.
+    */
+  def jlProject(
+      emb: DataFrame,
+      outDim: Int = 16,
+      planeBase: Int = 1024,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    require(planeBase >= 0 && planeBase + outDim <= 3400,
+      "plane index past ~3400 overflows the 63-bit LCG multiply")
+    emb.select(col(idCol).as("vec_id"),
+      array((0 until outDim).map(j => planeDot(col(vecCol), planeBase + j)): _*).as("proj"))
+  }
+
 }

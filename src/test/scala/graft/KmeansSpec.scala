@@ -102,4 +102,74 @@ class KmeansSpec extends SparkTestBase {
     assert(rows(probe) == rows(brute),
       "exhaustive probe must be centroid-independent and equal brute force")
   }
+
+  test("covariance: hand-computed 2-dim fixture, exact values") {
+    // x = (1, 0), y = (0, 1): var = 0.25 each, cov = -0.25
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.covariance(emb)
+      .orderBy(col("pos_i"), col("pos_j")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 0.25, 2L), (0L, 1L, -0.25, 2L), (1L, 1L, 0.25, 2L)))
+  }
+
+  test("covariance is partitioning-independent and diagonal matches exact variance") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Clustering.covariance(emb).orderBy(col("pos_i"), col("pos_j")).collect().toSeq
+    val b = Clustering.covariance(emb.repartition(13))
+      .orderBy(col("pos_i"), col("pos_j")).collect().toSeq
+    assert(a == b, "micro-quantized integer sums must be partitioning-independent")
+    assert(a.length == 64 * 65 / 2 && a.forall(_.getLong(3) == 500L))
+    // diagonal entries are variances: non-negative, and within the 1e-6
+    // quantization tolerance of the exact double-precision computation
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val diag = a.filter(r => r.getLong(0) == r.getLong(1)).map(_.getDouble(2))
+    for (i <- Seq(0, 17, 63)) {
+      val xs = vecs.map(_(i))
+      val exact = xs.map(x => x * x).sum / xs.length - math.pow(xs.sum / xs.length, 2)
+      assert(math.abs(diag(i) - exact) < 2e-6,
+        s"diag($i): quantized ${diag(i)} vs exact $exact")
+    }
+    assert(diag.forall(_ >= 0.0), "variances must be non-negative")
+  }
+
+  test("jl projection: linear, deterministic, and contract-scoped (payload compression)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = Similarity.jlProject(emb, outDim = 16)
+    val rows = p.orderBy(col("vec_id")).collect()
+    assert(rows.length == 500 && rows.forall(_.getSeq[Double](1).length == 16))
+    // deterministic under repartitioning (pure per-row fold, no model state)
+    val again = Similarity.jlProject(emb.repartition(9), outDim = 16)
+      .orderBy(col("vec_id")).collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    // linearity: proj(2x) == 2 * proj(x) exactly (doubles scale by powers of 2)
+    val doubled = Similarity.jlProject(
+      emb.withColumn("embedding",
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))),
+      outDim = 16).orderBy(col("vec_id")).collect()
+    for ((r, d) <- rows.zip(doubled))
+      assert(r.getSeq[Double](1).map(_ * 2.0) == d.getSeq[Double](1))
+    // the guarantee JL actually gives: a planted NEAR-DUPLICATE (cosine
+    // ~0.999) stays the projected-space top-1 — big margins survive the
+    // eps ~ 1/sqrt(16) sketch noise; small top-k margins do NOT (measured
+    // recall@5 ~0.07 on this isotropic corpus — documented in jlProject's
+    // scaladoc, which is why there is deliberately no projected ANN rung)
+    val base = rows.take(20).map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val planted = Similarity.jlProject(
+      emb.filter(col("vec_id") === 0L)
+        .withColumn("vec_id", lit(100000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x * lit(1.001f)).cast("float")))
+        .unionByName(emb), outDim = 16)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val q = planted(100000L)
+    val best = planted.filter(_._1 != 100000L).maxBy { case (_, v) => cos(q, v) }
+    assert(best._1 == 0L, s"planted near-dup must be projected top-1, got ${best._1}")
+  }
 }
