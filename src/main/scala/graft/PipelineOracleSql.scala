@@ -2345,6 +2345,32 @@ object PipelineOracleSql {
     "text_vocab_sketch" -> vocabSketch,
     "events_sessions_range" -> sessionsRange,
     "events_session_window" -> sessionWindow,
+    // strictly-ordered min-time funnel chain, one CTE per step
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'view' AND e.t > s1.t1 GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.t > s2.t2 GROUP BY e.u)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'view', CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+    // integer epoch-week cohort retention (604800000000 us per week)
+    "events_retention" ->
+      """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT u, min(us) // 604800000000 AS cw FROM t GROUP BY u),
+        |a AS (SELECT DISTINCT u, us // 604800000000 AS w FROM t)
+        |SELECT CAST(f.cw AS BIGINT) AS cohort_week,
+        |  CAST(a.w - f.cw AS BIGINT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.u = f.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_fixed_k" -> sampleFixedK,
     "sample_length_stratified" -> sampleLengthStratified,
     "sample_dsir" -> sampleDsir,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, EventAnalytics, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1083,6 +1083,22 @@ object SparkEntry {
           unix_micros(col("session_window.end")).as("session_end_us"),
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start_us"))
+    }),
+    // strictly-ordered conversion funnel signup -> view -> purchase:
+    // min-time chaining on the user key, one filtered pass per step
+    "events_funnel" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventAnalytics.funnel(ev, Seq("signup", "view", "purchase"), tsUs(ev))
+        .orderBy(col("step"))
+    }),
+    // weekly cohort retention in pure integer epoch-week arithmetic:
+    // cohort = first-event week, one row per (cohort, active-week offset)
+    "events_retention" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      EventAnalytics.retentionCohorts(ev, tsUs(ev))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }),
     // approximate distinct vocabulary per source via the KMV sketch (k=32 so
     // the ESTIMATE path is live on this corpus, not just the exact path)

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered-step funnels and cohort
+  * retention — the two classic "did the user progress / did they come
+  * back" rollups over a (user, type, time) event log.
+  *
+  * Both are built as relational chains on the user key: every join and
+  * aggregate shuffles on `user_id` only (the natural key that also
+  * bounds state), never on time, and no per-user event list is ever
+  * collected — at 100 TB a user's history stays distributed and each
+  * funnel step is one filtered pass with the type predicate pushed to
+  * the scan.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered conversion funnel: a user reaches step k iff an
+    * event of type `steps(k)` exists STRICTLY after the user's earliest
+    * completion time of step k-1 (the standard min-time chaining — later
+    * same-type events cannot rescue an out-of-order sequence, and a
+    * single event cannot satisfy two steps). Output one row per step:
+    * (step 1-based, event_type, n_users), n_users = 0 rows included so
+    * the funnel shape is always `steps.length` rows.
+    *
+    * Scale shape: step k is `events σ(type=steps(k))` equi-joined to the
+    * step-(k-1) frame on the user key and re-minimized — k passes, each
+    * with the type filter at the scan and a user-key shuffle whose
+    * cardinality only ever shrinks. No windows, no collected arrays.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      tsCol: Column,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val ev = events.select(col(userCol).cast("long").as("u"),
+      col(typeCol).as("et"), tsCol.cast("long").as("t"))
+    def countOf(reached: DataFrame, k: Int): DataFrame =
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(k.toLong).as("step"), lit(steps(k - 1)).as("event_type"),
+          col("n_users"))
+    var reached = ev.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("tp"))
+    var out = countOf(reached, 1)
+    for (k <- 2 to steps.length) {
+      reached = ev.filter(col("et") === steps(k - 1))
+        .join(reached, Seq("u"))
+        .filter(col("t") > col("tp"))
+        .groupBy(col("u")).agg(min(col("t")).as("tp"))
+      out = out.unionByName(countOf(reached, k))
+    }
+    out
+  }
+
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their FIRST event, and counted once per (cohort, week-offset) they
+    * were active in. Output: (cohort_week, week_offset, n_users) —
+    * cohort_week in integer weeks since the epoch, offset 0 = the cohort
+    * week itself. Pure integer `div` arithmetic on the microsecond
+    * timestamps (no calendar/locale week semantics), so every engine
+    * agrees bit-for-bit.
+    *
+    * Scale shape: one user-key aggregate for the first-event cohort, one
+    * distinct over (user, week) — both partial-aggregated map-side — and
+    * a user-key equi-join; the final rollup is cohorts x offsets, tiny.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      tsCol: Column,
+      userCol: String = "user_id",
+      weekUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    require(weekUs > 0, "weekUs must be positive")
+    val ev = events.select(col(userCol).cast("long").as("u"),
+      tsCol.cast("long").as("t"))
+    val firsts = ev.groupBy(col("u"))
+      .agg(expr(s"CAST(min(t) div ${weekUs}L AS BIGINT)").as("cohort_week"))
+    val active = ev.select(col("u"),
+      expr(s"CAST(t div ${weekUs}L AS BIGINT)").as("w")).distinct()
+    active.join(firsts, Seq("u"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}
