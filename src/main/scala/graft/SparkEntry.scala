@@ -724,6 +724,23 @@ object SparkEntry {
       TextAnalysis.boilerplateRemove(
         s.read.parquet(s"$dir/documents.parquet"), blockWords = 3, minDocs = 5)
         .orderBy(col("doc_id"))),
+    // the STREAMING form: a 3-epoch fold where each batch is cleaned
+    // against the POST-merge cumulative block counts — hot-in-this-batch
+    // already condemns this batch, earlier emissions are never retracted;
+    // the oracle collapses the fold into a per-epoch cumulative window
+    "text_boilerplate_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      var seen: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (out, store) = TextAnalysis.boilerplateRemoveIncremental(
+          seen, batch, blockWords = 3, minDocs = 5)
+        // pinned: the store is re-read by every later epoch
+        seen = Some(store.localCheckpoint(true))
+        out.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy(col("source"), col("rank"))),
@@ -1981,6 +1998,32 @@ object SparkEntry {
          |n AS (SELECT doc_id, CAST((len(w) + 2) // 3 AS BIGINT) AS n_blocks FROM toks)
          |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
          |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed
+         |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,
+    "text_boilerplate_stream" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, doc_id % 3 AS epoch, $Tok AS w FROM documents),
+         |b AS MATERIALIZED (
+         |  SELECT doc_id, epoch, CAST(u.i AS BIGINT) AS pos,
+         |    array_to_string(w[(CAST(u.i AS INT)*3+1):(CAST(u.i AS INT)*3+3)], ' ') AS blk
+         |  FROM toks, unnest(range((len(w) + 2) // 3)) AS u(i)),
+         |c AS (SELECT blk, epoch, count(DISTINCT doc_id) AS nd FROM b GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT blk, epoch,
+         |    CAST(sum(nd) OVER (PARTITION BY blk ORDER BY epoch) AS BIGINT) AS cnd
+         |  FROM c),
+         |hot AS (SELECT blk, epoch FROM cum WHERE cnd >= 5),
+         |kept AS (
+         |  SELECT b.doc_id, b.pos, b.blk FROM b
+         |  LEFT JOIN hot ON hot.blk = b.blk AND hot.epoch = b.epoch
+         |  WHERE hot.blk IS NULL),
+         |r AS (
+         |  SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |n AS (SELECT doc_id, epoch, CAST((len(w) + 2) // 3 AS BIGINT) AS n_blocks FROM toks)
+         |SELECT n.doc_id, coalesce(r.clean_text, '') AS clean_text, n.n_blocks,
+         |  n.n_blocks - coalesce(r.n_kept, 0) AS n_removed,
+         |  CAST(n.epoch AS BIGINT) AS epoch
          |FROM n LEFT JOIN r ON r.doc_id = n.doc_id ORDER BY n.doc_id""".stripMargin,
     "sample_source_cap" ->
       s"""WITH f AS (

@@ -697,7 +697,7 @@ object Dedup {
     * corpus-scale block collisions stay negligible while the DuckDB
     * oracle can replay every bit.
     */
-  private def blockHash(blk: Column): Column =
+  private[operators] def blockHash(blk: Column): Column =
     polyHash(blk) + polyHash(blk, mult = 131L, prime = 2147483629L) * lit(2147483648L)
 
   /** One admission decision of the STREAMING block dedup: drop every block

@@ -784,6 +784,63 @@ object TextAnalysis {
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** One admission step of the STREAMING boilerplate filter: merge the
+    * batch's per-block distinct-doc counts into `seen` (the store of
+    * cumulative counts over every batch so far, keyed by the 62-bit block
+    * hash), then clean the batch against the POST-merge totals — so a
+    * block crossing `minDocs` inside this batch is already condemned for
+    * this batch's docs, and a single-batch stream is bit-identical to
+    * [[boilerplateRemove]]. Earlier batches' emissions are not retracted
+    * when a block turns hot later (the forward-only streaming trade-off,
+    * same as every admission store here). Returns (cleaned batch, the
+    * merged store to carry forward).
+    *
+    * 100 TB shape: the store probe + merge is one hash-partitioned
+    * equi-join on the block hash — O(batch blocks + touched store rows),
+    * never corpus-sized; the store grows by one (hash, count) row per
+    * distinct new block.
+    */
+  def boilerplateRemoveIncremental(
+      seen: Option[DataFrame],
+      batch: DataFrame,
+      blockWords: Int = 3,
+      minDocs: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val bw = blockWords
+    val tok = batch.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n_blocks",
+        floor((size(col("w")) + lit(bw - 1)) / lit(bw)).cast("long"))
+    val blocks = blockRows(batch, blockWords, idCol, textCol)
+      .withColumn("h", Dedup.blockHash(col("blk")))
+    val batchCounts = blocks.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("bd"))
+    val total = seen match {
+      case Some(s) =>
+        batchCounts.join(s.select(col("h"), col("n_docs").as("sd")), Seq("h"), "full_outer")
+          .select(col("h"),
+            (coalesce(col("bd"), lit(0L)) + coalesce(col("sd"), lit(0L))).as("n_docs"))
+      case None => batchCounts.select(col("h"), col("bd").as("n_docs"))
+    }
+    val hot = total.filter(col("n_docs") >= lit(minDocs.toLong)).select(col("h"))
+    val kept = blocks.join(hot, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            x => x.getField("blk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val out = tok.select(col("doc_id"), col("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    (out, total)
+  }
+
   /** (doc_id, pos, blk) rows: each document cut into fixed `blockWords`-
     * token blocks (last block ragged) — the shared explode under the
     * boilerplate census and removal.

@@ -391,6 +391,33 @@ class CorpusOpsSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("boilerplate incremental: single batch == batch operator; hotness is forward-only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // one batch over the full corpus is bit-identical to the batch op
+    val (oneShot, store) = graft.operators.TextAnalysis.boilerplateRemoveIncremental(
+      None, docs, blockWords = 3, minDocs = 5)
+    val batchOp = graft.operators.TextAnalysis.boilerplateRemove(
+      docs, blockWords = 3, minDocs = 5)
+    assert(oneShot.orderBy("doc_id").collect().toSeq ==
+      batchOp.orderBy("doc_id").collect().toSeq)
+    assert(store.filter(col("n_docs") >= 5).count() ==
+      graft.operators.TextAnalysis.boilerplateStats(docs, 3, 5).count())
+    // forward-only: a block crossing the threshold in batch 2 condemns
+    // batch 2's copy, but batch 1's already-emitted copy stays
+    val blk = "acme corp footer"
+    val b1 = docsDF(1L -> s"$blk alpha beta gamma", 2L -> s"$blk delta epsilon zeta")
+    val b2 = docsDF(3L -> s"$blk eta theta iota", 4L -> "kappa lambda mu")
+    val (o1, s1) = graft.operators.TextAnalysis.boilerplateRemoveIncremental(
+      None, b1, blockWords = 3, minDocs = 3)
+    val (o2, _) = graft.operators.TextAnalysis.boilerplateRemoveIncremental(
+      Some(s1.localCheckpoint(true)), b2, blockWords = 3, minDocs = 3)
+    assert(o1.collect().forall(_.getLong(3) == 0L), "2 docs < minDocs: batch 1 untouched")
+    val m2 = o2.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m2(3L).getString(1) == "eta theta iota" && m2(3L).getLong(3) == 1L,
+      "cumulative count 3 >= minDocs condemns batch 2's copy")
+    assert(m2(4L).getLong(3) == 0L)
+  }
+
   test("chunking and mixture sampling stay shuffle-free (scan-local explode + filter)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (plan <- Seq(
