@@ -808,6 +808,37 @@ object PipelineOracleSql {
     * (mirrors `Similarity.lshTopK` with multiProbe=3 — ranked from the
     * same dots CTE the signature derives from), queries vec_id < 10, k=5.
     */
+  /** Streaming-funnel oracle: the epoch-e block is the BATCH funnel over
+    * the 10-day prefix `t < T0 + (e+1)*d` (epoch 2 = everything) — the
+    * fold invariant `EventAnalytics.funnelIncremental` guarantees for
+    * time-partitioned batches.
+    */
+  private def funnelStreamOracle: String = {
+    val t0 = 1704067200000000L
+    val d = 864000000000L
+    val chains = (0 until 3).map { e =>
+      val cut = if (e < 2) s"AND t < ${t0 + (e + 1) * d}" else ""
+      val cutEv = if (e < 2) s"AND ev.t < ${t0 + (e + 1) * d}" else ""
+      s"""p${e}s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE et = 'signup' $cut GROUP BY u),
+         |p${e}s2 AS (SELECT ev.u, min(ev.t) AS t2 FROM ev JOIN p${e}s1 ON ev.u = p${e}s1.u
+         |  WHERE ev.et = 'view' AND ev.t > p${e}s1.t1 $cutEv GROUP BY ev.u),
+         |p${e}s3 AS (SELECT ev.u, min(ev.t) AS t3 FROM ev JOIN p${e}s2 ON ev.u = p${e}s2.u
+         |  WHERE ev.et = 'purchase' AND ev.t > p${e}s2.t2 $cutEv GROUP BY ev.u)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until 3).flatMap { e =>
+      Seq(
+        s"SELECT CAST($e AS BIGINT) AS epoch, CAST(1 AS BIGINT) AS step, " +
+          s"'signup' AS event_type, CAST(count(*) AS BIGINT) AS n_users FROM p${e}s1",
+        s"SELECT CAST($e AS BIGINT), CAST(2 AS BIGINT), 'view', CAST(count(*) AS BIGINT) FROM p${e}s2",
+        s"SELECT CAST($e AS BIGINT), CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p${e}s3")
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+       |$chains
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY epoch, step""".stripMargin
+  }
+
   def lshTopK: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding, $Nrm AS nrm FROM embeddings
@@ -2361,6 +2392,8 @@ object PipelineOracleSql {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3)
         |ORDER BY step""".stripMargin,
+    // streaming funnel = batch funnel over each 10-day epoch prefix
+    "events_funnel_stream" -> funnelStreamOracle,
     // integer epoch-week cohort retention (604800000000 us per week)
     "events_retention" ->
       """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),

@@ -1109,6 +1109,26 @@ object SparkEntry {
       EventAnalytics.funnel(ev, Seq("signup", "view", "purchase"), tsUs(ev))
         .orderBy(col("step"))
     }),
+    // the STREAMING funnel: 10-day time-partitioned epochs folded through
+    // the per-user frontier state — after each epoch the counts equal the
+    // batch funnel over that prefix (the oracle replays the prefixes)
+    "events_funnel_stream" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val withE = ev.withColumn("t_us", tsUs(ev))
+        .withColumn("ep", least(lit(2L),
+          expr("CAST((t_us - 1704067200000000L) div 864000000000L AS BIGINT)")))
+      var state: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = withE.filter(col("ep") === lit(e.toLong))
+        val (counts, ns) = EventAnalytics.funnelIncremental(
+          state, batch, Seq("signup", "view", "purchase"), col("t_us"))
+        // pinned: the state is re-probed by every later epoch
+        state = Some(ns.localCheckpoint(true))
+        counts.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("step"))
+    }),
     // weekly cohort retention in pure integer epoch-week arithmetic:
     // cohort = first-event week, one row per (cohort, active-week offset)
     "events_retention" -> ((s, dir) => {

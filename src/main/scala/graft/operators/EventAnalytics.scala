@@ -56,6 +56,76 @@ object EventAnalytics {
     out
   }
 
+  /** One admission step of the STREAMING funnel: advance each user's
+    * frontier state `(level, tp)` — the highest step reached and its
+    * chain completion time — through one batch of events. Within the
+    * batch a user can advance several steps (the per-step chain is
+    * replayed seeded at the carried frontier), so a fold over
+    * TIME-ORDERED batches is bit-identical to the batch [[funnel]] over
+    * their union: the min-time chain only ever consumes events strictly
+    * after the frontier, which earlier batches cannot contain.
+    * Returns (per-step counts `(step, event_type, n_users)` with
+    * n_users = users at level >= step AFTER this batch, new state).
+    *
+    * 100 TB shape: per step one type-filtered batch pass equi-joined to
+    * the frontier frame on the user key; state is one row per user who
+    * ever reached step 1, and the store merge is a user-key outer join —
+    * O(batch + touched users), never all-history.
+    */
+  def funnelIncremental(
+      state: Option[DataFrame],
+      batch: DataFrame,
+      steps: Seq[String],
+      tsCol: Column,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): (DataFrame, DataFrame) = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = batch.sparkSession
+    val ev = batch.select(col(userCol).cast("long").as("u"),
+      col(typeCol).as("et"), tsCol.cast("long").as("t"))
+    val st = state.getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("u", LongType), StructField("level", LongType),
+          StructField("tp", LongType))))
+    }
+    // step 1 seed: users with no carried state at all (level-0 frontier)
+    var reached = ev.filter(col("et") === steps.head)
+      .join(st.select(col("u")), Seq("u"), "left_anti")
+      .groupBy(col("u")).agg(min(col("t")).as("tp"))
+      .select(col("u"), lit(1L).as("level"), col("tp"))
+    var advanced = reached
+    for (k <- 2 to steps.length) {
+      // step-k seed: carried users waiting at exactly k-1, plus users the
+      // batch just advanced to k-1
+      val seed = st.filter(col("level") === lit((k - 1).toLong))
+        .select(col("u"), col("tp"))
+        .unionByName(reached.filter(col("level") === lit((k - 1).toLong))
+          .select(col("u"), col("tp")))
+      reached = ev.filter(col("et") === steps(k - 1))
+        .join(seed, Seq("u"))
+        .filter(col("t") > col("tp"))
+        .groupBy(col("u")).agg(min(col("t")).as("tp"))
+        .select(col("u"), lit(k.toLong).as("level"), col("tp"))
+      advanced = advanced.unionByName(reached)
+    }
+    // each user's furthest in-batch advancement replaces their carried row
+    val best = advanced.groupBy(col("u"))
+      .agg(max(struct(col("level"), col("tp"))).as("b"))
+      .select(col("u"), col("b.level").as("level"), col("b.tp").as("tp"))
+    val newState = st.join(best.select(col("u")), Seq("u"), "left_anti")
+      .unionByName(best)
+    val counts = steps.indices.map { i =>
+      val k = i + 1
+      newState.filter(col("level") >= lit(k.toLong))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(k.toLong).as("step"), lit(steps(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+    (counts, newState)
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their FIRST event, and counted once per (cohort, week-offset) they
     * were active in. Output: (cohort_week, week_offset, n_users) —

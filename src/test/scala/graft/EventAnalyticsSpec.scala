@@ -71,6 +71,36 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, 1L, 1L)))  // user 3 one week later
   }
 
+  test("funnel incremental: fold over time-ordered batches == batch funnel") {
+    val all = ev(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 130L),  // advances across batches
+      (2L, "B", 5L), (2L, "A", 110L), (2L, "C", 230L),  // B precedes A: stalls at 1
+      (3L, "A", 10L), (3L, "B", 15L), (3L, "C", 18L),   // full chain inside batch 1
+      (4L, "C", 210L),                                  // never signs up
+      (5L, "A", 205L), (5L, "B", 206L))                 // two steps inside batch 3
+    val steps = Seq("A", "B", "C")
+    val cuts = Seq(0L -> 100L, 100L -> 200L, 200L -> 1000L)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var lastCounts: Seq[(Long, String, Long)] = Nil
+    for (((lo, hi), e) <- cuts.zipWithIndex) {
+      val batch = all.filter(col("t") >= lo && col("t") < hi)
+      val (counts, ns) = EventAnalytics.funnelIncremental(state, batch, steps, col("t"))
+      state = Some(ns.localCheckpoint(true))
+      lastCounts = counts.orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      // invariant: counts after epoch e == batch funnel over the prefix
+      val prefix = EventAnalytics.funnel(all.filter(col("t") < hi), steps, col("t"))
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(lastCounts == prefix, s"epoch $e: fold $lastCounts != prefix $prefix")
+    }
+    assert(lastCounts == Seq((1L, "A", 4L), (2L, "B", 3L), (3L, "C", 2L)))
+    // final state levels: users 1 and 3 at level 3, user 2 stalled at 1,
+    // user 5 at 2, user 4 absent (never reached step 1)
+    val lv = state.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 5L -> 2L))
+  }
+
   test("funnel and retention plans stay user-key equi-joins (no cartesian, no window)") {
     // event_id stands in for the time column — same types, same plan shape
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
