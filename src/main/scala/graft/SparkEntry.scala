@@ -1568,6 +1568,15 @@ object SparkEntry {
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
           col("luma_micro"))
         .orderBy(col("doc_id"))),
+    // REAL image resize: the P6 rasters nearest-neighbor point-sampled to
+    // 8x8 by the actual parse->resample->re-encode kernel; the channel
+    // sums over the RESIZED raster replay from the text in the oracle
+    "mm_resize_ppm" -> ((s, dir) =>
+      Multimodal.resizePpm(
+          Multimodal.encodePpm(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("src_height"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))),
     "mm_decode_wav" -> ((s, dir) =>
       // real RIFF/PCM audio decode (chunk-walking parser) over payloads
       // whose sample stream is a pure function of the text — the audio
@@ -2404,6 +2413,31 @@ object SparkEntry {
         |  CAST(255 AS BIGINT) AS maxval, n_pixels, sum_r, sum_g, sum_b,
         |  CAST((299*sum_r + 587*sum_g + 114*sum_b) * 1000 // n_pixels AS BIGINT) AS luma_micro
         |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_resize_ppm" ->
+      """WITH c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n, codes,
+        |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS h
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, h,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 64), t ->
+        |      CASE WHEN ((t//8)*h//8*16 + (t%8)*2)*3 + 0 < n
+        |        THEN codes[CAST(((t//8)*h//8*16 + (t%8)*2)*3 + 1 AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_r,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 64), t ->
+        |      CASE WHEN ((t//8)*h//8*16 + (t%8)*2)*3 + 1 < n
+        |        THEN codes[CAST(((t//8)*h//8*16 + (t%8)*2)*3 + 2 AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_g,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 64), t ->
+        |      CASE WHEN ((t//8)*h//8*16 + (t%8)*2)*3 + 2 < n
+        |        THEN codes[CAST(((t//8)*h//8*16 + (t%8)*2)*3 + 3 AS INT)] ELSE 0 END)), 0) AS BIGINT) AS sum_b
+        |  FROM d)
+        |SELECT doc_id, h AS src_height, CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height, sum_r, sum_g, sum_b
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_decode_wav" ->
       """WITH c AS (
         |  SELECT doc_id, strlen(text) AS n,

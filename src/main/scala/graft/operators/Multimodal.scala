@@ -216,6 +216,63 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize (the production kernel [[resize]] stubs): parse the
+    * P6 raster, nearest-neighbor point-sample to `tw x th` — target pixel
+    * (r, c) reads source pixel (r*srcH div th, c*srcW div tw), the classic
+    * integer floor mapping, no float interpolation so every engine agrees
+    * — and re-encode as a canonical P6 payload. Output: (doc_id, valid,
+    * src_width, src_height, width, height, resized BINARY, sum_r, sum_g,
+    * sum_b) with the channel sums over the RESIZED raster, exact integers.
+    * Unparseable payloads emit valid=false, zeros, null payload.
+    *
+    * Same 100 TB shape as every kernel here: batch-sized mapPartitions,
+    * binary in/binary out, the payload never shuffles.
+    */
+  def resizePpm(
+      media: DataFrame, tw: Int = 8, th: Int = 8, batchSize: Int = 64): DataFrame = {
+    require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[
+        (Long, Boolean, Long, Long, Long, Long, Array[Byte], Long, Long, Long)] =
+      Encoders.product[
+        (Long, Boolean, Long, Long, Long, Long, Array[Byte], Long, Long, Long)]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parsePpm(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((w, h, _, px)) =>
+                val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+                val out = new Array[Byte](header.length + tw * th * 3)
+                System.arraycopy(header, 0, out, 0, header.length)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var r = 0
+                while (r < th) {
+                  val sy = r.toLong * h / th
+                  var c = 0
+                  while (c < tw) {
+                    val sx = c.toLong * w / tw
+                    val src = ((sy * w + sx) * 3).toInt
+                    val dst = header.length + (r * tw + c) * 3
+                    out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+                    sr += px(src) & 0xFF; sg += px(src + 1) & 0xFF; sb += px(src + 2) & 0xFF
+                    c += 1
+                  }
+                  r += 1
+                }
+                (id, true, w.toLong, h.toLong, tw.toLong, th.toLong, out, sr, sg, sb)
+              case None =>
+                (id, false, 0L, 0L, 0L, 0L, null: Array[Byte], 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "valid", "src_width", "src_height", "width", "height",
+        "resized", "sum_r", "sum_g", "sum_b")
+  }
+
   /** The P6 parser: returns (width, height, maxval, samples) or None. Full
     * header grammar — any run of whitespace between tokens, `#` comments to
     * end-of-line inside the header, exactly one whitespace byte after

@@ -580,6 +580,38 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal P6 resize: nearest-neighbor kernel, round-trip decodable, identity at source dims") {
+    import spark.implicits._
+    def img(hdr: String, px: Array[Byte]) = hdr.getBytes("US-ASCII") ++ px
+    // 2x2 image with distinct corner pixels
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val rows = Seq(1L -> img("P6\n2 2\n255\n", px),
+      2L -> "garbage".getBytes("US-ASCII"))
+    // upsample 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    val up = Multimodal.resizePpm(rows.toDF("doc_id", "payload"), tw = 4, th = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!up(2L).getBoolean(1), "garbage stays invalid")
+    val u = up(1L)
+    assert(u.getBoolean(1) && u.getLong(2) == 2 && u.getLong(3) == 2)
+    // every source pixel sampled exactly 4 times
+    assert(u.getLong(7) == 4L * (1 + 4 + 7 + 10), s"sum_r: ${u.getLong(7)}")
+    assert(u.getLong(8) == 4L * (2 + 5 + 8 + 11))
+    assert(u.getLong(9) == 4L * (3 + 6 + 9 + 12))
+    // the resized payload is itself a decodable P6 with matching stats
+    val re = Multimodal.decodePpm(
+      Seq(1L -> u.getAs[Array[Byte]](6)).toDF("doc_id", "payload")).collect().head
+    assert(re.valid && re.width == 4 && re.height == 4 &&
+      re.sum_r == u.getLong(7) && re.sum_g == u.getLong(8) && re.sum_b == u.getLong(9))
+    // identity resize returns the source raster bit-for-bit
+    val id = Multimodal.resizePpm(rows.take(1).toDF("doc_id", "payload"), tw = 2, th = 2)
+      .collect().head
+    assert(id.getAs[Array[Byte]](6).toSeq == img("P6\n2 2\n255\n", px).toSeq)
+    // downsample 2x2 -> 1x1 keeps the top-left pixel
+    val dn = Multimodal.resizePpm(rows.take(1).toDF("doc_id", "payload"), tw = 1, th = 1)
+      .collect().head
+    assert((dn.getLong(7), dn.getLong(8), dn.getLong(9)) == (1L, 2L, 3L))
+  }
+
   test("multimodal WAV decode: real RIFF chunk walking, exact sample stats, invalid payloads flagged") {
     import spark.implicits._
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
