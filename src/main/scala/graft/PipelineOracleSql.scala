@@ -808,6 +808,56 @@ object PipelineOracleSql {
     * (mirrors `Similarity.lshTopK` with multiProbe=3 — ranked from the
     * same dots CTE the signature derives from), queries vec_id < 10, k=5.
     */
+  /** PCA oracle: the exact-covariance pipeline (emb_covariance's CTEs)
+    * mirrored to a full matrix, then 8 recursive power-iteration rounds —
+    * matvec, norm, micro-quantize — each arithmetically identical to
+    * `Clustering.pcaPower`'s driver loop (sequential index-order sums,
+    * same division order), so the replay is bit-exact. The matvec list
+    * appears three times because DuckDB lambdas cannot hold subqueries
+    * and the recursive SELECT cannot alias it; `cmat` is MATERIALIZED so
+    * the covariance runs once, not once per round.
+    */
+  private def pcaPowerOracle: String = {
+    val y = "list_transform(range(1,65), i -> " +
+      "list_sum(list_transform(range(1,65), j -> m[i][j] * v[j])))"
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT CAST(ui.i AS BIGINT) AS pos_i, CAST(uj.j AS BIGINT) AS pos_j,
+       |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(ui.i AS INT)+1] AS DOUBLE)
+       |      * CAST(e.embedding[CAST(uj.j AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pq,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings e,
+       |    unnest(range(len(e.embedding))) AS ui(i),
+       |    unnest(range(len(e.embedding))) AS uj(j)
+       |  WHERE uj.j >= ui.i GROUP BY 1, 2),
+       |s AS MATERIALIZED (
+       |  SELECT CAST(u.i AS BIGINT) AS pos,
+       |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(u.i AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx
+       |  FROM embeddings e, unnest(range(len(e.embedding))) AS u(i) GROUP BY 1),
+       |ctri AS (
+       |  SELECT p.pos_i, p.pos_j,
+       |    round(CAST(pq AS DOUBLE) / (n * 1e6)
+       |      - (CAST(si.sx AS DOUBLE) / (n * 1e6)) * (CAST(sj.sx AS DOUBLE) / (n * 1e6)), 9) AS cov
+       |  FROM p JOIN s si ON si.pos = p.pos_i JOIN s sj ON sj.pos = p.pos_j),
+       |cfull AS (
+       |  SELECT pos_i, pos_j, cov FROM ctri
+       |  UNION ALL
+       |  SELECT pos_j, pos_i, cov FROM ctri WHERE pos_i != pos_j),
+       |cm AS (SELECT pos_i AS i, list(cov ORDER BY pos_j) AS r FROM cfull GROUP BY pos_i),
+       |cmat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM cm),
+       |it(k, v, nrm) AS (
+       |  SELECT 0, list_transform(range(64), x -> 0.125e0), CAST(0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_transform($y, x ->
+       |      CAST(floor(x / sqrt(list_sum(list_transform($y, z -> z*z))) * 1e6 + 0.5) AS BIGINT) / 1e6),
+       |    sqrt(list_sum(list_transform($y, z -> z*z)))
+       |  FROM it, cmat WHERE k < 8
+       |)
+       |SELECT CAST(u.i AS BIGINT) AS pos, v[CAST(u.i AS INT)+1] AS loading,
+       |  CAST(floor(nrm*1e6+0.5) AS BIGINT) AS lambda_micro
+       |FROM it, unnest(range(64)) AS u(i) WHERE k = 8 ORDER BY pos""".stripMargin
+  }
+
   /** Streaming-funnel oracle: the epoch-e block is the BATCH funnel over
     * the 10-day prefix `t < T0 + (e+1)*d` (epoch 2 = everything) — the
     * fold invariant `EventAnalytics.funnelIncremental` guarantees for
@@ -2311,6 +2361,9 @@ object PipelineOracleSql {
         |  n
         |FROM p JOIN s si ON si.pos = p.pos_i JOIN s sj ON sj.pos = p.pos_j
         |ORDER BY pos_i, pos_j""".stripMargin,
+    // the covariance pipeline feeding 8 recursive power-iteration rounds:
+    // matvec -> norm -> micro-quantize, each round bit-replayed
+    "emb_pca" -> pcaPowerOracle,
     // the dots CTE of the LSH oracles, emitted as coordinates: plane
     // indices 1024..1039 are the JL projection's
     "emb_project" ->

@@ -1063,6 +1063,13 @@ object SparkEntry {
     "emb_covariance" -> ((s, dir) =>
       Clustering.covariance(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy(col("pos_i"), col("pos_j"))),
+    // PCA top component: 8 deterministic power iterations on the exact
+    // covariance — corpus work is the one aggregate, the d x d matrix is
+    // driver-resident (the k-means-centroids contract), every round
+    // integer-anchored so the oracle replays the iteration exactly
+    "emb_pca" -> ((s, dir) =>
+      Clustering.pcaPower(s.read.parquet(s"$dir/embeddings.parquet"), iters = 8)
+        .orderBy(col("pos"))),
     // Johnson-Lindenstrauss projection 64 -> 16 over the LSH family's
     // deterministic LCG hyperplanes: scan-local, no model, no shuffle
     "emb_project" -> ((s, dir) =>

@@ -232,4 +232,58 @@ object Clustering {
           9).as("cov"),
         col("n"))
   }
+
+  /** Top principal component by `iters` deterministic power iterations on
+    * [[covariance]]'s exact second-moment matrix — PCA as a corpus
+    * operator. The corpus-sized work is the ONE covariance aggregate; the
+    * d x d matrix is then driver-resident (bounded, the same contract as
+    * the k-means centroids) and each iteration is a d^2 mat-vec with the
+    * iterate re-quantized to micro units after normalization — every
+    * arithmetic step is sequential and integer-anchored, so the DuckDB
+    * oracle replays all `iters` rounds bit-for-bit.
+    *
+    * Convergence is the caller's dial, not a promise: `iters` rounds of
+    * power iteration (the k-means `iters` contract); on near-isotropic
+    * corpora the eigengap is small and the direction is a deterministic
+    * partial iterate — which is exactly what the oracle checks. Output:
+    * (pos, loading, lambda_micro) — loading is the quantized unit
+    * iterate, lambda_micro = floor(||C v|| * 1e6 + 0.5) from the final
+    * round (the power-iteration estimate of the top eigenvalue, micro
+    * units).
+    */
+  def pcaPower(emb: DataFrame, iters: Int = 8, vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = emb.sparkSession
+    val tri = covariance(emb, vecCol)
+      .select(col("pos_i"), col("pos_j"), col("cov")).collect()
+    require(tri.nonEmpty, "pcaPower needs a non-empty corpus")
+    val d = (tri.map(_.getLong(1)).max + 1).toInt
+    val m = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt; val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lastNrm = 0.0
+    for (_ <- 1 to iters) {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var sum = 0.0
+        var j = 0
+        while (j < d) { sum += m(i)(j) * v(j); j += 1 }
+        y(i) = sum
+        i += 1
+      }
+      var sq = 0.0
+      i = 0
+      while (i < d) { sq += y(i) * y(i); i += 1 }
+      lastNrm = math.sqrt(sq)
+      v = y.map(x => math.floor(x / lastNrm * 1e6 + 0.5).toLong / 1e6)
+    }
+    val lambdaMicro = math.floor(lastNrm * 1e6 + 0.5).toLong
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, lambdaMicro) }
+      .toDF("pos", "loading", "lambda_micro")
+  }
 }

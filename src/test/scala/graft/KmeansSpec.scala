@@ -134,6 +134,33 @@ class KmeansSpec extends SparkTestBase {
     assert(diag.forall(_ >= 0.0), "variances must be non-negative")
   }
 
+  test("pca power iteration: recovers a planted dominant axis exactly") {
+    // all mass on the x-axis, means zero: C = [[2.5, 0], [0, 0]] exactly
+    // (micro-quantization is exact on these values), so one iteration
+    // lands on (1, 0) and stays there; lambda = 2.5
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f)), (4L, Seq(-2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.pcaPower(emb, iters = 8).orderBy(col("pos")).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((0L, 1.0), (1L, 0.0)))
+    assert(out.head.getLong(2) == 2500000L, s"lambda: ${out.head.getLong(2)}")
+  }
+
+  test("pca power iteration: deterministic under repartitioning, unit iterate") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Clustering.pcaPower(emb, iters = 8).orderBy(col("pos")).collect()
+    val b = Clustering.pcaPower(emb.repartition(11), iters = 8)
+      .orderBy(col("pos")).collect()
+    assert(a.map(_.getDouble(1)).toSeq == b.map(_.getDouble(1)).toSeq &&
+      a.head.getLong(2) == b.head.getLong(2),
+      "integer-anchored iteration must be partitioning-independent")
+    val nrm = math.sqrt(a.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"iterate must be unit up to quantization: $nrm")
+    assert(a.head.getLong(2) > 0L)
+  }
+
   test("jl projection: linear, deterministic, and contract-scoped (payload compression)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = Similarity.jlProject(emb, outDim = 16)
