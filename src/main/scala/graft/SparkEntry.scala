@@ -1595,6 +1595,16 @@ object SparkEntry {
           col("bits"), col("n_frames"), col("dur_micros"), col("sum_abs"),
           col("peak_abs"), col("sum_sq"))
         .orderBy(col("doc_id"))),
+    // REAL audio resample: 8 kHz PCM point-sampled to 3 kHz by the actual
+    // parse->resample->re-encode kernel; sample aggregates replay from the
+    // text in the oracle (integer floor mapping, no interpolation)
+    "mm_resample_wav" -> ((s, dir) =>
+      Multimodal.resampleWav(
+          Multimodal.encodeWav(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("src_rate"), col("sample_rate"),
+          col("n_frames_src"), col("n_frames"), col("sum_abs"),
+          col("peak_abs"), col("sum_sq"))
+        .orderBy(col("doc_id"))),
     "mm_decode_avi" -> ((s, dir) =>
       // real video-container decode (recursive RIFF/LIST walker over an
       // uncompressed vids/DIB AVI) with every 2nd frame sampled — the
@@ -2474,6 +2484,34 @@ object SparkEntry {
     // frame sampled. Sampled-byte aggregates keep only positions whose
     // frame index is even; padding bytes are 0 so they never move a sum
     // or a max
+    "mm_resample_wav" ->
+      """WITH c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, (n + (n % 2)) // 2 AS nf,
+        |    list_transform(range(1, ((n + (n % 2)) // 2) + 1),
+        |      i -> codes[CAST(2*i - 1 AS INT)]
+        |        + 256 * (CASE WHEN 2*i <= n THEN codes[CAST(2*i AS INT)] ELSE 0 END)) AS v
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, nf,
+        |    list_transform(v, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS sv
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, nf, nf * 3000 // 8000 AS no,
+        |    list_transform(range(0, nf * 3000 // 8000),
+        |      q -> sv[CAST(q * 8000 // 3000 + 1 AS INT)]) AS rv
+        |  FROM w)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS src_rate,
+        |  CAST(3000 AS BIGINT) AS sample_rate,
+        |  CAST(nf AS BIGINT) AS n_frames_src, CAST(no AS BIGINT) AS n_frames,
+        |  CAST(coalesce(list_sum(list_transform(rv, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+        |  CAST(coalesce(list_max(list_transform(rv, x -> abs(x))), 0) AS BIGINT) AS peak_abs,
+        |  CAST(coalesce(list_sum(list_transform(rv, x -> x*x)), 0) AS BIGINT) AS sum_sq
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_decode_avi" ->
       """WITH c AS (
         |  SELECT doc_id, strlen(text) AS n,

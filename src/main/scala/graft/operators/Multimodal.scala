@@ -424,6 +424,68 @@ object Multimodal {
     * reported invalid, not misread); data truncated short of its declared
     * size is invalid; trailing bytes after the RIFF payload are tolerated.
     */
+  /** REAL audio resample (the audio twin of [[resizePpm]]): parse the
+    * RIFF/PCM payload, point-sample the 16-bit mono frames to
+    * `targetRate` — output frame t reads source frame
+    * `t * srcRate div targetRate`, pure integer floor mapping, no
+    * interpolation filter so every engine agrees — and re-encode a
+    * canonical PCM WAV at the target rate (itself [[decodeWav]]-parseable).
+    * Output: (doc_id, valid, src_rate, sample_rate, n_frames_src,
+    * n_frames, resampled BINARY, sum_abs, peak_abs, sum_sq) with the
+    * aggregates over the RESAMPLED signed samples, exact integers.
+    * Same kernel shape: batch-sized mapPartitions, payload never shuffles.
+    */
+  def resampleWav(
+      media: DataFrame, targetRate: Int = 3000, batchSize: Int = 64): DataFrame = {
+    require(targetRate >= 1, "targetRate must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[
+        (Long, Boolean, Long, Long, Long, Long, Array[Byte], Long, Long, Long)] =
+      Encoders.product[
+        (Long, Boolean, Long, Long, Long, Long, Array[Byte], Long, Long, Long)]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parseWav(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((1, sr, 16, data)) =>
+                val n = data.length / 2
+                val nOut = (n.toLong * targetRate / sr).toInt
+                val out = java.nio.ByteBuffer.allocate(44 + nOut * 2)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                out.put("RIFF".getBytes("US-ASCII")); out.putInt(36 + nOut * 2)
+                out.put("WAVE".getBytes("US-ASCII"))
+                out.put("fmt ".getBytes("US-ASCII")); out.putInt(16)
+                out.putShort(1); out.putShort(1)
+                out.putInt(targetRate); out.putInt(targetRate * 2)
+                out.putShort(2); out.putShort(16)
+                out.put("data".getBytes("US-ASCII")); out.putInt(nOut * 2)
+                var sumAbs = 0L; var peak = 0L; var sumSq = 0L
+                var t = 0
+                while (t < nOut) {
+                  val src = (t.toLong * sr / targetRate).toInt
+                  val lo = data(2 * src) & 0xFF
+                  val hi = data(2 * src + 1)
+                  val s = (hi << 8) | lo
+                  out.putShort(s.toShort)
+                  val a = math.abs(s.toLong)
+                  sumAbs += a; if (a > peak) peak = a; sumSq += s.toLong * s
+                  t += 1
+                }
+                (id, true, sr.toLong, targetRate.toLong, n.toLong, nOut.toLong,
+                  out.array(), sumAbs, peak, sumSq)
+              case _ =>
+                (id, false, 0L, 0L, 0L, 0L, null: Array[Byte], 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "valid", "src_rate", "sample_rate", "n_frames_src",
+        "n_frames", "resampled", "sum_abs", "peak_abs", "sum_sq")
+  }
+
   private[graft] def parseWav(
       bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     def u16(p: Int): Int = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)

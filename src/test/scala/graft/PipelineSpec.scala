@@ -612,6 +612,36 @@ class PipelineSpec extends SparkTestBase {
     assert((dn.getLong(7), dn.getLong(8), dn.getLong(9)) == (1L, 2L, 3L))
   }
 
+  test("multimodal WAV resample: integer point-sampling, round-trip decodable, identity at source rate") {
+    import spark.implicits._
+    // 4 frames at 8 kHz: samples 100, -200, 300, -400
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val pcm = Seq(100, -200, 300, -400).flatMap(le16).toArray
+    val hdr = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes); hdr.putInt(36 + pcm.length); hdr.put("WAVE".getBytes)
+    hdr.put("fmt ".getBytes); hdr.putInt(16); hdr.putShort(1); hdr.putShort(1)
+    hdr.putInt(8000); hdr.putInt(16000); hdr.putShort(2); hdr.putShort(16)
+    hdr.put("data".getBytes); hdr.putInt(pcm.length)
+    val wav = hdr.array() ++ pcm
+    val rows = Seq(1L -> wav, 2L -> "junk".getBytes)
+    // halve the rate: frames 0 and 2 survive (t*8000/4000 = 2t)
+    val half = Multimodal.resampleWav(rows.toDF("doc_id", "payload"), targetRate = 4000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!half(2L).getBoolean(1))
+    val h = half(1L)
+    assert(h.getLong(5) == 2L && h.getLong(7) == 400L && h.getLong(8) == 300L &&
+      h.getLong(9) == (100L * 100 + 300L * 300), s"halved: $h")
+    // the resampled payload re-parses with identical aggregates
+    val re = Multimodal.decodeWav(
+      Seq(1L -> h.getAs[Array[Byte]](6)).toDF("doc_id", "payload")).collect().head
+    assert(re.valid && re.sample_rate == 4000 && re.n_frames == 2 &&
+      re.sum_abs == h.getLong(7) && re.peak_abs == h.getLong(8) && re.sum_sq == h.getLong(9))
+    // identity resample keeps every sample
+    val id = Multimodal.resampleWav(rows.take(1).toDF("doc_id", "payload"), targetRate = 8000)
+      .collect().head
+    assert(id.getLong(5) == 4L && id.getLong(7) == 1000L && id.getLong(8) == 400L)
+  }
+
   test("multimodal WAV decode: real RIFF chunk walking, exact sample stats, invalid payloads flagged") {
     import spark.implicits._
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
