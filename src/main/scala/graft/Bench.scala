@@ -140,6 +140,9 @@ object Bench {
       "text_lm_score" -> q("text_lm_score"),
       "text_boilerplate_removal" -> q("text_boilerplate_removal"),
       "emb_covariance" -> q("emb_covariance"),
+      "emb_pca" -> q("emb_pca"),
+      "events_funnel" -> q("events_funnel"),
+      "events_retention" -> q("events_retention"),
       "pipeline_curate_budget" -> q("pipeline_curate_budget"),
       "pipeline_curate_stream" -> q("pipeline_curate_stream"),
       "pipeline_curate_stream_classified" -> q("pipeline_curate_stream_classified"),

@@ -858,6 +858,31 @@ object PipelineOracleSql {
        |FROM it, unnest(range(64)) AS u(i) WHERE k = 8 ORDER BY pos""".stripMargin
   }
 
+  /** Streaming-retention oracle: the epoch-e block is the BATCH cohort
+    * retention over the 10-day prefix — the fold invariant
+    * `EventAnalytics.retentionIncremental` guarantees for time-ordered
+    * batches.
+    */
+  private def retentionStreamOracle: String = {
+    val t0 = 1704067200000000L
+    val d = 864000000000L
+    val blocks = (0 until 3).map { e =>
+      val cut = if (e < 2) s"WHERE us < ${t0 + (e + 1) * d}" else ""
+      s"""f$e AS (SELECT u, min(us) // 604800000000 AS cw FROM t $cut GROUP BY u),
+         |a$e AS (SELECT DISTINCT u, us // 604800000000 AS w FROM t $cut),
+         |r$e AS (
+         |  SELECT CAST($e AS BIGINT) AS epoch, CAST(f.cw AS BIGINT) AS cohort_week,
+         |    CAST(a.w - f.cw AS BIGINT) AS week_offset,
+         |    CAST(count(*) AS BIGINT) AS n_users
+         |  FROM a$e a JOIN f$e f ON a.u = f.u GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+       |$blocks
+       |SELECT * FROM (
+       |SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       |ORDER BY epoch, cohort_week, week_offset""".stripMargin
+  }
+
   /** Streaming-funnel oracle: the epoch-e block is the BATCH funnel over
     * the 10-day prefix `t < T0 + (e+1)*d` (epoch 2 = everything) — the
     * fold invariant `EventAnalytics.funnelIncremental` guarantees for
@@ -2447,6 +2472,8 @@ object PipelineOracleSql {
         |ORDER BY step""".stripMargin,
     // streaming funnel = batch funnel over each 10-day epoch prefix
     "events_funnel_stream" -> funnelStreamOracle,
+    // streaming retention = batch retention over each 10-day epoch prefix
+    "events_retention_stream" -> retentionStreamOracle,
     // integer epoch-week cohort retention (604800000000 us per week)
     "events_retention" ->
       """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),

@@ -1136,6 +1136,27 @@ object SparkEntry {
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("step"))
     }),
+    // the STREAMING cohort retention: the same 10-day epochs folded
+    // through (firsts, active-pairs) stores; after each epoch the emitted
+    // rollup equals the batch retention over that prefix
+    "events_retention_stream" -> ((s, dir) => {
+      ensureConf(s)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val withE = ev.withColumn("t_us", tsUs(ev))
+        .withColumn("ep", least(lit(2L),
+          expr("CAST((t_us - 1704067200000000L) div 864000000000L AS BIGINT)")))
+      var state: Option[(DataFrame, DataFrame)] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = withE.filter(col("ep") === lit(e.toLong))
+        val (counts, ns) = EventAnalytics.retentionIncremental(
+          state, batch, col("t_us"))
+        // pinned: both stores are re-probed by every later epoch
+        state = Some((ns._1.localCheckpoint(true), ns._2.localCheckpoint(true)))
+        counts.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_))
+        .orderBy(col("epoch"), col("cohort_week"), col("week_offset"))
+    }),
     // weekly cohort retention in pure integer epoch-week arithmetic:
     // cohort = first-event week, one row per (cohort, active-week offset)
     "events_retention" -> ((s, dir) => {

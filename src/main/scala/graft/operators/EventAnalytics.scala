@@ -126,6 +126,45 @@ object EventAnalytics {
     (counts, newState)
   }
 
+  /** One admission step of the STREAMING cohort retention: carry two
+    * stores — `firsts` (user -> cohort week, assigned at first sight, so
+    * batches must arrive time-ordered for the cohort to equal the batch
+    * operator's) and `active` (distinct (user, week) pairs ever seen) —
+    * and emit the full cumulative retention table after the merge. A fold
+    * over time-ordered batches therefore reproduces
+    * [[retentionCohorts]] over each prefix exactly (the
+    * events_retention_stream oracle replays the prefixes).
+    *
+    * 100 TB shape: both store merges are user-key distinct/anti-join
+    * passes, O(batch + touched rows); `active` is bounded by distinct
+    * user-weeks, never raw events. The emitted rollup is cohorts x
+    * offsets, tiny.
+    */
+  def retentionIncremental(
+      state: Option[(DataFrame, DataFrame)],
+      batch: DataFrame,
+      tsCol: Column,
+      userCol: String = "user_id",
+      weekUs: Long = 7L * 24 * 3600 * 1000000L): (DataFrame, (DataFrame, DataFrame)) = {
+    require(weekUs > 0, "weekUs must be positive")
+    val ev = batch.select(col(userCol).cast("long").as("u"),
+      tsCol.cast("long").as("t"))
+    val batchFirsts = ev.groupBy(col("u"))
+      .agg(expr(s"CAST(min(t) div ${weekUs}L AS BIGINT)").as("cohort_week"))
+    val batchActive = ev.select(col("u"),
+      expr(s"CAST(t div ${weekUs}L AS BIGINT)").as("w")).distinct()
+    val (firsts, active) = state match {
+      case Some((f, a)) =>
+        (f.unionByName(batchFirsts.join(f.select(col("u")), Seq("u"), "left_anti")),
+          a.unionByName(batchActive.join(a, Seq("u", "w"), "left_anti")))
+      case None => (batchFirsts, batchActive)
+    }
+    val counts = active.join(firsts, Seq("u"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    (counts, (firsts, active))
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their FIRST event, and counted once per (cohort, week-offset) they
     * were active in. Output: (cohort_week, week_offset, n_users) —

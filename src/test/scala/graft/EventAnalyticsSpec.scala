@@ -101,6 +101,26 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(lv == Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 5L -> 2L))
   }
 
+  test("retention incremental: fold over time-ordered batches == batch retention") {
+    val all = ev(
+      (1L, "x", 0L), (1L, "x", W + 1L), (1L, "x", 3 * W),
+      (2L, "x", W - 1L), (2L, "x", 2 * W + 3L),
+      (3L, "x", 2 * W), (3L, "x", 3 * W + 5L))
+    val cuts = Seq(0L -> W, W -> (2 * W), (2 * W) -> (10 * W))
+    var state: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None
+    for (((lo, hi), e) <- cuts.zipWithIndex) {
+      val batch = all.filter(col("t") >= lo && col("t") < hi)
+      val (counts, ns) = EventAnalytics.retentionIncremental(state, batch, col("t"))
+      state = Some((ns._1.localCheckpoint(true), ns._2.localCheckpoint(true)))
+      val got = counts.orderBy("cohort_week", "week_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = EventAnalytics.retentionCohorts(all.filter(col("t") < hi), col("t"))
+        .orderBy("cohort_week", "week_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"epoch $e: fold $got != prefix $want")
+    }
+  }
+
   test("funnel and retention plans stay user-key equi-joins (no cartesian, no window)") {
     // event_id stands in for the time column — same types, same plan shape
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
