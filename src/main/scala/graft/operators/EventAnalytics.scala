@@ -79,27 +79,40 @@ object EventAnalytics {
       tsCol: Column,
       userCol: String = "user_id",
       typeCol: String = "event_type"): (DataFrame, DataFrame) = {
+    val st = state.getOrElse(emptyState(batch.sparkSession))
+    val best = funnelDelta(st, batch, steps, tsCol, userCol, typeCol)
+    // each user's furthest in-batch advancement replaces their carried row
+    val newState = st.join(best.select(col("u")), Seq("u"), "left_anti")
+      .unionByName(best)
+    (funnelCounts(newState, steps), newState)
+  }
+
+  /** The batch's frontier ADVANCEMENTS against carried `state`: one
+    * (u, level, tp) row per user whose level changed, at their furthest
+    * in-batch step — the store delta of [[funnelIncremental]], exposed so
+    * a persisted stream writes only touched users per epoch.
+    */
+  def funnelDelta(
+      state: DataFrame,
+      batch: DataFrame,
+      steps: Seq[String],
+      tsCol: Column,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
-    val spark = batch.sparkSession
     val ev = batch.select(col(userCol).cast("long").as("u"),
       col(typeCol).as("et"), tsCol.cast("long").as("t"))
-    val st = state.getOrElse {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("u", LongType), StructField("level", LongType),
-          StructField("tp", LongType))))
-    }
     // step 1 seed: users with no carried state at all (level-0 frontier)
     var reached = ev.filter(col("et") === steps.head)
-      .join(st.select(col("u")), Seq("u"), "left_anti")
+      .join(state.select(col("u")), Seq("u"), "left_anti")
       .groupBy(col("u")).agg(min(col("t")).as("tp"))
       .select(col("u"), lit(1L).as("level"), col("tp"))
     var advanced = reached
     for (k <- 2 to steps.length) {
       // step-k seed: carried users waiting at exactly k-1, plus users the
       // batch just advanced to k-1
-      val seed = st.filter(col("level") === lit((k - 1).toLong))
+      val seed = state.filter(col("level") === lit((k - 1).toLong))
         .select(col("u"), col("tp"))
         .unionByName(reached.filter(col("level") === lit((k - 1).toLong))
           .select(col("u"), col("tp")))
@@ -110,20 +123,29 @@ object EventAnalytics {
         .select(col("u"), lit(k.toLong).as("level"), col("tp"))
       advanced = advanced.unionByName(reached)
     }
-    // each user's furthest in-batch advancement replaces their carried row
-    val best = advanced.groupBy(col("u"))
+    advanced.groupBy(col("u"))
       .agg(max(struct(col("level"), col("tp"))).as("b"))
       .select(col("u"), col("b.level").as("level"), col("b.tp").as("tp"))
-    val newState = st.join(best.select(col("u")), Seq("u"), "left_anti")
-      .unionByName(best)
-    val counts = steps.indices.map { i =>
+  }
+
+  /** The funnel table of a (u, level, tp) state frame: one row per step,
+    * n_users = users at level >= step.
+    */
+  def funnelCounts(state: DataFrame, steps: Seq[String]): DataFrame =
+    steps.indices.map { i =>
       val k = i + 1
-      newState.filter(col("level") >= lit(k.toLong))
+      state.filter(col("level") >= lit(k.toLong))
         .agg(count(lit(1)).as("n_users"))
         .select(lit(k.toLong).as("step"), lit(steps(i)).as("event_type"),
           col("n_users"))
     }.reduce(_.unionByName(_))
-    (counts, newState)
+
+  /** The empty (u, level, tp) frontier frame. */
+  def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("u", LongType), StructField("level", LongType),
+        StructField("tp", LongType))))
   }
 
   /** One admission step of the STREAMING cohort retention: carry two
