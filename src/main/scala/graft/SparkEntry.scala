@@ -522,7 +522,7 @@ object SparkEntry {
     }),
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5, multiProbe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
     "sim_topk_ivf" -> ((s, dir) => {

@@ -70,6 +70,10 @@ case class VectorMicroSum(
     while (i < n) {
       require(!a.isNullAt(i), s"$prettyName: null element at index $i")
       val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      // NaN would micro-quantize to 0 and +/-Inf saturate to Long extremes,
+      // silently corrupting the group sum — fail loudly like null/length do.
+      require(java.lang.Double.isFinite(x),
+        s"$prettyName: non-finite element $x at index $i")
       buf(i) += math.floor(x * 1e6 + 0.5).toLong
       i += 1
     }

@@ -243,7 +243,10 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             parsePpm(if (bytes == null) Array.emptyByteArray else bytes) match {
-              case Some((w, h, _, px)) =>
+              // w/h >= 1: a parseable zero-dimension raster has no source
+              // pixels to sample, so it is invalid for resize (decodePpm
+              // still reports it as a valid empty image).
+              case Some((w, h, _, px)) if w >= 1 && h >= 1 =>
                 val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
                 val out = new Array[Byte](header.length + tw * th * 3)
                 System.arraycopy(header, 0, out, 0, header.length)
@@ -263,7 +266,7 @@ object Multimodal {
                   r += 1
                 }
                 (id, true, w.toLong, h.toLong, tw.toLong, th.toLong, out, sr, sg, sb)
-              case None =>
+              case _ =>
                 (id, false, 0L, 0L, 0L, 0L, null: Array[Byte], 0L, 0L, 0L)
             }
           }

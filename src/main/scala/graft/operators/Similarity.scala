@@ -85,6 +85,11 @@ object Similarity {
     * 1-(1-r)^L). Candidates are deduped across tables, then scored exactly.
     * Output: (query_id, rank, neighbor_id, cos_sim) — approximate (recall
     * < 1), which is the trade the bucket join buys at scale.
+    *
+    * `multiProbe` (default 0 = off, preserving the original candidate set)
+    * additionally probes, per table, the buckets reached by flipping the
+    * query's `multiProbe` smallest-margin hyperplane bits — a recall knob
+    * that changes results; callers opt in explicitly.
     */
   /** One row per (id, table, bucket): the multi-table hyperplane bucket
     * assignment shared by the ANN search and the pair-candidate generator.
@@ -105,7 +110,7 @@ object Similarity {
       k: Int,
       numPlanes: Int = 6,
       numTables: Int = 8,
-      multiProbe: Int = 3,
+      multiProbe: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     def buckets(df: DataFrame, outId: String): DataFrame =
@@ -283,16 +288,22 @@ object Similarity {
   /** Exact re-scoring + per-query top-k over the probed inverted lists:
     * corpus rows (neighbor_id, v, nrm, cid) joined to the probe side on cid.
     */
-  private[graft] def ivfRank(corpus: DataFrame, qs: DataFrame, k: Int): DataFrame = {
+  private[graft] def ivfRank(
+      corpus: DataFrame, qs: DataFrame, k: Int,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    // metaCols ride along per neighbor row (constant per neighbor_id, so
+    // the trailing distinct() still dedups multi-probe duplicates exactly)
     val scored = corpus.join(broadcast(qs), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim"))
+      .select(col("query_id") +: col("neighbor_id") +:
+        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim") +:
+        metaCols.map(col): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id") +: col("rank") +: col("neighbor_id") +:
+        col("cos_sim") +: metaCols.map(col): _*)
       .distinct()
   }
 

@@ -67,7 +67,19 @@ object IvfIngest {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
         finally in.close()
       }
-    if (IvfIndex.liveTreeIds(spark, indexPath).isEmpty || bootBatch.contains(batchId)) {
+    val live = IvfIndex.liveTreeIds(spark, indexPath)
+    if (live.isEmpty || bootBatch.contains(batchId)) {
+      // A genuine bootstrap replay (crash between write() and checkpoint
+      // commit) can never have committed epochs yet. Epochs + a matching
+      // marker means a FRESH checkpoint was pointed at a populated index:
+      // re-writing the base here would silently serve new-base + stale
+      // epochs. Fail loudly instead.
+      val epochs = live.filterNot(_ == "base")
+      require(epochs.isEmpty,
+        s"refusing to re-bootstrap '$indexPath' at batch $batchId: committed " +
+          s"epochs ${epochs.mkString(", ")} are live — this looks like a fresh " +
+          "checkpoint over a populated index; use a new indexPath or compact " +
+          "and remove the _bootstrap_batch marker to adopt the existing index")
       val out = fs.create(marker, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       // keepCols matter only at BOOTSTRAP: appended epochs infer and

@@ -24,13 +24,32 @@ object ProbePlanning {
 
   private val Key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
 
-  def withDriverListing[A](spark: SparkSession)(f: => A): A = {
-    val old = spark.conf.getOption(Key)
-    spark.conf.set(Key, Int.MaxValue.toString)
-    try f
-    finally old match {
-      case Some(v) => spark.conf.set(Key, v)
-      case None    => spark.conf.unset(Key)
+  // The set/restore below mutates SHARED session conf: two concurrent
+  // probes (e.g. graft_ann and graft_bm25 planned from parallel queries)
+  // could interleave a restore into the other's construction window, or
+  // leak Int.MaxValue as the "old" value. Serialize per session; monitor
+  // reentrancy makes nested calls on one thread safe (the inner call sees
+  // and restores the outer's Int.MaxValue, the outer restores the real
+  // original). Weak keys so discarded test sessions don't accumulate.
+  private val guards =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, AnyRef]())
+
+  private def guardFor(spark: SparkSession): AnyRef =
+    guards.synchronized {
+      var g = guards.get(spark)
+      if (g == null) { g = new AnyRef; guards.put(spark, g) }
+      g
     }
-  }
+
+  def withDriverListing[A](spark: SparkSession)(f: => A): A =
+    guardFor(spark).synchronized {
+      val old = spark.conf.getOption(Key)
+      spark.conf.set(Key, Int.MaxValue.toString)
+      try f
+      finally old match {
+        case Some(v) => spark.conf.set(Key, v)
+        case None    => spark.conf.unset(Key)
+      }
+    }
 }

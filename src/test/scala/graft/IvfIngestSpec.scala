@@ -61,16 +61,33 @@ class IvfIngestSpec extends SparkTestBase {
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
       "replayed batch must leave probes unchanged (no double-served vectors)")
 
-    // BOOTSTRAP replay: batch 0 re-delivered after the base fully committed
-    // must RE-BOOTSTRAP (overwrite the base), not append itself as an epoch
-    IvfIngest.ingestBatch(
-      spark.createDataset(firstHalf.toIndexedSeq).toDF("vec_id", "embedding"),
-      path, batchId = 0L)
-    IvfIngest.ingestBatch(
-      spark.createDataset(secondHalf.toIndexedSeq).toDF("vec_id", "embedding"),
-      path, batchId = 1L)
+    // BOOTSTRAP replay with committed epochs live is IMPOSSIBLE for a
+    // genuine crash-replay (batch 1 committing proves batch 0's checkpoint
+    // committed) — it means a FRESH checkpoint over a populated index; the
+    // ingest must refuse loudly rather than serve new-base + stale epochs.
+    val boom = intercept[IllegalArgumentException] {
+      IvfIngest.ingestBatch(
+        spark.createDataset(firstHalf.toIndexedSeq).toDF("vec_id", "embedding"),
+        path, batchId = 0L)
+    }
+    assert(boom.getMessage.contains("re-bootstrap"), boom.getMessage)
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
-      "a replayed bootstrap batch must overwrite the base, not double-serve it")
+      "the refused re-bootstrap must leave the index untouched")
+
+    // a GENUINE bootstrap replay (base committed, no epochs yet) must
+    // re-bootstrap — overwrite the base, not append itself as an epoch
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivfing-rb").toString
+    val firstDf = spark.createDataset(firstHalf.toIndexedSeq).toDF("vec_id", "embedding")
+    IvfIngest.ingestBatch(firstDf, path2, batchId = 0L, nlist = 16)
+    IvfIngest.ingestBatch(firstDf, path2, batchId = 0L, nlist = 16)
+    assert(!new java.io.File(s"$path2/epochs").exists() ||
+      new java.io.File(s"$path2/epochs").listFiles().isEmpty,
+      "a genuine bootstrap replay must overwrite the base, not append an epoch")
+    val fullFirst = java.nio.file.Files.createTempDirectory("graft-ivfing-rb-full").toString
+    IvfIndex.write(firstDf, fullFirst, nlist = 16)
+    assert(rows(IvfIndex.probe(spark, path2, queries, k = 5, nprobe = 4)) ==
+      rows(IvfIndex.probe(spark, fullFirst, queries, k = 5, nprobe = 4)),
+      "the re-bootstrapped base must serve exactly the replayed batch")
   }
 
   test("auto-compaction bounds live trees; probes stay bit-exact; newest epoch survives for replay") {

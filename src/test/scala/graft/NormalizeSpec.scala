@@ -89,6 +89,22 @@ class NormalizeSpec extends SparkTestBase {
     assert(sql.nonEmpty && sql == api, "SQL aggregate must equal the Column API")
   }
 
+  test("graft_vec_microsum rejects non-finite elements loudly (no silent corruption)") {
+    // NaN would quantize to 0 and Inf saturate to Long extremes — the
+    // aggregate must fail like it does for nulls and length mismatches
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val df = Seq((1, Seq(1.0, bad)), (1, Seq(2.0, 3.0))).toDF("g", "v")
+      val e = intercept[Exception] {
+        df.groupBy(col("g"))
+          .agg(graft.functions.expressions.VectorSumAgg.vectorMicroSum(col("v")))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("non-finite")), s"for $bad: $e")
+    }
+  }
+
   test("graft_nfc callable from SQL after registration") {
     val (ident, info, builder) = GraftExtensions.graftNfc
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

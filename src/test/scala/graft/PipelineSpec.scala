@@ -401,7 +401,7 @@ class PipelineSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val allScores = Similarity.bruteForceTopK(emb, queries, Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val lsh = Similarity.lshTopK(emb, queries, 5).collect()
+    val lsh = Similarity.lshTopK(emb, queries, 5, multiProbe = 3).collect()
     assert(lsh.nonEmpty)
     // every LSH hit must carry the true cosine score for that pair
     lsh.foreach { r =>
@@ -418,7 +418,7 @@ class PipelineSpec extends SparkTestBase {
     // candidate volume stays bounded: strictly fewer scored pairs than the
     // brute-force all-pairs scan would touch
     val nVecs = emb.count()
-    val cands = Similarity.lshTopK(emb, queries, Int.MaxValue).count()
+    val cands = Similarity.lshTopK(emb, queries, Int.MaxValue, multiProbe = 3).count()
     assert(cands < 10 * (nVecs - 1),
       s"multi-probe candidates $cands must stay below the 10-query brute-force volume")
   }
@@ -610,6 +610,14 @@ class PipelineSpec extends SparkTestBase {
     val dn = Multimodal.resizePpm(rows.take(1).toDF("doc_id", "payload"), tw = 1, th = 1)
       .collect().head
     assert((dn.getLong(7), dn.getLong(8), dn.getLong(9)) == (1L, 2L, 3L))
+    // a parseable zero-dimension P6 has no pixels to sample: resize emits
+    // valid=false (never throws), while decode reports a valid empty image
+    val zd = Seq(3L -> img("P6\n0 2\n255\n", Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val zr = Multimodal.resizePpm(zd, tw = 2, th = 2).collect().head
+    assert(!zr.getBoolean(1), "zero-dimension raster must be invalid for resize")
+    assert(Multimodal.decodePpm(zd).collect().head.valid,
+      "decode still accepts the parseable empty raster")
   }
 
   test("multimodal WAV resample: integer point-sampling, round-trip decodable, identity at source rate") {

@@ -58,19 +58,33 @@ class TextIngestSpec extends SparkTestBase {
     assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
       "replayed batch must leave probes unchanged (no double-counted documents)")
 
-    // BOOTSTRAP replay: batch 0 re-delivered after the base fully committed
-    // (crash between foreachBatch and the checkpoint commit) must
-    // RE-BOOTSTRAP — overwrite the base — not append itself as an epoch
-    TextIngest.ingestBatch(
-      spark.createDataset(firstHalf.toIndexedSeq).toDF("doc_id", "text"),
-      path, batchId = 0L)
-    // the re-bootstrap clobbers the base back to batch 0 only, so rebuild
-    // the epoch to compare against the full union again
-    TextIngest.ingestBatch(
-      spark.createDataset(secondHalf.toIndexedSeq).toDF("doc_id", "text"),
-      path, batchId = 1L)
+    // BOOTSTRAP replay with committed epochs live is IMPOSSIBLE for a
+    // genuine crash-replay (batch 1 committing proves batch 0's checkpoint
+    // committed) — it means a FRESH checkpoint was pointed at a populated
+    // index. Re-writing the base would silently serve new-base + stale
+    // epochs, so the ingest must refuse loudly.
+    val boom = intercept[IllegalArgumentException] {
+      TextIngest.ingestBatch(
+        spark.createDataset(firstHalf.toIndexedSeq).toDF("doc_id", "text"),
+        path, batchId = 0L)
+    }
+    assert(boom.getMessage.contains("re-bootstrap"), boom.getMessage)
     assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want,
-      "a replayed bootstrap batch must overwrite the base, not double-serve it")
+      "the refused re-bootstrap must leave the index untouched")
+
+    // a GENUINE bootstrap replay (crash between write() and the checkpoint
+    // commit: base committed, no epochs yet) must re-bootstrap — overwrite
+    // the base, not append itself as an epoch
+    val path2 = java.nio.file.Files.createTempDirectory("graft-texting-rb").toString
+    val firstDf = spark.createDataset(firstHalf.toIndexedSeq).toDF("doc_id", "text")
+    TextIngest.ingestBatch(firstDf, path2, batchId = 0L)
+    TextIngest.ingestBatch(firstDf, path2, batchId = 0L)
+    assert(!new java.io.File(s"$path2/epochs").exists() ||
+      new java.io.File(s"$path2/epochs").listFiles().isEmpty,
+      "a genuine bootstrap replay must overwrite the base, not append an epoch")
+    assert(rows(TextIndex.bm25TopK(spark, path2, terms, k = 20)) ==
+      rows(Search.bm25TopK(firstDf, terms, k = 20)),
+      "the re-bootstrapped base must serve exactly the replayed batch")
   }
 
   test("auto-compaction bounds live trees; probes stay bit-exact; newest epoch survives for replay") {
