@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // source, the strategy expands the node after optimization
     ext.injectOptimizerRule(_ => graft.plans.RenkoSymbolPushdown)
     ext.injectPlannerStrategy(_ => new graft.plans.RenkoScanStrategy)
+    // the serving TVFs plan through Bm25ScanNode/AnnScanNode: outer
+    // metadata WHEREs become filtered probes
+    ext.injectOptimizerRule(_ => graft.plans.ServingFilterPushdown)
+    ext.injectPlannerStrategy(_ => new graft.plans.ServingScanStrategy)
   }
 }
 
@@ -233,10 +237,15 @@ object GraftExtensions {
   /** `graft_bm25(index_path, terms_csv [, k [, filter_sql]])` — BM25
     * top-k served from a persisted [[graft.operators.TextIndex]], as a
     * composable SQL relation: the serving twin of the `graft_renko` TVF.
-    * `filter_sql` is a literal boolean expression over the build's
-    * `keepCols` metadata (filtered search — serving restricted, stats
-    * unmoved; a WHERE on the TVF result would instead under-fill k).
-    * Literal args only.
+    * Output: (doc_id, rank, bm25) plus every metadata column the build
+    * persisted (write's `keepCols`).
+    *
+    * Filtered search, two spellings with identical semantics (serving
+    * restricted at the pruned bucket scan, corpus statistics unmoved):
+    * the `filter_sql` literal, or — via [[graft.plans.ServingFilterPushdown]]
+    * — an outer `WHERE` on metadata columns, which becomes the probe's
+    * serving predicate and returns k FILTERED results rather than a
+    * post-rank remnant that under-fills k. Literal args only.
     */
   private[graft] val graftBm25: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_bm25"),
@@ -248,16 +257,25 @@ object GraftExtensions {
       val terms = stringLit(children(1), "terms_csv").split(",").map(_.trim)
         .filter(_.nonEmpty).toIndexedSeq
       val k = intLit(children, 2, 20, "graft_bm25")
-      graft.operators.TextIndex.bm25TopK(SparkSession.active, path, terms, k,
-        predicate = predicateArg(children, 3, "graft_bm25"))
-        .queryExecution.logical
+      val spark = SparkSession.active
+      val metaCols = graft.operators.TextIndex.metaColNames(spark, path)
+      // plan through the ServingScan placeholder so outer metadata WHEREs
+      // can push into the probe (ServingFilterPushdown + ServingScanStrategy)
+      val probe = graft.operators.TextIndex.bm25TopK(spark, path, terms, k,
+        metaCols = metaCols)
+      graft.plans.Bm25ScanNode(path, terms, k, 1.2, 0.75,
+        predicateSqlArg(children, 3, "graft_bm25"), metaCols,
+        probe.queryExecution.analyzed.output.map(_.newInstance()))
     })
 
   /** `graft_ann(index_path, queries_table [, k [, nprobe [, filter_sql]]])`
     * — IVF ANN top-k served from a persisted [[graft.operators.IvfIndex]]
-    * over a query table/view carrying (vec_id, embedding). `filter_sql`
-    * is a literal boolean expression over the build's `keepCols` metadata
-    * (filtered vector search). Literal args only.
+    * over a query table/view carrying (vec_id, embedding). Output:
+    * (query_id, rank, neighbor_id, cos_sim) plus the build's `keepCols`
+    * metadata. Filtered vector search via the `filter_sql` literal or an
+    * outer `WHERE` on metadata columns (pushed into the probe by
+    * [[graft.plans.ServingFilterPushdown]] — k filtered neighbors, not a
+    * post-rank remnant). Literal args only.
     */
   private[graft] val graftAnn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_ann"),
@@ -269,25 +287,32 @@ object GraftExtensions {
       val k = intLit(children, 2, 5, "graft_ann")
       val nprobe = intLit(children, 3, 4, "graft_ann")
       val spark = SparkSession.active
-      val queries = org.apache.spark.sql.GraftSqlShim.ofRows(
-        spark, relationArg(children(1), "queries_table"))
-      graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe,
-        predicate = predicateArg(children, 4, "graft_ann"))
-        .queryExecution.logical
+      val queriesPlan = relationArg(children(1), "queries_table")
+      val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, queriesPlan)
+      val metaCols = graft.operators.IvfIndex.metaColNames(spark, path)
+      val probe = graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe,
+        metaCols = metaCols)
+      graft.plans.AnnScanNode(path, k, nprobe,
+        predicateSqlArg(children, 4, "graft_ann"), metaCols,
+        probe.queryExecution.analyzed.output.map(_.newInstance()),
+        queries.queryExecution.analyzed)
     })
 
   /** An optional trailing metadata-filter argument: a literal SQL boolean
-    * expression string (e.g. `'lang = ''en'''`) parsed into the Column the
-    * filtered-search probes take; empty or absent means unfiltered.
+    * expression string (e.g. `'lang = ''en'''`), validated by a parse and
+    * carried as text on the serving node (the probe resolves it against
+    * its own relation at planning time); empty or absent means unfiltered.
     */
-  private def predicateArg(
-      children: Seq[Expression], i: Int, fn: String): Option[org.apache.spark.sql.Column] =
+  private def predicateSqlArg(
+      children: Seq[Expression], i: Int, fn: String): Option[String] =
     if (children.length <= i) None
     else {
       val sql = stringLit(children(i), s"$fn filter_sql").trim
       if (sql.isEmpty) None
-      else Some(org.apache.spark.sql.GraftSqlShim.column(
-        SparkSession.active.sessionState.sqlParser.parseExpression(sql)))
+      else {
+        SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+        Some(sql)
+      }
     }
 
   /** Register `graft_renko` on an already-built session — for callers that
@@ -311,7 +336,11 @@ object GraftExtensions {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraOptimizations.contains(graft.plans.RenkoSymbolPushdown))
       exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RenkoSymbolPushdown
+    if (!exp.extraOptimizations.contains(graft.plans.ServingFilterPushdown))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.ServingFilterPushdown
     if (!exp.extraStrategies.exists(_.isInstanceOf[graft.plans.RenkoScanStrategy]))
       exp.extraStrategies = exp.extraStrategies :+ new graft.plans.RenkoScanStrategy
+    if (!exp.extraStrategies.exists(_.isInstanceOf[graft.plans.ServingScanStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new graft.plans.ServingScanStrategy
   }
 }

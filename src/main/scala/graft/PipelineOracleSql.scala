@@ -2344,6 +2344,9 @@ object PipelineOracleSql {
     // under the full corpus's frozen centroids — the predicate restricts
     // the SERVED rows exactly like a tombstone set does
     "sim_topk_ivf_filtered" -> ivfTopKWhere("n.label % 2 = 0"),
+    // plan-level pushdown: WHERE over the TVF becomes the same filtered
+    // probe, so the filtered-search oracle replays it unchanged
+    "sim_topk_ivf_tvf_pushdown" -> ivfTopKWhere("n.label % 2 = 0"),
     // ten append epochs + a tombstone set: epoch layout is invisible to
     // the answer (lists/df additive, low-id base freezes the full-corpus
     // centroids), so the serve-after-delete oracle replays it
@@ -2420,6 +2423,9 @@ object PipelineOracleSql {
     // filtered lexical search: serving restricted to lang='en' docs under
     // FULL-corpus statistics — a filter is a view, not a removal
     "text_bm25_filtered" -> bm25TopKServe("lang = 'en'"),
+    // plan-level pushdown: WHERE over the TVF becomes the same filtered
+    // probe, so the filtered-search oracle replays it unchanged
+    "text_bm25_tvf_pushdown" -> bm25TopKServe("lang = 'en'"),
     // ten append epochs + a tombstone set: BM25 stats are additive across
     // epochs, so the serve-after-delete oracle replays it unchanged
     "text_bm25_epochs" -> bm25TopKWhere("doc_id % 7 != 3"),

@@ -945,6 +945,22 @@ object SparkEntry {
       s.sql(
         s"SELECT * FROM graft_ann('$path', 'graft_ann_tvf_queries', 5, 4) ORDER BY query_id, rank")
     }),
+    // PLAN-LEVEL filtered search: an outer WHERE on a metadata column is
+    // pushed through the serving TVF (ServingFilterPushdown) into the
+    // probe — k FILTERED neighbors with the predicate at the pruned list
+    // scan, bit-equal to the filter_sql / API-predicate probe, never a
+    // post-rank remnant that under-fills k
+    "sim_topk_ivf_tvf_pushdown" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_tvfpd_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_pd_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_pd_queries', 5, 4)
+           |WHERE label % 2 = 0 ORDER BY query_id, rank""".stripMargin)
+    }),
     // the GROWING-corpus form of the lexical index: build on half the
     // corpus, append the rest as a committed epoch — df/n_docs/avgdl are
     // additive, so the probe answers bit-identically to a full rebuild and
@@ -978,6 +994,25 @@ object SparkEntry {
       TextIndex.bm25TopK(s, path, Seq("dup", "vector", "join", "slow"), k = 20,
         predicate = Some(col("lang") === "en"))
         .orderBy(col("rank"))
+    }),
+    // the lexical twin of sim_topk_ivf_tvf_pushdown: WHERE lang='en' over
+    // the TVF becomes the serving predicate of the probe (k filtered
+    // results; df/n_docs/avgdl stay full-corpus), exercised over the
+    // half-written/half-appended index so epoch metadata-carry composes
+    // with the plan-level pushdown
+    "text_bm25_tvf_pushdown" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_tvfpd_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      TextIndex.write(docs.filter(col("doc_id") % 2 === 0), path, keepCols = Seq("lang"))
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), path)
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT doc_id, rank, bm25
+           |FROM graft_bm25('$path', 'dup,vector,join,slow', 20)
+           |WHERE lang = 'en' ORDER BY rank""".stripMargin)
     }),
     // the SERVE-AFTER-DELETE form: full build, tombstone-delete the
     // doc_id%7==3 slice, probe — deleted docs leave serving and the

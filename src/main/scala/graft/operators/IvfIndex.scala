@@ -806,15 +806,34 @@ object IvfIndex {
       nprobe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
     // ≤ nlist rows: the coarse quantizer is driver-resident by design
     val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     // the probed-list set is ≤ nlist values regardless of |queries| —
     // readLists prunes to exactly those directories on the driver
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    // metaCols: build-persisted metadata columns (write's keepCols) to
+    // carry into the output per neighbor — the serving-TVF surface exposes
+    // them so an outer WHERE can become a filtered probe
     val corpus = readLists(spark, path, probed.toIndexedSeq, predicate)
-      .select(col("id").as("neighbor_id"), col("v"), col("nrm"), col("cid"))
-    Similarity.ivfRank(corpus, qs, k)
+      .select(col("id").as("neighbor_id") +: col("v") +: col("nrm") +:
+        col("cid") +: metaCols.map(col): _*)
+    Similarity.ivfRank(corpus, qs, k, metaCols)
+  }
+
+  /** Metadata column names the build persisted into the list rows (write's
+    * `keepCols`), discovered from one live tree's footer — everything
+    * beyond the engine's own list schema. One driver-side footer read.
+    */
+  def metaColNames(spark: SparkSession, path: String): Seq[String] = {
+    val roots = listRoots(spark, path)
+    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+    val fields = graft.util.ProbePlanning.withDriverListing(spark) {
+      spark.read.parquet(roots.head).schema.fieldNames.toSet
+    }
+    (fields -- Set("id", "v", "nrm", "cid", "qvec", "scale", "qnrm",
+      "codes", "rnrm")).toSeq.sorted
   }
 }

@@ -65,7 +65,8 @@ object Search {
       k: Int,
       k1: Double,
       b: Double,
-      serveFilter: Option[Column] = None): DataFrame = {
+      serveFilter: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
     // document frequency per query term: at most |queryTerms| rows — over
     // the UNFILTERED candidates (filtered-search semantics: a serving
     // predicate restricts who can be returned, not the statistics)
@@ -85,8 +86,10 @@ object Search {
     val total = queryTerms.indices
       .map(i => coalesce(col(s"s_$i"), lit(0.0)): Column)
       .reduceLeft(_ + _)
+    // metaCols are per-DOC metadata (constant across a doc's term rows),
+    // so first() inside the same aggregate carries them for free
     val byDoc = scored.groupBy(col("doc_id"))
-      .agg(perTerm.head, perTerm.tail: _*)
+      .agg(perTerm.head, perTerm.tail ++ metaCols.map(m => first(col(m)).as(m)): _*)
       .withColumn("bm25", round(total, 6))
     // global top-k via TakeOrderedAndProject (distributed partial top-k per
     // partition, k rows to the driver-side reduce) — the single-partition
@@ -94,7 +97,8 @@ object Search {
     val top = byDoc.orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
     val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
     top.withColumn("rank", row_number().over(w))
-      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("bm25"))
+      .select(col("doc_id") +: col("rank").cast("long").as("rank") +:
+        col("bm25") +: metaCols.map(col): _*)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion [Cormack et al., SIGIR'09] of

@@ -487,7 +487,8 @@ object TextIndex {
       k: Int = 20,
       k1: Double = 1.2,
       b: Double = 0.75,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     // live-tree metas (base + committed epochs, compaction-aware): n_docs
@@ -535,15 +536,23 @@ object TextIndex {
       b <- buckets
       p = new Path(s"$r/bucket=$b") if fs.exists(p)
     } yield p.toString
+    // a serving predicate (or metadata passthrough) references metadata
+    // columns beyond the static schema — pay one footer read to pick them
+    // up. Discovered from a live TREE (not the pruned dirs) so even an
+    // all-bucket-miss probe keeps the full schema ('bucket' is partition
+    // metadata of the tree root, not a data column — drop it).
+    val sch =
+      if (predicate.isEmpty && metaCols.isEmpty) PostingsDataSchema
+      else graft.util.ProbePlanning.withDriverListing(spark) {
+        org.apache.spark.sql.types.StructType(
+          spark.read.parquet(treePostings(path, trees.head)).schema
+            .filterNot(_.name == "bucket"))
+      }
     val masked =
       if (prunedDirs.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], PostingsDataSchema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       else graft.util.ProbePlanning.withDriverListing(spark) {
-        // a serving predicate references metadata columns beyond the
-        // static schema — pay one footer read to pick them up
-        val sch = if (predicate.isEmpty) PostingsDataSchema
-          else spark.read.parquet(prunedDirs.head).schema
         spark.read.schema(sch).parquet(prunedDirs: _*)
       }.filter(col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = tombstones match {
@@ -568,6 +577,20 @@ object TextIndex {
             (lit(nDocsAll) - col("n_del"))).as("avgdl"))
     }
     Search.bm25Score(tf, stats, queryTerms, k, k1, b,
-      serveFilter = if (prunedDirs.isEmpty) None else predicate)
+      serveFilter = predicate, metaCols = metaCols)
+  }
+
+  /** Metadata column names the build persisted into the posting rows
+    * (write's `keepCols`), discovered from one live tree's footer —
+    * everything beyond the engine's own posting schema. One driver-side
+    * footer read.
+    */
+  def metaColNames(spark: SparkSession, path: String): Seq[String] = {
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    val fields = graft.util.ProbePlanning.withDriverListing(spark) {
+      spark.read.parquet(treePostings(path, trees.head)).schema.fieldNames.toSet
+    }
+    (fields -- Set("doc_id", "dl", "term", "tf", "bucket")).toSeq.sorted
   }
 }

@@ -155,8 +155,10 @@ class ExtensionsSpec extends SparkTestBase {
     val bmSql = spark.sql(
       s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 10, 'lang = ''en''') ORDER BY rank")
       .collect().toSeq
+    // the TVF output carries the build's keepCols metadata, so the API
+    // twin asks for the same passthrough
     val bmApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10,
-        predicate = Some(col("lang") === "en"))
+        predicate = Some(col("lang") === "en"), metaCols = Seq("lang"))
       .orderBy(col("rank")).collect().toSeq
     assert(bmSql.nonEmpty && bmSql == bmApi, "filtered graft_bm25 must equal the API probe")
     emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_tvf_qf")
@@ -165,15 +167,92 @@ class ExtensionsSpec extends SparkTestBase {
         "ORDER BY query_id, rank").collect().toSeq
     val annApi = graft.operators.IvfIndex
       .probe(spark, ivfPath, emb.filter(col("vec_id") < 3), 4, nprobe = 4,
-        predicate = Some(col("label") === 1))
+        predicate = Some(col("label") === 1), metaCols = Seq("label"))
       .orderBy(col("query_id"), col("rank")).collect().toSeq
     assert(annSql.nonEmpty && annSql == annApi, "filtered graft_ann must equal the API probe")
     // empty filter string means unfiltered
     val bmOpen = spark.sql(
       s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 10, '') ORDER BY rank").collect().toSeq
-    val bmOpenApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10)
+    val bmOpenApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10,
+        metaCols = Seq("lang"))
       .orderBy(col("rank")).collect().toSeq
     assert(bmOpen == bmOpenApi, "empty filter_sql must mean unfiltered")
+  }
+
+  test("serving TVF WHERE pushdown: metadata WHERE becomes a filtered probe, reaches the scan") {
+    GraftExtensions.registerTvfs(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-tvf-lexw").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-tvf-ivfw").toString
+    graft.operators.TextIndex.write(docs, lexPath, keepCols = Seq("lang"))
+    graft.operators.IvfIndex.write(emb, ivfPath, nlist = 16, keepCols = Seq("label"))
+
+    // WHERE on a metadata column == the filter_sql probe: k FILTERED
+    // results (serving restricted at the scan), not a post-rank remnant
+    val bmWhere = spark.sql(
+      s"""SELECT doc_id, rank, bm25 FROM graft_bm25('$lexPath', 'dup,vector', 10)
+         |WHERE lang = 'en' ORDER BY rank""".stripMargin)
+    val bmApi = graft.operators.TextIndex.bm25TopK(spark, lexPath, Seq("dup", "vector"), 10,
+        predicate = Some(col("lang") === "en"))
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmApi.size == 10, "the filtered probe must fill k (sf0.001 has >10 en docs)")
+    assert(bmWhere.collect().toSeq == bmApi,
+      "WHERE on metadata must serve k filtered results, bit-equal to the filter_sql probe")
+    // the predicate lands in the postings scan's PushedFilters
+    val bmScans = allNodes(bmWhere.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-tvf-lexw")) => s
+    }
+    // the SERVED scan carries the pushed predicate; the dfreq scan stays
+    // unfiltered by design (corpus statistics are the full corpus's)
+    assert(bmScans.nonEmpty &&
+      bmScans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(lang,en)"))),
+      s"lang predicate must reach the postings scan:\n${bmScans.map(_.metadata.get("PushedFilters")).mkString("\n")}")
+
+    // vector twin
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_tvf_qw")
+    val annWhere = spark.sql(
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$ivfPath', 'graft_tvf_qw', 4, 4)
+         |WHERE label = 1 ORDER BY query_id, rank""".stripMargin)
+    val annApi = graft.operators.IvfIndex
+      .probe(spark, ivfPath, emb.filter(col("vec_id") < 3), 4, nprobe = 4,
+        predicate = Some(col("label") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(annWhere.collect().toSeq == annApi,
+      "WHERE on metadata must serve k filtered neighbors, bit-equal to the filter_sql probe")
+    val annScans = allNodes(annWhere.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft-tvf-ivfw")) => s
+    }
+    assert(annScans.nonEmpty &&
+      annScans.exists(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(label,1)"))),
+      s"label predicate must reach the list scan:\n${annScans.map(_.metadata.get("PushedFilters")).mkString("\n")}")
+
+    // mixed conjunction: the metadata conjunct becomes the probe filter,
+    // the rank conjunct stays an ordinary post-filter
+    val mixed = spark.sql(
+      s"""SELECT doc_id, rank, bm25 FROM graft_bm25('$lexPath', 'dup,vector', 10)
+         |WHERE lang = 'en' AND rank <= 3 ORDER BY rank""".stripMargin).collect().toSeq
+    assert(mixed == bmApi.take(3), "mixed conjunction must post-filter the filtered top-k")
+
+    // WHERE composes with an explicit filter_sql arg (AND semantics)
+    val composed = spark.sql(
+      s"""SELECT doc_id, rank, bm25
+         |FROM graft_bm25('$lexPath', 'dup,vector', 10, 'lang IS NOT NULL')
+         |WHERE lang = 'en' ORDER BY rank""".stripMargin).collect().toSeq
+    assert(composed == bmApi, "pushed WHERE must AND with the filter_sql predicate")
+
+    // metadata passthrough: SELECT * exposes the keepCols column and its
+    // values are the documents' own
+    val withMeta = spark.sql(
+      s"SELECT * FROM graft_bm25('$lexPath', 'dup,vector', 5)").collect()
+    val langOf = docs.select(col("doc_id").cast("long"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(withMeta.nonEmpty && withMeta.forall(r =>
+      r.getString(r.fieldIndex("lang")) == langOf(r.getLong(r.fieldIndex("doc_id")))),
+      "TVF metadata columns must carry each served doc's own values")
   }
 
   test("graft_polyhash callable from SQL, matches the Column API") {
