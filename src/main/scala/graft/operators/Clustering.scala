@@ -19,36 +19,33 @@ import org.apache.spark.sql.functions._
   * long and double exact range), divided once by `1e6 * n`. The oracle
   * replays the identical arithmetic.
   *
-  * Scale shape: centroid computation is `posexplode` → hash aggregate on
-  * (label, pos) with map-side partials — the canonical O(N·d) → O(labels·d)
-  * reduction — then an array re-assembly per label. The outlier pass joins
+  * Scale shape: centroid computation is ONE hash aggregate over whole
+  * vectors (native [[graft.functions.expressions.VectorMicroSum]], map-side
+  * partials of labels×dim longs) — the canonical O(N·d) → O(labels·d)
+  * reduction without exploding rows. The outlier pass joins
   * the tiny centroid table back by broadcast and scores each vector in the
   * scan; the only corpus-sized shuffle is the per-label ranking window over
   * narrow (label, id, score) rows.
   */
 object Clustering {
 
-  /** Per-label exact-integer centroids: (label, n, centroid array<double>). */
+  /** Per-label exact-integer centroids: (label, n, centroid array<double>).
+    * One hash aggregate over WHOLE vectors via the native
+    * [[graft.functions.expressions.VectorMicroSum]] — map-side partials are
+    * labels×dim long-vectors, so the shuffle is O(labels·d) instead of the
+    * exploded twin's rows×d element rows — with identical micro-quantized
+    * integer arithmetic, so the result is bit-equal under any partitioning.
+    */
   def labelCentroids(
       emb: DataFrame,
       labelCol: String = "label",
-      vecCol: String = "embedding"): DataFrame = {
-    val sums = emb
-      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
+      vecCol: String = "embedding"): DataFrame =
+    emb.groupBy(col(labelCol).as("label"))
       .agg(
-        sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sx"),
-        count(lit(1)).as("n"))
-    // collect_list order is partition-dependent — array_sort on (pos, sx)
-    // structs (pos unique per label) restores index order deterministically
-    sums.groupBy(col("label"))
-      .agg(
-        max(col("n")).as("n"),
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("sx"), col("n")))),
-          t => t.getField("sx").cast("double") / (t.getField("n") * 1e6))
-          .as("centroid"))
-  }
+        count(lit(1)).as("n"),
+        graft.functions.expressions.VectorSumAgg.vectorMicroSum(col(vecCol)).as("sx"))
+      .select(col("label"), col("n"),
+        transform(col("sx"), x => x.cast("double") / (col("n") * 1e6)).as("centroid"))
 
   /** Chunk→document embedding pooling: the elementwise exact-integer mean
     * of each group's vectors — what a pipeline runs after chunk-level
@@ -87,10 +84,12 @@ object Clustering {
     * the iteration a pure function of the corpus.
     *
     * Scale shape per iteration: one corpus scan (the assignment is a
-    * scan-stage compiled expression, nlist-independent codegen) + one
-    * hash aggregate on (cid, pos) with map-side partials — O(N·d) →
-    * O(k·d) — and a k·d-row collect; centroids stay driver-resident like
-    * every coarse-quantizer consumer here (k <= 4096).
+    * scan-stage compiled expression, nlist-independent codegen) + ONE
+    * hash aggregate on cid over whole vectors (native
+    * [[graft.functions.expressions.VectorMicroSum]], map-side partials of
+    * k·d longs) — O(N·d) → O(k·d) without exploding rows — and a k-row
+    * collect; centroids stay driver-resident like every coarse-quantizer
+    * consumer here (k <= 4096).
     *
     * Returns the final centroids and the member counts of the assignment
     * that PRODUCED them (the last update's; retained empty clusters count
@@ -110,27 +109,31 @@ object Clustering {
       l2Norm(col(vecCol)).as("nrm"))
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("cid", Similarity.centroidAssignExpr(cents))
-      val sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
+      // centroid update on the native vector aggregate: ONE hash aggregate
+      // on cid whose map-side partials are k·d long-vectors — the shuffle
+      // carries O(k·d) rather than the exploded rows×d — with the exact
+      // same micro-quantized integer arithmetic (floor(x·1e6 + 0.5) summed
+      // as longs) the exploded twin used, so centroids stay bit-identical
+      // under any partitioning and the existing oracle replays unchanged
+      val rows = assigned.groupBy(col("cid"))
         .agg(
-          sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sx"),
+          graft.functions.expressions.VectorSumAgg.vectorMicroSum(col("v")).as("sx"),
           count(lit(1)).as("n"))
-      val rows = sums.groupBy(col("cid"))
-        .agg(
-          max(col("n")).as("n"),
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("sx"), col("n")))),
-            t => t.getField("sx").cast("double") / (t.getField("n") * 1e6)).as("cv"))
         .collect()
       val updated = rows.map { r =>
-        val cv = r.getSeq[Double](2).toArray
+        val sx = r.getSeq[Long](1)
+        val n = r.getLong(2)
+        val cv = new Array[Double](sx.length)
         var acc = 0.0
         var i = 0
-        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        while (i < cv.length) {
+          cv(i) = sx(i).toDouble / (n * 1e6)
+          acc += cv(i) * cv(i)
+          i += 1
+        }
         r.getLong(0) -> ((cv, math.sqrt(acc)))
       }.toMap
-      val newCounts = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val newCounts = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
       cents = cents.map { case (cid, oldCv, oldNrm) =>
         updated.get(cid) match {
           case Some((cv, nrm)) => (cid, cv, nrm)

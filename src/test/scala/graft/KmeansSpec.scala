@@ -32,6 +32,27 @@ class KmeansSpec extends SparkTestBase {
       "two Lloyd iterations should move the centroids")
   }
 
+  /** The exploded centroid formulation the native aggregate replaced:
+    * posexplode → (label, pos) long sums → deterministic reassembly. Kept
+    * here as the bit-equality twin for the VectorMicroSum paths.
+    */
+  private def explodedCentroids(
+      df: org.apache.spark.sql.DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("sx"), col("n")))),
+          t => t.getField("sx").cast("double") / (t.getField("n") * 1e6))
+          .as("centroid"))
+
   test("native mean-pool aggregate == exploded labelCentroids twin, bit-exact under any partitioning") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def pooled(df: org.apache.spark.sql.DataFrame) =
@@ -42,10 +63,16 @@ class KmeansSpec extends SparkTestBase {
     val b = pooled(emb.repartition(7)) // different partial-agg merge order
     assert(a == b, "integer micro-sums must be bit-identical under any partitioning")
     // the exploded twin: posexplode → (label, pos) sums → reassembly
-    val twin = Clustering.labelCentroids(emb)
+    val twin = explodedCentroids(emb)
       .orderBy(col("label"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
     assert(a == twin, "native aggregate must equal the exploded-formulation twin")
+    // labelCentroids (now native itself) must match the exploded twin too,
+    // including under repartitioning
+    val lc = Clustering.labelCentroids(emb.repartition(7))
+      .orderBy(col("label"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(lc == twin, "labelCentroids on VectorMicroSum must equal the exploded twin")
     // null vectors contribute nothing; a group of only nulls disappears
     val withNulls = emb.withColumn("embedding",
       when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")))
@@ -55,6 +82,40 @@ class KmeansSpec extends SparkTestBase {
       .orderBy(col("label"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
     assert(c == twinNN, "null vectors must be skipped, not zero-summed")
+  }
+
+  test("kmeans centroid update on VectorMicroSum == exploded-update twin, under repartitioning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the exploded Lloyd twin: identical init/assignment, centroid update
+    // via the posexplode formulation — must be bit-equal to the native path
+    def twinCentroids(df: org.apache.spark.sql.DataFrame, k: Int, iters: Int) = {
+      var cents = Similarity.collectCentroids(df, k, "vec_id", "embedding")
+      var counts: Map[Long, Long] = cents.map(_._1 -> 0L).toMap
+      val base = df.select(col("vec_id").cast("long").as("id"), col("embedding").as("v"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      for (_ <- 0 until iters) {
+        val assigned = base.withColumn("cid", Similarity.centroidAssignExpr(cents))
+        val rows = explodedCentroids(assigned, labelCol = "cid", vecCol = "v").collect()
+        val updated = rows.map { r =>
+          val cv = r.getSeq[Double](2).toArray
+          r.getLong(0) -> ((cv, math.sqrt(cv.map(x => x * x).sum)))
+        }.toMap
+        val newCounts = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        cents = cents.map { case (cid, oldCv, oldNrm) =>
+          updated.get(cid).map { case (cv, nrm) => (cid, cv, nrm) }
+            .getOrElse((cid, oldCv, oldNrm))
+        }
+        counts = cents.map { case (cid, _, _) => cid -> newCounts.getOrElse(cid, 0L) }.toMap
+      }
+      cents.toSeq.flatMap { case (cid, cv, _) =>
+        cv.zipWithIndex.map { case (x, pos) => (cid, pos.toLong, x, counts(cid)) }
+      }.sorted
+    }
+    val native = Clustering.kmeansCentroids(emb.repartition(7), k = 4, iters = 2)
+      .orderBy(col("cid"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(native == twinCentroids(emb, 4, 2),
+      "native centroid updates must be bit-identical to the exploded twin")
   }
 
   test("a cluster that loses every member keeps its previous centroid at count 0") {
