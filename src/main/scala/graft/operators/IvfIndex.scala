@@ -366,7 +366,8 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      epochId: Option[String] = None): Unit = {
+      epochId: Option[String] = None,
+      maxLiveTrees: Int = 0): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
@@ -406,6 +407,14 @@ object IvfIndex {
     val epoch = epochId.getOrElse(
       f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
+    // auto-compaction dial (same as the streaming ingesters'): once more
+    // than `maxLiveTrees` trees serve, fold all but the newest epoch into
+    // one compact tree — probe planning cost stays flat across unbounded
+    // appends with no manual maintenance. keepLatest = 1 so a caller that
+    // replays its own newest epoch (deterministic epochId) rewrites only
+    // itself. 0 disables (default: existing callers manage compaction).
+    if (maxLiveTrees > 0 && liveTreeIds(spark, path).size > maxLiveTrees)
+      compact(spark, path, filesPerList, keepLatest = 1)
   }
 
   /** DELETE vectors from the index without touching the list trees: write

@@ -157,7 +157,8 @@ object TextIndex {
       idCol: String = "doc_id",
       textCol: String = "text",
       filesPerBucket: Int = 1,
-      epochId: Option[String] = None): Unit = {
+      epochId: Option[String] = None,
+      maxLiveTrees: Int = 0): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = liveNBuckets(spark, path)
@@ -177,6 +178,14 @@ object TextIndex {
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // auto-compaction dial (same as the streaming ingesters'): once more
+    // than `maxLiveTrees` trees serve, fold all but the newest epoch into
+    // one compact tree — probe planning cost stays flat across unbounded
+    // appends with no manual maintenance. keepLatest = 1 so a caller that
+    // replays its own newest epoch (deterministic epochId) rewrites only
+    // itself. 0 disables (default: existing callers manage compaction).
+    if (maxLiveTrees > 0 && liveTrees(spark, path).size > maxLiveTrees)
+      compact(spark, path, filesPerBucket, keepLatest = 1)
   }
 
   /** Tombstone-delete documents from serving: each call writes a committed

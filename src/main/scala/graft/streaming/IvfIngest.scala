@@ -87,11 +87,9 @@ object IvfIngest {
       IvfIndex.write(batch, indexPath, nlist, idCol, vecCol, filesPerList,
         keepCols = keepCols)
     } else {
+      // the append's own auto-compaction dial implements the bound
       IvfIndex.append(batch, indexPath, idCol, vecCol, filesPerList,
-        epochId = Some(f"batch-$batchId%08d"))
-      if (maxLiveTrees > 0 &&
-          IvfIndex.liveTreeIds(spark, indexPath).size > maxLiveTrees)
-        IvfIndex.compact(spark, indexPath, filesPerList, keepLatest = 1)
+        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees)
     }
   }
 

@@ -86,11 +86,9 @@ object TextIngest {
       // carry the base's metadata columns automatically
       TextIndex.write(batch, indexPath, nBuckets, idCol, textCol, filesPerBucket, keepCols)
     } else {
+      // the append's own auto-compaction dial implements the bound
       TextIndex.append(batch, indexPath, idCol, textCol, filesPerBucket,
-        epochId = Some(f"batch-$batchId%08d"))
-      if (maxLiveTrees > 0 &&
-          TextIndex.liveTrees(spark, indexPath).size > maxLiveTrees)
-        TextIndex.compact(spark, indexPath, filesPerBucket, keepLatest = 1)
+        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees)
     }
   }
 

@@ -354,6 +354,38 @@ class IvfIndexSpec extends SparkTestBase {
       s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
   }
 
+  test("append auto-compaction bounds live trees; probes bit-identical to uncompacted") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank")).collect().toSeq
+    val n = emb.count()
+    val half = n / 2
+    val auto = java.nio.file.Files.createTempDirectory("graft-ivf-aac").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft-ivf-aacp").toString
+    for (p <- Seq(auto, plain))
+      IvfIndex.write(emb.filter(col("vec_id") < half), p, nlist = 8)
+    val step = math.max(1L, (n - half + 7) / 8)
+    for (i <- 0 until 8) {
+      val lo = half + i * step
+      val hi = if (i == 7) n else math.min(n, lo + step)
+      if (lo < hi) {
+        val slice = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        IvfIndex.append(slice, auto, maxLiveTrees = 3)
+        IvfIndex.append(slice, plain)
+      }
+    }
+    val live = IvfIndex.describe(spark, auto).collect().map(_.getString(0))
+    assert(live.count(_ == "epoch") <= 3,
+      s"auto-compaction must bound live epochs, got ${live.mkString(",")}")
+    val livePlain = IvfIndex.describe(spark, plain).collect().map(_.getString(0))
+    assert(livePlain.count(_ == "epoch") == 8,
+      s"twin must stay uncompacted: ${livePlain.mkString(",")}")
+    assert(rows(IvfIndex.probe(spark, auto, queries, k = 5, nprobe = 4)) ==
+      rows(IvfIndex.probe(spark, plain, queries, k = 5, nprobe = 4)),
+      "auto-compacted index must answer bit-identically to the uncompacted twin")
+  }
+
   test("append auto-detects a quantized index and keeps probeQuantized exact under a wide cut") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)

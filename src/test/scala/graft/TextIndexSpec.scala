@@ -248,6 +248,40 @@ class TextIndexSpec extends SparkTestBase {
       s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
   }
 
+  test("append auto-compaction bounds live trees; probes bit-identical to uncompacted") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val auto = java.nio.file.Files.createTempDirectory("graft-text-aac").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft-text-aacp").toString
+    TextIndex.write(docs.filter(col("doc_id") % 9 === 0), auto, nBuckets = 16)
+    TextIndex.write(docs.filter(col("doc_id") % 9 === 0), plain, nBuckets = 16)
+    for (i <- 1 to 8) {
+      TextIndex.append(docs.filter(col("doc_id") % 9 === i), auto, maxLiveTrees = 3)
+      TextIndex.append(docs.filter(col("doc_id") % 9 === i), plain)
+    }
+    // the live-tree count is bounded by the dial (compact tree + newest
+    // epoch + at most the threshold's worth of un-folded appends) ...
+    val live = TextIndex.describe(spark, auto).collect().map(_.getString(0))
+    assert(live.count(_ == "epoch") <= 3,
+      s"auto-compaction must bound live epochs, got ${live.mkString(",")}")
+    // ... while the uncompacted twin accreted one tree per append
+    val livePlain = TextIndex.describe(spark, plain).collect().map(_.getString(0))
+    assert(livePlain.count(_ == "epoch") == 8,
+      s"twin must stay uncompacted: ${livePlain.mkString(",")}")
+    // content identical
+    assert(rows(TextIndex.bm25TopK(spark, auto, terms, k = 20)) ==
+      rows(TextIndex.bm25TopK(spark, plain, terms, k = 20)),
+      "auto-compacted index must answer bit-identically to the uncompacted twin")
+    // probe plan stays flat: the compacted layout's postings scan reads a
+    // bounded file set vs the 9-tree twin
+    val dfAuto = TextIndex.bm25TopK(spark, auto, terms, k = 20)
+    val dfPlain = TextIndex.bm25TopK(spark, plain, terms, k = 20)
+    dfAuto.collect(); dfPlain.collect()
+    val fAuto = postingsScan(dfAuto.queryExecution.executedPlan).map(_.relation.location.inputFiles.length)
+    val fPlain = postingsScan(dfPlain.queryExecution.executedPlan).map(_.relation.location.inputFiles.length)
+    assert(fAuto.exists(a => fPlain.exists(p => a < p)),
+      s"compacted probe must read fewer postings files: auto=$fAuto plain=$fPlain")
+  }
+
   test("describe reports the serving state exactly; compaction collapses it") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft-text-desc").toString
