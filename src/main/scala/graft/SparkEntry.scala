@@ -1631,6 +1631,18 @@ object SparkEntry {
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
           col("luma_micro"))
         .orderBy(col("doc_id"))),
+    // REAL PNG decode via the JDK's ImageIO codec stack: losslessly
+    // compressed fixtures carry the same text-derived raster as the PPM
+    // twin, so the identical replayable oracle checks a genuinely
+    // different decoder (zlib/PNG, not a hand parser)
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.decodeImage(
+          Multimodal.encodePng(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("luma_micro"))
+        .orderBy(col("doc_id"))),
     // REAL image resize: the P6 rasters nearest-neighbor point-sampled to
     // 8x8 by the actual parse->resample->re-encode kernel; the channel
     // sums over the RESIZED raster replay from the text in the oracle
@@ -1754,6 +1766,36 @@ object SparkEntry {
        |  UNION
        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.n),
        |cl AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
+  /** Shared raster-stats replica for the image-decode fixtures: 16-wide
+    * RGB raster, pixel stream = ASCII text bytes zero-padded to 16*h*3
+    * with h = max(1, ceil(ceil(n/3)/16)) — channel sums are strided byte
+    * sums (padding adds 0), luma is the integer-weighted 601 mean over ALL
+    * n_pixels in exact micro-lumas (floor division — no rounding ties).
+    * Replays both the hand-parsed P6 decode (mm_decode_ppm) and the
+    * ImageIO PNG decode (mm_decode_png): same raster, different decoder.
+    */
+  private val rasterStatsOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text)+1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    CAST(16 * greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS n_pixels,
+      |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS height,
+      |    CAST(coalesce(list_sum(list_transform(range(1, n+1, 3),
+      |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_r,
+      |    CAST(coalesce(list_sum(list_transform(range(2, n+1, 3),
+      |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_g,
+      |    CAST(coalesce(list_sum(list_transform(range(3, n+1, 3),
+      |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_b
+      |  FROM c)
+      |SELECT doc_id, CAST(16 AS BIGINT) AS width, height,
+      |  CAST(255 AS BIGINT) AS maxval, n_pixels, sum_r, sum_g, sum_b,
+      |  CAST((299*sum_r + 587*sum_g + 114*sum_b) * 1000 // n_pixels AS BIGINT) AS luma_micro
+      |FROM d ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = oracleAliases(
     RenkoOracleSql.entries ++ PipelineOracleSql.entries ++ Map(
@@ -2465,27 +2507,10 @@ object SparkEntry {
     // channel sums are strided byte sums (padding adds 0), luma is the
     // integer-weighted 601 mean over ALL n_pixels in exact micro-lumas
     // (floor division — no cross-engine rounding ties)
-    "mm_decode_ppm" ->
-      """WITH c AS (
-        |  SELECT doc_id, strlen(text) AS n,
-        |    list_transform(range(1, strlen(text)+1),
-        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |    CAST(16 * greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS n_pixels,
-        |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS height,
-        |    CAST(coalesce(list_sum(list_transform(range(1, n+1, 3),
-        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_r,
-        |    CAST(coalesce(list_sum(list_transform(range(2, n+1, 3),
-        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_g,
-        |    CAST(coalesce(list_sum(list_transform(range(3, n+1, 3),
-        |      i -> codes[CAST(i AS INT)])), 0) AS BIGINT) AS sum_b
-        |  FROM c)
-        |SELECT doc_id, CAST(16 AS BIGINT) AS width, height,
-        |  CAST(255 AS BIGINT) AS maxval, n_pixels, sum_r, sum_g, sum_b,
-        |  CAST((299*sum_r + 587*sum_g + 114*sum_b) * 1000 // n_pixels AS BIGINT) AS luma_micro
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "mm_decode_ppm" -> rasterStatsOracle,
+    // the PNG fixture carries the SAME text-derived raster losslessly, so
+    // the identical oracle replays the ImageIO decode
+    "mm_decode_png" -> rasterStatsOracle,
     "mm_resize_ppm" ->
       """WITH c AS (
         |  SELECT doc_id, strlen(text) AS n,

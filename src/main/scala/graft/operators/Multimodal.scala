@@ -316,6 +316,104 @@ object Multimodal {
       java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
   }
 
+  /** Build REAL PNG payloads from a text corpus via the JDK's ImageIO
+    * (public `javax.imageio` API — the one codec stack every JVM ships):
+    * the same RGB raster convention as [[encodePpm]] — text bytes become
+    * the row-major 3-bytes-per-pixel stream, zero-padded to `width x h`
+    * with `h = max(1, ceil(ceil(n/3)/width))` — losslessly compressed, so
+    * the DECODED stats are the identical pure function of the text and the
+    * PPM oracle replays them unchanged (the encoded bytes themselves may
+    * differ across JDK encoder versions; only decoded pixels are
+    * contractual, which is why the fixture is PNG and not JPEG).
+    */
+  def encodePng(
+      docs: DataFrame,
+      width: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file spooling per payload
+        it.map { case (id, text) =>
+          val data = text.getBytes("UTF-8")
+          val npix = (data.length + 2) / 3
+          val h = math.max(1, (npix + width - 1) / width)
+          val img = new java.awt.image.BufferedImage(
+            width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < width * h) {
+            def at(i: Int): Int = if (i < data.length) data(i) & 0xFF else 0
+            img.setRGB(p % width, p / width,
+              (at(3 * p) << 16) | (at(3 * p + 1) << 8) | at(3 * p + 2))
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode for every format the JDK's ImageIO reads (PNG,
+    * JPEG, BMP, GIF — `javax.imageio`, the public JVM codec stack): one
+    * [[PpmStats]] row per payload with the same exact-integer stats
+    * contract as [[decodePpm]] (channel sums over 8-bit RGB, ITU-R 601
+    * micro-luma by floor division; maxval reports 255, the 8-bit-RGB
+    * ceiling ImageIO normalizes to). Unreadable payloads emit
+    * valid=false, never throw — same robustness contract as the other
+    * kernels — and the 100 TB shape is unchanged: batch-sized
+    * mapPartitions, payloads never shuffle, stats extracted in the scan
+    * stage.
+    */
+  def decodeImage(media: DataFrame, batchSize: Int = 64): Dataset[PpmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[PpmStats] = Encoders.product[PpmStats]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // decode from memory, no tmp files
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              if (bytes == null || bytes.isEmpty) null
+              else
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                catch { case _: java.io.IOException => null }
+            if (img == null)
+              PpmStats(id, valid = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF
+                  sg += (rgb >> 8) & 0xFF
+                  sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val npix = w.toLong * h
+              val luma =
+                if (npix == 0) 0L
+                else (299L * sr + 587L * sg + 114L * sb) * 1000L / npix
+              PpmStats(id, valid = true, w, h, 255L, npix, sr, sg, sb, luma)
+            }
+          }
+        }
+      }
+  }
+
   /** Build REAL RIFF/WAVE payloads (canonical PCM: mono, 16-bit,
     * little-endian) from a text corpus: the deterministic fixture
     * generator for [[decodeWav]], the audio twin of [[encodePpm]]. Text

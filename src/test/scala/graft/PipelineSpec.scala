@@ -620,6 +620,35 @@ class PipelineSpec extends SparkTestBase {
       "decode still accepts the parseable empty raster")
   }
 
+  test("multimodal ImageIO decode: PNG == hand-parsed P6 stats, JPEG readable, garbage invalid") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    // cross-decoder equality: the PNG fixture carries the same raster as
+    // the P6 fixture, so the ImageIO path must produce identical stats
+    val png = Multimodal.decodeImage(Multimodal.encodePng(docs))
+      .toDF().orderBy(col("doc_id")).collect().toSeq
+    val ppm = Multimodal.decodePpm(Multimodal.encodePpm(docs))
+      .toDF().orderBy(col("doc_id")).collect().toSeq
+    assert(png.nonEmpty && png == ppm,
+      "ImageIO PNG decode must equal the hand-parsed P6 decode on the same raster")
+    // unreadable payloads flag, never throw
+    val bad = Multimodal.decodeImage(
+      Seq(1L -> "not an image".getBytes("US-ASCII"),
+        2L -> Array.emptyByteArray,
+        3L -> (null: Array[Byte])).toDF("doc_id", "payload")).collect()
+    assert(bad.forall(!_.valid), "garbage payloads must be invalid, not errors")
+    // a JPEG payload decodes through the same kernel (lossy — dims and
+    // validity are contractual, channel sums are not)
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4) img.setRGB(x, y, (x * 60 << 16) | (y * 80 << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = Multimodal.decodeImage(Seq(9L -> bos.toByteArray).toDF("doc_id", "payload"))
+      .collect().head
+    assert(jpg.valid && jpg.width == 4 && jpg.height == 3 && jpg.n_pixels == 12)
+  }
+
   test("multimodal WAV resample: integer point-sampling, round-trip decodable, identity at source rate") {
     import spark.implicits._
     // 4 frames at 8 kHz: samples 100, -200, 300, -400
