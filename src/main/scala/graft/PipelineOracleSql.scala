@@ -858,6 +858,65 @@ object PipelineOracleSql {
        |FROM it, unnest(range(64)) AS u(i) WHERE k = 8 ORDER BY pos""".stripMargin
   }
 
+  /** Top-k PCA oracle: the [[pcaPowerOracle]] pipeline generalized to a
+    * (component, round) state machine — the recursion carries the matrix
+    * itself so each component's 8 power rounds run on the DEFLATED
+    * covariance `C −= λ v vᵀ` of the previous component, using the
+    * quantized (λ, v) pair exactly as `Clustering.pcaTopK` emits them
+    * (floor(nrm·1e6+0.5)/1e6 and the micro-quantized iterate), so every
+    * matvec, normalization, and deflation replays bit-for-bit.
+    */
+  private def pcaTopKOracle: String = {
+    val y = "list_transform(range(1,65), i -> " +
+      "list_sum(list_transform(range(1,65), j -> m[i][j] * v[j])))"
+    s"""WITH RECURSIVE p AS MATERIALIZED (
+       |  SELECT CAST(ui.i AS BIGINT) AS pos_i, CAST(uj.j AS BIGINT) AS pos_j,
+       |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(ui.i AS INT)+1] AS DOUBLE)
+       |      * CAST(e.embedding[CAST(uj.j AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS pq,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings e,
+       |    unnest(range(len(e.embedding))) AS ui(i),
+       |    unnest(range(len(e.embedding))) AS uj(j)
+       |  WHERE uj.j >= ui.i GROUP BY 1, 2),
+       |s AS MATERIALIZED (
+       |  SELECT CAST(u.i AS BIGINT) AS pos,
+       |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(u.i AS INT)+1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx
+       |  FROM embeddings e, unnest(range(len(e.embedding))) AS u(i) GROUP BY 1),
+       |ctri AS (
+       |  SELECT p.pos_i, p.pos_j,
+       |    round(CAST(pq AS DOUBLE) / (n * 1e6)
+       |      - (CAST(si.sx AS DOUBLE) / (n * 1e6)) * (CAST(sj.sx AS DOUBLE) / (n * 1e6)), 9) AS cov
+       |  FROM p JOIN s si ON si.pos = p.pos_i JOIN s sj ON sj.pos = p.pos_j),
+       |cfull AS (
+       |  SELECT pos_i, pos_j, cov FROM ctri
+       |  UNION ALL
+       |  SELECT pos_j, pos_i, cov FROM ctri WHERE pos_i != pos_j),
+       |cm AS (SELECT pos_i AS i, list(cov ORDER BY pos_j) AS r FROM cfull GROUP BY pos_i),
+       |cmat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM cm),
+       |it(c, k, m, v, nrm) AS (
+       |  SELECT 0, 0, m, list_transform(range(64), x -> 0.125e0), CAST(0 AS DOUBLE)
+       |  FROM cmat
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN k < 8 THEN c ELSE c + 1 END,
+       |    CASE WHEN k < 8 THEN k + 1 ELSE 0 END,
+       |    CASE WHEN k < 8 THEN m
+       |         ELSE list_transform(range(1,65), di -> list_transform(range(1,65), dj ->
+       |           m[di][dj] - (floor(nrm*1e6+0.5)/1e6) * v[di] * v[dj])) END,
+       |    CASE WHEN k < 8 THEN list_transform($y, x ->
+       |           CAST(floor(x / sqrt(list_sum(list_transform($y, z -> z*z))) * 1e6 + 0.5) AS BIGINT) / 1e6)
+       |         ELSE list_transform(range(64), x -> 0.125e0) END,
+       |    CASE WHEN k < 8 THEN sqrt(list_sum(list_transform($y, z -> z*z)))
+       |         ELSE CAST(0 AS DOUBLE) END
+       |  FROM it WHERE k < 8 OR c < 1
+       |)
+       |SELECT CAST(c AS BIGINT) AS component, CAST(u.i AS BIGINT) AS pos,
+       |  v[CAST(u.i AS INT)+1] AS loading,
+       |  CAST(floor(nrm*1e6+0.5) AS BIGINT) AS lambda_micro
+       |FROM it, unnest(range(64)) AS u(i) WHERE k = 8
+       |ORDER BY component, pos""".stripMargin
+  }
+
   /** Streaming-retention oracle: the epoch-e block is the BATCH cohort
     * retention over the 10-day prefix — the fold invariant
     * `EventAnalytics.retentionIncremental` guarantees for time-ordered
@@ -2392,6 +2451,7 @@ object PipelineOracleSql {
     // the covariance pipeline feeding 8 recursive power-iteration rounds:
     // matvec -> norm -> micro-quantize, each round bit-replayed
     "emb_pca" -> pcaPowerOracle,
+    "emb_pca_topk" -> pcaTopKOracle,
     // the dots CTE of the LSH oracles, emitted as coordinates: plane
     // indices 1024..1039 are the JL projection's
     "emb_project" ->

