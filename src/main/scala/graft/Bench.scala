@@ -206,9 +206,41 @@ object Bench {
       "text_bm25_filtered" -> q("text_bm25_filtered"),
       "emb_mean_pool" -> q("emb_mean_pool"),
       "renko_tvf_pushdown" -> q("renko_tvf_pushdown"),
-      "pipeline_curate_stream_funnel" -> q("pipeline_curate_stream_funnel")
+      "pipeline_curate_stream_funnel" -> q("pipeline_curate_stream_funnel"),
+      // r10: the remaining round-9 families the round-over-round diff
+      // could not see, plus the round-10 additions (ImageIO decode,
+      // deflation PCA, serving-TVF WHERE pushdown)
+      "mm_resize_ppm" -> q("mm_resize_ppm"),
+      "mm_resample_wav" -> q("mm_resample_wav"),
+      "mm_decode_png" -> q("mm_decode_png"),
+      "emb_pca_topk" -> q("emb_pca_topk"),
+      "events_funnel_stream" -> q("events_funnel_stream"),
+      "events_retention_stream" -> q("events_retention_stream"),
+      "text_bm25_tvf_pushdown" -> q("text_bm25_tvf_pushdown"),
+      "sim_topk_ivf_tvf_pushdown" -> q("sim_topk_ivf_tvf_pushdown")
     )
   }
+
+  /** Names the length-budgeted stdout line must carry FIRST (the driver's
+    * BENCH_rN round-over-round diff only sees what fits): the baseline
+    * renko_14m workloads, then one entry per operator family added since
+    * round 8 — previously these fell past the budget and regressions in
+    * them were invisible to the driver artifact. Everything else follows
+    * in run order; the full map is always in BENCH_SELF.json.
+    */
+  private val linePriority: Seq[String] = Seq(
+    "renko_14m_1series", "renko_14m_32series", "renko_14m_pushdown_1of32",
+    "renko_14m_4series_parallel", "renko_14m_sorted_scan",
+    "events_funnel", "events_funnel_stream", "events_retention",
+    "events_retention_stream",
+    "emb_covariance", "emb_pca", "emb_pca_topk", "emb_kmeans", "emb_mean_pool",
+    "mm_decode_ppm", "mm_decode_png", "mm_decode_wav", "mm_decode_avi",
+    "mm_resize_ppm", "mm_resample_wav",
+    "sim_topk_ivf_filtered", "text_bm25_filtered",
+    "sim_topk_ivf_tvf", "text_bm25_tvf",
+    "sim_topk_ivf_tvf_pushdown", "text_bm25_tvf_pushdown", "renko_tvf_pushdown",
+    "text_bm25_epochs_probe", "sim_topk_ivf_epochs_probe",
+    "text_normalize", "text_script")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -257,7 +289,7 @@ object Bench {
       // BASELINE.md, so take min-of-4 there
       val reps = if (name.startsWith("renko_14m")) 4 else 2
       Renko.drainPhaseLog() // discard marks from any earlier untimed work
-      val times = (1 to reps).map { _ =>
+      def oneRep(): Rep = {
         spark.catalog.clearCache()
         System.gc()
         val loadPre = loadAvg()
@@ -268,6 +300,11 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
       }
+      var times = (1 to reps).map(_ => oneRep())
+      // sub-second queries are the ones machine-load noise can double (r9:
+      // seven phantom >25% "regressions", each with reps differing up to
+      // 2.7x) — buy a third rep so min-of has a fair shot at a quiet one
+      if (reps == 2 && times.map(_.sec).min < 1.0) times = times :+ oneRep()
       val best = times.minBy(_.sec)
       val repStr = times.map(t => f"${t.sec}%.3f").mkString(" / ")
       System.err.println(
@@ -286,9 +323,15 @@ object Bench {
     // always make the cut) at 3-dp precision until the budget is reached;
     // every query at full precision is in BENCH_SELF.json regardless.
     val lineBudget = 1600
-    val qsParts = results.map { case (k, ts) =>
-      "\"" + k + "\":" + f"${ts.map(_.sec).min}%.3f"
-    }
+    // priority entries first (baseline workloads + the post-r8 families),
+    // the rest in run order — so what the budget drops is the long tail of
+    // stable early-round queries, not the newest operators
+    val lineRank = linePriority.zipWithIndex.toMap
+    val qsParts = results
+      .sortBy { case (k, _) => lineRank.getOrElse(k, linePriority.size) }
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + f"${ts.map(_.sec).min}%.3f"
+      }
     // self-diagnosis block (r5 lesson: a contention-polluted artifact was
     // indistinguishable from a regression without a manual judge re-run):
     // per-rep wall times, 1-min loadavg + run-queue depth before/after each
