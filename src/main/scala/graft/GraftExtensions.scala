@@ -259,13 +259,17 @@ object GraftExtensions {
       val k = intLit(children, 2, 20, "graft_bm25")
       val spark = SparkSession.active
       val metaCols = graft.operators.TextIndex.metaColNames(spark, path)
+      val filterSql = predicateSqlArg(children, 3, "graft_bm25")
       // plan through the ServingScan placeholder so outer metadata WHEREs
-      // can push into the probe (ServingFilterPushdown + ServingScanStrategy)
+      // can push into the probe (ServingFilterPushdown + ServingScanStrategy).
+      // The probe built here is carried on the node and reused at planning
+      // unless the rule pushes a further predicate.
       val probe = graft.operators.TextIndex.bm25TopK(spark, path, terms, k,
-        metaCols = metaCols)
+        predicate = parsedPredicate(spark, filterSql), metaCols = metaCols)
+        .queryExecution.analyzed
       graft.plans.Bm25ScanNode(path, terms, k, 1.2, 0.75,
-        predicateSqlArg(children, 3, "graft_bm25"), metaCols,
-        probe.queryExecution.analyzed.output.map(_.newInstance()))
+        filterSql, metaCols, probe.output.map(_.newInstance()),
+        probe, filterSql)
     })
 
   /** `graft_ann(index_path, queries_table [, k [, nprobe [, filter_sql]]])`
@@ -290,11 +294,13 @@ object GraftExtensions {
       val queriesPlan = relationArg(children(1), "queries_table")
       val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, queriesPlan)
       val metaCols = graft.operators.IvfIndex.metaColNames(spark, path)
+      val filterSql = predicateSqlArg(children, 4, "graft_ann")
       val probe = graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe,
-        metaCols = metaCols)
+        predicate = parsedPredicate(spark, filterSql), metaCols = metaCols)
+        .queryExecution.analyzed
       graft.plans.AnnScanNode(path, k, nprobe,
-        predicateSqlArg(children, 4, "graft_ann"), metaCols,
-        probe.queryExecution.analyzed.output.map(_.newInstance()),
+        filterSql, metaCols, probe.output.map(_.newInstance()),
+        probe, filterSql,
         queries.queryExecution.analyzed)
     })
 
@@ -314,6 +320,11 @@ object GraftExtensions {
         Some(sql)
       }
     }
+
+  private def parsedPredicate(
+      spark: SparkSession, sql: Option[String]): Option[org.apache.spark.sql.Column] =
+    sql.map(s => org.apache.spark.sql.GraftSqlShim.column(
+      spark.sessionState.sqlParser.parseExpression(s)))
 
   /** Register `graft_renko` on an already-built session — for callers that
     * did not (or cannot) set `spark.sql.extensions` at session construction

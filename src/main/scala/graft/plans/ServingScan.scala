@@ -40,7 +40,14 @@ case class Bm25ScanNode(
     b: Double,
     predicateSql: Option[String],
     metaCols: Seq[String],
-    override val output: Seq[Attribute]) extends LeafNode {
+    override val output: Seq[Attribute],
+    // the probe plan the TVF builder already constructed (relation
+    // building pays index-metadata IO + one Spark job for the stats sum,
+    // so the strategy REUSES it unless the pushdown rule changed the
+    // predicate — `builtWith` records what it was built with). Not a
+    // child: rules must treat the probe as opaque.
+    prebuilt: LogicalPlan,
+    builtWith: Option[String]) extends LeafNode {
   override def producedAttributes: AttributeSet = AttributeSet(output)
 }
 
@@ -54,6 +61,8 @@ case class AnnScanNode(
     predicateSql: Option[String],
     metaCols: Seq[String],
     override val output: Seq[Attribute],
+    prebuilt: LogicalPlan,
+    builtWith: Option[String],
     child: LogicalPlan) extends UnaryNode {
   // the probe consumes the query relation wholesale — without this,
   // ColumnPruning would see zero referenced attributes and prune the
@@ -136,15 +145,30 @@ class ServingScanStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: Bm25ScanNode =>
       val spark = SparkSession.active
-      val probe = TextIndex.bm25TopK(spark, n.path, n.terms, n.k, n.k1, n.b,
-        predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
-      Seq(planLater(aliased(n.output, probe.queryExecution.optimizedPlan)))
+      // reuse the builder's probe plan unless the pushdown rule changed
+      // the predicate — reconstruction pays index-metadata IO + the stats
+      // job a second time
+      val probePlan =
+        if (n.predicateSql == n.builtWith) n.prebuilt
+        else TextIndex.bm25TopK(spark, n.path, n.terms, n.k, n.k1, n.b,
+          predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
+          .queryExecution.analyzed
+      val optimized = org.apache.spark.sql.GraftSqlShim.ofRows(spark, probePlan)
+        .queryExecution.optimizedPlan
+      Seq(planLater(aliased(n.output, optimized)))
     case n: AnnScanNode =>
       val spark = SparkSession.active
-      val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, n.child)
-      val probe = IvfIndex.probe(spark, n.path, queries, n.k, n.nprobe,
-        predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
-      Seq(planLater(aliased(n.output, probe.queryExecution.optimizedPlan)))
+      val probePlan =
+        if (n.predicateSql == n.builtWith) n.prebuilt
+        else {
+          val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, n.child)
+          IvfIndex.probe(spark, n.path, queries, n.k, n.nprobe,
+            predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
+            .queryExecution.analyzed
+        }
+      val optimized = org.apache.spark.sql.GraftSqlShim.ofRows(spark, probePlan)
+        .queryExecution.optimizedPlan
+      Seq(planLater(aliased(n.output, optimized)))
     case _ => Nil
   }
 }
