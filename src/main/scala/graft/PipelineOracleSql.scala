@@ -1222,9 +1222,16 @@ object PipelineOracleSql {
     * lists, and the exact rerank keeps the top-5. All candidate arithmetic
     * is integer-valued, so the cut replays exactly.
     */
-  def ivfTopKSq8: String =
+  def ivfTopKSq8: String = ivfTopKSq8Where("TRUE")
+
+  /** [[ivfTopKSq8]] with the SERVED corpus restricted by `corpusPred`
+    * while quantizer and codebooks stay the full corpus's — mirrors
+    * `IvfIndex.probeQuantized(predicate)`: the int8 candidate preselect
+    * runs over matching rows only.
+    */
+  def ivfTopKSq8Where(corpusPred: String): String =
     s"""WITH n AS (
-       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm, label FROM embeddings
        |), cent AS (
        |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
        |), ca AS (
@@ -1234,7 +1241,7 @@ object PipelineOracleSql {
        |        list_sum(list_transform(range(1, len(n.v)+1),
        |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
        |        c.cid ASC) AS crank
-       |    FROM n CROSS JOIN cent c)
+       |    FROM n CROSS JOIN cent c WHERE $corpusPred)
        |  WHERE crank = 1
        |), qa AS (
        |  SELECT id, cid FROM (
@@ -1295,9 +1302,15 @@ object PipelineOracleSql {
     * subspace order — the same two-level summation grouping the engine
     * uses, so the doubles agree bit-for-bit.
     */
-  def ivfTopKPq: String =
+  def ivfTopKPq: String = ivfTopKPqWhere("TRUE")
+
+  /** [[ivfTopKPq]] with the SERVED corpus restricted by `corpusPred` —
+    * mirrors `IvfIndex.probePq(predicate)`: the ADC candidate scan runs
+    * over matching rows only, quantizer/codebook stay full-corpus.
+    */
+  def ivfTopKPqWhere(corpusPred: String): String =
     s"""WITH n AS (
-       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm, label FROM embeddings
        |), cent AS (
        |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
        |), ca AS (
@@ -1307,7 +1320,7 @@ object PipelineOracleSql {
        |        list_sum(list_transform(range(1, len(n.v)+1),
        |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
        |        c.cid ASC) AS crank
-       |    FROM n CROSS JOIN cent c)
+       |    FROM n CROSS JOIN cent c WHERE $corpusPred)
        |  WHERE crank = 1
        |), qa AS (
        |  SELECT id, cid FROM (
@@ -2411,6 +2424,9 @@ object PipelineOracleSql {
     // centroids), so the serve-after-delete oracle replays it
     "sim_topk_ivf_epochs" -> ivfTopKWhere("n.id % 7 != 3"),
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
+    // filtered SQ8 serving: int8 preselect + float rerank over matching
+    // rows only, quantizer unchanged
+    "sim_topk_ivf_sq8_filtered" -> ivfTopKSq8Where("n.label % 2 = 0"),
     "sim_topk_ivf_trained" -> ivfTopKTrained,
     "emb_kmeans" -> kmeansCentroids,
     // exact-integer per-label mean pool (the native aggregate's twin):
@@ -2463,6 +2479,8 @@ object PipelineOracleSql {
         |FROM embeddings e, unnest(range(1024, 1040)) AS u(p)
         |ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_ivf_pq" -> ivfTopKPq,
+    // filtered PQ serving: ADC candidates among matching rows only
+    "sim_topk_ivf_pq_filtered" -> ivfTopKPqWhere("n.label % 2 = 0"),
     "mm_frame_sample" -> frameSample,
     "mm_resize" -> resizeOracle,
     "text_chunk" -> textChunk,

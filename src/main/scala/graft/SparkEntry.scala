@@ -632,6 +632,18 @@ object SparkEntry {
       IvfIndex.probeQuantized(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // FILTERED SQ8 serving: the metadata predicate restricts BOTH the
+    // int8 candidate preselect and the float rerank to matching rows,
+    // applied at the pruned list scan — filtered search on the memory
+    // ladder, same view-not-removal semantics as the float path
+    "sim_topk_ivf_sq8_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8f_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writeQuantized(emb, path, keepCols = Seq("label"))
+      IvfIndex.probeQuantized(s, path, emb.filter(col("vec_id") < 10), 5,
+        predicate = Some(pmod(col("label"), lit(2)) === 0))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // the PQ rung: 8 one-byte codes per 64-dim vector (32x fewer candidate
     // bytes than float32), ADC estimate against the deterministic
     // lowest-id codebook, exact float rerank; the oracle replays encode,
@@ -641,6 +653,17 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_${Integer.toHexString(dir.hashCode)}"
       IvfIndex.writePq(emb, path)
       IvfIndex.probePq(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // FILTERED PQ serving: the ADC candidate scan and the float rerank
+    // both see only matching rows — completes filtered search across the
+    // whole memory ladder (float / SQ8 / PQ)
+    "sim_topk_ivf_pq_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pqf_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path, keepCols = Seq("label"))
+      IvfIndex.probePq(s, path, emb.filter(col("vec_id") < 10), 5,
+        predicate = Some(pmod(col("label"), lit(2)) === 0))
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -148,7 +148,8 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     uncommitBase(spark, path)
@@ -158,7 +159,8 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val q = Similarity.quantize(emb, idCol, vecCol)
     val assigned = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        l2Norm(col(vecCol)).as("nrm") +: keepCols.map(col): _*)
       .join(q.select(col("id"), col("scale"), col("qvec"),
         l2Norm(col("qvec")).as("qnrm")), Seq("id"))
       .withColumn("cid", Similarity.centroidAssignExpr(cents))
@@ -195,7 +197,8 @@ object IvfIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       filesPerList: Int = 1,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0,
+      keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     require(numSubspaces >= 1 && ksub >= 1 && ksub <= 128,
@@ -212,7 +215,8 @@ object IvfIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq")
     val assigned = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        l2Norm(col(vecCol)).as("nrm") +: keepCols.map(col): _*)
       .withColumn("cid", Similarity.centroidAssignExpr(cents))
       .withColumn("codes",
         graft.functions.expressions.PqEncodeExpression.pqEncodeNative(col("v"), codebook))
@@ -244,14 +248,18 @@ object IvfIndex {
       nprobe: Int = 4,
       candFactor: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      predicate: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = readCentroids(spark, path)
     val codebook = readPqCodebook(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    // filtered search: the predicate restricts both the ADC candidate scan
+    // and the float rescore to matching rows (see probeQuantized)
     def lists(cols: Column*): DataFrame =
-      readLists(spark, path, probed.toIndexedSeq).select(cols: _*)
+      readLists(spark, path, probed.toIndexedSeq, predicate).select(cols: _*)
     // probe side: (query_id, float query + its exact norm, probed cids)
     val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
       l2Norm(col(vecCol)).as("nq"))
@@ -270,15 +278,18 @@ object IvfIndex {
       .filter(col("qrank") <= k * candFactor)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = broadcast(candidates)
-      .join(lists(col("id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(lists(col("id").as("neighbor_id") +: col("v") +: col("nrm") +:
+        metaCols.map(col): _*), Seq("neighbor_id"))
       .join(broadcast(fq), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim"))
+      .select(col("query_id") +: col("neighbor_id") +:
+        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim") +:
+        metaCols.map(col): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id") +: col("rank") +: col("neighbor_id") +:
+        col("cos_sim") +: metaCols.map(col): _*)
   }
 
   /** The deterministic PQ codebook: `[subspace][codeword][dim]` sub-slices
@@ -757,7 +768,9 @@ object IvfIndex {
       nprobe: Int = 4,
       candFactor: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      predicate: Option[Column] = None,
+      metaCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = readCentroids(spark, path)
     val qs = Similarity.ivfProbeSide(queries, cents, nprobe, idCol, vecCol)
@@ -768,8 +781,11 @@ object IvfIndex {
     val qsq = qs.select(col("query_id"), col("cid"))
       .join(qq, Seq("query_id"))
     val probed = qs.select(col("cid")).distinct().collect().map(_.getLong(0))
+    // the serving predicate (filtered search) applies at BOTH consumers of
+    // the pruned lists — candidates are preselected among matching rows
+    // only, and the rescore sees the same filtered view
     def lists(cols: Column*): DataFrame =
-      readLists(spark, path, probed.toIndexedSeq).select(cols: _*)
+      readLists(spark, path, probed.toIndexedSeq, predicate).select(cols: _*)
     val qscored = lists(col("id").as("neighbor_id"), col("qvec").as("qv"),
         col("qnrm").as("qnv"), col("cid"))
       .join(broadcast(qsq), Seq("cid"))
@@ -784,15 +800,18 @@ object IvfIndex {
     val fq = queries.select(col(idCol).as("query_id"), col(vecCol).as("q"),
       l2Norm(col(vecCol)).as("nq"))
     val rescored = broadcast(candidates)
-      .join(lists(col("id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(lists(col("id").as("neighbor_id") +: col("v") +: col("nrm") +:
+        metaCols.map(col): _*), Seq("neighbor_id"))
       .join(broadcast(fq), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim"))
+      .select(col("query_id") +: col("neighbor_id") +:
+        round(cosine(col("q"), col("v"), col("nq"), col("nrm")), 9).as("cos_sim") +:
+        metaCols.map(col): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .select(col("query_id") +: col("rank") +: col("neighbor_id") +:
+        col("cos_sim") +: metaCols.map(col): _*)
   }
 
   /** Probe the index: exact cosine top-k of each query over its `nprobe`

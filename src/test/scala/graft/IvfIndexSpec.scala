@@ -354,6 +354,53 @@ class IvfIndexSpec extends SparkTestBase {
       s"probe planning jobs must not scale with epochs: 2-tree=$jSmall, 11-tree=$jBig")
   }
 
+  test("filtered quantized/PQ probes: only matching rows served, predicate at the scan, scores exact") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val labelOf = emb.select(col("vec_id").cast("long"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q"), col("b.vec_id").as("nb"),
+        (graft.functions.VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (graft.functions.VectorFunctions.l2Norm(col("a.embedding")) *
+            graft.functions.VectorFunctions.l2Norm(col("b.embedding")))).as("cos"))
+      .filter(col("q") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((kind, build, probe) <- Seq[(String,
+        String => Unit,
+        String => org.apache.spark.sql.DataFrame)](
+      ("sq8",
+        (p: String) => IvfIndex.writeQuantized(emb, p, nlist = 8, keepCols = Seq("label")),
+        (p: String) => IvfIndex.probeQuantized(spark, p, queries, 5, nprobe = 4,
+          predicate = Some(col("label") === 1))),
+      ("pq",
+        (p: String) => IvfIndex.writePq(emb, p, nlist = 8, keepCols = Seq("label")),
+        (p: String) => IvfIndex.probePq(spark, p, queries, 5, nprobe = 4,
+          predicate = Some(col("label") === 1))))) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft-ivf-$kind-flt").toString
+      build(path)
+      val df = probe(path)
+      val got = df.collect()
+      assert(got.nonEmpty, s"$kind filtered probe must return neighbors")
+      got.foreach { r =>
+        val (q, nb, cs) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        assert(labelOf(nb) == 1, s"$kind: neighbor $nb violates the predicate")
+        assert(math.abs(exact((q, nb)) - cs) < 1e-8,
+          s"$kind: output scores must be exact cosines")
+      }
+      // the predicate reaches the pruned list scan as a pushed filter
+      val scans = allNodes(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(s"graft-ivf-$kind-flt")) => s
+      }
+      assert(scans.nonEmpty &&
+        scans.forall(_.metadata.get("PushedFilters").exists(_.contains("EqualTo(label,1)"))),
+        s"$kind: label predicate must push into every list scan:\n" +
+          scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
+    }
+  }
+
   test("append auto-compaction bounds live trees; probes bit-identical to uncompacted") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
