@@ -1136,6 +1136,36 @@ object SparkEntry {
       Clustering.pcaTopK(s.read.parquet(s"$dir/embeddings.parquet"),
           nComponents = 2, iters = 8)
         .orderBy(col("component"), col("pos"))),
+    // STREAMING covariance: each epoch folds its exact integer moment
+    // sums into the shared epoch store; integer additivity makes the
+    // summed store equal the one-shot corpus aggregate bit-for-bit, so
+    // the BATCH covariance oracle replays the streamed answer unchanged
+    "emb_covariance_stream" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_embstats_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      for (e <- 0 until 3)
+        graft.streaming.EmbStats.admitEpoch(storeDir,
+          emb.filter(pmod(col("vec_id"), lit(3L)) === lit(e.toLong)), e.toLong)
+      graft.streaming.EmbStats.covariance(s, storeDir)
+        .orderBy(col("pos_i"), col("pos_j"))
+    }),
+    // top-k PCA over the STREAMED covariance — the deflation chain runs
+    // on the store's summed moments, bit-identical to the batch pcaTopK
+    "emb_pca_stream" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_embstats_pca_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      for (e <- 0 until 3)
+        graft.streaming.EmbStats.admitEpoch(storeDir,
+          emb.filter(pmod(col("vec_id"), lit(3L)) === lit(e.toLong)), e.toLong)
+      graft.streaming.EmbStats.pcaTopK(s, storeDir, nComponents = 2, iters = 8)
+        .orderBy(col("component"), col("pos"))
+    }),
     // Johnson-Lindenstrauss projection 64 -> 16 over the LSH family's
     // deterministic LCG hyperplanes: scan-local, no model, no shuffle
     "emb_project" -> ((s, dir) =>
@@ -2654,5 +2684,9 @@ object SparkEntry {
     * share that query's oracle rather than duplicating the SQL.
     */
   private def oracleAliases(m: Map[String, String]): Map[String, String] =
-    m + ("text_decontaminate_bloom" -> m("text_decontaminate"))
+    m + ("text_decontaminate_bloom" -> m("text_decontaminate")) +
+      // the streamed moment fold is exact (integer additivity), so the
+      // batch oracles replay the streamed covariance/PCA unchanged
+      ("emb_covariance_stream" -> m("emb_covariance")) +
+      ("emb_pca_stream" -> m("emb_pca_topk"))
 }

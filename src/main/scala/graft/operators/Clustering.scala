@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -207,18 +207,35 @@ object Clustering {
     * cov = E[x_i x_j] - E[x_i] E[x_j], each expectation from the
     * quantized integer sums, rounded to 9 dp.
     */
-  def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+  def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    covarianceFromSums(momentSums(emb, vecCol))
+
+  /** The corpus second-moment sums covariance derives from, as ONE
+    * aggregate row (pp: upper-triangle micro-product sums, sx: micro
+    * element sums, n, d). Every component is an exact integer sum —
+    * ADDITIVE across any partition of the corpus, which is what the
+    * streaming fold ([[graft.streaming.EmbStats]]) builds on: summing
+    * per-batch moment rows elementwise equals the one-shot aggregate
+    * bit-for-bit.
+    */
+  private[graft] def momentSums(emb: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val d = size(v)
     val tri = flatten(transform(sequence(lit(0), d - 1), i =>
       transform(sequence(i, d - 1), j =>
         element_at(v, (i + 1).cast("int")).cast("double") *
           element_at(v, (j + 1).cast("int")).cast("double"))))
-    val agg = emb.filter(v.isNotNull).agg(
+    emb.filter(v.isNotNull).agg(
       graft.functions.expressions.VectorSumAgg.vectorMicroSum(tri).as("pp"),
       graft.functions.expressions.VectorSumAgg.vectorMicroSum(v).as("sx"),
       count(lit(1)).as("n"),
       max(d).as("d"))
+  }
+
+  /** The covariance relation from a (pp, sx, n, d) moment row — the exact
+    * division/rounding the one-shot [[covariance]] has always used.
+    */
+  private[graft] def covarianceFromSums(agg: DataFrame): DataFrame = {
     // re-derive the (i, j) labels in the exact order the triangle was
     // flattened, zip them back onto the aggregated sums, and explode
     val ij = flatten(transform(sequence(lit(0), col("d") - 1), i =>
@@ -284,11 +301,20 @@ object Clustering {
       emb: DataFrame,
       nComponents: Int = 2,
       iters: Int = 8,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    pcaTopKOf(emb.sparkSession, covarianceMatrix(emb, vecCol), nComponents, iters)
+
+  /** The deflation chain over an already-materialized covariance matrix —
+    * shared by [[pcaTopK]] and the streamed-moments path. NOTE: deflation
+    * mutates `m`.
+    */
+  private[graft] def pcaTopKOf(
+      spark: SparkSession,
+      m: Array[Array[Double]],
+      nComponents: Int,
+      iters: Int): DataFrame = {
     require(nComponents >= 1, "nComponents must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    val spark = emb.sparkSession
-    val m = covarianceMatrix(emb, vecCol)
     val d = m.length
     require(nComponents <= d, s"nComponents $nComponents exceeds dimension $d")
     val out = Seq.newBuilder[(Long, Long, Double, Long)]
@@ -313,9 +339,15 @@ object Clustering {
   }
 
   /** [[covariance]] collected into the driver-resident full matrix. */
-  private def covarianceMatrix(emb: DataFrame, vecCol: String): Array[Array[Double]] = {
-    val tri = covariance(emb, vecCol)
-      .select(col("pos_i"), col("pos_j"), col("cov")).collect()
+  private def covarianceMatrix(emb: DataFrame, vecCol: String): Array[Array[Double]] =
+    matrixOf(covariance(emb, vecCol))
+
+  /** A (pos_i, pos_j, cov) upper-triangle relation as the full symmetric
+    * driver-resident matrix — shared by the batch PCA entrypoints and the
+    * streamed-moments path ([[graft.streaming.EmbStats.pcaTopK]]).
+    */
+  private[graft] def matrixOf(cov: DataFrame): Array[Array[Double]] = {
+    val tri = cov.select(col("pos_i"), col("pos_j"), col("cov")).collect()
     require(tri.nonEmpty, "PCA needs a non-empty corpus")
     val d = (tri.map(_.getLong(1)).max + 1).toInt
     val m = Array.ofDim[Double](d, d)
