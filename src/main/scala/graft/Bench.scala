@@ -217,7 +217,11 @@ object Bench {
       "events_funnel_stream" -> q("events_funnel_stream"),
       "events_retention_stream" -> q("events_retention_stream"),
       "text_bm25_tvf_pushdown" -> q("text_bm25_tvf_pushdown"),
-      "sim_topk_ivf_tvf_pushdown" -> q("sim_topk_ivf_tvf_pushdown")
+      "sim_topk_ivf_tvf_pushdown" -> q("sim_topk_ivf_tvf_pushdown"),
+      "sim_topk_ivf_sq8_filtered" -> q("sim_topk_ivf_sq8_filtered"),
+      "sim_topk_ivf_pq_filtered" -> q("sim_topk_ivf_pq_filtered"),
+      "emb_covariance_stream" -> q("emb_covariance_stream"),
+      "emb_pca_stream" -> q("emb_pca_stream")
     )
   }
 
@@ -237,6 +241,8 @@ object Bench {
     "mm_decode_ppm", "mm_decode_png", "mm_decode_wav", "mm_decode_avi",
     "mm_resize_ppm", "mm_resample_wav",
     "sim_topk_ivf_filtered", "text_bm25_filtered",
+    "sim_topk_ivf_sq8_filtered", "sim_topk_ivf_pq_filtered",
+    "emb_covariance_stream", "emb_pca_stream",
     "sim_topk_ivf_tvf", "text_bm25_tvf",
     "sim_topk_ivf_tvf_pushdown", "text_bm25_tvf_pushdown", "renko_tvf_pushdown",
     "text_bm25_epochs_probe", "sim_topk_ivf_epochs_probe",
