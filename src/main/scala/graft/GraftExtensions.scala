@@ -274,7 +274,11 @@ object GraftExtensions {
 
   /** `graft_ann(index_path, queries_table [, k [, nprobe [, filter_sql]]])`
     * — IVF ANN top-k served from a persisted [[graft.operators.IvfIndex]]
-    * over a query table/view carrying (vec_id, embedding). Output:
+    * over a query table/view carrying (vec_id, embedding). The probe
+    * auto-dispatches on the index rung (float [[graft.operators.IvfIndex.probe]],
+    * SQ8 [[graft.operators.IvfIndex.probeQuantized]], PQ
+    * [[graft.operators.IvfIndex.probePq]] — detected from the list
+    * schema), so one SQL surface serves the whole memory ladder. Output:
     * (query_id, rank, neighbor_id, cos_sim) plus the build's `keepCols`
     * metadata. Filtered vector search via the `filter_sql` literal or an
     * outer `WHERE` on metadata columns (pushed into the probe by
@@ -295,11 +299,14 @@ object GraftExtensions {
       val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, queriesPlan)
       val metaCols = graft.operators.IvfIndex.metaColNames(spark, path)
       val filterSql = predicateSqlArg(children, 4, "graft_ann")
-      val probe = graft.operators.IvfIndex.probe(spark, path, queries, k, nprobe,
-        predicate = parsedPredicate(spark, filterSql), metaCols = metaCols)
+      // auto-dispatch on the index rung: a float, SQ8, or PQ build all
+      // serve through the same TVF (the list schema says which probe)
+      val kind = graft.operators.IvfIndex.kindOf(spark, path)
+      val probe = graft.plans.ServingScan.annProbe(spark, path, queries, k,
+        nprobe, kind, parsedPredicate(spark, filterSql), metaCols)
         .queryExecution.analyzed
       graft.plans.AnnScanNode(path, k, nprobe,
-        filterSql, metaCols, probe.output.map(_.newInstance()),
+        filterSql, metaCols, kind, probe.output.map(_.newInstance()),
         probe, filterSql,
         queries.queryExecution.analyzed)
     })

@@ -2424,6 +2424,8 @@ object PipelineOracleSql {
     // centroids), so the serve-after-delete oracle replays it
     "sim_topk_ivf_epochs" -> ivfTopKWhere("n.id % 7 != 3"),
     "sim_topk_ivf_sq8" -> ivfTopKSq8,
+    // the TVF auto-dispatches to the SQ8 probe — same replay
+    "sim_topk_ivf_sq8_tvf" -> ivfTopKSq8,
     // filtered SQ8 serving: int8 preselect + float rerank over matching
     // rows only, quantizer unchanged
     "sim_topk_ivf_sq8_filtered" -> ivfTopKSq8Where("n.label % 2 = 0"),
@@ -2479,6 +2481,8 @@ object PipelineOracleSql {
         |FROM embeddings e, unnest(range(1024, 1040)) AS u(p)
         |ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_ivf_pq" -> ivfTopKPq,
+    // the TVF auto-dispatches to the PQ probe — same replay
+    "sim_topk_ivf_pq_tvf" -> ivfTopKPq,
     // filtered PQ serving: ADC candidates among matching rows only
     "sim_topk_ivf_pq_filtered" -> ivfTopKPqWhere("n.label % 2 = 0"),
     "mm_frame_sample" -> frameSample,

@@ -968,6 +968,29 @@ object SparkEntry {
       s.sql(
         s"SELECT * FROM graft_ann('$path', 'graft_ann_tvf_queries', 5, 4) ORDER BY query_id, rank")
     }),
+    // TVF auto-dispatch on the index rung: graft_ann over an SQ8 build
+    // serves through probeQuantized (detected from the list schema), so
+    // one SQL surface covers the whole memory ladder — the SQ8 oracle
+    // replays it unchanged
+    "sim_topk_ivf_sq8_tvf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8tvf_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writeQuantized(emb, path)
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_sq8_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"SELECT * FROM graft_ann('$path', 'graft_ann_sq8_queries', 5, 4) ORDER BY query_id, rank")
+    }),
+    // ...and over a PQ build through probePq
+    "sim_topk_ivf_pq_tvf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pqtvf_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path)
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_pq_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"SELECT * FROM graft_ann('$path', 'graft_ann_pq_queries', 5, 4) ORDER BY query_id, rank")
+    }),
     // PLAN-LEVEL filtered search: an outer WHERE on a metadata column is
     // pushed through the serving TVF (ServingFilterPushdown) into the
     // probe — k FILTERED neighbors with the predicate at the pruned list

@@ -856,12 +856,28 @@ object IvfIndex {
     * beyond the engine's own list schema. One driver-side footer read.
     */
   def metaColNames(spark: SparkSession, path: String): Seq[String] = {
-    val roots = listRoots(spark, path)
-    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
-    val fields = graft.util.ProbePlanning.withDriverListing(spark) {
-      spark.read.parquet(roots.head).schema.fieldNames.toSet
-    }
+    val fields = listFieldNames(spark, path)
     (fields -- Set("id", "v", "nrm", "cid", "qvec", "scale", "qnrm",
       "codes", "rnrm")).toSeq.sorted
+  }
+
+  /** Which build produced the index — "float" ([[write]]), "sq8"
+    * ([[writeQuantized]]) or "pq" ([[writePq]]) — from the list schema's
+    * own marker columns. The `graft_ann` TVF dispatches its probe on
+    * this, so a user points SQL at any rung of the memory ladder.
+    */
+  def kindOf(spark: SparkSession, path: String): String = {
+    val fields = listFieldNames(spark, path)
+    if (fields.contains("qvec")) "sq8"
+    else if (fields.contains("codes")) "pq"
+    else "float"
+  }
+
+  private def listFieldNames(spark: SparkSession, path: String): Set[String] = {
+    val roots = listRoots(spark, path)
+    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+    graft.util.ProbePlanning.withDriverListing(spark) {
+      spark.read.parquet(roots.head).schema.fieldNames.toSet
+    }
   }
 }

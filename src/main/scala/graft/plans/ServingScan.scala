@@ -60,6 +60,10 @@ case class AnnScanNode(
     nprobe: Int,
     predicateSql: Option[String],
     metaCols: Seq[String],
+    // the index build's rung ("float" | "sq8" | "pq") — the TVF builder
+    // auto-detects it (IvfIndex.kindOf) and the strategy dispatches the
+    // matching probe on reconstruction
+    kind: String,
     override val output: Seq[Attribute],
     prebuilt: LogicalPlan,
     builtWith: Option[String],
@@ -162,13 +166,35 @@ class ServingScanStrategy extends SparkStrategy {
         if (n.predicateSql == n.builtWith) n.prebuilt
         else {
           val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, n.child)
-          IvfIndex.probe(spark, n.path, queries, n.k, n.nprobe,
-            predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
+          ServingScan.annProbe(spark, n.path, queries, n.k, n.nprobe, n.kind,
+            parsePredicate(spark, n.predicateSql), n.metaCols)
             .queryExecution.analyzed
         }
       val optimized = org.apache.spark.sql.GraftSqlShim.ofRows(spark, probePlan)
         .queryExecution.optimizedPlan
       Seq(planLater(aliased(n.output, optimized)))
     case _ => Nil
+  }
+}
+
+object ServingScan {
+  /** The ANN probe for an index rung — shared by the TVF builder and the
+    * strategy so both dispatch identically.
+    */
+  private[graft] def annProbe(
+      spark: SparkSession,
+      path: String,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int,
+      nprobe: Int,
+      kind: String,
+      predicate: Option[org.apache.spark.sql.Column],
+      metaCols: Seq[String]): org.apache.spark.sql.DataFrame = kind match {
+    case "sq8" => IvfIndex.probeQuantized(spark, path, queries, k, nprobe,
+      predicate = predicate, metaCols = metaCols)
+    case "pq" => IvfIndex.probePq(spark, path, queries, k, nprobe,
+      predicate = predicate, metaCols = metaCols)
+    case _ => IvfIndex.probe(spark, path, queries, k, nprobe,
+      predicate = predicate, metaCols = metaCols)
   }
 }

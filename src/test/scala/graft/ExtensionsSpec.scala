@@ -255,6 +255,44 @@ class ExtensionsSpec extends SparkTestBase {
       "TVF metadata columns must carry each served doc's own values")
   }
 
+  test("graft_ann auto-dispatches on the index rung; WHERE pushdown composes with SQ8") {
+    GraftExtensions.registerTvfs(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    queries.createOrReplaceTempView("graft_tvf_qd")
+    // SQ8 build: the TVF must serve through probeQuantized
+    val sq8Path = java.nio.file.Files.createTempDirectory("graft-tvf-sq8d").toString
+    graft.operators.IvfIndex.writeQuantized(emb, sq8Path, nlist = 16,
+      keepCols = Seq("label"))
+    val sq8Sql = spark.sql(
+      s"SELECT query_id, rank, neighbor_id, cos_sim FROM graft_ann('$sq8Path', 'graft_tvf_qd', 4, 4) " +
+        "ORDER BY query_id, rank").collect().toSeq
+    val sq8Api = graft.operators.IvfIndex.probeQuantized(spark, sq8Path, queries, 4, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(sq8Sql.nonEmpty && sq8Sql == sq8Api,
+      "graft_ann over an SQ8 index must equal probeQuantized")
+    // WHERE pushdown composes: filtered quantized serving from plain SQL
+    val sq8Where = spark.sql(
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$sq8Path', 'graft_tvf_qd', 4, 4)
+         |WHERE label = 1 ORDER BY query_id, rank""".stripMargin).collect().toSeq
+    val sq8FltApi = graft.operators.IvfIndex.probeQuantized(spark, sq8Path, queries, 4,
+        nprobe = 4, predicate = Some(col("label") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(sq8Where == sq8FltApi,
+      "WHERE over an SQ8-index TVF must become the filtered quantized probe")
+    // PQ build: the TVF must serve through probePq
+    val pqPath = java.nio.file.Files.createTempDirectory("graft-tvf-pqd").toString
+    graft.operators.IvfIndex.writePq(emb, pqPath, nlist = 16)
+    val pqSql = spark.sql(
+      s"SELECT * FROM graft_ann('$pqPath', 'graft_tvf_qd', 4, 4) ORDER BY query_id, rank")
+      .collect().toSeq
+    val pqApi = graft.operators.IvfIndex.probePq(spark, pqPath, queries, 4, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(pqSql.nonEmpty && pqSql == pqApi,
+      "graft_ann over a PQ index must equal probePq")
+  }
+
   test("graft_polyhash callable from SQL, matches the Column API") {
     val (pi, pinfo, pbuilder) = GraftExtensions.graftPolyHash
     spark.sessionState.functionRegistry.registerFunction(pi, pinfo, pbuilder)
