@@ -221,7 +221,10 @@ object Bench {
       "sim_topk_ivf_sq8_filtered" -> q("sim_topk_ivf_sq8_filtered"),
       "sim_topk_ivf_pq_filtered" -> q("sim_topk_ivf_pq_filtered"),
       "emb_covariance_stream" -> q("emb_covariance_stream"),
-      "emb_pca_stream" -> q("emb_pca_stream")
+      "emb_pca_stream" -> q("emb_pca_stream"),
+      "emb_whiten" -> q("emb_whiten"),
+      "sim_topk_ivf_sq8_tvf" -> q("sim_topk_ivf_sq8_tvf"),
+      "sim_topk_ivf_pq_tvf" -> q("sim_topk_ivf_pq_tvf")
     )
   }
 

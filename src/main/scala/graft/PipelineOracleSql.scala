@@ -866,7 +866,38 @@ object PipelineOracleSql {
     * (floor(nrm·1e6+0.5)/1e6 and the micro-quantized iterate), so every
     * matvec, normalization, and deflation replays bit-for-bit.
     */
-  private def pcaTopKOracle: String = {
+  private def pcaTopKOracle: String =
+    s"""$pcaChainCtes
+       |SELECT CAST(c AS BIGINT) AS component, CAST(u.i AS BIGINT) AS pos,
+       |  v[CAST(u.i AS INT)+1] AS loading,
+       |  CAST(floor(nrm*1e6+0.5) AS BIGINT) AS lambda_micro
+       |FROM it, unnest(range(64)) AS u(i) WHERE k = 8
+       |ORDER BY component, pos""".stripMargin
+
+  /** PCA-whitening oracle: the deflation-chain CTEs, then each vector's
+    * centered projection onto every component over the quantized mean
+    * (sx/(n·1e6)) and loadings, scaled by 1/sqrt(λ) — index-order
+    * list_sum matches the engine's left fold, round 9 like the engine.
+    */
+  private def pcaWhitenOracle: String =
+    s"""$pcaChainCtes,
+       |comps AS (SELECT c, v, floor(nrm*1e6+0.5)/1e6 AS lam FROM it WHERE k = 8),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |mean AS (
+       |  SELECT list(x ORDER BY pos) AS m FROM (
+       |    SELECT s.pos, CAST(s.sx AS DOUBLE) / (nn.n * 1e6) AS x FROM s, nn))
+       |SELECT e.vec_id, CAST(comps.c AS BIGINT) AS component,
+       |  round(list_sum(list_transform(range(1, 65),
+       |    i -> (CAST(e.embedding[i] AS DOUBLE) - mean.m[i]) * comps.v[i]))
+       |    / sqrt(comps.lam), 9) AS w
+       |FROM embeddings e, comps, mean
+       |ORDER BY vec_id, component""".stripMargin
+
+  /** The shared top-k PCA pipeline: exact covariance CTEs + the
+    * (component, round) recursive deflation state machine, ending at the
+    * `it` CTE — suffix SELECTs specialize it (loadings vs whitening).
+    */
+  private def pcaChainCtes: String = {
     val y = "list_transform(range(1,65), i -> " +
       "list_sum(list_transform(range(1,65), j -> m[i][j] * v[j])))"
     s"""WITH RECURSIVE p AS MATERIALIZED (
@@ -909,12 +940,7 @@ object PipelineOracleSql {
        |    CASE WHEN k < 8 THEN sqrt(list_sum(list_transform($y, z -> z*z)))
        |         ELSE CAST(0 AS DOUBLE) END
        |  FROM it WHERE k < 8 OR c < 1
-       |)
-       |SELECT CAST(c AS BIGINT) AS component, CAST(u.i AS BIGINT) AS pos,
-       |  v[CAST(u.i AS INT)+1] AS loading,
-       |  CAST(floor(nrm*1e6+0.5) AS BIGINT) AS lambda_micro
-       |FROM it, unnest(range(64)) AS u(i) WHERE k = 8
-       |ORDER BY component, pos""".stripMargin
+       |)""".stripMargin
   }
 
   /** Streaming-retention oracle: the epoch-e block is the BATCH cohort
@@ -2470,6 +2496,7 @@ object PipelineOracleSql {
     // matvec -> norm -> micro-quantize, each round bit-replayed
     "emb_pca" -> pcaPowerOracle,
     "emb_pca_topk" -> pcaTopKOracle,
+    "emb_whiten" -> pcaWhitenOracle,
     // the dots CTE of the LSH oracles, emitted as coordinates: plane
     // indices 1024..1039 are the JL projection's
     "emb_project" ->

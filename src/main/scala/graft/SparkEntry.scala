@@ -1159,6 +1159,13 @@ object SparkEntry {
       Clustering.pcaTopK(s.read.parquet(s"$dir/embeddings.parquet"),
           nComponents = 2, iters = 8)
         .orderBy(col("component"), col("pos"))),
+    // PCA WHITENING: centered projections onto the top-2 deflation
+    // components scaled to unit variance — one moment aggregate + one
+    // scan-local codegen'd projection, mean/loadings driver-resident
+    "emb_whiten" -> ((s, dir) =>
+      Clustering.pcaWhiten(s.read.parquet(s"$dir/embeddings.parquet"),
+          nComponents = 2, iters = 8)
+        .orderBy(col("vec_id"), col("component"))),
     // STREAMING covariance: each epoch folds its exact integer moment
     // sums into the shared epoch store; integer additivity makes the
     // summed store equal the one-shot corpus aggregate bit-for-bit, so

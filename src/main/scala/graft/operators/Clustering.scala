@@ -313,16 +313,25 @@ object Clustering {
       m: Array[Array[Double]],
       nComponents: Int,
       iters: Int): DataFrame = {
+    import spark.implicits._
+    pcaComponents(m, nComponents, iters).flatMap { case (c, v, lambdaMicro) =>
+      v.zipWithIndex.map { case (x, i) => (c.toLong, i.toLong, x, lambdaMicro) }
+    }.toDF("component", "pos", "loading", "lambda_micro")
+  }
+
+  /** The raw deflation chain: (component, quantized unit loadings, λ in
+    * micro units) per component. NOTE: deflation mutates `m`.
+    */
+  private def pcaComponents(
+      m: Array[Array[Double]],
+      nComponents: Int,
+      iters: Int): Seq[(Int, Array[Double], Long)] = {
     require(nComponents >= 1, "nComponents must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val d = m.length
     require(nComponents <= d, s"nComponents $nComponents exceeds dimension $d")
-    val out = Seq.newBuilder[(Long, Long, Double, Long)]
-    for (c <- 0 until nComponents) {
+    (0 until nComponents).map { c =>
       val (v, lambdaMicro) = powerIterate(m, iters)
-      out ++= v.zipWithIndex.map { case (x, i) =>
-        (c.toLong, i.toLong, x, lambdaMicro)
-      }
       // deflate with the quantized (λ, v) the component REPORTS — the
       // subtraction is then a pure function of emitted values, which is
       // what lets the SQL oracle replay it exactly
@@ -333,9 +342,58 @@ object Clustering {
         while (j < d) { m(i)(j) -= lam * v(i) * v(j); j += 1 }
         i += 1
       }
+      (c, v, lambdaMicro)
     }
-    import spark.implicits._
-    out.result().toDF("component", "pos", "loading", "lambda_micro")
+  }
+
+  /** PCA WHITENING: each vector's centered projection onto the top-k
+    * deflation components, scaled to unit variance — `w_c = (x − μ)·v_c /
+    * sqrt(λ_c)` — the standard embedding preprocessing before clustering /
+    * semantic dedup (it stops dominant directions from swamping cosine).
+    * One corpus aggregate (the same moment sums covariance uses: μ comes
+    * from the SAME integer element sums) + one scan-local projection pass;
+    * components and mean are driver-resident literals, so the projection
+    * is a codegen'd per-row fold with NO shuffle and no second corpus
+    * aggregate. Every arithmetic step (micro-quantized μ, quantized
+    * loadings, index-order fold, round 9) is engine-exact, so the oracle
+    * replays the whole chain.
+    *
+    * Output: one row per (id, component) — (idCol, component, w).
+    */
+  def pcaWhiten(
+      emb: DataFrame,
+      nComponents: Int = 2,
+      iters: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    // ONE corpus aggregate: collect the moment row, derive covariance,
+    // mean, and the deflation chain from it on the driver
+    val momRow = momentSums(emb, vecCol).collect().head
+    val n = momRow.getAs[Long]("n")
+    val sx = momRow.getSeq[Long](momRow.fieldIndex("sx"))
+    val d = momRow.getAs[Int]("d")
+    val mean = sx.map(_.toDouble / (n * 1e6)).toArray
+    val momDf = {
+      import spark.implicits._
+      Seq((momRow.getSeq[Long](momRow.fieldIndex("pp")), sx, n, d))
+        .toDF("pp", "sx", "n", "d")
+    }
+    val comps = pcaComponents(matrixOf(covarianceFromSums(momDf)), nComponents, iters)
+    val adj = zip_with(col(vecCol), lit(mean),
+      (x, mu) => x.cast("double") - mu)
+    val perComp = comps.map { case (c, v, lambdaMicro) =>
+      require(lambdaMicro > 0L,
+        s"component $c has zero variance — cannot whiten along it")
+      val lam = lambdaMicro.toDouble / 1e6
+      struct(lit(c.toLong).as("component"),
+        round(
+          aggregate(zip_with(adj, lit(v), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / math.sqrt(lam),
+          9).as("w"))
+    }
+    emb.select(col(idCol), explode(array(perComp: _*)).as("z"))
+      .select(col(idCol), col("z.component").as("component"), col("z.w").as("w"))
   }
 
   /** [[covariance]] collected into the driver-resident full matrix. */

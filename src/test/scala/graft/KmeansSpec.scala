@@ -270,6 +270,49 @@ class KmeansSpec extends SparkTestBase {
     assert(math.abs(dot) < 0.15, s"components should be roughly orthogonal: $dot")
   }
 
+  test("pca whitening: centered unit-variance projections, partitioning-independent") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = Clustering.pcaWhiten(emb, nComponents = 2, iters = 8)
+      .orderBy(col("vec_id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = Clustering.pcaWhiten(emb.repartition(11), nComponents = 2, iters = 8)
+      .orderBy(col("vec_id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b, "whitening must be bit-identical under any partitioning")
+    // per component: mean ~ 0 (centered) and variance ~ 1 (scaled by the
+    // component's own lambda; exact only at convergence — 8 rounds on a
+    // near-isotropic corpus is a partial iterate, so tolerances are loose)
+    for (c <- 0L to 1L) {
+      val ws = a.filter(_._2 == c).map(_._3)
+      val mu = ws.sum / ws.length
+      val varw = ws.map(x => (x - mu) * (x - mu)).sum / ws.length
+      assert(math.abs(mu) < 1e-3, s"component $c mean: $mu")
+      assert(varw > 0.8 && varw < 1.2, s"component $c variance: $varw")
+    }
+    // cross-check one row against the emitted loadings/means by hand
+    val comps = Clustering.pcaTopK(emb, nComponents = 2, iters = 8)
+      .orderBy(col("component"), col("pos")).collect()
+    val first = emb.orderBy(col("vec_id")).select(col("vec_id"), col("embedding"))
+      .collect().head
+    val x = first.getSeq[Float](1).map(_.toDouble)
+    val nAll = emb.count()
+    val sums = emb.select(
+      graft.functions.expressions.VectorSumAgg.vectorMicroSum(col("embedding")))
+      .collect().head.getSeq[Long](0)
+    val mean = sums.map(_.toDouble / (nAll * 1e6))
+    for (c <- 0 to 1) {
+      val cc = comps.filter(_.getLong(0) == c.toLong).sortBy(_.getLong(1))
+      val lam = cc.head.getLong(3).toDouble / 1e6
+      var acc = 0.0
+      for (i <- x.indices) acc += (x(i) - mean(i)) * cc(i).getDouble(2)
+      val want = BigDecimal(acc / math.sqrt(lam))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = a.find(r => r._1 == first.getLong(0) && r._2 == c.toLong).get._3
+      assert(math.abs(got - want) < 2e-9,
+        s"row 0 component $c: got $got want $want")
+    }
+  }
+
   test("jl projection: linear, deterministic, and contract-scoped (payload compression)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = Similarity.jlProject(emb, outDim = 16)
