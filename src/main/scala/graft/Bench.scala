@@ -224,7 +224,8 @@ object Bench {
       "emb_pca_stream" -> q("emb_pca_stream"),
       "emb_whiten" -> q("emb_whiten"),
       "sim_topk_ivf_sq8_tvf" -> q("sim_topk_ivf_sq8_tvf"),
-      "sim_topk_ivf_pq_tvf" -> q("sim_topk_ivf_pq_tvf")
+      "sim_topk_ivf_pq_tvf" -> q("sim_topk_ivf_pq_tvf"),
+      "sample_split" -> q("sample_split")
     )
   }
 

