@@ -84,11 +84,16 @@ object EmbStats {
     * sum — associativity makes it equal the one-shot corpus aggregate.
     */
   private def readMoments(spark: SparkSession, storeDir: String): DataFrame = {
+    // an epoch whose batch had only null vectors aggregates to a null
+    // moment row (n = 0, nothing to sum) — it contributes nothing and is
+    // skipped, like the null vectors themselves were
     val rows = store(storeDir).readSide(spark, "moments")
       .getOrElse(throw new IllegalStateException(
         s"no committed moment epochs at $storeDir"))
       .collect()
-    require(rows.nonEmpty, s"no committed moment epochs at $storeDir")
+      .filterNot(r => r.isNullAt(r.fieldIndex("pp")) || r.getAs[Long]("n") == 0L)
+    require(rows.nonEmpty,
+      s"no committed non-empty moment epochs at $storeDir")
     val d = rows.map(_.getAs[Int]("d")).max
     val ppLen = rows.map(_.getSeq[Long](rows.head.fieldIndex("pp")).length).max
     val pp = new Array[Long](ppLen)
@@ -137,23 +142,31 @@ object EmbStats {
     store(storeDir).compact(spark, targetFiles = 1, sweep = true,
       keepLatest = keepLatest) { (_, union) =>
       // the merged side is the elementwise long sum of a handful of tiny
-      // rows — driver arithmetic, exact by associativity
+      // rows — driver arithmetic, exact by associativity. Null moment rows
+      // (all-null-vector epochs) contribute nothing and drop out here.
       val rows = union.collect()
-      val d = rows.map(_.getAs[Int]("d")).max
-      val ppLen = rows.map(_.getSeq[Long](rows.head.fieldIndex("pp")).length).max
-      val pp = new Array[Long](ppLen)
-      val sx = new Array[Long](d)
-      var n = 0L
-      rows.foreach { r =>
-        val rp = r.getSeq[Long](r.fieldIndex("pp"))
-        val rs = r.getSeq[Long](r.fieldIndex("sx"))
-        var i = 0
-        while (i < ppLen) { pp(i) += rp(i); i += 1 }
-        i = 0
-        while (i < d) { sx(i) += rs(i); i += 1 }
-        n += r.getAs[Long]("n")
-      }
+        .filterNot(r => r.isNullAt(r.fieldIndex("pp")) || r.getAs[Long]("n") == 0L)
       import spark.implicits._
-      Seq((pp.toSeq, sx.toSeq, n, d)).toDF("pp", "sx", "n", "d")
+      if (rows.isEmpty)
+        // only null/empty epochs merged: the compact epoch is an explicit
+        // zero row, skipped by reads exactly like its inputs were
+        Seq((Seq.empty[Long], Seq.empty[Long], 0L, 0)).toDF("pp", "sx", "n", "d")
+      else {
+        val d = rows.map(_.getAs[Int]("d")).max
+        val ppLen = rows.map(_.getSeq[Long](rows.head.fieldIndex("pp")).length).max
+        val pp = new Array[Long](ppLen)
+        val sx = new Array[Long](d)
+        var n = 0L
+        rows.foreach { r =>
+          val rp = r.getSeq[Long](r.fieldIndex("pp"))
+          val rs = r.getSeq[Long](r.fieldIndex("sx"))
+          var i = 0
+          while (i < ppLen) { pp(i) += rp(i); i += 1 }
+          i = 0
+          while (i < d) { sx(i) += rs(i); i += 1 }
+          n += r.getAs[Long]("n")
+        }
+        Seq((pp.toSeq, sx.toSeq, n, d)).toDF("pp", "sx", "n", "d")
+      }
     }
 }

@@ -78,5 +78,14 @@ class EmbStatsSpec extends SparkTestBase {
       EmbStats.admitEpoch(store, df(firstHalf), batchId = 0L)
     }
     assert(boom.getMessage.contains("merged"), boom.getMessage)
+
+    // an all-null-vector epoch aggregates to a null moment row and is
+    // skipped on read — covariance/PCA answers are unchanged by it
+    val nulls = spark.createDataset(Seq(900000L, 900001L))
+      .toDF("vec_id")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    EmbStats.admitEpoch(store, nulls, batchId = 99L)
+    assert(covRows(EmbStats.covariance(spark, store)) == wantCov,
+      "a null-vector epoch must contribute nothing to the moments")
   }
 }
