@@ -384,8 +384,11 @@ object Multimodal {
             val img =
               if (bytes == null || bytes.isEmpty) null
               else
+                // corrupt payloads can surface as runtime exceptions from
+                // format plugins, not just IOException — the kernel's
+                // contract is flag-invalid, never fail the job
                 try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-                catch { case _: java.io.IOException => null }
+                catch { case scala.util.control.NonFatal(_) => null }
             if (img == null)
               PpmStats(id, valid = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
             else {
