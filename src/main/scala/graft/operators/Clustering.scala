@@ -40,7 +40,12 @@ object Clustering {
       emb: DataFrame,
       labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame =
-    emb.groupBy(col(labelCol).as("label"))
+    // null embeddings are expected input (matching meanPool/momentSums):
+    // drop them BEFORE the aggregate so `n` counts only the vectors
+    // VectorMicroSum actually summed — otherwise centroids deflate and an
+    // all-null label emits an (label, n>0, null) row instead of vanishing
+    emb.filter(col(vecCol).isNotNull)
+      .groupBy(col(labelCol).as("label"))
       .agg(
         count(lit(1)).as("n"),
         graft.functions.expressions.VectorSumAgg.vectorMicroSum(col(vecCol)).as("sx"))
@@ -105,8 +110,11 @@ object Clustering {
     require(iters >= 1, "iters must be >= 1")
     var cents = Similarity.collectCentroids(emb, k, idCol, vecCol)
     var counts: Map[Long, Long] = cents.map(_._1 -> 0L).toMap
-    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      l2Norm(col(vecCol)).as("nrm"))
+    // same null contract as labelCentroids: a null vector would land in a
+    // null-cid group whose sx is null and NPE the driver-side update read
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
     for (_ <- 0 until iters) {
       val assigned = base.withColumn("cid", Similarity.centroidAssignExpr(cents))
       // centroid update on the native vector aggregate: ONE hash aggregate
@@ -371,6 +379,7 @@ object Clustering {
     // mean, and the deflation chain from it on the driver
     val momRow = momentSums(emb, vecCol).collect().head
     val n = momRow.getAs[Long]("n")
+    require(n > 0, "pcaWhiten needs a non-empty corpus")
     val sx = momRow.getSeq[Long](momRow.fieldIndex("sx"))
     val d = momRow.getAs[Int]("d")
     val mean = sx.map(_.toDouble / (n * 1e6)).toArray

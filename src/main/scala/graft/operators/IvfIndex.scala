@@ -60,6 +60,22 @@ object IvfIndex {
     else math.min(4096, math.max(16, math.sqrt(emb.count().toDouble).toInt))
   }
 
+  /** The engine's own list-schema column names. `keepCols` must be
+    * disjoint from these: [[kindOf]]/[[metaColNames]] infer the index rung
+    * and metadata surface purely from reserved names, so a keepCols named
+    * `qvec`/`codes` would dispatch the wrong probe and one named
+    * `scale`/`qnrm`/`rnrm` would silently vanish from the TVF's metadata.
+    */
+  private val ReservedListCols: Set[String] =
+    Set("id", "v", "nrm", "cid", "qvec", "scale", "qnrm", "codes", "rnrm")
+
+  private def requireKeepCols(keepCols: Seq[String]): Unit = {
+    val clash = keepCols.filter(ReservedListCols.contains)
+    require(clash.isEmpty,
+      s"keepCols ${clash.mkString(", ")} collide with reserved index columns " +
+        s"(${ReservedListCols.toSeq.sorted.mkString(", ")}) — rename before building")
+  }
+
   /** Uncommit the base before a (re)build: the base's commit marker is its
     * lists `_SUCCESS` — the last write of every builder — so dropping it
     * first means a crash mid-build leaves the base invisible to
@@ -116,6 +132,7 @@ object IvfIndex {
       keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    requireKeepCols(keepCols)
     uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
@@ -152,6 +169,7 @@ object IvfIndex {
       keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    requireKeepCols(keepCols)
     uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
@@ -203,6 +221,7 @@ object IvfIndex {
     import spark.implicits._
     require(numSubspaces >= 1 && ksub >= 1 && ksub <= 128,
       s"need 1 <= numSubspaces and 1 <= ksub <= 128, got ($numSubspaces, $ksub)")
+    requireKeepCols(keepCols)
     uncommitBase(spark, path)
     val cents = buildCentroids(emb, resolveNlist(emb, nlist), idCol, vecCol, trainIters)
     cents.toSeq.toDF("cid", "cv", "cnrm")
@@ -857,8 +876,7 @@ object IvfIndex {
     */
   def metaColNames(spark: SparkSession, path: String): Seq[String] = {
     val fields = listFieldNames(spark, path)
-    (fields -- Set("id", "v", "nrm", "cid", "qvec", "scale", "qnrm",
-      "codes", "rnrm")).toSeq.sorted
+    (fields -- ReservedListCols).toSeq.sorted
   }
 
   /** Which build produced the index — "float" ([[write]]), "sq8"

@@ -72,12 +72,28 @@ object TextIndex {
     * count — shared by [[write]] and [[append]] so base and epoch trees
     * carry identical arithmetic and schema.
     */
+  /** Posting-schema column names the engine owns. `keepCols` must be
+    * disjoint: [[metaColNames]] infers the metadata surface purely from
+    * non-reserved names, and a clashing keepCols would corrupt the posting
+    * grouping key or vanish from the TVF's metadata.
+    */
+  private val ReservedPostingCols: Set[String] =
+    Set("doc_id", "toks", "dl", "term", "tf", "bucket")
+
+  private def requireKeepCols(keepCols: Seq[String]): Unit = {
+    val clash = keepCols.filter(ReservedPostingCols.contains)
+    require(clash.isEmpty,
+      s"keepCols ${clash.mkString(", ")} collide with reserved posting columns " +
+        s"(${ReservedPostingCols.toSeq.sorted.mkString(", ")}) — rename before building")
+  }
+
   private def postingRows(
       docs: DataFrame,
       nBuckets: Int,
       idCol: String,
       textCol: String,
       keepCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    requireKeepCols(keepCols)
     val tok = docs.select(
       col(idCol).cast("long").as("doc_id") +:
         tokens(col(textCol)).as("toks") +: keepCols.map(col): _*)
@@ -600,6 +616,6 @@ object TextIndex {
     val fields = graft.util.ProbePlanning.withDriverListing(spark) {
       spark.read.parquet(treePostings(path, trees.head)).schema.fieldNames.toSet
     }
-    (fields -- Set("doc_id", "dl", "term", "tf", "bucket")).toSeq.sorted
+    (fields -- ReservedPostingCols).toSeq.sorted
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.operators.{IvfIndex, TextIndex}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Expression, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Expression, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -98,8 +98,14 @@ object ServingFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
       existing: Option[String],
       meta: AttributeSet): Option[(Option[String], Seq[Expression])] = {
     if (meta.isEmpty) return None
+    // the pushed predicate travels as SQL TEXT (Expression.sql) and is
+    // re-parsed at planning time — subquery conjuncts (IN (SELECT ...),
+    // EXISTS) pass the deterministic/references checks but their .sql form
+    // is a plan placeholder that does not re-parse, so they must stay
+    // above the node as ordinary post-filters
     val (pushable, rest) = splitConjunctivePredicates(cond).partition(c =>
-      c.deterministic && c.references.nonEmpty && c.references.subsetOf(meta))
+      c.deterministic && c.references.nonEmpty && c.references.subsetOf(meta) &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
     if (pushable.isEmpty) None
     else {
       val pushedSql = pushable.map(p => s"(${p.sql})").mkString(" AND ")
