@@ -1109,6 +1109,20 @@ object PipelineOracleSql {
   /** IVF top-k ANN: nlist=16 lowest-id centroids, nprobe=4, k=5. */
   def ivfTopK: String = ivfTopKWhere("TRUE")
 
+  /** POST-filter over the UNFILTERED [[ivfTopK]] — the semantics of a
+    * non-pushable predicate (e.g. a subquery WHERE) above the serving
+    * TVF: the top-k is computed first, then rows whose neighbor fails
+    * `neighborPred` (over alias `e` = the neighbor's embeddings row) are
+    * dropped — rank gaps survive, k may under-fill. Contrast
+    * [[ivfTopKWhere]], where serving itself is restricted.
+    */
+  def ivfTopKPostWhere(neighborPred: String): String =
+    s"""SELECT t.query_id, t."rank", t.neighbor_id, t.cos_sim
+       |FROM (${ivfTopK.replace("\n", "\n  ")}) t
+       |JOIN embeddings e ON e.vec_id = t.neighbor_id
+       |WHERE $neighborPred
+       |ORDER BY t.query_id, t."rank"""".stripMargin
+
   /** [[ivfTopK]] with the SERVED corpus restricted by `corpusPred` while
     * the coarse quantizer stays the FULL corpus's lowest-16 — exactly the
     * tombstone-delete semantics (`IvfIndex.delete`): deleted vectors leave
@@ -1629,6 +1643,19 @@ object PipelineOracleSql {
     * (contrast [[bm25TopKWhere]], the delete semantics where stats
     * shrink to the surviving corpus).
     */
+  /** POST-filter over the UNFILTERED [[bm25TopK]] — non-pushable-predicate
+    * (subquery WHERE) semantics over `graft_bm25`: top-20 first, then rows
+    * whose document fails `docPred` (alias `d` = the documents row) drop;
+    * rank gaps survive. Contrast [[bm25TopKServe]], where serving itself
+    * is restricted before ranking.
+    */
+  def bm25TopKPostWhere(docPred: String): String =
+    s"""SELECT t.doc_id, t."rank", t.bm25
+       |FROM (${bm25TopK.replace("\n", "\n  ")}) t
+       |JOIN documents d ON d.doc_id = t.doc_id
+       |WHERE $docPred
+       |ORDER BY t."rank"""".stripMargin
+
   def bm25TopKServe(servePred: String): String =
     s"""WITH tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
@@ -2462,6 +2489,14 @@ object PipelineOracleSql {
     // plan-level pushdown: WHERE over the TVF becomes the same filtered
     // probe, so the filtered-search oracle replays it unchanged
     "sim_topk_ivf_tvf_pushdown" -> ivfTopKWhere("n.label % 2 = 0"),
+    // pushdown composed with rung auto-dispatch: the filtered quantized
+    // oracles replay the TVF's WHERE over SQ8/PQ builds
+    "sim_topk_ivf_sq8_tvf_pushdown" -> ivfTopKSq8Where("n.label % 2 = 0"),
+    "sim_topk_ivf_pq_tvf_pushdown" -> ivfTopKPqWhere("n.label % 2 = 0"),
+    // a subquery WHERE is NOT pushable (its SQL form cannot re-parse):
+    // post-filter semantics — unfiltered top-k, then drop rows, rank gaps
+    // survive — which is exactly what the post-filter oracle computes
+    "sim_topk_ivf_tvf_subquery" -> ivfTopKPostWhere("e.label % 2 = 0"),
     // ten append epochs + a tombstone set: epoch layout is invisible to
     // the answer (lists/df additive, low-id base freezes the full-corpus
     // centroids), so the serve-after-delete oracle replays it
@@ -2552,6 +2587,9 @@ object PipelineOracleSql {
     // plan-level pushdown: WHERE over the TVF becomes the same filtered
     // probe, so the filtered-search oracle replays it unchanged
     "text_bm25_tvf_pushdown" -> bm25TopKServe("lang = 'en'"),
+    // subquery WHERE over graft_bm25: post-filter of the unfiltered
+    // top-20 (contrast _tvf_pushdown's filtered serving above)
+    "text_bm25_tvf_subquery" -> bm25TopKPostWhere("d.lang = 'en'"),
     // ten append epochs + a tombstone set: BM25 stats are additive across
     // epochs, so the serve-after-delete oracle replays it unchanged
     "text_bm25_epochs" -> bm25TopKWhere("doc_id % 7 != 3"),

@@ -1013,6 +1013,53 @@ object SparkEntry {
            |FROM graft_ann('$path', 'graft_ann_pd_queries', 5, 4)
            |WHERE label % 2 = 0 ORDER BY query_id, rank""".stripMargin)
     }),
+    // pushdown composes with the TVF's rung auto-dispatch: the same outer
+    // WHERE over an SQ8 build becomes probeQuantized's serving predicate
+    // (candidate scan AND rescore filtered) — k filtered results under
+    // quantized arithmetic, replayed by the SQ8 filtered oracle
+    "sim_topk_ivf_sq8_tvf_pushdown" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8tvfpd_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writeQuantized(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_sq8pd_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_sq8pd_queries', 5, 4)
+           |WHERE label % 2 = 0 ORDER BY query_id, rank""".stripMargin)
+    }),
+    // ...and over a PQ build through probePq's filtered ADC scan + rerank
+    "sim_topk_ivf_pq_tvf_pushdown" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pqtvfpd_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_pqpd_queries")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_pqpd_queries', 5, 4)
+           |WHERE label % 2 = 0 ORDER BY query_id, rank""".stripMargin)
+    }),
+    // a NON-pushable predicate over the serving TVF: subquery conjuncts
+    // (IN (SELECT ...)) reference only metadata columns but their .sql
+    // form is a plan placeholder that cannot re-parse, so
+    // ServingFilterPushdown must leave them ABOVE the node — ordinary
+    // post-filter semantics: the unfiltered top-k is computed first, then
+    // rows drop (rank gaps survive), never a planner error
+    "sim_topk_ivf_tvf_subquery" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_tvfsq_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.write(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_sq_queries")
+      emb.createOrReplaceTempView("graft_ann_sq_corpus")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_sq_queries', 5, 4)
+           |WHERE label IN (SELECT DISTINCT label FROM graft_ann_sq_corpus
+           |                WHERE label % 2 = 0)
+           |ORDER BY query_id, rank""".stripMargin)
+    }),
     // the GROWING-corpus form of the lexical index: build on half the
     // corpus, append the rest as a committed epoch — df/n_docs/avgdl are
     // additive, so the probe answers bit-identically to a full rebuild and
@@ -1065,6 +1112,23 @@ object SparkEntry {
         s"""SELECT doc_id, rank, bm25
            |FROM graft_bm25('$path', 'dup,vector,join,slow', 20)
            |WHERE lang = 'en' ORDER BY rank""".stripMargin)
+    }),
+    // the lexical twin of sim_topk_ivf_tvf_subquery: an IN (SELECT ...)
+    // over graft_bm25's metadata column stays a post-filter (subquery
+    // predicates never travel as serving SQL) — unfiltered top-20 first,
+    // then the filter drops rows, rank gaps survive
+    "text_bm25_tvf_subquery" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_tvfsq_${Integer.toHexString(dir.hashCode)}"
+      TextIndex.write(docs, path, keepCols = Seq("lang"))
+      docs.createOrReplaceTempView("graft_bm25_sq_docs")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT doc_id, rank, bm25
+           |FROM graft_bm25('$path', 'dup,vector,join,slow', 20)
+           |WHERE lang IN (SELECT DISTINCT lang FROM graft_bm25_sq_docs
+           |               WHERE lang = 'en')
+           |ORDER BY rank""".stripMargin)
     }),
     // the SERVE-AFTER-DELETE form: full build, tombstone-delete the
     // doc_id%7==3 slice, probe — deleted docs leave serving and the

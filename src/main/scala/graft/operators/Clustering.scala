@@ -108,11 +108,14 @@ object Clustering {
       vecCol: String = "embedding"): (Array[(Long, Array[Double], Double)], Map[Long, Long]) = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    var cents = Similarity.collectCentroids(emb, k, idCol, vecCol)
-    var counts: Map[Long, Long] = cents.map(_._1 -> 0L).toMap
     // same null contract as labelCentroids: a null vector would land in a
-    // null-cid group whose sx is null and NPE the driver-side update read
-    val base = emb.filter(col(vecCol).isNotNull)
+    // null-cid group whose sx is null and NPE the driver-side update read.
+    // Seeding reads the SAME filtered frame — a null vector among the k
+    // lowest ids must not reach collectCentroids' element decode either.
+    val nonNull = emb.filter(col(vecCol).isNotNull)
+    var cents = Similarity.collectCentroids(nonNull, k, idCol, vecCol)
+    var counts: Map[Long, Long] = cents.map(_._1 -> 0L).toMap
+    val base = nonNull
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         l2Norm(col(vecCol)).as("nrm"))
     for (_ <- 0 until iters) {

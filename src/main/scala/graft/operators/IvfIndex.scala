@@ -70,7 +70,9 @@ object IvfIndex {
     Set("id", "v", "nrm", "cid", "qvec", "scale", "qnrm", "codes", "rnrm")
 
   private def requireKeepCols(keepCols: Seq[String]): Unit = {
-    val clash = keepCols.filter(ReservedListCols.contains)
+    // lower-cased compare: Spark resolves columns case-insensitively by
+    // default (spark.sql.caseSensitive=false), so "Qvec" collides too
+    val clash = keepCols.filter(c => ReservedListCols.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"keepCols ${clash.mkString(", ")} collide with reserved index columns " +
         s"(${ReservedListCols.toSeq.sorted.mkString(", ")}) — rename before building")

@@ -90,6 +90,12 @@ object Similarity {
     * additionally probes, per table, the buckets reached by flipping the
     * query's `multiProbe` smallest-margin hyperplane bits — a recall knob
     * that changes results; callers opt in explicitly.
+    *
+    * COMPATIBILITY NOTE: when multi-probe first landed the default was 3,
+    * which silently changed every existing caller's candidate set (and
+    * therefore results). The default was deliberately reverted to 0 so
+    * `lshTopK` is result-stable across versions by default; callers who
+    * want the higher-recall behavior pass `multiProbe = 3` explicitly.
     */
   /** One row per (id, table, bucket): the multi-table hyperplane bucket
     * assignment shared by the ANN search and the pair-candidate generator.

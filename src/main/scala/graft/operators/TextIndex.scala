@@ -68,10 +68,6 @@ object TextIndex {
       StructField("tf", LongType)))
   }
 
-  /** (meta, postings) frames for a batch of documents under a fixed bucket
-    * count — shared by [[write]] and [[append]] so base and epoch trees
-    * carry identical arithmetic and schema.
-    */
   /** Posting-schema column names the engine owns. `keepCols` must be
     * disjoint: [[metaColNames]] infers the metadata surface purely from
     * non-reserved names, and a clashing keepCols would corrupt the posting
@@ -81,12 +77,18 @@ object TextIndex {
     Set("doc_id", "toks", "dl", "term", "tf", "bucket")
 
   private def requireKeepCols(keepCols: Seq[String]): Unit = {
-    val clash = keepCols.filter(ReservedPostingCols.contains)
+    // lower-cased compare: Spark resolves columns case-insensitively by
+    // default (spark.sql.caseSensitive=false), so "Term" collides too
+    val clash = keepCols.filter(c => ReservedPostingCols.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"keepCols ${clash.mkString(", ")} collide with reserved posting columns " +
         s"(${ReservedPostingCols.toSeq.sorted.mkString(", ")}) — rename before building")
   }
 
+  /** (meta, postings) frames for a batch of documents under a fixed bucket
+    * count — shared by [[write]] and [[append]] so base and epoch trees
+    * carry identical arithmetic and schema.
+    */
   private def postingRows(
       docs: DataFrame,
       nBuckets: Int,

@@ -3,6 +3,7 @@ package graft.plans
 import graft.operators.{IvfIndex, TextIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeSet, Expression, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -49,6 +50,12 @@ case class Bm25ScanNode(
     prebuilt: LogicalPlan,
     builtWith: Option[String]) extends LeafNode {
   override def producedAttributes: AttributeSet = AttributeSet(output)
+  // LeafNode's default computeStats THROWS — any stats-consuming rule
+  // (join-size estimation when the TVF output is joined, e.g. the
+  // semi-join a subquery WHERE rewrites to) would fail the query. The
+  // probe returns at most k rows; estimate from the output schema.
+  override def computeStats(): logical.Statistics = logical.Statistics(
+    sizeInBytes = BigInt(k.max(1)) * output.map(_.dataType.defaultSize).sum.max(8))
 }
 
 /** The vector twin of [[Bm25ScanNode]]: `child` is the query relation

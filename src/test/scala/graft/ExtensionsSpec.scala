@@ -396,4 +396,56 @@ class ExtensionsSpec extends SparkTestBase {
       .orderBy(col("vec_id")).collect()
     hp.zip(hpApi).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("subquery WHERE over serving TVFs stays a post-filter: rank gaps survive, never a planner error") {
+    GraftExtensions.registerTvfs(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-tvf-lexsq").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-tvf-ivfsq").toString
+    graft.operators.TextIndex.write(docs, lexPath, keepCols = Seq("lang"))
+    graft.operators.IvfIndex.write(emb, ivfPath, nlist = 16, keepCols = Seq("label"))
+    docs.createOrReplaceTempView("graft_sq_docs")
+    emb.createOrReplaceTempView("graft_sq_emb")
+
+    // lexical: an IN (SELECT ...) conjunct references only metadata but
+    // its SQL form cannot re-parse — ServingFilterPushdown must leave it
+    // above the node, so the semantics are the UNFILTERED top-k
+    // post-filtered (contrast the pushed WHERE: k filtered, dense ranks)
+    val bmSub = spark.sql(
+      s"""SELECT doc_id, rank, bm25 FROM graft_bm25('$lexPath', 'dup,vector', 10)
+         |WHERE lang IN (SELECT DISTINCT lang FROM graft_sq_docs WHERE lang = 'en')
+         |ORDER BY rank""".stripMargin).collect().toSeq
+    val bmPost = graft.operators.TextIndex
+      .bm25TopK(spark, lexPath, Seq("dup", "vector"), 10, metaCols = Seq("lang"))
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("rank"), col("bm25"))
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmSub == bmPost,
+      "subquery WHERE must post-filter the unfiltered top-k (pushed semantics would re-rank)")
+    val bmPushed = graft.operators.TextIndex
+      .bm25TopK(spark, lexPath, Seq("dup", "vector"), 10,
+        predicate = Some(col("lang") === "en"))
+      .orderBy(col("rank")).collect().toSeq
+    assert(bmSub != bmPushed,
+      "the post-filter result must differ from the pushed (filtered-serving) result on this corpus")
+    assert(bmSub.map(_.getLong(1)) != (1L to bmSub.size.toLong).toSeq,
+      "post-filter semantics show rank gaps — dense ranks would mean the subquery was pushed")
+
+    // vector twin
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_sq_q")
+    val annSub = spark.sql(
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$ivfPath', 'graft_sq_q', 4, 4)
+         |WHERE label IN (SELECT DISTINCT label FROM graft_sq_emb WHERE label % 2 = 0)
+         |ORDER BY query_id, rank""".stripMargin).collect().toSeq
+    val annPost = graft.operators.IvfIndex
+      .probe(spark, ivfPath, emb.filter(col("vec_id") < 3), 4, nprobe = 4,
+        metaCols = Seq("label"))
+      .filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(annSub == annPost,
+      "subquery WHERE over graft_ann must post-filter the unfiltered top-k")
+  }
 }

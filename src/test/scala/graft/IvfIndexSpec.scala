@@ -467,4 +467,25 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows(full) == rows(brute),
       "nprobe = nlist probe is exhaustive and must equal exact brute force")
   }
+
+  test("keepCols colliding with reserved index columns fail fast, case-insensitively") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-clash").toString
+    // exact-case clash on every builder rung
+    for (build <- Seq[(String, Seq[String]) => Unit](
+        (p, kc) => IvfIndex.write(emb, p, nlist = 8, keepCols = kc),
+        (p, kc) => IvfIndex.writeQuantized(emb, p, nlist = 8, keepCols = kc),
+        (p, kc) => IvfIndex.writePq(emb, p, nlist = 8, keepCols = kc))) {
+      val e = intercept[IllegalArgumentException] { build(path, Seq("qvec")) }
+      assert(e.getMessage.contains("collide with reserved index columns"),
+        s"unexpected message: ${e.getMessage}")
+    }
+    // case-INSENSITIVE clash: Spark resolves columns case-insensitively
+    // by default, so "Codes" collides with the reserved "codes"
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.write(emb, path, nlist = 8, keepCols = Seq("Codes"))
+    }
+    assert(e2.getMessage.contains("Codes"),
+      s"mixed-case clash must name the offending column: ${e2.getMessage}")
+  }
 }

@@ -351,4 +351,37 @@ class KmeansSpec extends SparkTestBase {
     val best = planted.filter(_._1 != 100000L).maxBy { case (_, v) => cos(q, v) }
     assert(best._1 == 0L, s"planted near-dup must be projected top-1, got ${best._1}")
   }
+
+  test("labelCentroids and kmeans accept null vectors DIRECTLY, bit-equal to the pre-filtered twin") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // vec_id 0 is nulled: a null among the k lowest ids is exactly the
+    // seeding path (collectCentroids element decode) that used to NPE
+    val withNulls = emb.withColumn("embedding",
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")))
+    val filtered = withNulls.filter(col("embedding").isNotNull)
+    def lc(df: org.apache.spark.sql.DataFrame) =
+      Clustering.labelCentroids(df).orderBy(col("label"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(lc(withNulls) == lc(filtered),
+      "labelCentroids on null-containing input must equal the pre-filtered twin")
+    def km(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kmeansCentroids(df, k = 4, iters = 2)
+        .orderBy(col("cid"), col("pos")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val direct = km(withNulls)
+    assert(direct == km(filtered),
+      "kmeans on null-containing input (null among the first k ids) must equal the pre-filtered twin")
+    // the null ids must not seed: cluster ids are the lowest NON-NULL ids
+    assert(direct.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 4L),
+      "seeds must come from the lowest non-null vec_ids")
+  }
+
+  test("pcaWhiten on an empty corpus fails fast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.pcaWhiten(emb.filter(lit(false)), nComponents = 2, iters = 2).collect()
+    }
+    assert(e.getMessage.contains("non-empty"),
+      s"empty corpus must fail with the non-empty message, got: ${e.getMessage}")
+  }
 }

@@ -336,4 +336,20 @@ class TextIndexSpec extends SparkTestBase {
         _.relation.location.rootPaths.forall(_.toString.matches(".*lists/cid=\\d+$"))),
       "lists scans must read only driver-pruned cid directories")
   }
+
+  test("keepCols colliding with reserved posting columns fail fast, case-insensitively") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-lex-clash").toString
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.write(docs, path, keepCols = Seq("term"))
+    }
+    assert(e.getMessage.contains("collide with reserved posting columns"),
+      s"unexpected message: ${e.getMessage}")
+    // Spark resolves columns case-insensitively by default: "Term" too
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.write(docs, path, keepCols = Seq("Term"))
+    }
+    assert(e2.getMessage.contains("Term"),
+      s"mixed-case clash must name the offending column: ${e2.getMessage}")
+  }
 }
