@@ -26,14 +26,92 @@ object Bench {
         + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
         ).as("close"))
 
-  // memoized worst-case epoch stores for the *_epochs_probe entries: built
-  // ONCE (untimed, in main before the measurement loop) so the probe-only
-  // timings never absorb construction cost
+  // memoized serving stores for the *_probe entries: built ONCE (untimed,
+  // in main before the measurement loop) so the probe-only timings never
+  // absorb construction cost — the un-suffixed serving entries keep timing
+  // BUILD + probe (the query-contract closure rebuilds per call), so each
+  // serving family reports BOTH numbers and a probe regression is never
+  // hidden inside construction noise
   private val preparedStores = scala.collection.concurrent.TrieMap.empty[String, String]
   private def preparedEpochLex(s: SparkSession, dir: String): String =
     preparedStores.getOrElseUpdate(s"lex:$dir", SparkEntry.buildEpochTextIndex(s, dir, "epb"))
   private def preparedEpochIvf(s: SparkSession, dir: String): String =
     preparedStores.getOrElseUpdate(s"ivf:$dir", SparkEntry.buildEpochIvfIndex(s, dir, "epb"))
+
+  private def freshDir(s: SparkSession, tag: String, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bnch_${tag}_${Integer.toHexString(dir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // append/ingest accrete epochs: a stale dir would double-serve
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
+
+  /** Store builders for the probe-only serving entries, by store key. */
+  private def buildStore(s: SparkSession, sfDir: String, key: String): String = {
+    def emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    def docs = s.read.parquet(s"$sfDir/documents.parquet")
+    key match {
+      case "ivf_label" =>
+        val p = freshDir(s, "ivfl", sfDir)
+        operators.IvfIndex.write(emb, p, keepCols = Seq("label")); p
+      case "lex_lang" =>
+        val p = freshDir(s, "lexl", sfDir)
+        operators.TextIndex.write(docs, p, keepCols = Seq("lang")); p
+      case "ivf_sq8" =>
+        val p = freshDir(s, "sq8", sfDir)
+        operators.IvfIndex.writeQuantized(emb, p); p
+      case "ivf_pq" =>
+        val p = freshDir(s, "pq", sfDir)
+        operators.IvfIndex.writePq(emb, p); p
+      case "ivf_app" =>
+        val p = freshDir(s, "ivfa", sfDir)
+        operators.IvfIndex.write(emb.filter(col("vec_id") < 400), p)
+        operators.IvfIndex.append(emb.filter(col("vec_id") >= 400), p); p
+      case "lex_app" =>
+        val p = freshDir(s, "lexa", sfDir)
+        operators.TextIndex.write(docs.filter(col("doc_id") % 2 === 0), p)
+        operators.TextIndex.append(docs.filter(col("doc_id") % 2 === 1), p); p
+      case "ivf_str" =>
+        val p = freshDir(s, "ivfs", sfDir)
+        graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") < 250), p, 0L)
+        graft.streaming.IvfIngest.ingestBatch(
+          emb.filter(col("vec_id") >= 250 && col("vec_id") < 400), p, 1L)
+        graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") >= 400), p, 2L)
+        p
+      case "lex_str" =>
+        val p = freshDir(s, "lexs", sfDir)
+        graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 0), p, 0L)
+        graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 1), p, 1L)
+        graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 2), p, 2L)
+        p
+      case "ivf_plain" =>
+        val p = freshDir(s, "ivfp", sfDir)
+        operators.IvfIndex.write(emb, p); p
+      case "lex_plain" =>
+        val p = freshDir(s, "lexp", sfDir)
+        operators.TextIndex.write(docs, p); p
+      case other => throw new IllegalArgumentException(s"unknown store key $other")
+    }
+  }
+  private def store(s: SparkSession, sfDir: String, key: String): String =
+    preparedStores.getOrElseUpdate(s"$key:$sfDir", buildStore(s, sfDir, key))
+
+  /** Which prepared stores each probe-only entry needs — main pre-builds
+    * them untimed so rep 1 never pays construction.
+    */
+  private val probeStoreKeys: Map[String, Seq[String]] = Map(
+    "sim_topk_ivf_tvf_probe" -> Seq("ivf_label"),
+    "sim_topk_ivf_tvf_pushdown_probe" -> Seq("ivf_label"),
+    "text_bm25_tvf_probe" -> Seq("lex_lang"),
+    "text_bm25_tvf_pushdown_probe" -> Seq("lex_lang"),
+    "sim_topk_ivf_sq8_tvf_probe" -> Seq("ivf_sq8"),
+    "sim_topk_ivf_pq_tvf_probe" -> Seq("ivf_pq"),
+    "sim_topk_ivf_appended_probe" -> Seq("ivf_app"),
+    "text_bm25_appended_probe" -> Seq("lex_app"),
+    "sim_topk_ivf_streamed_probe" -> Seq("ivf_str"),
+    "text_bm25_streamed_probe" -> Seq("lex_str"),
+    "search_hybrid_rrf_served_probe" -> Seq("ivf_plain", "lex_plain"))
 
   private def headline(sfDir: String): Seq[(String, SparkSession => DataFrame)] = {
     def q(name: String): SparkSession => DataFrame = s => SparkEntry.queries(name)(s, sfDir)
@@ -225,7 +303,75 @@ object Bench {
       "emb_whiten" -> q("emb_whiten"),
       "sim_topk_ivf_sq8_tvf" -> q("sim_topk_ivf_sq8_tvf"),
       "sim_topk_ivf_pq_tvf" -> q("sim_topk_ivf_pq_tvf"),
-      "sample_split" -> q("sample_split")
+      "sample_split" -> q("sample_split"),
+      // r12: pushdown over quantized rungs + the subquery post-filter path
+      "sim_topk_ivf_sq8_tvf_pushdown" -> q("sim_topk_ivf_sq8_tvf_pushdown"),
+      "sim_topk_ivf_pq_tvf_pushdown" -> q("sim_topk_ivf_pq_tvf_pushdown"),
+      "sim_topk_ivf_tvf_subquery" -> q("sim_topk_ivf_tvf_subquery"),
+      "text_bm25_tvf_subquery" -> q("text_bm25_tvf_subquery"),
+      // r12: probe-ONLY twins for every serving entry (store pre-built
+      // untimed in main) — the serving-latency numbers; each un-suffixed
+      // twin above still times build+probe, so BOTH numbers ship
+      "sim_topk_ivf_tvf_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
+          .createOrReplaceTempView("bench_ann_probe_q")
+        s.sql(s"SELECT * FROM graft_ann('${store(s, sfDir, "ivf_label")}', " +
+          "'bench_ann_probe_q', 5, 4) ORDER BY query_id, rank")
+      }),
+      "sim_topk_ivf_tvf_pushdown_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
+          .createOrReplaceTempView("bench_ann_pd_probe_q")
+        s.sql(s"""SELECT query_id, rank, neighbor_id, cos_sim
+                  |FROM graft_ann('${store(s, sfDir, "ivf_label")}', 'bench_ann_pd_probe_q', 5, 4)
+                  |WHERE label % 2 = 0 ORDER BY query_id, rank""".stripMargin)
+      }),
+      "text_bm25_tvf_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.sql(s"SELECT * FROM graft_bm25('${store(s, sfDir, "lex_lang")}', " +
+          "'dup,vector,join,slow', 20) ORDER BY rank")
+      }),
+      "text_bm25_tvf_pushdown_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.sql(s"""SELECT doc_id, rank, bm25
+                  |FROM graft_bm25('${store(s, sfDir, "lex_lang")}', 'dup,vector,join,slow', 20)
+                  |WHERE lang = 'en' ORDER BY rank""".stripMargin)
+      }),
+      "sim_topk_ivf_sq8_tvf_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
+          .createOrReplaceTempView("bench_ann_sq8_probe_q")
+        s.sql(s"SELECT * FROM graft_ann('${store(s, sfDir, "ivf_sq8")}', " +
+          "'bench_ann_sq8_probe_q', 5, 4) ORDER BY query_id, rank")
+      }),
+      "sim_topk_ivf_pq_tvf_probe" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
+          .createOrReplaceTempView("bench_ann_pq_probe_q")
+        s.sql(s"SELECT * FROM graft_ann('${store(s, sfDir, "ivf_pq")}', " +
+          "'bench_ann_pq_probe_q', 5, 4) ORDER BY query_id, rank")
+      }),
+      "sim_topk_ivf_appended_probe" -> (s =>
+        operators.IvfIndex.probe(s, store(s, sfDir, "ivf_app"),
+          s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10), 5)
+          .orderBy(col("query_id"), col("rank"))),
+      "text_bm25_appended_probe" -> (s =>
+        operators.TextIndex.bm25TopK(s, store(s, sfDir, "lex_app"),
+          Seq("dup", "vector", "join", "slow"), k = 20).orderBy(col("rank"))),
+      "sim_topk_ivf_streamed_probe" -> (s =>
+        operators.IvfIndex.probe(s, store(s, sfDir, "ivf_str"),
+          s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10), 5)
+          .orderBy(col("query_id"), col("rank"))),
+      "text_bm25_streamed_probe" -> (s =>
+        operators.TextIndex.bm25TopK(s, store(s, sfDir, "lex_str"),
+          Seq("dup", "vector", "join", "slow"), k = 20).orderBy(col("rank"))),
+      "search_hybrid_rrf_served_probe" -> (s =>
+        operators.Search.hybridRrfTopKServed(s, store(s, sfDir, "lex_plain"),
+          store(s, sfDir, "ivf_plain"),
+          s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") === 0L),
+          Seq("dup", "vector", "join", "slow"), k = 20)
+          .orderBy(col("rank")))
     )
   }
 
@@ -250,6 +396,16 @@ object Bench {
     "sim_topk_ivf_tvf", "text_bm25_tvf",
     "sim_topk_ivf_tvf_pushdown", "text_bm25_tvf_pushdown", "renko_tvf_pushdown",
     "text_bm25_epochs_probe", "sim_topk_ivf_epochs_probe",
+    // r12: the probe-only serving twins + the new pushdown/subquery paths
+    // lead the line so the driver diff sees serving-latency regressions
+    "sim_topk_ivf_tvf_probe", "text_bm25_tvf_probe",
+    "sim_topk_ivf_tvf_pushdown_probe", "text_bm25_tvf_pushdown_probe",
+    "sim_topk_ivf_sq8_tvf_probe", "sim_topk_ivf_pq_tvf_probe",
+    "sim_topk_ivf_appended_probe", "text_bm25_appended_probe",
+    "sim_topk_ivf_streamed_probe", "text_bm25_streamed_probe",
+    "search_hybrid_rrf_served_probe",
+    "sim_topk_ivf_sq8_tvf_pushdown", "sim_topk_ivf_pq_tvf_pushdown",
+    "sim_topk_ivf_tvf_subquery", "text_bm25_tvf_subquery",
     "text_normalize", "text_script")
 
   def main(args: Array[String]): Unit = {
@@ -278,6 +434,10 @@ object Bench {
     // filter excludes them)
     if (only.forall(_.contains("text_bm25_epochs_probe"))) preparedEpochLex(spark, sfDir)
     if (only.forall(_.contains("sim_topk_ivf_epochs_probe"))) preparedEpochIvf(spark, sfDir)
+    probeStoreKeys.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap(_._2).distinct
+      .foreach(k => store(spark, sfDir, k))
     val results = headline(sfDir)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
@@ -297,7 +457,10 @@ object Bench {
       // jitter up to several x on this host — one slow rep must not
       // masquerade as a regression in the ONE number compared against
       // BASELINE.md, so take min-of-4 there
-      val reps = if (name.startsWith("renko_14m")) 4 else 2
+      // min-of-3 everywhere (r11 judge: >1 s queries at min-of-2 left the
+      // dedup_clusters/sim_topk_quantized drift unadjudicatable); the
+      // 14M-tick baseline workloads keep min-of-4
+      val reps = if (name.startsWith("renko_14m")) 4 else 3
       Renko.drainPhaseLog() // discard marks from any earlier untimed work
       def oneRep(): Rep = {
         spark.catalog.clearCache()
@@ -310,11 +473,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
       }
-      var times = (1 to reps).map(_ => oneRep())
-      // sub-second queries are the ones machine-load noise can double (r9:
-      // seven phantom >25% "regressions", each with reps differing up to
-      // 2.7x) — buy a third rep so min-of has a fair shot at a quiet one
-      if (reps == 2 && times.map(_.sec).min < 1.0) times = times :+ oneRep()
+      val times = (1 to reps).map(_ => oneRep())
       val best = times.minBy(_.sec)
       val repStr = times.map(t => f"${t.sec}%.3f").mkString(" / ")
       System.err.println(
