@@ -148,10 +148,14 @@ object Bench {
       "renko_14m_4series_parallel" -> (s => RenkoModes.project(
         Renko.fromTicksParallel(synthTicks(s, 14700000L, 4), 1.0, tsUnit = "us",
           symbolCol = Some("symbol")), "wicks")),
-      // pre-ordered input (range output is globally id-ordered): no
-      // exchange, no sort — pure scan throughput, the bucketed-table path
+      // pre-ordered input (range output is globally id-ordered, partitions
+      // time-contiguous): the sorted PARALLEL stitch — no exchange, no sort,
+      // source partitions scanned as-is. Must beat renko_14m_1series, which
+      // pays the range repartition + per-partition sort on the same data
+      // (the coalesce(1) single-task form this replaced measured 2.3 s —
+      // sequential by construction, not a parallel path at all)
       "renko_14m_sorted_scan" -> (s => RenkoModes.project(
-        Renko.fromSortedTicks(synthTicks(s, 14700000L, 1).coalesce(1), 1.0, tsUnit = "us"), "wicks")),
+        Renko.fromSortedTicksParallel(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"), "wicks")),
       "q1_agg" -> q("q1_agg"),
       "q4_multijoin" -> q("q4_multijoin"),
       "q5_window_topk" -> q("q5_window_topk"),

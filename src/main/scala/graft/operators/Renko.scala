@@ -273,6 +273,61 @@ object Renko {
       .select(col("t"), col("price"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    stitchSingleSeries(ticks, brickSize, dropFirst, prefixCap,
+      () => fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst))
+  }
+
+  /** PARALLEL zero-shuffle scan for pre-sorted single-series input: the
+    * existing partitions ARE the ranges (contract: ascending time within
+    * each partition AND across partition index — a sorted file read or
+    * `spark.range`-shaped source), so the sync-point stitch of
+    * [[fromTicksParallel]] applies with NO exchange and NO sort at all:
+    * job 1 summaries per source partition, driver prefix replay, job 2
+    * suffix scan. This is the sorted-tick-table path at cluster scale —
+    * [[fromSortedTicks]] stays the per-partition-independent-series form
+    * (bucketed multi-series tables); THIS is its single-giant-series twin.
+    * Output is bit-identical to `fromTicks` (ParallelScanSpec).
+    */
+  def fromSortedTicksParallel(
+      df: DataFrame,
+      brickSize: Double,
+      datetimeCol: String = "datetime",
+      closeCol: String = "close",
+      tsUnit: String = "us",
+      dropFirst: Boolean = true,
+      prefixCap: Int = 4096): DataFrame = {
+    require(brickSize > 0, "brick_size cannot be 'None' or '<= 0'")
+    require(df.columns.contains(closeCol), s"Column '$closeCol' doesn't exist!")
+    require(df.columns.contains(datetimeCol), s"Column '$datetimeCol' doesn't exist!")
+    import org.apache.spark.storage.StorageLevel
+    // persist pins the source partitioning across the two jobs (same
+    // contract as the range-partitioned scan) — columnar batches, freed
+    // before return
+    val ticks = df
+      .select(
+        toEpochMicros(df.schema(datetimeCol).dataType, col(datetimeCol), tsUnit).as("t"),
+        col(closeCol).cast(DoubleType).as("price"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    stitchSingleSeries(ticks, brickSize, dropFirst, prefixCap,
+      () => fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst))._1
+  }
+
+  /** The single-series stitch core shared by [[fromTicksParallel]] (range
+    * partition + sort first) and [[fromSortedTicksParallel]] (source
+    * partitions as-is): job 1 per-partition own-replay summaries, driver
+    * sync-point chaining, job 2 suffix scans. `ticks` must be a persisted
+    * (t, price) frame whose partitions are time-contiguous and ascending in
+    * partition index; `fallback` is the sequential plan used when some
+    * partition never synchronizes within its prefix.
+    */
+  private def stitchSingleSeries(
+      ticks: DataFrame,
+      brickSize: Double,
+      dropFirst: Boolean,
+      prefixCap: Int,
+      fallback: () => DataFrame): (DataFrame, ParallelScanStats) = {
+    val spark = ticks.sparkSession
+
     implicit val rowEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
 
     // phase timing: ALWAYS recorded into the drainable phase log (3 entries
@@ -373,8 +428,7 @@ object Renko {
     mark("driver stitch")
     if (fellBack) {
       ticks.unpersist(blocking = true)
-      return (fromTicks(df, brickSize, None, datetimeCol, closeCol, tsUnit, dropFirst),
-        ParallelScanStats(fellBack = true, plans.toSeq.map(_.syncIdx)))
+      return (fallback(), ParallelScanStats(fellBack = true, plans.toSeq.map(_.syncIdx)))
     }
 
     // job 2: suffix scan per partition from the synced snapshot

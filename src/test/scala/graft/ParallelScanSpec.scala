@@ -165,4 +165,48 @@ class ParallelScanSpec extends SparkTestBase {
       s"row count: seq=${seqOut.length} par=${parOut.length}")
     seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("sorted parallel scan (existing partitions, zero shuffle): bit-identical to sequential") {
+    // spark.range partitions are time-contiguous and ascending in partition
+    // index — exactly the sorted-source contract
+    val df = spark.range(0, 60000, 1, 16).select(
+      (col("id") * 1000L).as("datetime"),
+      (lit(100.0) + lit(30.0) * sin(col("id").cast("double") / lit(500.0))
+        + (pmod(xxhash64(col("id")), lit(100L)).cast("double") / lit(50.0))).as("close"))
+    val ord = Seq(col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(df, 1.0).orderBy(ord: _*).collect()
+    val sp = Renko.fromSortedTicksParallel(df, 1.0)
+    val parOut = sp.orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length && seqOut.length > 0,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+    // ZERO shuffles on the DATA path: the whole point of the sorted
+    // variant. The drop-first rule's broadcast side legitimately carries a
+    // single-row min aggregate (partial_min per partition -> one merge row
+    // each — O(partitions) rows, not data movement), so broadcast subtrees
+    // are excluded from the count.
+    val plan = sp.queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => 0
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        shuffles(a.executedPlan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    assert(shuffles(plan) == 0,
+      s"sorted parallel scan must plan zero data-path shuffles:\n$plan")
+  }
+
+  test("sorted parallel scan: flat series falls back to sequential, still exact") {
+    val flat = spark.range(0, 5000, 1, 8).select(
+      col("id").as("datetime"),
+      (lit(100.0) + pmod(col("id"), lit(3)).cast("double") * lit(0.1)).as("close"))
+    val ord = Seq(col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(flat, 1.0).orderBy(ord: _*).collect()
+    val parOut = Renko.fromSortedTicksParallel(flat, 1.0, prefixCap = 64)
+      .orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length)
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+  }
 }
