@@ -44,10 +44,11 @@ object Bpe {
   def learnMerges(
       docs: DataFrame,
       nMerges: Int = 6,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDriverWords: Long = MaxDriverWordsDefault): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learn(docs, nMerges, textCol)._1
+    learn(docs, nMerges, textCol, maxDriverWords)._1
       .map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
@@ -63,8 +64,9 @@ object Bpe {
       docs: DataFrame,
       nMerges: Int = 6,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val (_, words) = learn(docs, nMerges, textCol)
+      textCol: String = "text",
+      maxDriverWords: Long = MaxDriverWordsDefault): DataFrame = {
+    val (_, words) = learn(docs, nMerges, textCol, maxDriverWords)
     docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("word"))
       .join(words.select(col("word"), size(col("sym")).cast("long").as("nw")), Seq("word"))
       .groupBy(col("doc_id"))
@@ -75,10 +77,112 @@ object Bpe {
     * returns the merge list and the final word dictionary (word, freq,
     * sym).
     */
+  /** Dictionary-size gate for the driver-resident fold: a word dictionary
+    * (distinct words + frequencies + symbol arrays) this small is a few
+    * hundred MB at worst and every merge round over it is a driver-memory
+    * array pass, so a 30k-merge training run is 30k HashMap sweeps instead
+    * of 30k sequential Spark jobs — the [[Dedup.connectedComponents]]
+    * small-side pattern. Above the gate the relational per-round loop
+    * keeps the O(vocabulary) rounds distributed.
+    */
+  private val MaxDriverWordsDefault: Long = 4000000L
+
+  /** Spark compares strings as UTF-8 bytes (codepoint order); Java's
+    * `String.compareTo` is UTF-16 code-unit order, which disagrees above
+    * the BMP — the driver fold must break count ties exactly like the
+    * distributed `orderBy(l, r)` does.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-resident merge fold: identical argmax (count desc, then
+    * (left, right) ascending in UTF-8 byte order) and identical greedy
+    * left-to-right application as the relational loop — bit-equal merges
+    * and final dictionary, minus one Spark job per round.
+    */
+  private def learnDriver(
+      words0: DataFrame,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    val rows = words0.select(col("word"), col("freq"), col("sym")).collect()
+    val wordArr = rows.map(_.getString(0))
+    val freqArr = rows.map(_.getLong(1))
+    val symArr = rows.map(_.getSeq[String](2).toArray)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // (a) pair counts weighted by word frequency
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      var wi = 0
+      while (wi < symArr.length) {
+        val s = symArr(wi); val f = freqArr(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true // fully merged — nothing to learn
+      else {
+        // (b) argmax: count desc, ties to the UTF-8-smallest (l, r)
+        var bl: String = null; var br: String = null; var bc = -1L
+        counts.foreach { case ((l, rr), c) =>
+          if (c > bc || (c == bc &&
+              (utf8Lt(l, bl) || (l == bl && utf8Lt(rr, br))))) {
+            bl = l; br = rr; bc = c
+          }
+        }
+        merges += ((r.toLong, bl, br, bc))
+        // (c) greedy left-to-right application
+        val merged = bl + br
+        wi = 0
+        while (wi < symArr.length) {
+          val s = symArr(wi)
+          var i = 0
+          var touched = false
+          while (!touched && i < s.length - 1) {
+            touched = s(i) == bl && s(i + 1) == br
+            i += 1
+          }
+          if (touched) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            symArr(wi) = out.toArray
+          }
+          wi += 1
+        }
+      }
+      r += 1
+    }
+    val dict = wordArr.indices
+      .map(i => (wordArr(i), freqArr(i), symArr(i).toSeq))
+    (merges.toSeq, spark.createDataset(dict).toDF("word", "freq", "sym"))
+  }
+
   private def learn(
       docs: DataFrame,
       nMerges: Int,
-      textCol: String): (Seq[(Long, String, String, Long)], DataFrame) = {
+      textCol: String,
+      maxDriverWords: Long = MaxDriverWordsDefault): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -88,6 +192,13 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"), charSymbols(col("word")).as("sym"))
       .localCheckpoint(true)
+    // gate: a dictionary that fits the driver folds there (one job total);
+    // the distributed relational loop below is the large-vocabulary path
+    if (words.count() <= maxDriverWords) {
+      val out = learnDriver(words, nMerges)
+      words.unpersist()
+      return out
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to nMerges) {
       // (a) pair counts: adjacent symbol pairs weighted by word frequency

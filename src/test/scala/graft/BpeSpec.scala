@@ -51,4 +51,34 @@ class BpeSpec extends SparkTestBase {
     assert(rows(docs) == rows(docs.repartition(7)),
       "integer pair counts + lexicographic ties must be partition-order-free")
   }
+
+  test("driver-resident fold == distributed relational loop, bit-exact (merges AND token counts)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // maxDriverWords = 0 forces the distributed branch; the default gates
+    // this corpus onto the driver fold — both must emit identical tables
+    val driver = Bpe.learnMerges(docs, nMerges = 8).orderBy(col("rank")).collect().toSeq
+    val dist = Bpe.learnMerges(docs, nMerges = 8, maxDriverWords = 0L)
+      .orderBy(col("rank")).collect().toSeq
+    assert(driver == dist, s"driver fold diverged from the relational loop:\n$driver\nvs\n$dist")
+    val tkDriver = Bpe.tokenCounts(docs, nMerges = 8).orderBy(col("doc_id")).collect().toSeq
+    val tkDist = Bpe.tokenCounts(docs, nMerges = 8, maxDriverWords = 0L)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(tkDriver == tkDist, "final dictionaries must tokenize identically")
+  }
+
+  test("driver fold scale shape: nMerges=1000 completes in seconds") {
+    // the sf0.001 vocabulary exhausts at 89 merges; sf0.01 is deep enough
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(docs, nMerges = 1000).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the synthetic corpus's fixed word list fully merges at 89 rounds —
+    // a 1000-round request must run the vocabulary to EXHAUSTION (the
+    // strongest completion claim this corpus can express) in seconds
+    assert(merges.length > 50, s"expected vocabulary exhaustion, got ${merges.length}")
+    // ranks are contiguous from 1 (no skipped rounds before exhaustion)
+    val ranks = merges.map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (1L to ranks.length).toSeq, "merge ranks must be contiguous")
+    assert(sec < 60.0, s"1000-merge training took $sec s — the driver fold gate is not engaging")
+  }
 }
