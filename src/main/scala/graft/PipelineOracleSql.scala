@@ -63,6 +63,13 @@ object PipelineOracleSql {
        |        i -> CAST(ascii(substr($s, CAST(i AS INT), 1)) AS BIGINT))),
        |      (a,b) -> (a*$mult+b) % $prime)""".stripMargin
 
+  /** The engine's 62-bit `widePolyHash`: two independent folds packed as
+    * h1 + h2 * 2^31 (the span-family near-exact identity).
+    */
+  private def wph(s: String): String =
+    s"""(${ph(s)}
+       |    + ${ph(s, mult = 131L, prime = 2147483629L)} * 2147483648)""".stripMargin
+
   /** Shared MinHash CTE prefix (tok → shingles → hashes → 64-component
     * signatures → 16 band buckets) used by [[minhashLsh]] and
     * [[minhashIncremental]].
@@ -1490,7 +1497,7 @@ object PipelineOracleSql {
        |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
        |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
        |), g AS (
-       |  SELECT doc_id, pos, ${ph("gram")} AS h FROM g0
+       |  SELECT doc_id, pos, ${wph("gram")} AS h FROM g0
        |), dup AS (
        |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
        |)
@@ -1517,7 +1524,7 @@ object PipelineOracleSql {
        |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
        |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
        |), g AS (
-       |  SELECT doc_id, pos, ${ph("gram")} AS h FROM g0
+       |  SELECT doc_id, pos, ${wph("gram")} AS h FROM g0
        |), dup AS (
        |  SELECT h, min(doc_id) AS keeper FROM g
        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
@@ -1562,13 +1569,13 @@ object PipelineOracleSql {
        |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
        |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
        |), g AS (
-       |  SELECT doc_id, pos, ${ph("gram")} AS h FROM g0
+       |  SELECT doc_id, pos, ${wph("gram")} AS h FROM g0
        |), bg0 AS (
        |  SELECT concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
        |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
        |  FROM btok, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
        |), bh AS (
-       |  SELECT DISTINCT ${ph("gram")} AS h FROM bg0
+       |  SELECT DISTINCT ${wph("gram")} AS h FROM bg0
        |), dropped AS (
        |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
        |  FROM g JOIN bh ON g.h = bh.h, unnest(range(0, 8)) AS u(j)

@@ -76,6 +76,17 @@ object TextFunctions {
   def polyHash(c: Column, mult: Long = 31L, prime: Long = 2147483647L): Column =
     graft.functions.expressions.StringExpressions.polyHashNative(c, mult, prime)
 
+  /** Double-width (62-bit) polynomial hash: two independent 31-bit folds
+    * (distinct multiplier AND modulus) packed as `h1 + h2 * 2^31` — the
+    * near-exact identity the SPAN operators key on. A single 31-bit fold
+    * expects ~n²/2³² spurious equal pairs (thousands at 10⁹ grams, unusable
+    * at corpus scale); the pair drops that to ~n²/2⁶² (≈ negligible below
+    * 10¹² distinct grams). Same construction as the block/simhash hashes;
+    * DuckDB replays both folds.
+    */
+  def widePolyHash(c: Column): Column =
+    polyHash(c) + polyHash(c, mult = 131L, prime = 2147483629L) * lit(2147483648L)
+
   /** Higher-order-function form of `polyHash` — same fold, same bits. */
   def polyHashHof(c: Column, mult: Long = 31L, prime: Long = 2147483647L): Column =
     aggregate(

@@ -108,12 +108,12 @@ object Decontamination {
     val grams = tok
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
     val benchHashes = benchmark
       .select(tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= k)
       .select(explode(orderedNgramsFromTokens(col("w"), k)).as("g"))
-      .select(polyHash(col("g")).as("h")).distinct()
+      .select(widePolyHash(col("g")).as("h")).distinct()
     val dropped = grams.join(broadcast(benchHashes), Seq("h"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))

@@ -562,7 +562,7 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
     // grams present in >= 2 distinct docs; joined back as a semi-style flag
     val dup = grams.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
@@ -608,7 +608,7 @@ object Dedup {
     val grams = tok
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), polyHash(col("g")).as("h"))
+      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
     // duplicated gram hashes with their canonical (lowest) doc
     val dup = grams.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
