@@ -258,18 +258,38 @@ object GraftExtensions {
         .filter(_.nonEmpty).toIndexedSeq
       val k = intLit(children, 2, 20, "graft_bm25")
       val spark = SparkSession.active
-      val metaCols = graft.operators.TextIndex.metaColNames(spark, path)
+      val metaFields = graft.operators.TextIndex.metaColFields(spark, path)
+      val metaCols = metaFields.map(_.name)
       val filterSql = predicateSqlArg(children, 3, "graft_bm25")
       // plan through the ServingScan placeholder so outer metadata WHEREs
       // can push into the probe (ServingFilterPushdown + ServingScanStrategy).
-      // The probe built here is carried on the node and reused at planning
-      // unless the rule pushes a further predicate.
-      val probe = graft.operators.TextIndex.bm25TopK(spark, path, terms, k,
-        predicate = parsedPredicate(spark, filterSql), metaCols = metaCols)
-        .queryExecution.analyzed
+      // The output schema is DECLARED from the index footer (no probe
+      // build, no Spark job); the probe itself is a lazy thunk the
+      // strategy forces only if the pushdown rule leaves the predicate
+      // unchanged — one probe construction per query, never two.
+      val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+        Seq(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "doc_id", org.apache.spark.sql.types.LongType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "rank", org.apache.spark.sql.types.LongType, nullable = false)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "bm25", org.apache.spark.sql.types.DoubleType)()) ++
+        metaFields.map(f =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            f.name, f.dataType, f.nullable)())
+      // memoizing probe factory: the planner invokes the strategy several
+      // times per query — each distinct serving predicate builds its probe
+      // exactly once, and pushdown copies of the node share the cache
+      val probeCache =
+        new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
+      def probeFor(pred: Option[String]): LogicalPlan =
+        probeCache.computeIfAbsent(pred.getOrElse(""), _ =>
+          graft.operators.TextIndex.bm25TopK(spark, path, terms, k,
+            predicate = parsedPredicate(spark, pred), metaCols = metaCols)
+            .queryExecution.analyzed)
       graft.plans.Bm25ScanNode(path, terms, k, 1.2, 0.75,
-        filterSql, metaCols, probe.output.map(_.newInstance()),
-        probe, filterSql)
+        filterSql, metaCols, output, probeFor)
     })
 
   /** `graft_ann(index_path, queries_table [, k [, nprobe [, filter_sql]]])`
@@ -297,17 +317,36 @@ object GraftExtensions {
       val spark = SparkSession.active
       val queriesPlan = relationArg(children(1), "queries_table")
       val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, queriesPlan)
-      val metaCols = graft.operators.IvfIndex.metaColNames(spark, path)
+      val metaFields = graft.operators.IvfIndex.metaColFields(spark, path)
+      val metaCols = metaFields.map(_.name)
       val filterSql = predicateSqlArg(children, 4, "graft_ann")
       // auto-dispatch on the index rung: a float, SQ8, or PQ build all
-      // serve through the same TVF (the list schema says which probe)
+      // serve through the same TVF (the list schema says which probe).
+      // Output declared from the list footer; probe built lazily — the
+      // strategy forces it only when no further predicate was pushed
       val kind = graft.operators.IvfIndex.kindOf(spark, path)
-      val probe = graft.plans.ServingScan.annProbe(spark, path, queries, k,
-        nprobe, kind, parsedPredicate(spark, filterSql), metaCols)
-        .queryExecution.analyzed
+      val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+        Seq(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "query_id", org.apache.spark.sql.types.LongType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "rank", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "neighbor_id", org.apache.spark.sql.types.LongType)(),
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "cos_sim", org.apache.spark.sql.types.DoubleType)()) ++
+        metaFields.map(f =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            f.name, f.dataType, f.nullable)())
+      val probeCache =
+        new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
+      def probeFor(pred: Option[String]): LogicalPlan =
+        probeCache.computeIfAbsent(pred.getOrElse(""), _ =>
+          graft.plans.ServingScan.annProbe(spark, path, queries, k,
+            nprobe, kind, parsedPredicate(spark, pred), metaCols)
+            .queryExecution.analyzed)
       graft.plans.AnnScanNode(path, k, nprobe,
-        filterSql, metaCols, kind, probe.output.map(_.newInstance()),
-        probe, filterSql,
+        filterSql, metaCols, kind, output, probeFor,
         queries.queryExecution.analyzed)
     })
 

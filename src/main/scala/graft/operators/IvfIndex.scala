@@ -893,11 +893,26 @@ object IvfIndex {
     else "float"
   }
 
-  private def listFieldNames(spark: SparkSession, path: String): Set[String] = {
+  private def listFieldNames(spark: SparkSession, path: String): Set[String] =
+    listFields(spark, path).map(_.name).toSet
+
+  private def listFields(
+      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
     val roots = listRoots(spark, path)
     require(roots.nonEmpty, s"no index lists at $path — build with write() first")
     graft.util.ProbePlanning.withDriverListing(spark) {
-      spark.read.parquet(roots.head).schema.fieldNames.toSet
+      spark.read.parquet(roots.head).schema.fields.toSeq
     }
   }
+
+  /** The metadata columns a probe's output carries, WITH their stored
+    * types — what the serving TVF needs to declare its output schema
+    * without constructing a probe (a driver footer read, no Spark job).
+    * Sorted by name, matching [[metaColNames]].
+    */
+  def metaColFields(
+      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] =
+    listFields(spark, path)
+      .filter(f => !ReservedListCols.contains(f.name))
+      .sortBy(_.name)
 }

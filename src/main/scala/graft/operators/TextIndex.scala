@@ -612,12 +612,21 @@ object TextIndex {
     * everything beyond the engine's own posting schema. One driver-side
     * footer read.
     */
-  def metaColNames(spark: SparkSession, path: String): Seq[String] = {
+  def metaColNames(spark: SparkSession, path: String): Seq[String] =
+    metaColFields(spark, path).map(_.name)
+
+  /** The metadata columns a probe's output carries, WITH their stored
+    * types — what the serving TVF needs to declare its output schema
+    * without constructing a probe (a driver footer read, no Spark job).
+    * Sorted by name.
+    */
+  def metaColFields(
+      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
     val trees = liveTrees(spark, path)
     require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
     val fields = graft.util.ProbePlanning.withDriverListing(spark) {
-      spark.read.parquet(treePostings(path, trees.head)).schema.fieldNames.toSet
+      spark.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
     }
-    (fields -- ReservedPostingCols).toSeq.sorted
+    fields.filter(f => !ReservedPostingCols.contains(f.name)).sortBy(_.name)
   }
 }

@@ -42,13 +42,15 @@ case class Bm25ScanNode(
     predicateSql: Option[String],
     metaCols: Seq[String],
     override val output: Seq[Attribute],
-    // the probe plan the TVF builder already constructed (relation
-    // building pays index-metadata IO + one Spark job for the stats sum,
-    // so the strategy REUSES it unless the pushdown rule changed the
-    // predicate — `builtWith` records what it was built with). Not a
-    // child: rules must treat the probe as opaque.
-    prebuilt: LogicalPlan,
-    builtWith: Option[String]) extends LeafNode {
+    // MEMOIZING probe factory (built by the TVF builder): maps a serving
+    // predicate to the analyzed probe plan, constructing each distinct
+    // probe exactly ONCE. Probe construction pays index-metadata IO plus
+    // a Spark job, and the planner invokes the strategy several times per
+    // query (measured 5x) — an unmemoized rebuild multiplied that cost;
+    // the lazy single-build also means a pushed WHERE never pays for the
+    // unfiltered probe it replaces. Not a child: rules treat the probe as
+    // opaque, and pushdown copies share the factory.
+    probeFor: Option[String] => LogicalPlan) extends LeafNode {
   override def producedAttributes: AttributeSet = AttributeSet(output)
   // LeafNode's default computeStats THROWS — any stats-consuming rule
   // (join-size estimation when the TVF output is joined, e.g. the
@@ -72,8 +74,7 @@ case class AnnScanNode(
     // matching probe on reconstruction
     kind: String,
     override val output: Seq[Attribute],
-    prebuilt: LogicalPlan,
-    builtWith: Option[String],
+    probeFor: Option[String] => LogicalPlan,
     child: LogicalPlan) extends UnaryNode {
   // the probe consumes the query relation wholesale — without this,
   // ColumnPruning would see zero referenced attributes and prune the
@@ -148,42 +149,34 @@ object ServingFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   */
 class ServingScanStrategy extends SparkStrategy {
 
-  private def parsePredicate(spark: SparkSession, sql: Option[String]) =
-    sql.map(s => org.apache.spark.sql.GraftSqlShim.column(
-      spark.sessionState.sqlParser.parseExpression(s)))
-
-  private def aliased(output: Seq[Attribute], expanded: LogicalPlan): LogicalPlan =
+  private def aliased(output: Seq[Attribute], expanded: LogicalPlan): LogicalPlan = {
+    require(output.length == expanded.output.length,
+      s"serving node declared ${output.length} columns, probe produced " +
+        s"${expanded.output.length}: ${expanded.output.map(_.name)}")
     Project(
       output.zip(expanded.output).map { case (o, e) =>
-        Alias(e, o.name)(exprId = o.exprId): NamedExpression
+        // the node's output is declared WITHOUT building the probe; if a
+        // declared type ever drifts from the probe's (e.g. int vs long
+        // rank), a cast keeps the parent plan's bindings valid
+        val v: Expression =
+          if (e.dataType == o.dataType) e
+          else org.apache.spark.sql.catalyst.expressions.Cast(e, o.dataType)
+        Alias(v, o.name)(exprId = o.exprId): NamedExpression
       },
       expanded)
+  }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: Bm25ScanNode =>
       val spark = SparkSession.active
-      // reuse the builder's probe plan unless the pushdown rule changed
-      // the predicate — reconstruction pays index-metadata IO + the stats
-      // job a second time
-      val probePlan =
-        if (n.predicateSql == n.builtWith) n.prebuilt
-        else TextIndex.bm25TopK(spark, n.path, n.terms, n.k, n.k1, n.b,
-          predicate = parsePredicate(spark, n.predicateSql), metaCols = n.metaCols)
-          .queryExecution.analyzed
-      val optimized = org.apache.spark.sql.GraftSqlShim.ofRows(spark, probePlan)
+      val optimized = org.apache.spark.sql.GraftSqlShim
+        .ofRows(spark, n.probeFor(n.predicateSql))
         .queryExecution.optimizedPlan
       Seq(planLater(aliased(n.output, optimized)))
     case n: AnnScanNode =>
       val spark = SparkSession.active
-      val probePlan =
-        if (n.predicateSql == n.builtWith) n.prebuilt
-        else {
-          val queries = org.apache.spark.sql.GraftSqlShim.ofRows(spark, n.child)
-          ServingScan.annProbe(spark, n.path, queries, n.k, n.nprobe, n.kind,
-            parsePredicate(spark, n.predicateSql), n.metaCols)
-            .queryExecution.analyzed
-        }
-      val optimized = org.apache.spark.sql.GraftSqlShim.ofRows(spark, probePlan)
+      val optimized = org.apache.spark.sql.GraftSqlShim
+        .ofRows(spark, n.probeFor(n.predicateSql))
         .queryExecution.optimizedPlan
       Seq(planLater(aliased(n.output, optimized)))
     case _ => Nil
