@@ -283,14 +283,25 @@ class ExtensionsSpec extends SparkTestBase {
       "WHERE over an SQ8-index TVF must become the filtered quantized probe")
     // PQ build: the TVF must serve through probePq
     val pqPath = java.nio.file.Files.createTempDirectory("graft-tvf-pqd").toString
-    graft.operators.IvfIndex.writePq(emb, pqPath, nlist = 16)
+    graft.operators.IvfIndex.writePq(emb, pqPath, nlist = 16, keepCols = Seq("label"))
     val pqSql = spark.sql(
-      s"SELECT * FROM graft_ann('$pqPath', 'graft_tvf_qd', 4, 4) ORDER BY query_id, rank")
-      .collect().toSeq
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$pqPath', 'graft_tvf_qd', 4, 4)
+         |ORDER BY query_id, rank""".stripMargin).collect().toSeq
     val pqApi = graft.operators.IvfIndex.probePq(spark, pqPath, queries, 4, nprobe = 4)
       .orderBy(col("query_id"), col("rank")).collect().toSeq
     assert(pqSql.nonEmpty && pqSql == pqApi,
       "graft_ann over a PQ index must equal probePq")
+    // WHERE pushdown composes with the PQ rung too (the SQ8 twin above)
+    val pqWhere = spark.sql(
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$pqPath', 'graft_tvf_qd', 4, 4)
+         |WHERE label = 1 ORDER BY query_id, rank""".stripMargin).collect().toSeq
+    val pqFltApi = graft.operators.IvfIndex.probePq(spark, pqPath, queries, 4,
+        nprobe = 4, predicate = Some(col("label") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(pqWhere == pqFltApi,
+      "WHERE over a PQ-index TVF must become the filtered ADC probe")
   }
 
   test("graft_polyhash callable from SQL, matches the Column API") {
