@@ -183,6 +183,10 @@ object Bench {
       "text_chunk" -> q("text_chunk"),
       "dedup_spans" -> q("dedup_spans"),
       "dedup_span_removal" -> q("dedup_span_removal"),
+      // r12: collision-verified twins — the delta over the hash-keyed forms
+      // prices the gram-text confirmation pass on the flagged slice
+      "dedup_spans_verified" -> q("dedup_spans_verified"),
+      "dedup_span_removal_verified" -> q("dedup_span_removal_verified"),
       "text_bm25" -> q("text_bm25"),
       "sample_mixture" -> q("sample_mixture"),
       "emb_outliers" -> q("emb_outliers"),

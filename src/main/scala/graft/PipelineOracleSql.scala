@@ -1548,6 +1548,68 @@ object PipelineOracleSql {
        |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Verified span coverage (mirrors `Dedup.dupSpanStatsVerified`): ground
+    * truth with NO hash — a position is duplicated iff its raw 8-gram TEXT
+    * occurs in >= 2 docs. The Spark side reaches the same answer through
+    * hash candidates + gram confirmation; equality here pins that the
+    * verification step makes the operator exact under the raw text.
+    */
+  def dupSpansVerified: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), dup AS (
+       |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+       |)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(count(dup.gram) AS BIGINT) AS n_dup_pos,
+       |  CAST(count(dup.gram) AS DOUBLE) / count(*) AS dup_frac
+       |FROM g LEFT JOIN dup ON g.gram = dup.gram
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** Verified span removal (mirrors `Dedup.removeDupSpansVerified`): the
+    * [[dupSpanRemoval]] rewrite keyed on the raw gram TEXT (no hash) — the
+    * keeper is min(doc_id) over each true gram group.
+    */
+  def dupSpanRemovalVerified: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), dup AS (
+       |  SELECT gram, min(doc_id) AS keeper FROM g
+       |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+       |), dropped AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
+       |  FROM g JOIN dup ON g.gram = dup.gram AND g.doc_id <> dup.keeper,
+       |    unnest(range(0, 8)) AS u(j)
+       |), toks AS (
+       |  SELECT doc_id, t.i AS t, w[t.i] AS token
+       |  FROM tok, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+       |), kept AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY t) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM toks WHERE NOT EXISTS (
+       |    SELECT 1 FROM dropped
+       |    WHERE dropped.doc_id = toks.doc_id AND dropped.t = toks.t)
+       |  GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(clean_text, '') AS clean_text,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+       |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
   /** Contamination-span removal (mirrors `Decontamination.decontaminateSpans`
     * on the doc_id%10 corpus/benchmark split, k=8): corpus grams whose hash
     * appears among the benchmark's gram hashes mark their k token positions
@@ -2576,6 +2638,8 @@ object PipelineOracleSql {
     "text_chunk" -> textChunk,
     "dedup_spans" -> dupSpans,
     "dedup_span_removal" -> dupSpanRemoval,
+    "dedup_spans_verified" -> dupSpansVerified,
+    "dedup_span_removal_verified" -> dupSpanRemovalVerified,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_bm25" -> bm25TopK,
     // the persisted inverted index is bit-transparent: same result, same oracle

@@ -890,6 +890,15 @@ object SparkEntry {
     "dedup_span_removal" -> ((s, dir) =>
       Dedup.removeDupSpans(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("doc_id"))),
+    // collision-VERIFIED twins: hash candidates confirmed by direct gram
+    // comparison on the flagged slice — exact under the raw k-gram text at
+    // any corpus size; the oracle replays them with NO hash at all
+    "dedup_spans_verified" -> ((s, dir) =>
+      Dedup.dupSpanStatsVerified(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("doc_id"))),
+    "dedup_span_removal_verified" -> ((s, dir) =>
+      Dedup.removeDupSpansVerified(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("doc_id"))),
     // the CCNet/C4 paragraph-hash pass over fixed 8-token blocks: first
     // occurrence of every distinct block survives corpus-wide, later
     // occurrences are dropped and the text re-stitched

@@ -620,6 +620,16 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
       .distinct()
+    rebuildExcised(tok, dropped)
+  }
+
+  /** Ordered token rebuild shared by the span-excision rewrites: drop the
+    * `(doc_id, t)` positions in `dropped` from the tokenized corpus `tok`
+    * (`doc_id`, `w` token array) and re-emit
+    * (doc_id, clean_text, n_tokens, n_removed) — one row per input doc,
+    * single-space joined surviving tokens.
+    */
+  private def rebuildExcised(tok: DataFrame, dropped: DataFrame): DataFrame = {
     val toks = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("t", "token")))
     val kept = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
       .groupBy(col("doc_id"))
@@ -636,6 +646,112 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Collision-VERIFIED twin of [[dupSpanStats]]: every candidate duplicate
+    * found by the 62-bit gram hash is confirmed by direct gram comparison
+    * before it counts, so the statistics are EXACT under the raw k-gram
+    * text — no hash-collision false positives at any corpus size (the
+    * extension COVERAGE.md's terminal span-surface decision names for
+    * consumers needing collision-free equality, e.g. legal-grade
+    * provenance).
+    *
+    * Shape: pass 1 is [[dupSpanStats]]'s narrow hash-keyed aggregate
+    * (corpus-wide shuffle keys stay 8 bytes — Catalyst prunes the gram text
+    * out of that shuffle); pass 2 re-groups ONLY the flagged occurrences on
+    * `(hash, gram)`, so the wide gram strings shuffle for the duplicated
+    * slice alone (~dup_frac of the corpus, and a hash flagged purely by
+    * collision has no `(h, g)` group spanning two docs — it contributes
+    * nothing). Since the hash is a function of the gram, `(h, g)` groups
+    * are exactly `g` groups: the DuckDB oracle replays this operator with
+    * NO hash at all, grouping on the raw gram text.
+    */
+  def dupSpanStatsVerified(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dupSpanStatsVerifiedWith(docs, k, idCol, textCol, widePolyHash)
+
+  /** [[dupSpanStatsVerified]] with a pluggable gram hash — the test seam:
+    * a deliberately colliding hash must yield the same exact-text result.
+    */
+  private[graft] def dupSpanStatsVerifiedWith(
+      docs: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val cand = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    // flagged slice only: confirm each candidate on the gram text itself
+    val flagged = grams.join(cand, Seq("h"), "left_semi")
+    val trueDup = flagged.groupBy(col("h"), col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd2"))
+      .filter(col("nd2") >= 2)
+      .select(col("h"), col("g"))
+    val dupCounts = flagged.join(trueDup, Seq("h", "g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_n"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("dup_n"), lit(0L)).as("n_dup_pos"),
+        (coalesce(col("dup_n"), lit(0L)).cast("double")
+          / col("n_pos").cast("double")).as("dup_frac"))
+  }
+
+  /** Collision-verified twin of [[removeDupSpans]]: excision decisions
+    * (which grams are duplicated, and which doc is each one's canonical
+    * keeper) are confirmed by direct gram comparison on the flagged slice,
+    * so the rewrite is exact under the raw k-gram text — a collision can
+    * neither excise an innocent span nor misassign a keeper. Same output
+    * contract and 100 TB shape as [[removeDupSpans]] plus the verified
+    * pass-2 aggregate of [[dupSpanStatsVerified]].
+    */
+  def removeDupSpansVerified(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    removeDupSpansVerifiedWith(docs, k, idCol, textCol, widePolyHash)
+
+  /** [[removeDupSpansVerified]] with a pluggable gram hash (test seam). */
+  private[graft] def removeDupSpansVerifiedWith(
+      docs: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val cand = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val flagged = grams.join(cand, Seq("h"), "left_semi")
+    // keeper per TRUE gram group — min over (h, g), not over the hash bucket
+    val trueDup = flagged.groupBy(col("h"), col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd2") >= 2)
+      .select(col("h"), col("g"), col("keeper"))
+    val dropped = flagged.join(trueDup, Seq("h", "g"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+    rebuildExcised(tok, dropped)
   }
 
   /** Block-level corpus dedup (the CCNet/C4 paragraph-hash pass re-expressed

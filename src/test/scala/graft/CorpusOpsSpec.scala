@@ -88,6 +88,51 @@ class CorpusOpsSpec extends SparkTestBase {
     cleaned.unpersist()
   }
 
+  test("verified span stats: equals the hash-keyed form on real data, exact under a colliding hash") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val a = s"$shared ${(1 to 10).map(i => s"a$i").mkString(" ")}"
+    val b = s"${(1 to 10).map(i => s"b$i").mkString(" ")} $shared"
+    val c = (1 to 22).map(i => s"c$i").mkString(" ")
+    val in = docsDF(1L -> a, 2L -> b, 3L -> c)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_dup_pos")))).toMap
+    val truth = asMap(Dedup.dupSpanStats(in, k = 8))
+    // collision-free data: verified == hash-keyed
+    assert(asMap(Dedup.dupSpanStatsVerified(in, k = 8)) == truth)
+    // adversarial hash: EVERY gram collides into one bucket — the
+    // hash-keyed form would flag all 45 positions, verification must
+    // reject every false candidate and reproduce the exact-text answer
+    val collided = asMap(Dedup.dupSpanStatsVerifiedWith(
+      in, 8, "doc_id", "text", _ => lit(0L)))
+    assert(collided == truth,
+      s"colliding hash must not change verified stats: $collided vs $truth")
+  }
+
+  test("verified span removal: keeper chosen per true gram group even when hash buckets merge") {
+    // doc1/doc2 share run X (true keeper 1), doc2/doc3 share run Y (true
+    // keeper 2) — under a constant hash both runs land in ONE bucket whose
+    // min doc is 1; a hash-keyed keeper would wrongly excise doc 2's Y copy
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val y = (1 to 12).map(i => s"y$i").mkString(" ")
+    val d1 = s"$x ${(1 to 10).map(i => s"a$i").mkString(" ")}"
+    val d2 = s"$x $y"
+    val d3 = s"$y ${(1 to 10).map(i => s"c$i").mkString(" ")}"
+    val in = docsDF(1L -> d1, 2L -> d2, 3L -> d3)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    val truth = asMap(Dedup.removeDupSpans(in, k = 8))
+    // sanity on the planted layout: doc 2 loses its X copy but keeps Y
+    assert(truth(1L)._2 == 0L && truth(2L) == ((y, 12L)) &&
+      truth(3L) == (((1 to 10).map(i => s"c$i").mkString(" "), 12L)))
+    assert(asMap(Dedup.removeDupSpansVerified(in, k = 8)) == truth)
+    val collided = asMap(Dedup.removeDupSpansVerifiedWith(
+      in, 8, "doc_id", "text", _ => lit(0L)))
+    assert(collided == truth,
+      s"colliding hash must not change verified removal: $collided vs $truth")
+  }
+
   test("contamination-span removal: benchmark quotes excised, clean text kept, report goes quiet") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
