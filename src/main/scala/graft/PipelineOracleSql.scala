@@ -1657,6 +1657,47 @@ object PipelineOracleSql {
        |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Verified contamination-span removal (mirrors
+    * `Decontamination.decontaminateSpansVerified`): ground truth with NO
+    * hash — corpus grams join the benchmark on the raw gram TEXT.
+    */
+  def decontaminateSpansVerified: String =
+    s"""WITH tokAll AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, w FROM tokAll WHERE doc_id % 10 != 7
+       |), btok AS (
+       |  SELECT w FROM tokAll WHERE doc_id % 10 = 7 AND len(w) >= 8
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), bg AS (
+       |  SELECT DISTINCT concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM btok, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), dropped AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
+       |  FROM g JOIN bg ON g.gram = bg.gram, unnest(range(0, 8)) AS u(j)
+       |), toks AS (
+       |  SELECT doc_id, t.i AS t, w[t.i] AS token
+       |  FROM tok, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+       |), kept AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY t) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM toks WHERE NOT EXISTS (
+       |    SELECT 1 FROM dropped
+       |    WHERE dropped.doc_id = toks.doc_id AND dropped.t = toks.t)
+       |  GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(clean_text, '') AS clean_text,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+       |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
   /** BM25 top-20 for the fixed query (dup, vector, join, slow), k1=1.2,
     * b=0.75 (mirrors `Search.bm25TopK`: per-term conditional aggregates
     * added in fixed query order, score rounded to 6 dp).
@@ -2641,6 +2682,7 @@ object PipelineOracleSql {
     "dedup_spans_verified" -> dupSpansVerified,
     "dedup_span_removal_verified" -> dupSpanRemovalVerified,
     "text_decontaminate_spans" -> decontaminateSpans,
+    "text_decontaminate_spans_verified" -> decontaminateSpansVerified,
     "text_bm25" -> bm25TopK,
     // the persisted inverted index is bit-transparent: same result, same oracle
     "text_bm25_indexed" -> bm25TopK,

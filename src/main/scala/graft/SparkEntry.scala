@@ -1481,6 +1481,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
         .orderBy(col("doc_id"))
     }),
+    // collision-verified decontamination: every hash match confirmed
+    // against the benchmark gram TEXT before excision — the oracle joins
+    // on the raw gram (no hash), i.e. exact-substring ground truth
+    "text_decontaminate_spans_verified" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Decontamination.decontaminateSpansVerified(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"))
+    }),
     // the composed curation pipeline end-to-end: quality+langid filter →
     // decontaminate vs the doc_id%10=7 eval slice → LSH near-dup drop →
     // per-language mixture draw. One oracle checks the whole chain.

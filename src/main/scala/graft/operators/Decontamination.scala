@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for training corpora: flag training documents
@@ -118,22 +118,59 @@ object Decontamination {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
       .distinct()
-    val toks = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("t", "token")))
-    val kept = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        // collect_list order is partition-dependent; the struct sort keys
-        // the rebuild on the token index, making the text deterministic
-        array_join(
-          transform(array_sort(collect_list(struct(col("t"), col("token")))),
-            x => x.getField("token")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+    Dedup.rebuildExcised(tok, dropped)
+  }
+
+  /** Collision-VERIFIED twin of [[decontaminateSpans]]: every corpus gram
+    * whose hash matches a benchmark gram hash is confirmed against the
+    * benchmark gram TEXT before its span is excised — exact under the raw
+    * k-gram text, so a hash collision can never excise an uncontaminated
+    * span (the guarantee an eval-integrity audit actually needs).
+    *
+    * Shape: pass 1 is [[decontaminateSpans]]'s narrow broadcast of the
+    * benchmark HASH set — it prunes the corpus gram stream at the scan, so
+    * corpus-side cost is unchanged. Pass 2 confirms only the flagged
+    * occurrences (contamination-sized) against the benchmark `(hash, gram)`
+    * pairs — a wider build side than pass 1's, which is why it is not the
+    * first-line filter; AQE broadcasts it while the suite is small and
+    * shuffles only the flagged slice when it is not.
+    */
+  def decontaminateSpansVerified(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    decontaminateSpansVerifiedWith(docs, benchmark, k, idCol, textCol, widePolyHash)
+
+  /** [[decontaminateSpansVerified]] with a pluggable gram hash (test seam:
+    * a deliberately colliding hash must leave the result exact).
+    */
+  private[graft] def decontaminateSpansVerifiedWith(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val benchGrams = benchmark
+      .select(tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(orderedNgramsFromTokens(col("w"), k)).as("g")).distinct()
+      .select(col("g"), hashFn(col("g")).as("h"))
+    val benchHashes = benchGrams.select(col("h")).distinct()
+    val flagged = grams.join(broadcast(benchHashes), Seq("h"), "left_semi")
+    val dropped = flagged.join(benchGrams, Seq("h", "g"), "left_semi")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+    Dedup.rebuildExcised(tok, dropped)
   }
 
   /** [[overlapReport]] with a Bloom prefilter on the corpus-gram stream —

@@ -629,7 +629,7 @@ object Dedup {
     * (doc_id, clean_text, n_tokens, n_removed) — one row per input doc,
     * single-space joined surviving tokens.
     */
-  private def rebuildExcised(tok: DataFrame, dropped: DataFrame): DataFrame = {
+  private[operators] def rebuildExcised(tok: DataFrame, dropped: DataFrame): DataFrame = {
     val toks = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("t", "token")))
     val kept = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
       .groupBy(col("doc_id"))

@@ -133,6 +133,28 @@ class CorpusOpsSpec extends SparkTestBase {
       s"colliding hash must not change verified removal: $collided vs $truth")
   }
 
+  test("verified contamination removal: exact under a colliding hash, equals the hash-keyed form on real data") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
+    val clean = (1 to 22).map(i => s"c$i").mkString(" ")
+    val corpus = docsDF(1L -> contaminated, 2L -> clean)
+    val bench = docsDF(100L -> s"$quote ${(1 to 5).map(i => s"z$i").mkString(" ")}")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    val truth = asMap(graft.operators.Decontamination.decontaminateSpans(corpus, bench, k = 8))
+    assert(truth(1L)._2 == 12L && truth(2L)._2 == 0L)
+    assert(asMap(graft.operators.Decontamination
+      .decontaminateSpansVerified(corpus, bench, k = 8)) == truth)
+    // all-colliding hash: the hash-keyed form would excise BOTH docs
+    // wholesale; verification must confirm each candidate on the gram text
+    // and reproduce the exact answer (doc 2 untouched)
+    val collided = asMap(graft.operators.Decontamination
+      .decontaminateSpansVerifiedWith(corpus, bench, 8, "doc_id", "text", _ => lit(0L)))
+    assert(collided == truth,
+      s"colliding hash must not change verified decontamination: $collided vs $truth")
+  }
+
   test("contamination-span removal: benchmark quotes excised, clean text kept, report goes quiet") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
