@@ -60,6 +60,10 @@ object BenchSf1 {
     val named: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
       "dedup_cosine_neardup", "dedup_semantic", "dedup_spans", "dedup_span_removal",
+      // adversarial for the verified pass-2: with every doc duplicated 10x
+      // the flagged slice IS the corpus, so the (hash, gram) confirmation
+      // aggregate sees maximal wide-key volume
+      "dedup_spans_verified",
       "dedup_clusters",
       "text_bm25_indexed", "sim_topk_ivf_indexed", "sim_topk_ivf_sq8",
       "sim_topk_ivf_pq", "sim_topk_ivf_tvf", "text_bm25_tvf",
