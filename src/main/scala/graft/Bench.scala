@@ -187,6 +187,7 @@ object Bench {
       // prices the gram-text confirmation pass on the flagged slice
       "dedup_spans_verified" -> q("dedup_spans_verified"),
       "dedup_span_removal_verified" -> q("dedup_span_removal_verified"),
+      "dedup_span_provenance" -> q("dedup_span_provenance"),
       "text_bm25" -> q("text_bm25"),
       "sample_mixture" -> q("sample_mixture"),
       "emb_outliers" -> q("emb_outliers"),

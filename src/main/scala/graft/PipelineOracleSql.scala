@@ -1657,6 +1657,30 @@ object PipelineOracleSql {
        |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Span-excision provenance (mirrors `Dedup.dupSpanProvenance`): ground
+    * truth with NO hash — every non-canonical occurrence of a raw gram
+    * occurring in >= 2 docs, with its min-doc keeper. 0-based positions
+    * match the operator's posexplode index.
+    */
+  def dupSpanProvenance: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i+1], w[t.i+2], w[t.i+3], w[t.i+4],
+       |                   w[t.i+5], w[t.i+6], w[t.i+7], w[t.i+8]) AS gram
+       |  FROM f, LATERAL unnest(range(0, len(w) - 7)) AS t(i)
+       |), dup AS (
+       |  SELECT gram, min(doc_id) AS keeper FROM g
+       |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+       |)
+       |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos,
+       |  dup.keeper AS keeper_doc, g.gram
+       |FROM g JOIN dup ON g.gram = dup.gram AND g.doc_id <> dup.keeper
+       |ORDER BY g.doc_id, pos""".stripMargin
+
   /** Verified contamination-span removal (mirrors
     * `Decontamination.decontaminateSpansVerified`): ground truth with NO
     * hash — corpus grams join the benchmark on the raw gram TEXT.
@@ -2681,6 +2705,7 @@ object PipelineOracleSql {
     "dedup_span_removal" -> dupSpanRemoval,
     "dedup_spans_verified" -> dupSpansVerified,
     "dedup_span_removal_verified" -> dupSpanRemovalVerified,
+    "dedup_span_provenance" -> dupSpanProvenance,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_decontaminate_spans_verified" -> decontaminateSpansVerified,
     "text_bm25" -> bm25TopK,

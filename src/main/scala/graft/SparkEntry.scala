@@ -899,6 +899,11 @@ object SparkEntry {
     "dedup_span_removal_verified" -> ((s, dir) =>
       Dedup.removeDupSpansVerified(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("doc_id"))),
+    // the audit trail behind the verified removal: every excised
+    // occurrence with its canonical keeper and the gram text as evidence
+    "dedup_span_provenance" -> ((s, dir) =>
+      Dedup.dupSpanProvenance(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy(col("doc_id"), col("pos"))),
     // the CCNet/C4 paragraph-hash pass over fixed 8-token blocks: first
     // occurrence of every distinct block survives corpus-wide, later
     // occurrences are dropped and the text re-stitched

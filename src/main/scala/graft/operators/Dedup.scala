@@ -708,6 +708,53 @@ object Dedup {
           / col("n_pos").cast("double")).as("dup_frac"))
   }
 
+  /** Span-excision PROVENANCE: one row per non-canonical occurrence of a
+    * corpus-duplicated k-gram — the audit trail behind
+    * [[removeDupSpansVerified]] (which doc's canonical copy displaced each
+    * excised span, with the gram text as evidence). Verified by
+    * construction: candidates come from the narrow hash aggregate, every
+    * decision (duplicate-or-not AND keeper) is confirmed on the raw gram
+    * text, so the trail is exact at any corpus size — the record a
+    * reproducibility or provenance audit of the cleaned corpus replays.
+    * Output: (doc_id, pos, keeper_doc, gram), pos 0-based token index of
+    * the occurrence; exactly the occurrences whose k-token covers
+    * [[removeDupSpansVerified]] drops.
+    */
+  def dupSpanProvenance(
+      docs: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dupSpanProvenanceWith(docs, k, idCol, textCol, widePolyHash)
+
+  /** [[dupSpanProvenance]] with a pluggable gram hash (test seam). */
+  private[graft] def dupSpanProvenanceWith(
+      docs: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val cand = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val flagged = grams.join(cand, Seq("h"), "left_semi")
+    val trueDup = flagged.groupBy(col("h"), col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd2") >= 2)
+      .select(col("h"), col("g"), col("keeper"))
+    flagged.join(trueDup, Seq("h", "g"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("keeper").as("keeper_doc"), col("g").as("gram"))
+  }
+
   /** Collision-verified twin of [[removeDupSpans]]: excision decisions
     * (which grams are duplicated, and which doc is each one's canonical
     * keeper) are confirmed by direct gram comparison on the flagged slice,

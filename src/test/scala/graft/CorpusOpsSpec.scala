@@ -133,6 +133,39 @@ class CorpusOpsSpec extends SparkTestBase {
       s"colliding hash must not change verified removal: $collided vs $truth")
   }
 
+  test("span provenance: excised occurrences carry true keepers, covers exactly the removed tokens") {
+    val x = (1 to 12).map(i => s"x$i").mkString(" ")
+    val y = (1 to 12).map(i => s"y$i").mkString(" ")
+    val d1 = s"$x ${(1 to 10).map(i => s"a$i").mkString(" ")}"
+    val d2 = s"$x $y"
+    val d3 = s"$y ${(1 to 10).map(i => s"c$i").mkString(" ")}"
+    val in = docsDF(1L -> d1, 2L -> d2, 3L -> d3)
+    val prov = Dedup.dupSpanProvenance(in, k = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("keeper_doc"), r.getAs[String]("gram")))
+    // doc 2's X occurrences (pos 0..4) point at keeper 1; doc 3's Y
+    // occurrences (pos 0..4) point at keeper 2 — never the hash-bucket min
+    assert(prov.filter(_._1 == 2L).map(p => (p._2, p._3)).sorted.toSeq ==
+      (0L to 4L).map(p => (p, 1L)))
+    assert(prov.filter(_._1 == 3L).map(p => (p._2, p._3)).sorted.toSeq ==
+      (0L to 4L).map(p => (p, 2L)))
+    assert(prov.forall(p => p._1 != p._3), "a keeper never appears as its own excised doc")
+    assert(prov.forall(_._4.split(" ").length == 8))
+    // the trail replays the removal: expanding each occurrence to its
+    // k-token cover reproduces removeDupSpansVerified's n_removed per doc
+    val coveredByProv = prov.groupBy(_._1).view.mapValues(
+      _.flatMap(p => p._2 until p._2 + 8).toSet.size.toLong).toMap
+    val removed = Dedup.removeDupSpansVerified(in, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(removed.forall { case (d, n) => coveredByProv.getOrElse(d, 0L) == n },
+      s"provenance covers $coveredByProv but removal reports $removed")
+    // collision seam: an all-colliding hash must not change the trail
+    val collided = Dedup.dupSpanProvenanceWith(in, 8, "doc_id", "text", _ => lit(0L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("keeper_doc"), r.getAs[String]("gram")))
+    assert(collided.sorted.toSeq == prov.sorted.toSeq)
+  }
+
   test("verified contamination removal: exact under a colliding hash, equals the hash-keyed form on real data") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
