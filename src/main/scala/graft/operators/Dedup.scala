@@ -749,7 +749,11 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
       .filter(col("nd2") >= 2)
       .select(col("h"), col("g"), col("keeper"))
-    flagged.join(trueDup, Seq("h", "g"))
+    // join the RAW gram stream (not `flagged`): the inner join on (h, g)
+    // against trueDup ⊆ the flagged groups already restricts to confirmed
+    // duplicates, and skipping the left-side semi join drops a whole
+    // replay of the candidate pass from the physical plan
+    grams.join(trueDup, Seq("h", "g"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("keeper").as("keeper_doc"), col("g").as("gram"))
