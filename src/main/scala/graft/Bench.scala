@@ -416,6 +416,9 @@ object Bench {
     "search_hybrid_rrf_served_probe",
     "sim_topk_ivf_sq8_tvf_pushdown", "sim_topk_ivf_pq_tvf_pushdown",
     "sim_topk_ivf_tvf_subquery", "text_bm25_tvf_subquery",
+    // r12 session 2: the verified span surface + its audit trail
+    "dedup_spans_verified", "dedup_span_removal_verified",
+    "text_decontaminate_spans_verified", "dedup_span_provenance",
     "text_normalize", "text_script")
 
   def main(args: Array[String]): Unit = {

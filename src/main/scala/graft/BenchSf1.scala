@@ -64,6 +64,11 @@ object BenchSf1 {
       // the flagged slice IS the corpus, so the (hash, gram) confirmation
       // aggregate sees maximal wide-key volume
       "dedup_spans_verified",
+      // provenance output GROWS superlinearly here by construction: 10x
+      // duplication makes ~90% of all gram occurrences non-canonical, so
+      // rows scale with (copies-1) x grams — the ratio prices output
+      // materialization, not the candidate machinery
+      "dedup_span_provenance",
       "dedup_clusters",
       "text_bm25_indexed", "sim_topk_ivf_indexed", "sim_topk_ivf_sq8",
       "sim_topk_ivf_pq", "sim_topk_ivf_tvf", "text_bm25_tvf",
