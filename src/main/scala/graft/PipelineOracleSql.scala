@@ -1657,6 +1657,36 @@ object PipelineOracleSql {
        |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
        |ORDER BY tok.doc_id""".stripMargin
 
+  /** Streaming dup-span coverage (mirrors the `dedup_spans_stream`
+    * 3-epoch fold of `Dedup.dupSpanStatsIncremental`): a doc's position is
+    * duplicated iff its gram hash has been seen in >= 2 distinct docs
+    * across epochs <= the doc's OWN epoch (doc_id % 3) — the fold collapses
+    * into one per-hash cumulative window evaluated at each doc's epoch.
+    */
+  def dupSpansStream: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g0 AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 3 AS ep, ${wph("gram")} AS h FROM g0
+       |), hd AS (
+       |  SELECT h, ep, count(DISTINCT doc_id) AS nd FROM g GROUP BY h, ep
+       |), hc AS (
+       |  SELECT h, ep, sum(nd) OVER (PARTITION BY h ORDER BY ep) AS cnd FROM hd
+       |)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(count(CASE WHEN hc.cnd >= 2 THEN 1 END) AS BIGINT) AS n_dup_pos,
+       |  CAST(count(CASE WHEN hc.cnd >= 2 THEN 1 END) AS DOUBLE) / count(*) AS dup_frac,
+       |  CAST(g.doc_id % 3 AS BIGINT) AS epoch
+       |FROM g JOIN hc ON g.h = hc.h AND g.ep = hc.ep
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   /** Span-excision provenance (mirrors `Dedup.dupSpanProvenance`): ground
     * truth with NO hash — every non-canonical occurrence of a raw gram
     * occurring in >= 2 docs, with its min-doc keeper. 0-based positions
@@ -2706,6 +2736,7 @@ object PipelineOracleSql {
     "dedup_spans_verified" -> dupSpansVerified,
     "dedup_span_removal_verified" -> dupSpanRemovalVerified,
     "dedup_span_provenance" -> dupSpanProvenance,
+    "dedup_spans_stream" -> dupSpansStream,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_decontaminate_spans_verified" -> decontaminateSpansVerified,
     "text_bm25" -> bm25TopK,

@@ -904,6 +904,26 @@ object SparkEntry {
     "dedup_span_provenance" -> ((s, dir) =>
       Dedup.dupSpanProvenance(s.read.parquet(s"$dir/documents.parquet"), k = 8)
         .orderBy(col("doc_id"), col("pos"))),
+    // the STREAMING form: a 3-epoch fold of the incremental admission —
+    // each epoch's docs scored against the cumulative gram counts (own
+    // epoch included); the oracle collapses the fold into one per-hash
+    // cumulative window at each doc's own epoch
+    "dedup_spans_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      var seen: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (out, delta) = Dedup.dupSpanStatsIncremental(seen, batch, k = 8)
+        // pinned: the store is re-probed by every later epoch
+        val pinned = delta.localCheckpoint(true)
+        seen = Some(seen match {
+          case Some(x) => x.unionByName(pinned)
+          case None => pinned
+        })
+        out.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     // the CCNet/C4 paragraph-hash pass over fixed 8-token blocks: first
     // occurrence of every distinct block survives corpus-wide, later
     // occurrences are dropped and the text re-stitched

@@ -919,6 +919,58 @@ object Dedup {
     (out, fresh.select(col("h")).distinct())
   }
 
+  /** One admission decision of the STREAMING dup-span coverage: each
+    * arriving document's [[dupSpanStats]] metrics measured against the
+    * cumulative corpus — everything admitted in earlier batches PLUS its
+    * own batch. A position is duplicated iff its k-gram hash has been seen
+    * in >= 2 distinct documents so far; the ingest-time quality gate form
+    * of the Lee-et-al. coverage (screen a doc for "how much of this
+    * already exists in my corpus" the moment it arrives). Forward-only:
+    * earlier documents' emitted stats never retract as the corpus grows —
+    * they priced the corpus at THEIR admission time.
+    *
+    * `seen` carries (h, nd) per-gram distinct-doc counts, possibly
+    * unaggregated across epochs (the store's per-epoch files union in;
+    * the fold's deltas union in) — summed per hash here. Returns
+    * (batch stats, the batch's own (h, nd) — the store delta; cumulative
+    * counts are the per-hash SUM of deltas, exact while a document
+    * arrives exactly once, the same contract as the block admission).
+    *
+    * 100 TB shape: one hash-partitioned aggregate of the batch's grams,
+    * one equi-join against the store slice, one per-doc rollup — all
+    * O(batch), never corpus-sized; the store grows by the batch's
+    * distinct gram hashes (a long and a count each).
+    */
+  def dupSpanStatsIncremental(
+      seen: Option[DataFrame],
+      batch: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    val grams = batch
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
+    val batchNd = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    val cum = seen match {
+      case Some(s) =>
+        val prior = s.groupBy(col("h")).agg(sum(col("nd")).as("snd"))
+        batchNd.join(prior, Seq("h"), "left")
+          .select(col("h"), (col("nd") + coalesce(col("snd"), lit(0L))).as("cnd"))
+      case None => batchNd.select(col("h"), col("nd").as("cnd"))
+    }
+    val dup = cum.filter(col("cnd") >= 2).select(col("h"), lit(1L).as("is_dup"))
+    val out = grams.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("is_dup")).as("n_dup_pos"))
+      .withColumn("dup_frac",
+        col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
+    (out, batchNd)
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the
