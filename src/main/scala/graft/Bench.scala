@@ -417,9 +417,11 @@ object Bench {
     "search_hybrid_rrf_served_probe",
     "sim_topk_ivf_sq8_tvf_pushdown", "sim_topk_ivf_pq_tvf_pushdown",
     "sim_topk_ivf_tvf_subquery", "text_bm25_tvf_subquery",
-    // r12 session 2: the verified span surface + its audit trail
+    // r12 session 2: the verified span surface + its audit trail + the
+    // streaming admission screen
     "dedup_spans_verified", "dedup_span_removal_verified",
     "text_decontaminate_spans_verified", "dedup_span_provenance",
+    "dedup_spans_stream",
     "text_normalize", "text_script")
 
   def main(args: Array[String]): Unit = {
