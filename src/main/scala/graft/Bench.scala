@@ -259,6 +259,7 @@ object Bench {
       "pipeline_curate_stream_gopher" -> q("pipeline_curate_stream_gopher"),
       "dedup_blocks_stream" -> q("dedup_blocks_stream"),
       "dedup_spans_stream" -> q("dedup_spans_stream"),
+      "dedup_span_removal_stream" -> q("dedup_span_removal_stream"),
       "corpus_overlap_matrix" -> q("corpus_overlap_matrix"),
       "text_bpe_merges" -> q("text_bpe_merges"),
       "text_bpe_tokenize" -> q("text_bpe_tokenize"),

@@ -1687,6 +1687,48 @@ object PipelineOracleSql {
        |FROM g JOIN hc ON g.h = hc.h AND g.ep = hc.ep
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** Streaming span removal (mirrors the `dedup_span_removal_stream`
+    * 3-epoch fold of `Dedup.removeDupSpansIncremental`): an occurrence in
+    * doc d of epoch e (doc_id % 3) drops iff some doc with a smaller
+    * composite (epoch, doc_id) key carries the same gram hash — the fold's
+    * first-seen-keeps + in-batch-min-doc rules collapse into ONE composite
+    * min per hash.
+    */
+  def dupSpanRemovalStream: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), f AS (
+       |  SELECT doc_id, w FROM tok WHERE len(w) >= 8
+       |), g0 AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i], w[t.i+1], w[t.i+2], w[t.i+3],
+       |                   w[t.i+4], w[t.i+5], w[t.i+6], w[t.i+7]) AS gram
+       |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, doc_id % 3 AS ep, pos, ${wph("gram")} AS h FROM g0
+       |), mk AS (
+       |  SELECT h, min(ep * 1000000000000 + doc_id) AS mk FROM g GROUP BY h
+       |), dropped AS (
+       |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
+       |  FROM g JOIN mk ON g.h = mk.h AND (g.ep * 1000000000000 + g.doc_id) > mk.mk,
+       |    unnest(range(0, 8)) AS u(j)
+       |), toks AS (
+       |  SELECT doc_id, t.i AS t, w[t.i] AS token
+       |  FROM tok, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+       |), kept AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY t) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM toks WHERE NOT EXISTS (
+       |    SELECT 1 FROM dropped
+       |    WHERE dropped.doc_id = toks.doc_id AND dropped.t = toks.t)
+       |  GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(clean_text, '') AS clean_text,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       |  CAST(tok.doc_id % 3 AS BIGINT) AS epoch
+       |FROM tok LEFT JOIN kept ON kept.doc_id = tok.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
   /** Span-excision provenance (mirrors `Dedup.dupSpanProvenance`): ground
     * truth with NO hash — every non-canonical occurrence of a raw gram
     * occurring in >= 2 docs, with its min-doc keeper. 0-based positions
@@ -2737,6 +2779,7 @@ object PipelineOracleSql {
     "dedup_span_removal_verified" -> dupSpanRemovalVerified,
     "dedup_span_provenance" -> dupSpanProvenance,
     "dedup_spans_stream" -> dupSpansStream,
+    "dedup_span_removal_stream" -> dupSpanRemovalStream,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_decontaminate_spans_verified" -> decontaminateSpansVerified,
     "text_bm25" -> bm25TopK,

@@ -949,6 +949,25 @@ object SparkEntry {
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
     }),
+    // the streaming REMOVAL twin: first-seen epoch keeps its copy, later
+    // arrivals shed the spans the store owns; within an epoch the batch
+    // operator's min-doc keeper rule applies. The oracle collapses the
+    // fold into one composite (epoch, doc_id) min per gram hash
+    "dedup_span_removal_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      var seen: Option[DataFrame] = None
+      val perEpoch = (0 until 3).map { e =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
+        val (clean, delta) = Dedup.removeDupSpansIncremental(seen, batch, k = 8)
+        val pinned = delta.localCheckpoint(true)
+        seen = Some(seen match {
+          case Some(x) => x.unionByName(pinned)
+          case None => pinned
+        })
+        clean.withColumn("epoch", lit(e.toLong))
+      }
+      perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+    }),
     // fixed probe query with one rare term (df 25 at sf0.01) and three
     // common ones — exercises the idf spread
     "text_bm25" -> ((s, dir) =>

@@ -971,6 +971,59 @@ object Dedup {
     (out, batchNd)
   }
 
+  /** One admission decision of the STREAMING span removal (the cleanup
+    * twin of [[dupSpanStatsIncremental]]): every k-gram occurrence whose
+    * hash an EARLIER batch already admitted drops its k-token cover (the
+    * first-seen document keeps its copy forever — arrival order is the
+    * canonical order, the same first-epoch-wins contract as
+    * [[blockDedupIncremental]]); within the batch, the lowest doc_id is
+    * the keeper, exactly [[removeDupSpans]]'s rule — so ONE batch carrying
+    * the whole corpus is bit-identical to the batch operator. Returns
+    * (cleaned batch, the batch's distinct gram hashes — the store delta).
+    *
+    * A fold over ordered batches replays the stream exactly; the
+    * `dedup_span_removal_stream` oracle collapses the fold into one
+    * composite-key min per hash: an occurrence in doc d of epoch e drops
+    * iff some doc with (epoch, doc_id) lexicographically smaller carries
+    * the same gram hash.
+    *
+    * 100 TB shape: O(batch) gram explode, one store semi-join on the
+    * 62-bit hash, one in-batch keeper aggregate, the per-doc rebuild —
+    * never corpus-sized; the store grows by the batch's distinct hashes.
+    */
+  def removeDupSpansIncremental(
+      seen: Option[DataFrame],
+      batch: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    val tok = batch.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
+    // store-flagged occurrences: an earlier batch owns the canonical copy
+    val storeDrops = seen match {
+      case Some(s) => grams.join(s.select(col("h")).distinct(), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      case None => grams.select(col("doc_id"), col("pos")).filter(lit(false))
+    }
+    // within-batch duplicates: min doc_id keeps, the batch operator's rule
+    val batchKeeper = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("keeper"))
+    val inBatchDrops = grams.join(batchKeeper, Seq("h"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    val dropped = storeDrops.unionByName(inBatchDrops)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
+      .distinct()
+    (rebuildExcised(tok, dropped), grams.select(col("h")).distinct())
+  }
+
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // native scan projection (shingle walk + 62 bit counts in one pass);
     // the bit-count sum is commutative so the result is identical to the

@@ -18,18 +18,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * forward-only — an earlier doc's score never retracts as the corpus
   * grows.
   *
+  * The same store also drives the CLEANUP twin
+  * ([[Dedup.removeDupSpansIncremental]]): each epoch's span-cleaned text
+  * lands under `storeDir/clean/batch=<e>` — the first-seen document keeps
+  * its copy forever (arrival order is canonical), later arrivals shed the
+  * spans the store already owns, and a single batch carrying the whole
+  * corpus is bit-identical to `Dedup.removeDupSpans`.
+  *
   * State = an [[EpochStore]] of per-gram-hash distinct-doc counts under
   * `storeDir/grams/batch=<e>` (a long hash and a count each — the
-  * cumulative count is the per-hash SUM of epoch deltas), with the
-  * epoch's stats under `storeDir/out/batch=<e>` (out is the commit side,
-  * written last). Exactly-once contract identical to [[BlockAdmission]]:
-  * deterministic batch-keyed epochs, uncommit-then-rewrite on replay, a
-  * crash mid-epoch leaves it invisible.
+  * cumulative count is the per-hash SUM of epoch deltas; its hash set is
+  * the membership the removal twin probes), with the epoch's cleaned text
+  * under `storeDir/clean/batch=<e>` and its stats under
+  * `storeDir/out/batch=<e>` (out is the commit side, written last).
+  * Exactly-once contract identical to [[BlockAdmission]]: deterministic
+  * batch-keyed epochs, uncommit-then-rewrite on replay, a crash mid-epoch
+  * leaves it invisible.
   */
 object SpanAdmission {
 
   private def store(storeDir: String): EpochStore =
-    EpochStore(storeDir, Seq("grams", "out"))
+    EpochStore(storeDir, Seq("grams", "clean", "out"))
 
   /** The per-epoch decision shared by [[start]] and the batch replay:
     * uncommit-then-rewrite `batchId`'s epoch under `storeDir`.
@@ -49,9 +58,14 @@ object SpanAdmission {
         "double-count its gram contributions — compact with keepLatest >= 1 (never " +
         "fold the newest epoch) to keep replays safe")
     st.uncommitEpoch(spark, epoch)
-    val (out, delta) = Dedup.dupSpanStatsIncremental(
-      readSeen(spark, storeDir), batch, k)
+    val seen = readSeen(spark, storeDir)
+    val (out, delta) = Dedup.dupSpanStatsIncremental(seen, batch, k)
+    // the cleanup twin over the SAME gram store ((h, nd) counts are a
+    // superset of the membership the removal needs): earlier epochs keep
+    // their copies, this batch sheds the spans they already own
+    val (clean, _) = Dedup.removeDupSpansIncremental(seen, batch, k)
     delta.write.mode("overwrite").parquet(st.sideDir("grams", epoch))
+    clean.write.mode("overwrite").parquet(st.sideDir("clean", epoch))
     out.write.mode("overwrite").parquet(st.sideDir("out", epoch))
   }
 
@@ -85,6 +99,12 @@ object SpanAdmission {
   /** Every committed epoch's admission-time stats. */
   def readStats(spark: SparkSession, storeDir: String): Option[DataFrame] =
     store(storeDir).readSide(spark, "out")
+
+  /** Every committed epoch's span-cleaned output (the removal twin:
+    * first-seen epoch keeps its copy, later arrivals shed theirs).
+    */
+  def readClean(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    store(storeDir).readSide(spark, "clean")
 
   /** The seen-gram store: committed epochs' (h, nd) deltas — consumers
     * (and [[Dedup.dupSpanStatsIncremental]]) sum per hash.

@@ -43,6 +43,30 @@ class SpanAdmissionSpec extends SparkTestBase {
       "epoch-2 doc must see every position duplicated against the store")
   }
 
+  test("removal twin: single batch == batch operator; first-seen epoch keeps, later arrivals shed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def cleanRows(df: DataFrame) =
+      df.select(col("doc_id"), col("clean_text"), col("n_tokens"), col("n_removed"))
+        .orderBy(col("doc_id")).collect().toSeq
+    // one batch carrying the whole corpus == removeDupSpans bit-for-bit
+    // (the in-batch keeper rule IS the batch operator's min-doc rule)
+    val (clean, _) = Dedup.removeDupSpansIncremental(None, docs, k = 8)
+    assert(cleanRows(clean) == cleanRows(Dedup.removeDupSpans(docs, k = 8)))
+
+    // first-seen-keeps across epochs, even against the batch rule: the
+    // HIGHER doc_id arrives first and keeps; the lower, later one sheds
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val early = spark.createDataFrame(Seq((9L, shared))).toDF("doc_id", "text")
+    val late = spark.createDataFrame(Seq((1L, shared))).toDF("doc_id", "text")
+    val (c1, d1) = Dedup.removeDupSpansIncremental(None, early, k = 8)
+    assert(c1.collect()(0).getAs[Long]("n_removed") == 0L, "first arrival keeps")
+    val (c2, _) = Dedup.removeDupSpansIncremental(Some(d1.localCheckpoint(true)), late, k = 8)
+    val r2 = c2.collect()(0)
+    assert(r2.getAs[Long]("n_removed") == 12L && r2.getAs[String]("clean_text") == "",
+      "later arrival sheds the spans the store owns, regardless of doc_id order")
+  }
+
   test("stream with mid-run restart == batch fold; replayed epoch idempotent; compaction read-transparent") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -53,13 +77,17 @@ class SpanAdmissionSpec extends SparkTestBase {
     val (firstHalf, secondHalf) = all.splitAt(all.length / 2)
 
     var seen: Option[DataFrame] = None
-    val foldOut = Seq(firstHalf, secondHalf).map { half =>
+    val folds = Seq(firstHalf, secondHalf).map { half =>
       val batch = spark.createDataset(half.toIndexedSeq).toDF("doc_id", "text")
       val (out, delta) = Dedup.dupSpanStatsIncremental(seen, batch, k = 8)
+      // the removal twin folds over the SAME store snapshot
+      val (clean, _) = Dedup.removeDupSpansIncremental(seen, batch, k = 8)
       val pinned = delta.localCheckpoint(true)
       seen = Some(seen.map(_.unionByName(pinned)).getOrElse(pinned))
-      out.localCheckpoint(true)
-    }.reduce(_.unionByName(_))
+      (out.localCheckpoint(true), clean.localCheckpoint(true))
+    }
+    val foldOut = folds.map(_._1).reduce(_.unionByName(_))
+    val foldClean = folds.map(_._2).reduce(_.unionByName(_))
 
     val store = java.nio.file.Files.createTempDirectory("graft-spanadm").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-spanadm-ckpt").toString
@@ -78,6 +106,11 @@ class SpanAdmissionSpec extends SparkTestBase {
       .getOrElse(fail("no committed output"))
     assert(statRows(stats) == statRows(foldOut),
       "stream across a restart must equal the batch fold")
+    def cleanRows(df: DataFrame) =
+      df.select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(cleanRows(SpanAdmission.readClean(spark, store).get) == cleanRows(foldClean),
+      "the clean side across a restart must equal the removal fold")
     // cross-batch evidence on this corpus: some second-half doc's coverage
     // comes from first-half grams alone (dup at admission, no in-batch twin)
     assert(stats.filter(col("doc_id") >= secondHalf.head._1 && col("n_dup_pos") > 0).count() > 0,
