@@ -239,6 +239,7 @@ object Bench {
       "export_shards_balanced" -> q("export_shards_balanced"),
       "text_decontaminate_spans" -> q("text_decontaminate_spans"),
       "text_decontaminate_spans_verified" -> q("text_decontaminate_spans_verified"),
+      "text_contamination_provenance" -> q("text_contamination_provenance"),
       "sample_dsir" -> q("sample_dsir"),
       "text_nb_classifier" -> q("text_nb_classifier"),
       "sample_temperature" -> q("sample_temperature"),

@@ -1753,6 +1753,34 @@ object PipelineOracleSql {
        |FROM g JOIN dup ON g.gram = dup.gram AND g.doc_id <> dup.keeper
        |ORDER BY g.doc_id, pos""".stripMargin
 
+  /** Contamination provenance (mirrors
+    * `Decontamination.contaminationProvenance`): ground truth with NO
+    * hash — corpus grams (0-based positions, matching posexplode) joined
+    * to the benchmark's min-doc witness per gram text.
+    */
+  def contaminationProvenance: String =
+    s"""WITH tokAll AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, w FROM tokAll WHERE doc_id % 10 != 7 AND len(w) >= 8
+       |), btok AS (
+       |  SELECT doc_id, w FROM tokAll WHERE doc_id % 10 = 7 AND len(w) >= 8
+       |), g AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    concat_ws(' ', w[t.i+1], w[t.i+2], w[t.i+3], w[t.i+4],
+       |                   w[t.i+5], w[t.i+6], w[t.i+7], w[t.i+8]) AS gram
+       |  FROM tok, LATERAL unnest(range(0, len(w) - 7)) AS t(i)
+       |), bg AS (
+       |  SELECT concat_ws(' ', w[t.i+1], w[t.i+2], w[t.i+3], w[t.i+4],
+       |                   w[t.i+5], w[t.i+6], w[t.i+7], w[t.i+8]) AS gram,
+       |    min(doc_id) AS bench_doc
+       |  FROM btok, LATERAL unnest(range(0, len(w) - 7)) AS t(i)
+       |  GROUP BY 1
+       |)
+       |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, bg.bench_doc, g.gram
+       |FROM g JOIN bg ON g.gram = bg.gram
+       |ORDER BY g.doc_id, pos""".stripMargin
+
   /** Verified contamination-span removal (mirrors
     * `Decontamination.decontaminateSpansVerified`): ground truth with NO
     * hash — corpus grams join the benchmark on the raw gram TEXT.
@@ -2782,6 +2810,7 @@ object PipelineOracleSql {
     "dedup_span_removal_stream" -> dupSpanRemovalStream,
     "text_decontaminate_spans" -> decontaminateSpans,
     "text_decontaminate_spans_verified" -> decontaminateSpansVerified,
+    "text_contamination_provenance" -> contaminationProvenance,
     "text_bm25" -> bm25TopK,
     // the persisted inverted index is bit-transparent: same result, same oracle
     "text_bm25_indexed" -> bm25TopK,

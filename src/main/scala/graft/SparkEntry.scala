@@ -1534,6 +1534,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
         .orderBy(col("doc_id"))
     }),
+    // contamination audit trail: every quoted occurrence with its lowest
+    // benchmark witness doc and the quote itself; oracle joins on the raw
+    // gram text (no hash)
+    "text_contamination_provenance" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Decontamination.contaminationProvenance(
+        d.filter(col("doc_id") % 10 =!= 7), d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
     // the composed curation pipeline end-to-end: quality+langid filter →
     // decontaminate vs the doc_id%10=7 eval slice → LSH near-dup drop →
     // per-language mixture draw. One oracle checks the whole chain.

@@ -143,6 +143,55 @@ object Decontamination {
       textCol: String = "text"): DataFrame =
     decontaminateSpansVerifiedWith(docs, benchmark, k, idCol, textCol, widePolyHash)
 
+  /** Contamination PROVENANCE: one row per corpus k-gram occurrence that
+    * appears verbatim in the benchmark — (doc_id, pos, bench_doc, gram),
+    * where `bench_doc` is the LOWEST benchmark doc containing the gram
+    * (the deterministic witness) and `gram` is the quoted text itself.
+    * The record an eval-integrity audit replays: not just "doc X is
+    * contaminated" but "doc X quotes benchmark doc Y at position P, and
+    * here is the quote". Verified by construction — candidates come from
+    * the narrow benchmark-hash broadcast, every match is confirmed on the
+    * raw gram text, so a hash collision can never name an innocent doc.
+    * Exactly the occurrences whose k-token covers
+    * [[decontaminateSpansVerified]] excises.
+    */
+  def contaminationProvenance(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    contaminationProvenanceWith(docs, benchmark, k, idCol, textCol, widePolyHash)
+
+  /** [[contaminationProvenance]] with a pluggable gram hash (test seam). */
+  private[graft] def contaminationProvenanceWith(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val benchGrams = benchmark
+      .select(col(idCol).cast("long").as("bench_doc"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("bench_doc"), explode(orderedNgramsFromTokens(col("w"), k)).as("g"))
+      .groupBy(col("g")).agg(min(col("bench_doc")).as("bench_doc"))
+      .select(col("g"), hashFn(col("g")).as("h"), col("bench_doc"))
+    val benchHashes = benchGrams.select(col("h")).distinct()
+    // narrow hash broadcast prunes the corpus stream at the scan; the
+    // (h, g) join against the witness table confirms on the gram text
+    grams.join(broadcast(benchHashes), Seq("h"), "left_semi")
+      .join(benchGrams, Seq("h", "g"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("bench_doc"), col("g").as("gram"))
+  }
+
   /** [[decontaminateSpansVerified]] with a pluggable gram hash (test seam:
     * a deliberately colliding hash must leave the result exact).
     */

@@ -188,6 +188,36 @@ class CorpusOpsSpec extends SparkTestBase {
       s"colliding hash must not change verified decontamination: $collided vs $truth")
   }
 
+  test("contamination provenance: min-doc witness, covers the verified excision, exact under a colliding hash") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
+    val clean = (1 to 22).map(i => s"c$i").mkString(" ")
+    val corpus = docsDF(1L -> contaminated, 2L -> clean)
+    // the quote appears in TWO benchmark docs — witness must be the lowest
+    val bench = docsDF(200L -> s"$quote x1 x2", 100L -> s"z1 z2 $quote")
+    val prov = graft.operators.Decontamination
+      .contaminationProvenance(corpus, bench, k = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("bench_doc"), r.getAs[String]("gram")))
+    // doc 1's quote spans positions 10..14 (5 grams of the 12-token run)
+    assert(prov.map(p => (p._1, p._2)).sorted.toSeq == (10L to 14L).map((1L, _)))
+    assert(prov.forall(_._3 == 100L), "witness must be the lowest benchmark doc")
+    assert(prov.forall(_._4.split(" ").length == 8))
+    // cover-equivalence: expanding occurrences to k-token covers matches
+    // the verified excision's n_removed
+    val covered = prov.flatMap(p => p._2 until p._2 + 8).toSet.size.toLong
+    val removed = graft.operators.Decontamination
+      .decontaminateSpansVerified(corpus, bench, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(removed(1L) == covered && removed(2L) == 0L)
+    // collision seam: all-colliding hash must not name the clean doc
+    val collided = graft.operators.Decontamination
+      .contaminationProvenanceWith(corpus, bench, 8, "doc_id", "text", _ => lit(0L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("bench_doc"), r.getAs[String]("gram")))
+    assert(collided.sorted.toSeq == prov.sorted.toSeq)
+  }
+
   test("contamination-span removal: benchmark quotes excised, clean text kept, report goes quiet") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val contaminated = s"${(1 to 10).map(i => s"a$i").mkString(" ")} $quote"
