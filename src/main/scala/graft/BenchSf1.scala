@@ -69,6 +69,9 @@ object BenchSf1 {
       // rows scale with (copies-1) x grams — the ratio prices output
       // materialization, not the candidate machinery
       "dedup_span_provenance",
+      // the streaming fold at 10x: 3 epochs of O(batch) store joins — must
+      // track the batch twin's ratio, not compound it
+      "dedup_spans_stream",
       "dedup_clusters",
       "text_bm25_indexed", "sim_topk_ivf_indexed", "sim_topk_ivf_sq8",
       "sim_topk_ivf_pq", "sim_topk_ivf_tvf", "text_bm25_tvf",
