@@ -171,12 +171,7 @@ object Decontamination {
       idCol: String,
       textCol: String,
       hashFn: Column => Column): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val grams = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val grams = Dedup.spanGrams(docs, k, idCol, textCol, hashFn)
     val benchGrams = benchmark
       .select(col(idCol).cast("long").as("bench_doc"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= k)
@@ -202,12 +197,8 @@ object Decontamination {
       idCol: String,
       textCol: String,
       hashFn: Column => Column): DataFrame = {
-    require(k >= 1, "k must be >= 1")
     val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-    val grams = tok
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+    val grams = Dedup.spanGrams(docs, k, idCol, textCol, hashFn)
     val benchGrams = benchmark
       .select(tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= k)

@@ -648,23 +648,58 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Per-position corpus k-grams with text and hash: (doc_id, pos, g, h)
+    * — the shared scan prefix of the verified span family (also used by
+    * `Decontamination`'s verified/provenance twins).
+    */
+  private[operators] def spanGrams(
+      docs: DataFrame,
+      k: Int,
+      idCol: String,
+      textCol: String,
+      hashFn: Column => Column): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
+  }
+
+  /** The candidate/confirm core shared by every verified span operator:
+    * pass 1 is the narrow hash-keyed candidate aggregate (corpus-wide
+    * shuffle keys stay 8 bytes — Catalyst prunes the gram text out of that
+    * shuffle); pass 2 re-groups ONLY the flagged occurrences on
+    * `(hash, gram)`, so wide gram strings shuffle for the duplicated slice
+    * alone, and a hash flagged purely by collision has no `(h, g)` group
+    * spanning two docs — it contributes nothing. Returns the CONFIRMED
+    * duplicate gram groups `(h, g, keeper)` with each group's min-doc
+    * keeper; since the hash is a function of the gram, `(h, g)` groups are
+    * exactly `g` groups, which is why the DuckDB oracles replay these
+    * operators with no hash at all. Consumers join the RAW gram stream
+    * against this (inner or semi on `(h, g)`) — the result already
+    * restricts to confirmed duplicates, so no flagged intermediate is
+    * replayed.
+    */
+  private def confirmedSpanGroups(grams: DataFrame): DataFrame = {
+    val cand = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    grams.join(cand, Seq("h"), "left_semi")
+      .groupBy(col("h"), col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd2") >= 2)
+      .select(col("h"), col("g"), col("keeper"))
+  }
+
   /** Collision-VERIFIED twin of [[dupSpanStats]]: every candidate duplicate
     * found by the 62-bit gram hash is confirmed by direct gram comparison
-    * before it counts, so the statistics are EXACT under the raw k-gram
-    * text — no hash-collision false positives at any corpus size (the
-    * extension COVERAGE.md's terminal span-surface decision names for
-    * consumers needing collision-free equality, e.g. legal-grade
-    * provenance).
-    *
-    * Shape: pass 1 is [[dupSpanStats]]'s narrow hash-keyed aggregate
-    * (corpus-wide shuffle keys stay 8 bytes — Catalyst prunes the gram text
-    * out of that shuffle); pass 2 re-groups ONLY the flagged occurrences on
-    * `(hash, gram)`, so the wide gram strings shuffle for the duplicated
-    * slice alone (~dup_frac of the corpus, and a hash flagged purely by
-    * collision has no `(h, g)` group spanning two docs — it contributes
-    * nothing). Since the hash is a function of the gram, `(h, g)` groups
-    * are exactly `g` groups: the DuckDB oracle replays this operator with
-    * NO hash at all, grouping on the raw gram text.
+    * ([[confirmedSpanGroups]]) before it counts, so the statistics are
+    * EXACT under the raw k-gram text — no hash-collision false positives
+    * at any corpus size (the extension COVERAGE.md's terminal span-surface
+    * decision names for consumers needing collision-free equality, e.g.
+    * legal-grade provenance). The DuckDB oracle replays this with NO hash
+    * at all, grouping on the raw gram text.
     */
   def dupSpanStatsVerified(
       docs: DataFrame,
@@ -682,23 +717,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       hashFn: Column => Column): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val grams = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
-    val cand = grams.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
-    // flagged slice only: confirm each candidate on the gram text itself
-    val flagged = grams.join(cand, Seq("h"), "left_semi")
-    val trueDup = flagged.groupBy(col("h"), col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd2"))
-      .filter(col("nd2") >= 2)
-      .select(col("h"), col("g"))
-    val dupCounts = flagged.join(trueDup, Seq("h", "g"), "left_semi")
+    val grams = spanGrams(docs, k, idCol, textCol, hashFn)
+    val trueDup = confirmedSpanGroups(grams).select(col("h"), col("g"))
+    val dupCounts = grams.join(trueDup, Seq("h", "g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_n"))
     grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
       .join(dupCounts, Seq("doc_id"), "left")
@@ -734,26 +755,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       hashFn: Column => Column): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val grams = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
-    val cand = grams.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
-    val flagged = grams.join(cand, Seq("h"), "left_semi")
-    val trueDup = flagged.groupBy(col("h"), col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
-      .filter(col("nd2") >= 2)
-      .select(col("h"), col("g"), col("keeper"))
-    // join the RAW gram stream (not `flagged`): the inner join on (h, g)
-    // against trueDup ⊆ the flagged groups already restricts to confirmed
-    // duplicates, and skipping the left-side semi join drops a whole
-    // replay of the candidate pass from the physical plan
-    grams.join(trueDup, Seq("h", "g"))
+    val grams = spanGrams(docs, k, idCol, textCol, hashFn)
+    grams.join(confirmedSpanGroups(grams), Seq("h", "g"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("keeper").as("keeper_doc"), col("g").as("gram"))
@@ -781,23 +784,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       hashFn: Column => Column): DataFrame = {
-    require(k >= 1, "k must be >= 1")
     val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
-    val grams = tok
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), col("g"), hashFn(col("g")).as("h"))
-    val cand = grams.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
-    val flagged = grams.join(cand, Seq("h"), "left_semi")
+    val grams = spanGrams(docs, k, idCol, textCol, hashFn)
     // keeper per TRUE gram group — min over (h, g), not over the hash bucket
-    val trueDup = flagged.groupBy(col("h"), col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd2"), min(col("doc_id")).as("keeper"))
-      .filter(col("nd2") >= 2)
-      .select(col("h"), col("g"), col("keeper"))
-    val dropped = flagged.join(trueDup, Seq("h", "g"))
+    val dropped = grams.join(confirmedSpanGroups(grams), Seq("h", "g"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
@@ -947,12 +937,30 @@ object Dedup {
       k: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (_, grams) = incrementalTokGrams(batch, k, idCol, textCol)
+    spanStatsCore(grams, seen)
+  }
+
+  /** The batch's tokenization and narrow per-position gram hashes
+    * (doc_id, pos, h) — the shared scan prefix of the incremental span
+    * twins.
+    */
+  private def incrementalTokGrams(
+      batch: DataFrame, k: Int, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(k >= 1, "k must be >= 1")
-    val grams = batch
-      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+    val tok = batch.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
+    val grams = tok
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
+    (tok, grams)
+  }
+
+  /** [[dupSpanStatsIncremental]]'s decision core over a prepared
+    * (doc_id, pos, h) gram frame. Returns (batch stats, (h, nd) delta).
+    */
+  private def spanStatsCore(
+      grams: DataFrame, seen: Option[DataFrame]): (DataFrame, DataFrame) = {
     val batchNd = grams.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
     val cum = seen match {
@@ -969,6 +977,27 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_pos").cast("double") / col("n_pos").cast("double"))
     (out, batchNd)
+  }
+
+  /** One admission decision emitting BOTH span twins — the per-epoch
+    * coverage stats ([[dupSpanStatsIncremental]]) and the first-seen-keeps
+    * cleaned text ([[removeDupSpansIncremental]]) — from ONE tokenize +
+    * gram-explode + hash pass over the batch: the narrow (doc_id, pos, h)
+    * gram frame is pinned (`localCheckpoint`) so the separate write
+    * actions of a streaming epoch don't re-scan the batch per side.
+    * Returns (stats, cleaned, (h, nd) store delta) — the delta's hash set
+    * is the membership the removal rule probes, so one store serves both.
+    */
+  def spanAdmitIncremental(
+      seen: Option[DataFrame],
+      batch: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val (tok, gramsLazy) = incrementalTokGrams(batch, k, idCol, textCol)
+    val grams = gramsLazy.localCheckpoint(true)
+    val (out, delta) = spanStatsCore(grams, seen)
+    (out, spanCleanCore(tok, grams, seen, k), delta)
   }
 
   /** One admission decision of the STREAMING span removal (the cleanup
@@ -997,12 +1026,15 @@ object Dedup {
       k: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, DataFrame) = {
-    require(k >= 1, "k must be >= 1")
-    val tok = batch.select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("w"))
-    val grams = tok
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(orderedNgramsFromTokens(col("w"), k)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), widePolyHash(col("g")).as("h"))
+    val (tok, grams) = incrementalTokGrams(batch, k, idCol, textCol)
+    (spanCleanCore(tok, grams, seen, k), grams.select(col("h")).distinct())
+  }
+
+  /** [[removeDupSpansIncremental]]'s decision core over a prepared batch
+    * tokenization and (doc_id, pos, h) gram frame.
+    */
+  private def spanCleanCore(
+      tok: DataFrame, grams: DataFrame, seen: Option[DataFrame], k: Int): DataFrame = {
     // store-flagged occurrences: an earlier batch owns the canonical copy
     val storeDrops = seen match {
       case Some(s) => grams.join(s.select(col("h")).distinct(), Seq("h"), "left_semi")
@@ -1021,7 +1053,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("t"))
       .distinct()
-    (rebuildExcised(tok, dropped), grams.select(col("h")).distinct())
+    rebuildExcised(tok, dropped)
   }
 
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -58,12 +58,12 @@ object SpanAdmission {
         "double-count its gram contributions — compact with keepLatest >= 1 (never " +
         "fold the newest epoch) to keep replays safe")
     st.uncommitEpoch(spark, epoch)
-    val seen = readSeen(spark, storeDir)
-    val (out, delta) = Dedup.dupSpanStatsIncremental(seen, batch, k)
-    // the cleanup twin over the SAME gram store ((h, nd) counts are a
-    // superset of the membership the removal needs): earlier epochs keep
-    // their copies, this batch sheds the spans they already own
-    val (clean, _) = Dedup.removeDupSpansIncremental(seen, batch, k)
+    // one tokenize+explode+hash pass serves both twins: stats and the
+    // cleanup ((h, nd) counts are a superset of the membership the removal
+    // needs — earlier epochs keep their copies, this batch sheds the spans
+    // they already own)
+    val (out, clean, delta) = Dedup.spanAdmitIncremental(
+      readSeen(spark, storeDir), batch, k)
     delta.write.mode("overwrite").parquet(st.sideDir("grams", epoch))
     clean.write.mode("overwrite").parquet(st.sideDir("clean", epoch))
     out.write.mode("overwrite").parquet(st.sideDir("out", epoch))

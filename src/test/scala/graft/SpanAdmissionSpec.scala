@@ -130,13 +130,17 @@ class SpanAdmissionSpec extends SparkTestBase {
     assert(statRows(SpanAdmission.readStats(spark, store).get) == statRows(foldOut),
       "post-compaction readers unchanged")
     // and the compacted gram store still serves a NEW epoch correctly:
-    // admitting a copy of an existing doc must read fully duplicated
-    val probe = spark.createDataset(Seq((999999L, all.head._2))).toDF("doc_id", "text")
-    SpanAdmission.admitEpoch(store, probe, batchId = 7L)
+    // admitting a verbatim copy of an already-admitted long doc must read
+    // fully duplicated (a probe doc with >= 8 tokens, so stats exist)
+    val longDoc = all.find(_._2.trim.split("\\s+").length >= 8)
+      .getOrElse(fail("corpus has no doc with >= 8 tokens"))._2
+    SpanAdmission.admitEpoch(store,
+      spark.createDataset(Seq((999999L, longDoc))).toDF("doc_id", "text"), batchId = 7L)
     val probed = SpanAdmission.readStats(spark, store).get
       .filter(col("doc_id") === 999999L).collect()
-    if (probed.nonEmpty && probed(0).getAs[Long]("n_pos") > 0)
-      assert(probed(0).getAs[Long]("n_dup_pos") == probed(0).getAs[Long]("n_pos"),
-        "a verbatim copy admitted after compaction must be fully covered")
+    assert(probed.length == 1 && probed(0).getAs[Long]("n_pos") > 0,
+      "the probe doc must produce a stats row")
+    assert(probed(0).getAs[Long]("n_dup_pos") == probed(0).getAs[Long]("n_pos"),
+      "a verbatim copy admitted after compaction must be fully covered")
   }
 }
