@@ -1690,9 +1690,11 @@ object PipelineOracleSql {
   /** Streaming span removal (mirrors the `dedup_span_removal_stream`
     * 3-epoch fold of `Dedup.removeDupSpansIncremental`): an occurrence in
     * doc d of epoch e (doc_id % 3) drops iff some doc with a smaller
-    * composite (epoch, doc_id) key carries the same gram hash — the fold's
-    * first-seen-keeps + in-batch-min-doc rules collapse into ONE composite
-    * min per hash.
+    * (epoch, doc_id) key carries the same gram hash — the fold's
+    * first-seen-keeps + in-batch-min-doc rules collapse into one
+    * lexicographic min per hash, computed as two staged aggregates (min
+    * epoch, then min doc within that epoch) so NO arithmetic composite key
+    * exists to overflow or misorder at any doc_id magnitude.
     */
   def dupSpanRemovalStream: String =
     s"""WITH tok AS (
@@ -1706,11 +1708,16 @@ object PipelineOracleSql {
        |  FROM f, LATERAL unnest(range(1, len(w) - 6)) AS t(i)
        |), g AS MATERIALIZED (
        |  SELECT doc_id, doc_id % 3 AS ep, pos, ${wph("gram")} AS h FROM g0
+       |), mk0 AS (
+       |  SELECT h, min(ep) AS mep FROM g GROUP BY h
        |), mk AS (
-       |  SELECT h, min(ep * 1000000000000 + doc_id) AS mk FROM g GROUP BY h
+       |  SELECT g.h, mk0.mep, min(g.doc_id) AS mdoc
+       |  FROM g JOIN mk0 ON g.h = mk0.h AND g.ep = mk0.mep
+       |  GROUP BY g.h, mk0.mep
        |), dropped AS (
        |  SELECT DISTINCT g.doc_id, g.pos + u.j AS t
-       |  FROM g JOIN mk ON g.h = mk.h AND (g.ep * 1000000000000 + g.doc_id) > mk.mk,
+       |  FROM g JOIN mk ON g.h = mk.h
+       |    AND (g.ep > mk.mep OR (g.ep = mk.mep AND g.doc_id > mk.mdoc)),
        |    unnest(range(0, 8)) AS u(j)
        |), toks AS (
        |  SELECT doc_id, t.i AS t, w[t.i] AS token

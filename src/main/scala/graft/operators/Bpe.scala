@@ -77,15 +77,33 @@ object Bpe {
     * returns the merge list and the final word dictionary (word, freq,
     * sym).
     */
-  /** Dictionary-size gate for the driver-resident fold: a word dictionary
-    * (distinct words + frequencies + symbol arrays) this small is a few
-    * hundred MB at worst and every merge round over it is a driver-memory
-    * array pass, so a 30k-merge training run is 30k HashMap sweeps instead
-    * of 30k sequential Spark jobs — the [[Dedup.connectedComponents]]
-    * small-side pattern. Above the gate the relational per-round loop
-    * keeps the O(vocabulary) rounds distributed.
+  /** Dictionary-size gates for the driver-resident fold. Collecting the
+    * dictionary materializes, per word, a String plus a per-character
+    * String[] — on a JVM each one-char String costs ~50 bytes and the
+    * holding array ~16+8/char, so the resident footprint is dominated by
+    * total characters, not rows. The fold is taken only when BOTH the row
+    * gate and the estimated-byte gate pass (the byte estimate comes from
+    * the same aggregate job that counts the rows, so the gate adds no
+    * extra job); otherwise the relational per-round loop keeps the
+    * O(vocabulary) rounds distributed. Callers of [[learnMerges]] /
+    * [[tokenCounts]] who raise `maxDriverWords` must provision driver
+    * heap for ~64 bytes per dictionary character.
     */
   private val MaxDriverWordsDefault: Long = 4000000L
+
+  /** Driver-heap budget for the collected dictionary (estimated, not
+    * measured): rows*120 + totalChars*64 bytes must stay under this.
+    * 1 GiB keeps the fold comfortably inside a default 4-8 GiB driver.
+    */
+  private val MaxDriverBytesDefault: Long = 1L << 30
+
+  /** Estimated resident bytes of the collected dictionary: per-row fixed
+    * overhead (word String header, boxed freq, Row scaffolding) plus
+    * per-character cost (the word's chars once in the String, once as a
+    * one-char symbol String, plus the symbol array slot).
+    */
+  private def estDriverBytes(rows: Long, totalChars: Long): Long =
+    rows * 120L + totalChars * 64L
 
   /** Spark compares strings as UTF-8 bytes (codepoint order); Java's
     * `String.compareTo` is UTF-16 code-unit order, which disagrees above
@@ -178,11 +196,12 @@ object Bpe {
     (merges.toSeq, spark.createDataset(dict).toDF("word", "freq", "sym"))
   }
 
-  private def learn(
+  private[graft] def learn(
       docs: DataFrame,
       nMerges: Int,
       textCol: String,
-      maxDriverWords: Long = MaxDriverWordsDefault): (Seq[(Long, String, String, Long)], DataFrame) = {
+      maxDriverWords: Long = MaxDriverWordsDefault,
+      maxDriverBytes: Long = MaxDriverBytesDefault): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -193,8 +212,15 @@ object Bpe {
       .select(col("word"), col("freq"), charSymbols(col("word")).as("sym"))
       .localCheckpoint(true)
     // gate: a dictionary that fits the driver folds there (one job total);
-    // the distributed relational loop below is the large-vocabulary path
-    if (words.count() <= maxDriverWords) {
+    // the distributed relational loop below is the large-vocabulary path.
+    // One aggregate yields both gates: row count AND total characters,
+    // because driver footprint scales with characters (see estDriverBytes).
+    val gate = words.agg(
+      count(lit(1)).as("rows"),
+      coalesce(sum(length(col("word"))), lit(0L)).as("chars")).head()
+    val (nRows, nChars) = (gate.getLong(0), gate.getLong(1))
+    if (nRows <= maxDriverWords &&
+        estDriverBytes(nRows, nChars) <= maxDriverBytes) {
       val out = learnDriver(words, nMerges)
       words.unpersist()
       return out

@@ -985,19 +985,23 @@ object Dedup {
     * gram-explode + hash pass over the batch: the narrow (doc_id, pos, h)
     * gram frame is pinned (`localCheckpoint`) so the separate write
     * actions of a streaming epoch don't re-scan the batch per side.
-    * Returns (stats, cleaned, (h, nd) store delta) — the delta's hash set
-    * is the membership the removal rule probes, so one store serves both.
+    * Returns (stats, cleaned, (h, nd) store delta, release) — the delta's
+    * hash set is the membership the removal rule probes, so one store
+    * serves both. `release` unpersists the pinned gram frame: the caller
+    * MUST invoke it after materializing all three frames (the epoch's side
+    * writes), or each epoch of a long-running stream leaks its checkpointed
+    * blocks on the executors until driver GC collects the plan.
     */
   def spanAdmitIncremental(
       seen: Option[DataFrame],
       batch: DataFrame,
       k: Int = 8,
       idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val (tok, gramsLazy) = incrementalTokGrams(batch, k, idCol, textCol)
     val grams = gramsLazy.localCheckpoint(true)
     val (out, delta) = spanStatsCore(grams, seen)
-    (out, spanCleanCore(tok, grams, seen, k), delta)
+    (out, spanCleanCore(tok, grams, seen, k), delta, () => { grams.unpersist(); () })
   }
 
   /** One admission decision of the STREAMING span removal (the cleanup

@@ -171,7 +171,15 @@ object Renko {
       // null slot = that tick emitted nothing under the own replay
       prefixEmitSnap: Array[RenkoSnapshot],
       exit: RenkoSnapshot,
-      exitStarted: Boolean)
+      exitStarted: Boolean,
+      // sorted-contract evidence, captured for free during the scan: the
+      // partition's first/last timestamps and whether it was internally
+      // nondecreasing — the driver refuses to stitch (falls back to the
+      // sequential plan) when any partition is unsorted or partitions
+      // overlap in time, instead of silently emitting wrong bricks
+      firstTs: Long,
+      lastTs: Long,
+      sorted: Boolean)
 
   /** Parallel scan for ONE large series — the 100 TB path when the data is a
     * single symbol (where `fromTicks` degenerates to a 1-task sort + scan).
@@ -287,6 +295,12 @@ object Renko {
     * [[fromSortedTicks]] stays the per-partition-independent-series form
     * (bucketed multi-series tables); THIS is its single-giant-series twin.
     * Output is bit-identical to `fromTicks` (ParallelScanSpec).
+    *
+    * The sorted contract is VALIDATED, not trusted: job 1 records each
+    * partition's first/last timestamp and internal ordering, and any
+    * violation (unsorted partition, or partitions overlapping in time)
+    * falls back to the sequential plan — unsorted input costs one wasted
+    * summary pass, never a wrong answer.
     */
   def fromSortedTicksParallel(
       df: DataFrame,
@@ -355,9 +369,15 @@ object Renko {
         val buf = new ArrayBuffer[Brick](4)
         var n = 0L
         var i = -1L
+        var firstTs = 0L
+        var lastTs = Long.MinValue
+        var inOrder = true
         while (it.hasNext) {
           val (ts, price) = it.next()
           n += 1; i += 1
+          if (i == 0L) firstTs = ts
+          if (ts < lastTs) inOrder = false
+          lastTs = ts
           if (i == 0L) {
             eng.initAnchor(price)
             if (i < prefixCap) { pts += ts; pps += price; snaps += null }
@@ -371,11 +391,30 @@ object Renko {
           }
         }
         Iterator.single(PartSummary(pidx, n, pts.toArray, pps.toArray, snaps.toArray,
-          if (n > 0) eng.snapshot else null, n > 0))
+          if (n > 0) eng.snapshot else null, n > 0, firstTs, lastTs, inOrder))
       }
       .collect()
       .sortBy(_.pidx)
     mark("job1 sort+summar")
+
+    // sorted-contract validation (free — job 1 captured the evidence): the
+    // stitch is only correct when partitions are internally nondecreasing
+    // and time-contiguous across partition index. fromTicksParallel's range
+    // partition + sort satisfies this by construction; the pre-sorted entry
+    // point trusts the caller, so a violated contract must fall back to the
+    // sequential plan rather than stitch wrong bricks.
+    {
+      var prevLast = Long.MinValue
+      var ok = true
+      for (s <- summaries if s.nTicks > 0) {
+        if (!s.sorted || s.firstTs < prevLast) ok = false
+        prevLast = s.lastTs
+      }
+      if (!ok) {
+        ticks.unpersist(blocking = true)
+        return (fallback(), ParallelScanStats(fellBack = true, Seq.empty))
+      }
+    }
 
     // driver: chain exact entry states, replay prefixes, find sync points
     val prefixBricks = new ArrayBuffer[BrickRow]()

@@ -62,11 +62,14 @@ object SpanAdmission {
     // cleanup ((h, nd) counts are a superset of the membership the removal
     // needs — earlier epochs keep their copies, this batch sheds the spans
     // they already own)
-    val (out, clean, delta) = Dedup.spanAdmitIncremental(
+    val (out, clean, delta, release) = Dedup.spanAdmitIncremental(
       readSeen(spark, storeDir), batch, k)
-    delta.write.mode("overwrite").parquet(st.sideDir("grams", epoch))
-    clean.write.mode("overwrite").parquet(st.sideDir("clean", epoch))
-    out.write.mode("overwrite").parquet(st.sideDir("out", epoch))
+    try {
+      delta.write.mode("overwrite").parquet(st.sideDir("grams", epoch))
+      clean.write.mode("overwrite").parquet(st.sideDir("clean", epoch))
+      out.write.mode("overwrite").parquet(st.sideDir("out", epoch))
+    } finally release() // free the epoch's pinned gram blocks immediately —
+    // a long-running stream must not accumulate checkpointed RDDs
   }
 
   /** Start the stream: `stream` must carry (doc_id, text). Admission-time

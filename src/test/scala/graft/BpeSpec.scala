@@ -66,6 +66,19 @@ class BpeSpec extends SparkTestBase {
     assert(tkDriver == tkDist, "final dictionaries must tokenize identically")
   }
 
+  test("byte gate: an estimated-footprint overflow forces the relational loop, bit-exact") {
+    // maxDriverBytes = 0 simulates a dictionary whose estimated driver
+    // footprint exceeds the heap budget even though the ROW gate passes —
+    // the fold must be refused and the relational loop must produce the
+    // identical merge table (the OOM-safety path of ADVICE r12)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val driver = Bpe.learn(docs, 6, "text")._1
+    val byteGated = Bpe.learn(docs, 6, "text", maxDriverWords = Long.MaxValue,
+      maxDriverBytes = 0L)._1
+    assert(driver == byteGated,
+      s"byte-gated relational loop diverged from the driver fold:\n$driver\nvs\n$byteGated")
+  }
+
   test("driver fold scale shape: nMerges=1000 completes in seconds") {
     // the sf0.001 vocabulary exhausts at 89 merges; sf0.01 is deep enough
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -198,6 +198,37 @@ class ParallelScanSpec extends SparkTestBase {
       s"sorted parallel scan must plan zero data-path shuffles:\n$plan")
   }
 
+  test("sorted parallel scan: unsorted partitions violate the contract -> fallback, never wrong") {
+    // descending time inside every partition — the scan must detect the
+    // violated sorted contract from job 1's evidence and fall back to the
+    // sequential plan (which sorts), instead of stitching wrong bricks
+    val df = spark.range(0, 20000, 1, 8).select(
+      ((lit(20000L) - col("id")) * 1000L).as("datetime"),
+      (lit(100.0) + lit(10.0) * sin(col("id").cast("double") / lit(200.0))).as("close"))
+    val ord = Seq(col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(df, 1.0).orderBy(ord: _*).collect()
+    val parOut = Renko.fromSortedTicksParallel(df, 1.0).orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length && seqOut.length > 0,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("sorted parallel scan: time-overlapping partitions -> fallback, never wrong") {
+    // each partition internally ascending, but their time ranges fully
+    // interleave (partition 0 = even ts, partition 1 = odd ts) — the
+    // cross-partition monotonicity check must reject the stitch
+    val n = 10000L
+    val df = spark.range(0, 2 * n, 1, 2).select(
+      (pmod(col("id"), lit(n)) * 2L + floor(col("id") / lit(n)).cast("long")).as("datetime"),
+      (lit(100.0) + lit(8.0) * sin(col("id").cast("double") / lit(150.0))).as("close"))
+    val ord = Seq(col("datetime"), (col("close") * col("direction")).asc)
+    val seqOut = Renko.fromTicks(df, 1.0).orderBy(ord: _*).collect()
+    val parOut = Renko.fromSortedTicksParallel(df, 1.0).orderBy(ord: _*).collect()
+    assert(seqOut.length == parOut.length && seqOut.length > 0,
+      s"row count: seq=${seqOut.length} par=${parOut.length}")
+    seqOut.zip(parOut).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("sorted parallel scan: flat series falls back to sequential, still exact") {
     val flat = spark.range(0, 5000, 1, 8).select(
       col("id").as("datetime"),
