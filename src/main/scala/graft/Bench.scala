@@ -322,6 +322,9 @@ object Bench {
       "sim_topk_ivf_pq_tvf_pushdown" -> q("sim_topk_ivf_pq_tvf_pushdown"),
       "sim_topk_ivf_tvf_subquery" -> q("sim_topk_ivf_tvf_subquery"),
       "text_bm25_tvf_subquery" -> q("text_bm25_tvf_subquery"),
+      // r13: the subquery post-filter over the quantized rungs
+      "sim_topk_ivf_sq8_tvf_subquery" -> q("sim_topk_ivf_sq8_tvf_subquery"),
+      "sim_topk_ivf_pq_tvf_subquery" -> q("sim_topk_ivf_pq_tvf_subquery"),
       // r12: probe-ONLY twins for every serving entry (store pre-built
       // untimed in main) — the serving-latency numbers; each un-suffixed
       // twin above still times build+probe, so BOTH numbers ship

@@ -1124,11 +1124,26 @@ object PipelineOracleSql {
     * [[ivfTopKWhere]], where serving itself is restricted.
     */
   def ivfTopKPostWhere(neighborPred: String): String =
+    annPostWhere(ivfTopK, neighborPred)
+
+  /** The same post-filter shape over ANY unfiltered ANN probe — shared by
+    * the float/SQ8/PQ subquery-WHERE oracles so every rung of the memory
+    * ladder pins identical non-pushable-predicate semantics.
+    */
+  private def annPostWhere(inner: String, neighborPred: String): String =
     s"""SELECT t.query_id, t."rank", t.neighbor_id, t.cos_sim
-       |FROM (${ivfTopK.replace("\n", "\n  ")}) t
+       |FROM (${inner.replace("\n", "\n  ")}) t
        |JOIN embeddings e ON e.vec_id = t.neighbor_id
        |WHERE $neighborPred
        |ORDER BY t.query_id, t."rank"""".stripMargin
+
+  /** Subquery-WHERE over the SQ8 TVF: post-filter of [[ivfTopKSq8]]. */
+  def ivfTopKSq8PostWhere(neighborPred: String): String =
+    annPostWhere(ivfTopKSq8, neighborPred)
+
+  /** Subquery-WHERE over the PQ TVF: post-filter of [[ivfTopKPq]]. */
+  def ivfTopKPqPostWhere(neighborPred: String): String =
+    annPostWhere(ivfTopKPq, neighborPred)
 
   /** [[ivfTopK]] with the SERVED corpus restricted by `corpusPred` while
     * the coarse quantizer stays the FULL corpus's lowest-16 — exactly the
@@ -2738,6 +2753,8 @@ object PipelineOracleSql {
     // post-filter semantics — unfiltered top-k, then drop rows, rank gaps
     // survive — which is exactly what the post-filter oracle computes
     "sim_topk_ivf_tvf_subquery" -> ivfTopKPostWhere("e.label % 2 = 0"),
+    "sim_topk_ivf_sq8_tvf_subquery" -> ivfTopKSq8PostWhere("e.label % 2 = 0"),
+    "sim_topk_ivf_pq_tvf_subquery" -> ivfTopKPqPostWhere("e.label % 2 = 0"),
     // ten append epochs + a tombstone set: epoch layout is invisible to
     // the answer (lists/df additive, low-id base freezes the full-corpus
     // centroids), so the serve-after-delete oracle replays it

@@ -1113,6 +1113,40 @@ object SparkEntry {
            |                WHERE label % 2 = 0)
            |ORDER BY query_id, rank""".stripMargin)
     }),
+    // the subquery post-filter composes with the TVF's rung auto-dispatch:
+    // over an SQ8 build the unfiltered quantized top-k is served first,
+    // then the non-pushable IN (SELECT ...) drops rows above the node —
+    // rank gaps survive, exactly the float rung's semantics
+    "sim_topk_ivf_sq8_tvf_subquery" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8tvfsq_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writeQuantized(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_sq8sq_queries")
+      emb.createOrReplaceTempView("graft_ann_sq8sq_corpus")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_sq8sq_queries', 5, 4)
+           |WHERE label IN (SELECT DISTINCT label FROM graft_ann_sq8sq_corpus
+           |                WHERE label % 2 = 0)
+           |ORDER BY query_id, rank""".stripMargin)
+    }),
+    // ...and over a PQ build: unfiltered ADC probe + exact rerank, then
+    // the subquery predicate as an ordinary post-filter
+    "sim_topk_ivf_pq_tvf_subquery" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pqtvfsq_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path, keepCols = Seq("label"))
+      emb.filter(col("vec_id") < 10).createOrReplaceTempView("graft_ann_pqsq_queries")
+      emb.createOrReplaceTempView("graft_ann_pqsq_corpus")
+      GraftExtensions.registerTvfs(s)
+      s.sql(
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$path', 'graft_ann_pqsq_queries', 5, 4)
+           |WHERE label IN (SELECT DISTINCT label FROM graft_ann_pqsq_corpus
+           |                WHERE label % 2 = 0)
+           |ORDER BY query_id, rank""".stripMargin)
+    }),
     // the GROWING-corpus form of the lexical index: build on half the
     // corpus, append the rest as a committed epoch — df/n_docs/avgdl are
     // additive, so the probe answers bit-identically to a full rebuild and
