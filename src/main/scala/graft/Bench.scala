@@ -101,6 +101,7 @@ object Bench {
     * them untimed so rep 1 never pays construction.
     */
   private val probeStoreKeys: Map[String, Seq[String]] = Map(
+    "serving_tvf_concurrent8" -> Seq("ivf_label", "lex_lang"),
     "sim_topk_ivf_tvf_probe" -> Seq("ivf_label"),
     "sim_topk_ivf_tvf_pushdown_probe" -> Seq("ivf_label"),
     "text_bm25_tvf_probe" -> Seq("lex_lang"),
@@ -328,6 +329,48 @@ object Bench {
       // r12: probe-ONLY twins for every serving entry (store pre-built
       // untimed in main) — the serving-latency numbers; each un-suffixed
       // twin above still times build+probe, so BOTH numbers ship
+      // r13: CONCURRENT serving — 8 parallel TVF queries (4 graft_ann + 4
+      // graft_bm25) with DISTINCT predicates against prebuilt stores. Every
+      // s.sql() parses a fresh node (per-node probeCache), so all 8 probes
+      // hit the cache-MISS planning path simultaneously — the workload the
+      // lock-free ProbePlanning redesign exists for. The entry's wall time
+      // is the 8-way makespan; per-query p50/max land in the diag phases
+      // (compare against the single-probe *_probe twins: lock-free planning
+      // should put the makespan near the slowest single probe, nowhere near
+      // the 8x serial sum)
+      "serving_tvf_concurrent8" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        val ivf = store(s, sfDir, "ivf_label")
+        val lex = store(s, sfDir, "lex_lang")
+        s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
+          .createOrReplaceTempView("bench_conc_q")
+        val sqls =
+          Seq("label % 2 = 0", "label % 2 = 1", "label % 3 = 0", "label % 3 = 1").map(p =>
+            s"""SELECT query_id, rank, neighbor_id, cos_sim
+               |FROM graft_ann('$ivf', 'bench_conc_q', 5, 4)
+               |WHERE $p ORDER BY query_id, rank""".stripMargin) ++
+          Seq("lang = 'en'", "lang = 'de'", "lang = 'fr'", "lang = 'zh'").map(p =>
+            s"""SELECT doc_id, rank, bm25
+               |FROM graft_bm25('$lex', 'dup,vector,join,slow', 20)
+               |WHERE $p ORDER BY rank""".stripMargin)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(sqls.size)
+        val lats =
+          try {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration._
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            Await.result(
+              Future.sequence(sqls.map(sql => Future {
+                val t0 = System.nanoTime()
+                s.sql(sql).count()
+                (System.nanoTime() - t0) / 1e9
+              })), 10.minutes)
+          } finally pool.shutdown()
+        val sorted = lats.sorted
+        Renko.logPhase("conc8 p50", sorted(sorted.size / 2 - 1))
+        Renko.logPhase("conc8 max", sorted.last)
+        s.range(sorted.size.toLong).toDF()
+      }),
       "sim_topk_ivf_tvf_probe" -> (s => {
         GraftExtensions.registerTvfs(s)
         s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
@@ -422,6 +465,9 @@ object Bench {
     "search_hybrid_rrf_served_probe",
     "sim_topk_ivf_sq8_tvf_pushdown", "sim_topk_ivf_pq_tvf_pushdown",
     "sim_topk_ivf_tvf_subquery", "text_bm25_tvf_subquery",
+    // r13: concurrent serving makespan + the quantized subquery twins
+    "serving_tvf_concurrent8",
+    "sim_topk_ivf_sq8_tvf_subquery", "sim_topk_ivf_pq_tvf_subquery",
     // r12 session 2: the verified span surface + its audit trail + the
     // streaming admission screen
     "dedup_spans_verified", "dedup_span_removal_verified",

@@ -233,6 +233,13 @@ object Renko {
     * re-run). Driver-side, tiny (3 entries per scan call).
     */
   private val phaseLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  /** Bench-visible phase entry from OUTSIDE the scan (e.g. the concurrent
+    * serving bench's per-query latency percentiles) — same drain channel,
+    * so the numbers land in the artifact's per-rep diag.
+    */
+  private[graft] def logPhase(phase: String, sec: Double): Unit =
+    phaseLog.add(phase -> sec)
+
   private[graft] def drainPhaseLog(): Seq[(String, Double)] = {
     val b = Seq.newBuilder[(String, Double)]
     var x = phaseLog.poll()

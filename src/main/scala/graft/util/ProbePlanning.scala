@@ -13,43 +13,43 @@ import org.apache.spark.sql.SparkSession
   * epochs then cost ~3 s of pure job scheduling before a byte of postings
   * is read — measured 12x over a compacted probe.
   *
-  * [[withDriverListing]] raises the threshold around relation construction
-  * (and restores it), keeping the listing on the driver where it is
+  * [[withDriverListing]] keeps the listing on the driver, where it is
   * sub-millisecond on local/HDFS metadata and one-RPC-per-directory on
   * object stores — the right trade until a single tree's partition count
   * reaches the tens of thousands, far past what auto-compaction allows to
   * accrete.
+  *
+  * CONCURRENCY: the threshold is raised ONCE per session, the first time
+  * any probe plans, and never restored — a sticky serving-session mode.
+  * The earlier design set/restored the conf around every relation
+  * construction, which forced a per-session monitor (two concurrent
+  * probes could interleave a restore into the other's window); a serving
+  * engine's actual workload is N concurrent TVF queries, and every
+  * cache-miss probe planned under that global lock. With the sticky set
+  * there is no mutation to interleave, so probes plan lock-free. The
+  * trade: other reads in a session that has served a probe also list on
+  * the driver; for that to matter a NON-index table would need tens of
+  * thousands of partition directories in the same session that serves
+  * probes — accepted and documented over re-introducing a planning lock.
   */
 object ProbePlanning {
 
   private val Key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
 
-  // The set/restore below mutates SHARED session conf: two concurrent
-  // probes (e.g. graft_ann and graft_bm25 planned from parallel queries)
-  // could interleave a restore into the other's construction window, or
-  // leak Int.MaxValue as the "old" value. Serialize per session; monitor
-  // reentrancy makes nested calls on one thread safe (the inner call sees
-  // and restores the outer's Int.MaxValue, the outer restores the real
-  // original). Weak keys so discarded test sessions don't accumulate.
-  private val guards =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, AnyRef]())
-
-  private def guardFor(spark: SparkSession): AnyRef =
-    guards.synchronized {
-      var g = guards.get(spark)
-      if (g == null) { g = new AnyRef; guards.put(spark, g) }
-      g
-    }
-
-  def withDriverListing[A](spark: SparkSession)(f: => A): A =
-    guardFor(spark).synchronized {
-      val old = spark.conf.getOption(Key)
+  /** Make `spark` a serving session: partition discovery stays on the
+    * driver from here on. Idempotent and race-safe — concurrent callers
+    * write the same constant, so no ordering matters.
+    */
+  def ensureDriverListing(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(Key).contains(Int.MaxValue.toString))
       spark.conf.set(Key, Int.MaxValue.toString)
-      try f
-      finally old match {
-        case Some(v) => spark.conf.set(Key, v)
-        case None    => spark.conf.unset(Key)
-      }
-    }
+
+  /** Plan a probe relation with driver-side listing. Lock-free: flips the
+    * session into sticky driver-listing mode (see object doc) and runs
+    * `f` directly — safe under arbitrary probe concurrency.
+    */
+  def withDriverListing[A](spark: SparkSession)(f: => A): A = {
+    ensureDriverListing(spark)
+    f
+  }
 }

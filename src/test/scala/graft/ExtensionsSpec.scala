@@ -459,4 +459,43 @@ class ExtensionsSpec extends SparkTestBase {
     assert(annSub == annPost,
       "subquery WHERE over graft_ann must post-filter the unfiltered top-k")
   }
+
+  test("concurrent TVF probes with distinct predicates: lock-free planning, each bit-equal to its serial twin") {
+    // the serving engine's actual workload: N parallel queries, every one a
+    // planning cache miss (fresh node per s.sql call). ProbePlanning's
+    // sticky driver-listing mode has no per-probe conf mutation, so the
+    // probes must plan concurrently AND each must match the result of the
+    // same SQL run alone
+    GraftExtensions.registerTvfs(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lexPath = java.nio.file.Files.createTempDirectory("graft-tvf-lexcc").toString
+    val ivfPath = java.nio.file.Files.createTempDirectory("graft-tvf-ivfcc").toString
+    graft.operators.TextIndex.write(docs, lexPath, keepCols = Seq("lang"))
+    graft.operators.IvfIndex.write(emb, ivfPath, nlist = 16, keepCols = Seq("label"))
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("graft_cc_q")
+    val sqls =
+      Seq("label % 2 = 0", "label % 2 = 1", "label % 3 = 0", "label % 3 = 1").map(p =>
+        s"""SELECT query_id, rank, neighbor_id, cos_sim
+           |FROM graft_ann('$ivfPath', 'graft_cc_q', 4, 4)
+           |WHERE $p ORDER BY query_id, rank""".stripMargin) ++
+      Seq("lang = 'en'", "lang IS NOT NULL").map(p =>
+        s"""SELECT doc_id, rank, bm25 FROM graft_bm25('$lexPath', 'dup,vector', 10)
+           |WHERE $p ORDER BY rank""".stripMargin)
+    val serial = sqls.map(q => spark.sql(q).collect().toSeq)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(sqls.size)
+    val concurrent =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(sqls.map(q => Future { spark.sql(q).collect().toSeq })),
+          5.minutes)
+      } finally pool.shutdown()
+    serial.zip(concurrent).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.nonEmpty, s"query $i returned no rows — predicate too narrow to pin anything")
+      assert(a == b, s"concurrent probe $i diverged from its serial twin")
+    }
+  }
 }
