@@ -157,6 +157,41 @@ object Bench {
       // sequential by construction, not a parallel path at all)
       "renko_14m_sorted_scan" -> (s => RenkoModes.project(
         Renko.fromSortedTicksParallel(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"), "wicks")),
+      // INTERLEAVED A/B (r12 verdict: the round-close artifact showed
+      // sorted SLOWER than generic purely from sweep order — sorted ran
+      // 5th at load1 10-12, 1series first at 4-6.5). Each rep times ONE
+      // generic build and ONE sorted build back-to-back in the same load
+      // window, so the comparison can never be load-confounded again. The
+      // per-path seconds (and each scan's internal phases, prefixed
+      // gen/srt) land in this entry's diag phases; the entry's headline
+      // time is the pair sum. 4 reps = 4 same-window comparisons.
+      "renko_14m_sorted_vs_generic_ab" -> (s => {
+        // buffer the relabeled marks and emit them only after BOTH paths
+        // ran — re-logging inside the loop would feed the first path's
+        // entries back into the drain of the second
+        val relabeled = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        def timed(tag: String)(run: => Long): Unit = {
+          val t0 = System.nanoTime()
+          run
+          val sec = (System.nanoTime() - t0) / 1e9
+          // the scan's own phase marks under the path's prefix so the two
+          // scans' identical phase names don't collide in the diag
+          relabeled ++= Renko.drainPhaseLog().map { case (p, v) => s"$tag ${p.trim}" -> v }
+          relabeled += (s"$tag total" -> sec)
+        }
+        timed("gen") {
+          RenkoModes.project(
+            Renko.fromTicksParallel(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"),
+            "wicks").count()
+        }
+        timed("srt") {
+          RenkoModes.project(
+            Renko.fromSortedTicksParallel(synthTicks(s, 14700000L, 1), 1.0, tsUnit = "us"),
+            "wicks").count()
+        }
+        relabeled.foreach { case (p, v) => Renko.logPhase(p, v) }
+        s.range(1).toDF()
+      }),
       "q1_agg" -> q("q1_agg"),
       "q4_multijoin" -> q("q4_multijoin"),
       "q5_window_topk" -> q("q5_window_topk"),
@@ -444,6 +479,7 @@ object Bench {
   private val linePriority: Seq[String] = Seq(
     "renko_14m_1series", "renko_14m_32series", "renko_14m_pushdown_1of32",
     "renko_14m_4series_parallel", "renko_14m_sorted_scan",
+    "renko_14m_sorted_vs_generic_ab",
     "events_funnel", "events_funnel_stream", "events_retention",
     "events_retention_stream",
     "emb_covariance", "emb_pca", "emb_pca_topk", "emb_kmeans", "emb_mean_pool",

@@ -240,6 +240,15 @@ object Renko {
   private[graft] def logPhase(phase: String, sec: Double): Unit =
     phaseLog.add(phase -> sec)
 
+  /** Cumulative JVM GC time (ms) across all collectors — deltas around a
+    * phase attribute stall time to garbage collection in the diag.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   private[graft] def drainPhaseLog(): Seq[(String, Double)] = {
     val b = Seq.newBuilder[(String, Double)]
     var x = phaseLog.poll()
@@ -480,6 +489,19 @@ object Renko {
     // job 2: suffix scan per partition from the synced snapshot
     val planByPidx = plans.map(pl => pl.pidx -> pl).toMap
     val bcPlans = spark.sparkContext.broadcast(planByPidx)
+    // spill/GC evidence for the job2 diagnosis (r12 verdict: a twice-
+    // observed "job2 suffix+ckpt" spike needed a cause channel, not another
+    // adjudication): the pinned ticks' cache residency BEFORE job 2 runs —
+    // a nonzero disk share means the MEMORY_AND_DISK persist spilled and
+    // the suffix scan re-reads disk blocks — plus the JVM GC time absorbed
+    // by the job2 phase. Both ride the phase log into the bench's per-rep
+    // diag, so a slow rep carries its cause inside the artifact.
+    locally {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      phaseLog.add("cacheMemMB" -> infos.map(_.memSize).sum / 1e6)
+      phaseLog.add("cacheDiskMB" -> infos.map(_.diskSize).sum / 1e6)
+    }
+    val gcBeforeJob2 = gcMillis()
     val suffixRdd = ticks.as[(Long, Double)].rdd
       .mapPartitionsWithIndex { (pidx, it) =>
         bcPlans.value.get(pidx) match {
@@ -525,6 +547,7 @@ object Renko {
     // themselves are RDD-level (localCheckpoint), freed by the
     // ContextCleaner once the caller drops the result.
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all
@@ -717,6 +740,14 @@ object Renko {
     // job 2: per partition, per run: restore the synced snapshot, skip the
     // driver-replayed prefix, scan the suffix with symbol-global indices
     val bcPlans = spark.sparkContext.broadcast(plans.toMap)
+    // same spill/GC evidence channel as the single-series stitch — this IS
+    // the path whose "job2 suffix+ckpt" spiked in r11/r12 sweeps
+    locally {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      phaseLog.add("cacheMemMB" -> infos.map(_.memSize).sum / 1e6)
+      phaseLog.add("cacheDiskMB" -> infos.map(_.diskSize).sum / 1e6)
+    }
+    val gcBeforeJob2 = gcMillis()
     val suffixRdd = ticks.as[Tick].rdd
       .mapPartitionsWithIndex { (pidx, it) =>
         val pm = bcPlans.value
@@ -763,6 +794,7 @@ object Renko {
     val suffixDf = spark.createDataFrame(suffixRdd)
     // same eager-materialization rationale as the single-series scan
     val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all
