@@ -114,6 +114,71 @@ object Bench {
     "text_bm25_streamed_probe" -> Seq("lex_str"),
     "search_hybrid_rrf_served_probe" -> Seq("ivf_plain", "lex_plain"))
 
+  /** The events_funnel_stream fold at an ARBITRARY epoch count — the
+    * microbatch-floor characterization (r12 verdict: the 26x gap over the
+    * batch twin was recorded but never shown to be a constant rather than
+    * per-epoch). Epochs are equal time slices of the 30-day window (the
+    * fold's stream==batch contract needs time-ordered batches); the
+    * 3-epoch CORRECTNESS query stays the oracle-pinned form, these are
+    * measurement-only. time(E) ~ floor + slope*E, slope ~ the batch twin.
+    */
+  private def funnelStreamFold(s: SparkSession, sfDir: String, epochs: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+    val withE = ev.withColumn("t_us",
+      Renko.toEpochMicros(ev.schema("ts").dataType, col("ts"), "ns"))
+    val width = math.max(1L, 30L * 86400000000L / epochs)
+    // same two floor fixes as the CORRECTNESS fold: the sliced source is
+    // pinned once (a real micro-batch arrives once), and counts aggregate
+    // the PINNED state so the final union never re-runs an epoch's merge
+    val sliced = withE.withColumn("ep", least(lit(epochs - 1L),
+      expr(s"CAST((t_us - 1704067200000000L) div ${width}L AS BIGINT)")))
+      .localCheckpoint(true)
+    var state: Option[DataFrame] = None
+    val perEpoch = (0 until epochs).map { e =>
+      val batch = sliced.filter(col("ep") === lit(e.toLong))
+      val (_, ns) = operators.EventAnalytics.funnelIncremental(
+        state, batch, Seq("signup", "view", "purchase"), col("t_us"))
+      val nsq = ns.localCheckpoint(true)
+      state = Some(nsq)
+      operators.EventAnalytics.funnelCounts(nsq, Seq("signup", "view", "purchase"))
+        .withColumn("epoch", lit(e.toLong))
+    }
+    perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("step"))
+  }
+
+  /** pipeline_curate_stream's fold at an arbitrary epoch count (doc_id
+    * modulus slicing, same as the 3-epoch CORRECTNESS form) — the curation
+    * half of the microbatch-floor characterization.
+    */
+  private def curateStreamFold(s: SparkSession, sfDir: String, epochs: Int): DataFrame = {
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val bench = d.filter(col("doc_id") % 10 === 7)
+    val corpus = d.filter(col("doc_id") % 10 =!= 7)
+    val bg = operators.Decontamination.benchGramsOf(bench).localCheckpoint(true)
+    var store: Option[(DataFrame, DataFrame)] = None
+    var consumed = Map.empty[String, Long]
+    val perEpoch = (0 until epochs).map { e =>
+      val batch = corpus.filter(pmod(col("doc_id"), lit(epochs.toLong)) === lit(e.toLong))
+      val (adm, admBuckets, fin0) = graft.streaming.CurationStream.curateBatchWithBuckets(
+        store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+      // pin each epoch's outputs once (same floor fix as the CORRECTNESS
+      // fold): the growing store and the final union read pinned blocks
+      val admQ = adm.localCheckpoint(true)
+      val abQ = admBuckets.localCheckpoint(true)
+      val fin = fin0.localCheckpoint(true)
+      store = Some(store match {
+        case Some((sd, sb)) => (sd.unionByName(admQ), sb.unionByName(abQ))
+        case None => (admQ, abQ)
+      })
+      consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      fin.withColumn("epoch", lit(e))
+    }
+    perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
+  }
+
   private def headline(sfDir: String): Seq[(String, SparkSession => DataFrame)] = {
     def q(name: String): SparkSession => DataFrame = s => SparkEntry.queries(name)(s, sfDir)
     Seq[(String, SparkSession => DataFrame)](
@@ -343,6 +408,14 @@ object Bench {
       "emb_pca_topk" -> q("emb_pca_topk"),
       "events_funnel_stream" -> q("events_funnel_stream"),
       "events_retention_stream" -> q("events_retention_stream"),
+      // r13: the microbatch floor characterized IN EPOCHS — 1/10-epoch
+      // twins of the 3-epoch streaming folds (events_funnel_stream,
+      // pipeline_curate_stream); time(E) ~ floor + slope*E adjudicates
+      // whether the stream-vs-batch gap is a constant or grows per epoch
+      "events_funnel_stream_ep1" -> (s => funnelStreamFold(s, sfDir, 1)),
+      "events_funnel_stream_ep10" -> (s => funnelStreamFold(s, sfDir, 10)),
+      "pipeline_curate_stream_ep1" -> (s => curateStreamFold(s, sfDir, 1)),
+      "pipeline_curate_stream_ep10" -> (s => curateStreamFold(s, sfDir, 10)),
       "text_bm25_tvf_pushdown" -> q("text_bm25_tvf_pushdown"),
       "sim_topk_ivf_tvf_pushdown" -> q("sim_topk_ivf_tvf_pushdown"),
       "sim_topk_ivf_sq8_filtered" -> q("sim_topk_ivf_sq8_filtered"),
@@ -482,6 +555,8 @@ object Bench {
     "renko_14m_sorted_vs_generic_ab",
     "events_funnel", "events_funnel_stream", "events_retention",
     "events_retention_stream",
+    "events_funnel_stream_ep1", "events_funnel_stream_ep10",
+    "pipeline_curate_stream_ep1", "pipeline_curate_stream_ep10",
     "emb_covariance", "emb_pca", "emb_pca_topk", "emb_kmeans", "emb_mean_pool",
     "mm_decode_ppm", "mm_decode_png", "mm_decode_wav", "mm_decode_avi",
     "mm_resize_ppm", "mm_resample_wav",

@@ -38,6 +38,27 @@ object SparkEntry {
   private def tsUs(ev: DataFrame, c: String = "ts"): org.apache.spark.sql.Column =
     Renko.toEpochMicros(ev.schema(c).dataType, col(c), "ns")
 
+  /** One epoch of the curate-stream folds, PINNED: adm/buckets/fin are
+    * localCheckpointed so the growing store union and the final per-epoch
+    * union read materialized blocks instead of re-executing every prior
+    * epoch's full curation chain per downstream consumer (r13 microbatch-
+    * floor fix — the fold's per-epoch cost was dominated by exactly that
+    * re-execution, not by state size). Returns (new store, pinned fin).
+    */
+  private def pinCurateEpoch(
+      store: Option[(DataFrame, DataFrame)],
+      adm: DataFrame, buckets: DataFrame, fin: DataFrame)
+      : (Option[(DataFrame, DataFrame)], DataFrame) = {
+    val admQ = adm.localCheckpoint(true)
+    val bQ = buckets.localCheckpoint(true)
+    val finQ = fin.localCheckpoint(true)
+    val ns = Some(store match {
+      case Some((sd, sb)) => (sd.unionByName(admQ), sb.unionByName(bQ))
+      case None => (admQ, bQ)
+    })
+    (ns, finQ)
+  }
+
   /** events as one tick series per event_type (multi-series scan). */
   private def eventTicksByType(s: SparkSession, dir: String): DataFrame = {
     ensureConf(s)
@@ -1405,17 +1426,26 @@ object SparkEntry {
     "events_funnel_stream" -> ((s, dir) => {
       ensureConf(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
+      // the sliced source is pinned ONCE: each epoch's batch then reads
+      // memory instead of re-scanning the parquet (a real micro-batch
+      // arrives once too — r13 floor characterization showed the fold's
+      // per-epoch cost was dominated by repeated source scans, not state)
       val withE = ev.withColumn("t_us", tsUs(ev))
         .withColumn("ep", least(lit(2L),
           expr("CAST((t_us - 1704067200000000L) div 864000000000L AS BIGINT)")))
+        .localCheckpoint(true)
       var state: Option[DataFrame] = None
       val perEpoch = (0 until 3).map { e =>
         val batch = withE.filter(col("ep") === lit(e.toLong))
-        val (counts, ns) = EventAnalytics.funnelIncremental(
+        val (_, ns) = EventAnalytics.funnelIncremental(
           state, batch, Seq("signup", "view", "purchase"), col("t_us"))
-        // pinned: the state is re-probed by every later epoch
-        state = Some(ns.localCheckpoint(true))
-        counts.withColumn("epoch", lit(e.toLong))
+        // pinned: the state is re-probed by every later epoch — and the
+        // emitted counts aggregate the PINNED state, so materializing the
+        // final union can never re-execute an epoch's delta+merge
+        val nsq = ns.localCheckpoint(true)
+        state = Some(nsq)
+        EventAnalytics.funnelCounts(nsq, Seq("signup", "view", "purchase"))
+          .withColumn("epoch", lit(e.toLong))
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("step"))
     }),
@@ -1642,12 +1672,10 @@ object SparkEntry {
       var consumed = Map.empty[String, Long]
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
+        val (adm, admBuckets, fin0) = graft.streaming.CurationStream.curateBatchWithBuckets(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
-        store = Some(store match {
-          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
-          case None => (adm, admBuckets)
-        })
+        val (ns, fin) = pinCurateEpoch(store, adm, admBuckets, fin0)
+        store = ns
         consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         fin.withColumn("epoch", lit(e))
@@ -1671,21 +1699,27 @@ object SparkEntry {
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
         val st = graft.streaming.CurationStream.curateBatchStages(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+        // pin the frames with multiple consumers (store union, consumed
+        // collect, stage aggregate, final union) so none re-executes the
+        // epoch's curation chain — same r13 floor fix as the other folds
+        val admQ = st.admitted.localCheckpoint(true)
+        val abQ = st.admittedBuckets.localCheckpoint(true)
+        val curQ = st.curated.localCheckpoint(true)
         store = Some(store match {
           case Some((sd, sb)) =>
-            (sd.unionByName(st.admitted.select(col("doc_id"), col("text"))),
-              sb.unionByName(st.admittedBuckets))
+            (sd.unionByName(admQ.select(col("doc_id"), col("text"))),
+              sb.unionByName(abQ))
           case None =>
-            (st.admitted.select(col("doc_id"), col("text")), st.admittedBuckets)
+            (admQ.select(col("doc_id"), col("text")), abQ)
         })
-        consumed = consumed ++ st.curated.groupBy("lang").agg(max("cum_tokens").as("c"))
+        consumed = consumed ++ curQ.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         Seq(
           "00_input" -> st.annotated,
           "10_quality_floor" -> st.survivors,
           "20_decontaminated" -> st.clean,
-          "30_dedup_admitted" -> st.admitted,
-          "40_budget_admitted" -> st.curated)
+          "30_dedup_admitted" -> admQ,
+          "40_budget_admitted" -> curQ)
           .map { case (name, df) =>
             df.agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
@@ -1707,13 +1741,11 @@ object SparkEntry {
       var consumed = Map.empty[String, Long]
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
+        val (adm, admBuckets, fin0) = graft.streaming.CurationStream.curateBatchWithBuckets(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg),
           gopher = true)
-        store = Some(store match {
-          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
-          case None => (adm, admBuckets)
-        })
+        val (ns, fin) = pinCurateEpoch(store, adm, admBuckets, fin0)
+        store = ns
         consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         fin.withColumn("epoch", lit(e))
@@ -1735,13 +1767,11 @@ object SparkEntry {
       var consumed = Map.empty[String, Long]
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
-        val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
+        val (adm, admBuckets, fin0) = graft.streaming.CurationStream.curateBatchWithBuckets(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg),
           classifier = model)
-        store = Some(store match {
-          case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(admBuckets))
-          case None => (adm, admBuckets)
-        })
+        val (ns, fin) = pinCurateEpoch(store, adm, admBuckets, fin0)
+        store = ns
         consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         fin.withColumn("epoch", lit(e))
