@@ -72,6 +72,13 @@ object BenchSf1 {
       // the streaming fold at 10x: 3 epochs of O(batch) store joins — must
       // track the batch twin's ratio, not compound it
       "dedup_spans_stream",
+      // r13: the remaining audit-trail surface gets its 10x witness —
+      // contamination provenance is adversarial like span provenance
+      // (10x duplication multiplies every benchmark-gram witness), and a
+      // quantized serving rung proves the memory ladder's probe stays
+      // index-bounded at 10x corpus
+      "text_contamination_provenance",
+      "sim_topk_ivf_sq8_tvf",
       "dedup_clusters",
       "text_bm25_indexed", "sim_topk_ivf_indexed", "sim_topk_ivf_sq8",
       "sim_topk_ivf_pq", "sim_topk_ivf_tvf", "text_bm25_tvf",
