@@ -161,16 +161,14 @@ object Bench {
     var consumed = Map.empty[String, Long]
     val perEpoch = (0 until epochs).map { e =>
       val batch = corpus.filter(pmod(col("doc_id"), lit(epochs.toLong)) === lit(e.toLong))
-      val (adm, admBuckets, fin0) = graft.streaming.CurationStream.curateBatchWithBuckets(
+      val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
         store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
-      // pin each epoch's outputs once (same floor fix as the CORRECTNESS
-      // fold): the growing store and the final union read pinned blocks
-      val admQ = adm.localCheckpoint(true)
+      // pin the epoch's bucket side once (same floor fix as the
+      // CORRECTNESS fold — adm/fin come back already pinned)
       val abQ = admBuckets.localCheckpoint(true)
-      val fin = fin0.localCheckpoint(true)
       store = Some(store match {
-        case Some((sd, sb)) => (sd.unionByName(admQ), sb.unionByName(abQ))
-        case None => (admQ, abQ)
+        case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(abQ))
+        case None => (adm, abQ)
       })
       consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

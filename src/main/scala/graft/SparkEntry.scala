@@ -38,25 +38,24 @@ object SparkEntry {
   private def tsUs(ev: DataFrame, c: String = "ts"): org.apache.spark.sql.Column =
     Renko.toEpochMicros(ev.schema(c).dataType, col(c), "ns")
 
-  /** One epoch of the curate-stream folds, PINNED: adm/buckets/fin are
-    * localCheckpointed so the growing store union and the final per-epoch
-    * union read materialized blocks instead of re-executing every prior
-    * epoch's full curation chain per downstream consumer (r13 microbatch-
-    * floor fix — the fold's per-epoch cost was dominated by exactly that
-    * re-execution, not by state size). Returns (new store, pinned fin).
+  /** One epoch of the curate-stream folds, PINNED: the epoch's bucket
+    * table is localCheckpointed before joining the growing store — it is
+    * the one LAZY output of `curateBatchWithBuckets` (adm and fin come
+    * back already pinned by `curateBatchStages`), anchored on the epoch's
+    * LSH decision, so an unpinned store side re-executed every prior
+    * epoch's signature work once per later epoch (r13 microbatch-floor
+    * fix). Returns (new store, fin unchanged).
     */
   private def pinCurateEpoch(
       store: Option[(DataFrame, DataFrame)],
       adm: DataFrame, buckets: DataFrame, fin: DataFrame)
       : (Option[(DataFrame, DataFrame)], DataFrame) = {
-    val admQ = adm.localCheckpoint(true)
     val bQ = buckets.localCheckpoint(true)
-    val finQ = fin.localCheckpoint(true)
     val ns = Some(store match {
-      case Some((sd, sb)) => (sd.unionByName(admQ), sb.unionByName(bQ))
-      case None => (admQ, bQ)
+      case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(bQ))
+      case None => (adm, bQ)
     })
-    (ns, finQ)
+    (ns, fin)
   }
 
   /** events as one tick series per event_type (multi-series scan). */
@@ -1455,17 +1454,21 @@ object SparkEntry {
     "events_retention_stream" -> ((s, dir) => {
       ensureConf(s)
       val ev = s.read.parquet(s"$dir/events.parquet")
+      // same two floor fixes as events_funnel_stream (r13): slice once,
+      // and emit counts aggregated over the PINNED stores
       val withE = ev.withColumn("t_us", tsUs(ev))
         .withColumn("ep", least(lit(2L),
           expr("CAST((t_us - 1704067200000000L) div 864000000000L AS BIGINT)")))
+        .localCheckpoint(true)
       var state: Option[(DataFrame, DataFrame)] = None
       val perEpoch = (0 until 3).map { e =>
         val batch = withE.filter(col("ep") === lit(e.toLong))
-        val (counts, ns) = EventAnalytics.retentionIncremental(
+        val (_, ns) = EventAnalytics.retentionIncremental(
           state, batch, col("t_us"))
         // pinned: both stores are re-probed by every later epoch
-        state = Some((ns._1.localCheckpoint(true), ns._2.localCheckpoint(true)))
-        counts.withColumn("epoch", lit(e.toLong))
+        val (f, a) = (ns._1.localCheckpoint(true), ns._2.localCheckpoint(true))
+        state = Some((f, a))
+        EventAnalytics.retentionCounts(f, a).withColumn("epoch", lit(e.toLong))
       }
       perEpoch.reduce(_.unionByName(_))
         .orderBy(col("epoch"), col("cohort_week"), col("week_offset"))
@@ -1699,27 +1702,26 @@ object SparkEntry {
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
         val st = graft.streaming.CurationStream.curateBatchStages(
           store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
-        // pin the frames with multiple consumers (store union, consumed
-        // collect, stage aggregate, final union) so none re-executes the
-        // epoch's curation chain — same r13 floor fix as the other folds
-        val admQ = st.admitted.localCheckpoint(true)
+        // pin the epoch's bucket side before it joins the growing store
+        // (st.admitted/st.curated are already pinned by curateBatchStages;
+        // the bucket table is the one lazy multi-epoch dependency) — same
+        // r13 floor fix as the other folds
         val abQ = st.admittedBuckets.localCheckpoint(true)
-        val curQ = st.curated.localCheckpoint(true)
         store = Some(store match {
           case Some((sd, sb)) =>
-            (sd.unionByName(admQ.select(col("doc_id"), col("text"))),
+            (sd.unionByName(st.admitted.select(col("doc_id"), col("text"))),
               sb.unionByName(abQ))
           case None =>
-            (admQ.select(col("doc_id"), col("text")), abQ)
+            (st.admitted.select(col("doc_id"), col("text")), abQ)
         })
-        consumed = consumed ++ curQ.groupBy("lang").agg(max("cum_tokens").as("c"))
+        consumed = consumed ++ st.curated.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         Seq(
           "00_input" -> st.annotated,
           "10_quality_floor" -> st.survivors,
           "20_decontaminated" -> st.clean,
-          "30_dedup_admitted" -> admQ,
-          "40_budget_admitted" -> curQ)
+          "30_dedup_admitted" -> st.admitted,
+          "40_budget_admitted" -> st.curated)
           .map { case (name, df) =>
             df.agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))

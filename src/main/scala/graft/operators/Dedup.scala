@@ -1001,7 +1001,8 @@ object Dedup {
     val (tok, gramsLazy) = incrementalTokGrams(batch, k, idCol, textCol)
     val grams = gramsLazy.localCheckpoint(true)
     val (out, delta) = spanStatsCore(grams, seen)
-    (out, spanCleanCore(tok, grams, seen, k), delta, () => { grams.unpersist(); () })
+    (out, spanCleanCore(tok, grams, seen, k), delta,
+      () => graft.util.LocalCkpt.release(grams))
   }
 
   /** One admission decision of the STREAMING span removal (the cleanup

@@ -181,11 +181,18 @@ object EventAnalytics {
           a.unionByName(batchActive.join(a, Seq("u", "w"), "left_anti")))
       case None => (batchFirsts, batchActive)
     }
-    val counts = active.join(firsts, Seq("u"))
+    (retentionCounts(firsts, active), (firsts, active))
+  }
+
+  /** The retention rollup over a (firsts, active) store pair — exposed so
+    * a fold can aggregate its PINNED stores (materializing the emitted
+    * union then reads checkpointed blocks instead of re-executing every
+    * epoch's merge, the r13 microbatch-floor fix).
+    */
+  def retentionCounts(firsts: DataFrame, active: DataFrame): DataFrame =
+    active.join(firsts, Seq("u"))
       .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
-    (counts, (firsts, active))
-  }
 
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their FIRST event, and counted once per (cohort, week-offset) they

@@ -237,18 +237,26 @@ object CurationStream {
           // unique per decision (same rule as the admission store): replays
           // re-decide instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-          if (!adm.isEmpty) {
-            adm.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
-            admBuckets
-              .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
-            // the commit side: the epoch exists only once this lands
-            fin.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")
-            // auto-compaction dial: keep the per-trigger store read
-            // file-bounded without a manual maintenance call (unique
-            // epoch ids make compacting everything replay-safe)
-            if (maxLiveEpochs > 0 &&
-                store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
-              compactStore(spark, storeDir)
+          try {
+            if (!adm.isEmpty) {
+              adm.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
+              admBuckets
+                .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
+              // the commit side: the epoch exists only once this lands
+              fin.write.mode("overwrite").parquet(s"$storeDir/out/batch=$epoch")
+              // auto-compaction dial: keep the per-trigger store read
+              // file-bounded without a manual maintenance call (unique
+              // epoch ids make compacting everything replay-safe)
+              if (maxLiveEpochs > 0 &&
+                  store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
+                compactStore(spark, storeDir)
+            }
+          } finally {
+            // free the epoch's pinned blocks (curateBatchStages checkpoints
+            // adm/fin eagerly) — a long-running stream must not accumulate
+            // checkpointed RDDs (same discipline as SpanAdmission)
+            graft.util.LocalCkpt.release(adm)
+            graft.util.LocalCkpt.release(fin)
           }
         }
       }

@@ -45,13 +45,16 @@ object DriftMonitor {
         "(never fold the newest epoch) to keep replays safe")
     st.uncommitEpoch(spark, epoch)
     val batchCounts = CorpusDiff.tokenCounts(batch, "new").localCheckpoint(true)
-    val oldCounts = readCounts(spark, storeDir).getOrElse(
-      batchCounts.select(col("source"), col("tok"), col("c_new").as("c_old")).limit(0))
-    val report = CorpusDiff.driftFromCounts(oldCounts, batchCounts)
-      .withColumn("epoch", lit(batchId))
-    batchCounts.select(col("source"), col("tok"), col("c_new").as("cnt"))
-      .write.mode("overwrite").parquet(st.sideDir("counts", epoch))
-    report.write.mode("overwrite").parquet(st.sideDir("reports", epoch))
+    try {
+      val oldCounts = readCounts(spark, storeDir).getOrElse(
+        batchCounts.select(col("source"), col("tok"), col("c_new").as("c_old")).limit(0))
+      val report = CorpusDiff.driftFromCounts(oldCounts, batchCounts)
+        .withColumn("epoch", lit(batchId))
+      batchCounts.select(col("source"), col("tok"), col("c_new").as("cnt"))
+        .write.mode("overwrite").parquet(st.sideDir("counts", epoch))
+      report.write.mode("overwrite").parquet(st.sideDir("reports", epoch))
+    } finally graft.util.LocalCkpt.release(batchCounts) // long-running
+    // streams must not accumulate per-epoch checkpoint blocks
   }
 
   /** Start the monitor: `stream` must carry (source, text).

@@ -50,12 +50,15 @@ object FunnelStream {
     val resolved = readState(spark, storeDir)
     val delta = EventAnalytics.funnelDelta(resolved, batch, steps, col(tsColName))
       .localCheckpoint(true)
-    delta.write.mode("overwrite").parquet(st.sideDir("state", epoch))
-    val newState = resolved.join(delta.select(col("u")), Seq("u"), "left_anti")
-      .unionByName(delta)
-    EventAnalytics.funnelCounts(newState, steps)
-      .withColumn("epoch", lit(batchId))
-      .write.mode("overwrite").parquet(st.sideDir("out", epoch))
+    try {
+      delta.write.mode("overwrite").parquet(st.sideDir("state", epoch))
+      val newState = resolved.join(delta.select(col("u")), Seq("u"), "left_anti")
+        .unionByName(delta)
+      EventAnalytics.funnelCounts(newState, steps)
+        .withColumn("epoch", lit(batchId))
+        .write.mode("overwrite").parquet(st.sideDir("out", epoch))
+    } finally graft.util.LocalCkpt.release(delta) // long-running streams
+    // must not accumulate per-epoch checkpoint blocks
   }
 
   /** The resolved (u, level, tp) frontier over every committed epoch:

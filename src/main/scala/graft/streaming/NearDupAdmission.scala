@@ -262,14 +262,17 @@ object NearDupAdmission {
     // the admitted frame is consumed twice (docs write + bucket derivation)
     // and downstream of an expensive LSH decision — materialize it once
     val pinned = admitted.select(col(idCol), col(textCol)).localCheckpoint(true)
-    if (!pinned.isEmpty) {
-      pinned.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
-      // with the decision's bucket table in hand the snapshot is a filter
-      // of it, never a re-signature; the seed path (no decision ran)
-      // derives buckets the one time
-      batchBuckets.map(bucketsOfAdmitted(_, pinned, idCol))
-        .getOrElse(Dedup.minhashBucketsFor(pinned, params, idCol, textCol))
-        .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
-    }
+    try {
+      if (!pinned.isEmpty) {
+        pinned.write.mode("overwrite").parquet(s"$storeDir/docs/batch=$epoch")
+        // with the decision's bucket table in hand the snapshot is a filter
+        // of it, never a re-signature; the seed path (no decision ran)
+        // derives buckets the one time
+        batchBuckets.map(bucketsOfAdmitted(_, pinned, idCol))
+          .getOrElse(Dedup.minhashBucketsFor(pinned, params, idCol, textCol))
+          .write.mode("overwrite").parquet(s"$storeDir/buckets/batch=$epoch")
+      }
+    } finally graft.util.LocalCkpt.release(pinned) // long-running streams
+    // must not accumulate per-epoch checkpoint blocks
   }
 }
