@@ -178,7 +178,14 @@ object CurationStream {
     val overlap = Decontamination.overlapReportPrepared(
       surv.select(col("doc_id"), col("text")),
       benchGrams.getOrElse(Decontamination.benchGramsOf(bench)))
+    // LAZY checkpoint: the decontamination anti-join (a gram explode over
+    // the survivors) is the chain's most expensive stage and has two
+    // consumers in the funnel fold (the admission decision AND the
+    // "20_decontaminated" stage aggregate) — the first execution stores
+    // the blocks, the second reads them. A consumer that never runs it
+    // (the production stream reads only adm/buckets/fin) never pays it.
     val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     // 3: near-dup admission (annotations ride along: the admit functions
     // anti-join rejects off the frame they are given)
     val (admLazy, batchBuckets) =
