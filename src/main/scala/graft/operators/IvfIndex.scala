@@ -742,7 +742,11 @@ object IvfIndex {
           .withColumn("cid", col("cid").cast("long"))
           .filter(col("cid").isin(probedCids: _*))
       } else {
-        val sch = spark.read.parquet(dirs.head).schema
+        // leaf schema is identical across every tree's cid dirs — cached
+        // per index state so repeated probes skip the footer-read job
+        val sch = graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.leafSchema") {
+          spark.read.parquet(dirs.head).schema
+        }
         pre(spark.read.schema(sch).parquet(dirs: _*))
           .withColumn("cid",
             regexp_extract(input_file_name(), "cid=(\\d+)", 1).cast("long"))
@@ -756,20 +760,31 @@ object IvfIndex {
     }
   }
 
-  /** The driver-resident PQ codebook (numSubspaces · ksub rows, tiny). */
+  /** The driver-resident PQ codebook (numSubspaces · ksub rows, tiny).
+    * Cached per index state ([[graft.util.IndexMetaCache]]): the codebook
+    * is frozen at build time, so repeated probes skip the read job.
+    */
   private def readPqCodebook(
-      spark: SparkSession, path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/pq").orderBy(col("m"), col("j")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    rows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3)).toArray
-  }
+      spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.pq") {
+      val rows = spark.read.parquet(s"$path/pq").orderBy(col("m"), col("j")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)).toArray
+    }
 
-  /** The driver-resident coarse quantizer (≤ nlist rows by design). */
+  /** The driver-resident coarse quantizer (≤ nlist rows by design).
+    * Cached per index state: the quantizer is FROZEN across appends and
+    * deletes by the index contract, and a rebuild at the same path
+    * changes the FS signature — so serving probes stop paying a collect
+    * job per probe for rows that cannot have changed.
+    */
   private def readCentroids(
       spark: SparkSession, path: String): Array[(Long, Array[Double], Double)] =
-    spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.centroids") {
+      spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    }
 
   /** Probe a quantized index ([[writeQuantized]]): rank each probed list's
     * members by int8-dot cosine (per-vector scales cancel), keep
@@ -897,13 +912,14 @@ object IvfIndex {
     listFields(spark, path).map(_.name).toSet
 
   private def listFields(
-      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
-    val roots = listRoots(spark, path)
-    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
-    graft.util.ProbePlanning.withDriverListing(spark) {
-      spark.read.parquet(roots.head).schema.fields.toSeq
+      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.listFields") {
+      val roots = listRoots(spark, path)
+      require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+      graft.util.ProbePlanning.withDriverListing(spark) {
+        spark.read.parquet(roots.head).schema.fields.toSeq
+      }
     }
-  }
 
   /** The metadata columns a probe's output carries, WITH their stored
     * types — what the serving TVF needs to declare its output schema

@@ -265,13 +265,18 @@ object TextIndex {
     * many epochs are live, instead of one per tree.
     */
   private def sumMetas(
-      spark: SparkSession, path: String, trees: Seq[String]): (Long, Long, Int) = {
-    val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
-      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
-        max(col("n_buckets")).as("b"))
-      .collect().head
-    (r.getLong(0), r.getLong(1), r.getInt(2))
-  }
+      spark: SparkSession, path: String, trees: Seq[String]): (Long, Long, Int) =
+    // cached per index state (the tree set is itself a function of that
+    // state, so it rides the signature): probes stop paying a stats
+    // aggregate job for sums that cannot have changed
+    graft.util.IndexMetaCache.getOrCompute(
+      spark, path, s"lex.sumMetas:${trees.mkString(",")}") {
+      val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
+        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
+          max(col("n_buckets")).as("b"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    }
 
   /** (deleted docs, deleted token mass) of the live tombstone set — the
     * sums coalesce to 0 so an empty tombstone epoch (a [[delete]] call with
@@ -427,11 +432,12 @@ object TextIndex {
   /** Bucket count of the build, read from any live tree's meta (every
     * tree carries it; the base pair may have been compacted away).
     */
-  private def liveNBuckets(spark: SparkSession, path: String): Int = {
-    val trees = liveTrees(spark, path)
-    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-    spark.read.parquet(treeMeta(path, trees.head)).collect().head.getAs[Int]("n_buckets")
-  }
+  private def liveNBuckets(spark: SparkSession, path: String): Int =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.nBuckets") {
+      val trees = liveTrees(spark, path)
+      require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+      spark.read.parquet(treeMeta(path, trees.head)).collect().head.getAs[Int]("n_buckets")
+    }
 
   private def rawEpochs(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(s"$path/epochs")
@@ -570,10 +576,12 @@ object TextIndex {
     // metadata of the tree root, not a data column — drop it).
     val sch =
       if (predicate.isEmpty && metaCols.isEmpty) PostingsDataSchema
-      else graft.util.ProbePlanning.withDriverListing(spark) {
-        org.apache.spark.sql.types.StructType(
-          spark.read.parquet(treePostings(path, trees.head)).schema
-            .filterNot(_.name == "bucket"))
+      else graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.postingsSchema") {
+        graft.util.ProbePlanning.withDriverListing(spark) {
+          org.apache.spark.sql.types.StructType(
+            spark.read.parquet(treePostings(path, trees.head)).schema
+              .filterNot(_.name == "bucket"))
+        }
       }
     val masked =
       if (prunedDirs.isEmpty)
@@ -622,10 +630,12 @@ object TextIndex {
     */
   def metaColFields(
       spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
-    val trees = liveTrees(spark, path)
-    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-    val fields = graft.util.ProbePlanning.withDriverListing(spark) {
-      spark.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
+    val fields = graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.treeFields") {
+      val trees = liveTrees(spark, path)
+      require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+      graft.util.ProbePlanning.withDriverListing(spark) {
+        spark.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
+      }
     }
     fields.filter(f => !ReservedPostingCols.contains(f.name)).sortBy(_.name)
   }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.util.IndexMetaCache
+import org.apache.spark.sql.functions._
+
+/** Pins [[graft.util.IndexMetaCache]]'s invalidation contract: the FS
+  * signature must change under every mutation the index stores can
+  * perform (new epoch dir, commit-marker move inside a data dir, rebuild
+  * that only rewrites file contents), and must be stable when nothing
+  * changed — a stale `true` here would mean probes serve old centroids
+  * or stats after an append/delete.
+  */
+class IndexMetaCacheSpec extends SparkTestBase {
+
+  private def tmp(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft-metacache").toFile
+    d
+  }
+
+  test("signature stable when untouched; cache hit returns without recompute") {
+    val d = tmp()
+    new java.io.File(d, "meta").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, "meta/part-0").toPath, "x")
+    val s1 = IndexMetaCache.signature(spark, d.toString)
+    val s2 = IndexMetaCache.signature(spark, d.toString)
+    assert(s1 == s2)
+    var computes = 0
+    def get(): Int = IndexMetaCache.getOrCompute(spark, d.toString, "t") { computes += 1; 42 }
+    assert(get() == 42 && get() == 42 && computes == 1,
+      "second call must be a cache hit")
+  }
+
+  test("signature changes on: new epoch dir, _SUCCESS move in a data dir, content rewrite") {
+    val d = tmp()
+    new java.io.File(d, "lists").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, "lists/_SUCCESS").toPath, "")
+    java.nio.file.Files.writeString(new java.io.File(d, "lists/part-0").toPath, "data")
+    val s0 = IndexMetaCache.signature(spark, d.toString)
+
+    // append: a new epoch directory appears
+    new java.io.File(d, "epochs/e1/lists").mkdirs()
+    val s1 = IndexMetaCache.signature(spark, d.toString)
+    assert(s1 != s0, "a new epoch dir must change the signature")
+
+    // uncommit: the _SUCCESS marker inside a (non-descended) data dir moves
+    new java.io.File(d, "lists/_SUCCESS").delete()
+    val s2 = IndexMetaCache.signature(spark, d.toString)
+    assert(s2 != s1, "removing a data-dir commit marker must change the signature")
+
+    // rebuild: same file name, different length (mtime may tie on fast FS)
+    java.nio.file.Files.writeString(new java.io.File(d, "lists/part-0").toPath, "rebuilt!")
+    val s3 = IndexMetaCache.signature(spark, d.toString)
+    assert(s3 != s2, "rewriting a data file (length change) must change the signature")
+  }
+
+  test("getOrCompute recomputes after a mutation") {
+    val d = tmp()
+    new java.io.File(d, "centroids").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, "centroids/part-0").toPath, "a")
+    var src = "v1"
+    def get(): String = IndexMetaCache.getOrCompute(spark, d.toString, "v") { src }
+    assert(get() == "v1")
+    src = "v2"
+    assert(get() == "v1", "unchanged index must serve the cached value")
+    java.nio.file.Files.writeString(new java.io.File(d, "centroids/part-1").toPath, "b")
+    assert(get() == "v2", "a mutated index must recompute")
+  }
+
+  test("end-to-end: probe reflects an append and a delete made after a cached probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-metacache-ivf").toString
+    operators.IvfIndex.write(emb.filter(col("vec_id") < 400), path)
+    val q = emb.filter(col("vec_id") < 3)
+    val r1 = operators.IvfIndex.probe(spark, path, q, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    // warm every cache entry, then mutate
+    val r1b = operators.IvfIndex.probe(spark, path, q, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(r1 == r1b)
+    operators.IvfIndex.append(emb.filter(col("vec_id") >= 400), path)
+    val r2 = operators.IvfIndex.probe(spark, path, q, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(r1 != r2, "an appended epoch must be served (stale cache would hide it)")
+    val full = java.nio.file.Files.createTempDirectory("graft-metacache-full").toString
+    operators.IvfIndex.write(emb, full)
+    val rFull = operators.IvfIndex.probe(spark, full, q, 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(r2 == rFull, "appended index must equal the full rebuild bit-for-bit")
+  }
+}
