@@ -86,7 +86,15 @@ object CurationStream {
       clean: DataFrame,
       admitted: DataFrame,
       admittedBuckets: DataFrame,
-      curated: DataFrame)
+      curated: DataFrame,
+      // frees every checkpoint block this decision pinned (the eager
+      // adm/fin pins AND the lazy internal ones — the decontaminated
+      // frame, the gate keep sets). Call ONLY when no frame of this epoch
+      // will be read again: localCheckpoint truncates lineage, so a
+      // released block cannot be recomputed. The production stream calls
+      // it after its side writes; the batch folds (which union stage
+      // frames across epochs) never do.
+      release: () => Unit)
 
   /** [[curateBatch]] plus the admitted docs' LSH bucket rows (semi-joined
     * off the decision's own bucket table — the batch is signatured once per
@@ -135,6 +143,9 @@ object CurationStream {
       classifier: Option[(DataFrame, Long)] = None,
       minScoreMicro: Long = 0L,
       gopher: Boolean = false): CurateStages = {
+    // every checkpoint this decision creates, eager or lazy, registers
+    // here — the CurateStages release handle frees them all at once
+    val pins = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
@@ -153,6 +164,7 @@ object CurationStream {
         val keep = TextAnalysis.gopherRules(heur0.select(col("doc_id"), col("text")))
           .filter(col("keep")).select(col("doc_id"))
           .localCheckpoint(false)
+        pins += keep
         heur0.join(keep, Seq("doc_id"), "left_semi")
       }
     // 1b: learned quality gate against a PRE-TRAINED model (the seeds are
@@ -168,6 +180,7 @@ object CurationStream {
           .filter(col("score_micro") >= lit(minScoreMicro))
           .select(col("doc_id"))
           .localCheckpoint(false)
+        pins += keep
         heur.join(keep, Seq("doc_id"), "left_semi")
       case None => heur
     }
@@ -182,15 +195,19 @@ object CurationStream {
     // the survivors) is the chain's most expensive stage and has two
     // consumers in the funnel fold (the admission decision AND the
     // "20_decontaminated" stage aggregate) — the first execution stores
-    // the blocks, the second reads them. A consumer that never runs it
-    // (the production stream reads only adm/buckets/fin) never pays it.
+    // the blocks, the second reads them. The production stream pays the
+    // storage too (its admission consumes clean), which is why its epoch
+    // loop MUST call the release handle after its side writes land.
     val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(false)
+    pins += clean
     // 3: near-dup admission (annotations ride along: the admit functions
     // anti-join rejects off the frame they are given)
     val (admLazy, batchBuckets) =
       NearDupAdmission.admitBatchWithBuckets(store, clean, dedupThreshold, params)
+    pins += batchBuckets // the admission's lazy bucket-table pin
     val adm = admLazy.localCheckpoint(true)
+    pins += adm
     // 4: budget gate over the survivors, resuming from `consumed`; within
     // the batch admission order is doc_id order (deterministic)
     val badm = BudgetAdmission.admitBatch(
@@ -200,8 +217,10 @@ object CurationStream {
         col("n_tokens"), col("quality_score"))
       .join(badm.select(col("doc_id"), col("cum_tokens")), Seq("doc_id"))
       .localCheckpoint(true)
+    pins += fin
     CurateStages(annotated, heur, surv, clean, adm,
-      NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin)
+      NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin,
+      () => pins.foreach(graft.util.LocalCkpt.release))
   }
 
   /** Start the streaming chain: `stream` must carry (doc_id, `langCol`,
@@ -236,11 +255,13 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val (adm, admBuckets, fin) = curateBatchWithBuckets(
+          val st0 = curateBatchStages(
             readStore(spark, storeDir), readConsumed(spark, storeDir, langCol),
             batch, bench, budget, minTokens, minQuality, dedupThreshold, params, langCol,
             benchGrams = Some(benchGrams), classifier = model,
             minScoreMicro = minScoreMicro, gopher = gopher)
+          val (adm, admBuckets, fin) =
+            (st0.admitted.select(col("doc_id"), col("text")), st0.admittedBuckets, st0.curated)
           // unique per decision (same rule as the admission store): replays
           // re-decide instead of colliding with a committed epoch
           val epoch = f"$batchId%08d-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -258,13 +279,10 @@ object CurationStream {
                   store(storeDir).committedEpochs(spark).size > maxLiveEpochs)
                 compactStore(spark, storeDir)
             }
-          } finally {
-            // free the epoch's pinned blocks (curateBatchStages checkpoints
-            // adm/fin eagerly) — a long-running stream must not accumulate
-            // checkpointed RDDs (same discipline as SpanAdmission)
-            graft.util.LocalCkpt.release(adm)
-            graft.util.LocalCkpt.release(fin)
-          }
+          } finally st0.release() // free EVERY checkpoint this epoch
+          // pinned (adm/fin eager, clean/keep-set lazy) — a long-running
+          // stream must not accumulate them (same discipline as
+          // SpanAdmission); nothing of the epoch is read after the writes
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -104,6 +104,42 @@ class CurationStreamSpec extends SparkTestBase {
       "at least one stratum should exhaust its budget")
   }
 
+  test("epoch checkpoints are released: stream storage does not grow per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def storedIds(): Set[Int] = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val before = storedIds()
+    val storeDir = Files.createTempDirectory("curation_leak").toString
+    val stream = MemoryStream[(Long, String, String)]
+    val q = CurationStream.start(
+      stream.toDF().toDF("doc_id", "lang", "text"), bench, storeDir,
+      Files.createTempDirectory("curation_leak_ckpt").toString, Budget,
+      trigger = Trigger.ProcessingTime(0L))
+    // each epoch pins ~4 frames (adm, fin, clean, keep sets); without the
+    // release handle every epoch would ADD that many lingering checkpoint
+    // RDDs. Per-stream pins (benchGrams) and framework residue are
+    // epoch-count-independent, so the pin is on GROWTH between an early
+    // and a late snapshot, with a drain window for the async unpersists
+    def settled(base: Set[Int], slack: Int): Set[Int] = {
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      var extra = storedIds() -- base
+      while (extra.size > slack && System.nanoTime() < deadline) {
+        Thread.sleep(100); extra = storedIds() -- base
+      }
+      extra
+    }
+    try {
+      stream.addData(epochRows(0)); q.processAllAvailable()
+      val afterFirst = storedIds()
+      for (e <- 1 until 4) { stream.addData(epochRows(e)); q.processAllAvailable() }
+      val grown = settled(afterFirst, slack = 2)
+      assert(grown.size <= 2,
+        s"3 further epochs must not accumulate checkpoint blocks " +
+          s"(~4/epoch without the release handle); new lingering RDDs: $grown")
+    } finally q.stop()
+    settled(before, slack = Int.MaxValue) // drain before the next test
+  }
+
   test("store compaction: readers unchanged, crash-mid-sweep invisible, re-offers still reject") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
