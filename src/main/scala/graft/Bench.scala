@@ -473,7 +473,7 @@ object Bench {
               })), 10.minutes)
           } finally pool.shutdown()
         val sorted = lats.sorted
-        Renko.logPhase("conc8 p50", sorted(sorted.size / 2 - 1))
+        Renko.logPhase("conc8 p50", medianOf(sorted))
         Renko.logPhase("conc8 max", sorted.last)
         s.range(sorted.size.toLong).toDF()
       }),
@@ -762,6 +762,13 @@ object Bench {
   /** (1-min loadavg, "running/total" run-queue field) from /proc/loadavg.
     * The open itself is inside the try: a non-Linux host degrades to the
     * default instead of crashing the bench (r6 advice). */
+  /** Conventional median: mean of the two middle values on even counts
+    * (the old lower-median read biased the conc8 p50 low — ADVICE r13).
+    */
+  private def medianOf(sorted: Seq[Double]): Double =
+    if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+
   private def loadAvg(): (Double, String) =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")

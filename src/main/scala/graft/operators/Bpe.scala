@@ -222,7 +222,9 @@ object Bpe {
     if (nRows <= maxDriverWords &&
         estDriverBytes(nRows, nChars) <= maxDriverBytes) {
       val out = learnDriver(words, nMerges)
-      words.unpersist()
+      // words is a localCheckpoint: Dataset.unpersist() would be a no-op
+      // on its blocks (see graft.util.LocalCkpt) — release them explicitly
+      graft.util.LocalCkpt.release(words)
       return out
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -269,7 +271,9 @@ object Bpe {
             array_sort(collect_list(struct(col("pos"), col("osym")))),
             t => t.getField("osym")).as("sym"))
         val next = out.localCheckpoint(true)
-        words.unpersist()
+        // `next` is eager, so the previous round's checkpoint blocks are
+        // no longer reachable — free them now (unpersist() can't)
+        graft.util.LocalCkpt.release(words)
         words = next
       }
     }

@@ -148,6 +148,7 @@ object IvfIndex {
       if (filesPerList <= 1) assigned.repartition(col("cid"))
       else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   /** Build a QUANTIZED index: like [[write]], but each inverted list also
@@ -188,6 +189,7 @@ object IvfIndex {
       if (filesPerList <= 1) assigned.repartition(col("cid"))
       else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   /** Build a PRODUCT-QUANTIZED index: the memory-ladder rung above SQ8
@@ -246,6 +248,7 @@ object IvfIndex {
       if (filesPerList <= 1) assigned.repartition(col("cid"))
       else assigned.repartition(col("cid"), pmod(xxhash64(col("id")), lit(filesPerList.toLong)))
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   /** Probe a PQ index ([[writePq]]): rank each probed list's members by the
@@ -439,6 +442,7 @@ object IvfIndex {
     val epoch = epochId.getOrElse(
       f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
+    graft.util.IndexMetaCache.stamp(spark, path)
     // auto-compaction dial (same as the streaming ingesters'): once more
     // than `maxLiveTrees` trees serve, fold all but the newest epoch into
     // one compact tree — probe planning cost stays flat across unbounded
@@ -481,6 +485,7 @@ object IvfIndex {
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/tombstones/$epoch")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   /** Every tombstone epoch directory name, committed or not. */
@@ -614,6 +619,7 @@ object IvfIndex {
       try out.write((roots.map(_._1) ++ tombstones.map(e => s"tombstones/$e"))
         .mkString("\n").getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/lists/_MERGED"))
+      graft.util.IndexMetaCache.stamp(spark, path)
     }
     if (sweep) sweepMerged(spark, path)
   }
@@ -734,10 +740,10 @@ object IvfIndex {
     // (nondeterministic), which blocks predicate pushdown through it — a
     // filter added above that projection never reaches PushedFilters
     def pre(df: DataFrame): DataFrame = predicate.map(df.filter).getOrElse(df)
-    val all = graft.util.ProbePlanning.withDriverListing(spark) {
+    val all = graft.util.ProbePlanning.withDriverListing(spark) { ss =>
       if (dirs.isEmpty) {
-        val firstTree = spark.read.parquet(roots.head)
-        pre((firstTree +: roots.tail.map(r => spark.read.schema(firstTree.schema).parquet(r)))
+        val firstTree = ss.read.parquet(roots.head)
+        pre((firstTree +: roots.tail.map(r => ss.read.schema(firstTree.schema).parquet(r)))
           .reduce(_.unionByName(_)))
           .withColumn("cid", col("cid").cast("long"))
           .filter(col("cid").isin(probedCids: _*))
@@ -745,9 +751,9 @@ object IvfIndex {
         // leaf schema is identical across every tree's cid dirs — cached
         // per index state so repeated probes skip the footer-read job
         val sch = graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.leafSchema") {
-          spark.read.parquet(dirs.head).schema
+          ss.read.parquet(dirs.head).schema
         }
-        pre(spark.read.schema(sch).parquet(dirs: _*))
+        pre(ss.read.schema(sch).parquet(dirs: _*))
           .withColumn("cid",
             regexp_extract(input_file_name(), "cid=(\\d+)", 1).cast("long"))
       }
@@ -916,8 +922,8 @@ object IvfIndex {
     graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.listFields") {
       val roots = listRoots(spark, path)
       require(roots.nonEmpty, s"no index lists at $path — build with write() first")
-      graft.util.ProbePlanning.withDriverListing(spark) {
-        spark.read.parquet(roots.head).schema.fields.toSeq
+      graft.util.ProbePlanning.withDriverListing(spark) { ss =>
+        ss.read.parquet(roots.head).schema.fields.toSeq
       }
     }
 

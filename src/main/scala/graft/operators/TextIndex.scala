@@ -153,6 +153,7 @@ object TextIndex {
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     meta.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   /** Append a batch of NEW documents as a committed epoch under the base
@@ -196,6 +197,7 @@ object TextIndex {
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    graft.util.IndexMetaCache.stamp(spark, path)
     // auto-compaction dial (same as the streaming ingesters'): once more
     // than `maxLiveTrees` trees serve, fold all but the newest epoch into
     // one compact tree — probe planning cost stays flat across unbounded
@@ -231,6 +233,7 @@ object TextIndex {
         size(tokens(col(textCol))).cast("long").as("dl"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/tombstones/$epoch")
+    graft.util.IndexMetaCache.stamp(spark, path)
   }
 
   private def rawTombstones(spark: SparkSession, path: String): Seq[String] = {
@@ -269,8 +272,14 @@ object TextIndex {
     // cached per index state (the tree set is itself a function of that
     // state, so it rides the signature): probes stop paying a stats
     // aggregate job for sums that cannot have changed
+    // the kind key carries a DIGEST of the tree subset (compaction sums a
+    // strict subset of the live trees, so the subset is part of the value's
+    // identity) — digested so key size stays fixed, and any signature
+    // change drops the whole per-path group anyway (ADVICE r13)
     graft.util.IndexMetaCache.getOrCompute(
-      spark, path, s"lex.sumMetas:${trees.mkString(",")}") {
+      spark, path, "lex.sumMetas:" + java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(trees.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8)))) {
       val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
         .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
           max(col("n_buckets")).as("b"))
@@ -368,6 +377,7 @@ object TextIndex {
       try out.write((trees ++ tombs.map(e => s"tombstones/$e"))
         .mkString("\n").getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/postings/_MERGED"))
+      graft.util.IndexMetaCache.stamp(spark, path)
     }
     if (sweep) sweepMerged(spark, path)
   }
@@ -577,9 +587,9 @@ object TextIndex {
     val sch =
       if (predicate.isEmpty && metaCols.isEmpty) PostingsDataSchema
       else graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.postingsSchema") {
-        graft.util.ProbePlanning.withDriverListing(spark) {
+        graft.util.ProbePlanning.withDriverListing(spark) { ss =>
           org.apache.spark.sql.types.StructType(
-            spark.read.parquet(treePostings(path, trees.head)).schema
+            ss.read.parquet(treePostings(path, trees.head)).schema
               .filterNot(_.name == "bucket"))
         }
       }
@@ -587,8 +597,8 @@ object TextIndex {
       if (prunedDirs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else graft.util.ProbePlanning.withDriverListing(spark) {
-        spark.read.schema(sch).parquet(prunedDirs: _*)
+      else graft.util.ProbePlanning.withDriverListing(spark) { ss =>
+        ss.read.schema(sch).parquet(prunedDirs: _*)
       }.filter(col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = tombstones match {
         case Some(t) =>
@@ -633,8 +643,8 @@ object TextIndex {
     val fields = graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.treeFields") {
       val trees = liveTrees(spark, path)
       require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-      graft.util.ProbePlanning.withDriverListing(spark) {
-        spark.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
+      graft.util.ProbePlanning.withDriverListing(spark) { ss =>
+        ss.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
       }
     }
     fields.filter(f => !ReservedPostingCols.contains(f.name)).sortBy(_.name)

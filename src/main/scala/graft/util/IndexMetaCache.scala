@@ -20,13 +20,30 @@ import org.apache.spark.sql.SparkSession
   * directories (lists/postings/docs/buckets — recorded at one level, so
   * their `_SUCCESS` commit markers and cid=/bucket= membership are still
   * covered, but the thousands of immutable part files are not walked).
-  * Every mutation the stores can perform — append epoch, tombstone
-  * delete, compaction, uncommit-then-rewrite, full rebuild at the same
-  * path — changes that surface, because trees are write-once and all
-  * commit protocols move `_SUCCESS` markers or add/remove directories.
   * Pure driver-side FS listing: no Spark job, sub-ms on local/HDFS
   * metadata, one LIST per directory on object stores (bounded by the
   * epoch count, the same order as the probe's own pruning listings).
+  *
+  * INVALIDATION CONTRACT (required of every store served through this
+  * cache): '''each commit must change the signature's entry SET''' —
+  * add/remove a file or directory by NAME, the way the epoch protocols'
+  * `_SUCCESS`/`_MERGED` markers and uniquely-named epoch dirs already do.
+  * An in-place rewrite that preserves every name and length within one
+  * mtime tick (ms on local FS; coarse or synthesized-zero on some object
+  * stores) is INVISIBLE to a (name, mtime, length) walk. Writers that
+  * cannot guarantee entry-set-changing commits must call [[stamp]] at
+  * their commit point: it rotates a uniquely-named marker under
+  * `<path>/_state/`, changing the entry set regardless of FS clock
+  * resolution. The graft index writers (IvfIndex / TextIndex mutations)
+  * all stamp. IndexMetaCacheSpec pins the frozen-clock edge both ways.
+  *
+  * MEMORY: entries are grouped per index path; a signature change
+  * replaces the whole per-path group, dropping every value computed under
+  * the old state (appends/compactions no longer accrete dead keys —
+  * ADVICE r13). Distinct paths are LRU-bounded at [[MaxPaths]], so a
+  * long-running serving driver that cycles through many rebuilt/deleted
+  * index locations holds at most a fixed number of codebook/centroid
+  * arrays.
   */
 object IndexMetaCache {
 
@@ -34,8 +51,20 @@ object IndexMetaCache {
   private val DataDirs =
     Set("lists", "postings", "docs", "buckets", "clean", "grams", "out")
 
+  /** Most distinct index paths held at once (LRU beyond this). */
+  private[graft] val MaxPaths = 64
+
+  /** All kinds computed for one path under one FS signature. A signature
+    * change discards the instance wholesale.
+    */
+  private final class PathEntry(val sig: String) {
+    val kinds = scala.collection.concurrent.TrieMap.empty[String, Any]
+    @volatile var lastUsed: Long = 0L
+  }
+
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Any)]
+    scala.collection.concurrent.TrieMap.empty[String, PathEntry]
+  private val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** FS-state signature of the index at `path` (see object doc). */
   def signature(spark: SparkSession, path: String): String = {
@@ -61,23 +90,74 @@ object IndexMetaCache {
         .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
-  /** `f`'s result for (`path`, `kind`), recomputed only when the index's
-    * FS signature changed since the cached value was stored. Thread-safe;
-    * concurrent misses may compute twice (last write wins — `f` must be
-    * pure, which index-metadata reads are).
+  /** Writer-side commit stamp: rotate a uniquely-named marker file under
+    * `<path>/_state/`, guaranteeing the commit changes [[signature]]'s
+    * entry set even when every data write reused names, lengths AND mtime
+    * ticks (see the invalidation contract in the object doc). The fresh
+    * marker lands before the old ones are removed, so a crash mid-rotate
+    * leaves extra markers — still a changed entry set, never a stale one.
+    * Two FS metadata ops per mutation; mutations are epoch-rare.
     */
-  def getOrCompute[T](spark: SparkSession, path: String, kind: String)(f: => T): T = {
-    val sig = signature(spark, path)
-    val key = (path, kind)
-    cache.get(key) match {
-      case Some((s, v)) if s == sig => v.asInstanceOf[T]
-      case _ =>
-        val v = f
-        cache.put(key, (sig, v))
-        v
+  def stamp(spark: SparkSession, path: String): Unit = {
+    val root = new Path(s"$path/_state")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val old =
+      try fs.listStatus(root).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    fs.create(new Path(root, s"uuid-${java.util.UUID.randomUUID}"), true).close()
+    old.foreach { st =>
+      if (st.getPath.getName.startsWith("uuid-")) fs.delete(st.getPath, false)
     }
   }
 
+  /** `f`'s result for (`path`, `kind`), recomputed only when the index's
+    * FS signature changed since the cached value was stored — and when it
+    * has, EVERY kind cached for `path` under the old signature is dropped
+    * in the same step. Thread-safe; concurrent misses may compute twice
+    * (last write wins — `f` must be pure, which index-metadata reads are).
+    */
+  def getOrCompute[T](spark: SparkSession, path: String, kind: String)(f: => T): T = {
+    val sig = signature(spark, path)
+    val entry = cache.get(path) match {
+      case Some(pe) if pe.sig == sig => pe
+      case _ =>
+        val pe = new PathEntry(sig)
+        cache.put(path, pe) // replaces the stale group: old kinds all die here
+        pe
+    }
+    entry.lastUsed = ticks.incrementAndGet()
+    val v = entry.kinds.get(kind) match {
+      case Some(cached) => cached
+      case None =>
+        val computed = f
+        entry.kinds.put(kind, computed)
+        computed
+    }
+    if (cache.size > MaxPaths) evictLru()
+    v.asInstanceOf[T]
+  }
+
+  /** Drop least-recently-used paths until within [[MaxPaths]]. Races with
+    * concurrent touches are harmless: worst case a just-used path is
+    * evicted and recomputed on its next probe.
+    */
+  private def evictLru(): Unit =
+    while (cache.size > MaxPaths) {
+      val lru = cache.toSeq.minByOption(_._2.lastUsed)
+      lru match {
+        case Some((p, _)) => cache.remove(p)
+        case None => return
+      }
+    }
+
   /** Test seam: drop everything (e.g. to measure cold-path behavior). */
   private[graft] def invalidateAll(): Unit = cache.clear()
+
+  /** Test seam: distinct paths currently cached. */
+  private[graft] def cachedPaths(): Set[String] = cache.keySet.toSet
+
+  /** Test seam: kinds currently cached for `path`. */
+  private[graft] def cachedKinds(path: String): Set[String] =
+    cache.get(path).map(_.kinds.keySet.toSet).getOrElse(Set.empty)
 }

@@ -19,37 +19,52 @@ import org.apache.spark.sql.SparkSession
   * reaches the tens of thousands, far past what auto-compaction allows to
   * accrete.
   *
-  * CONCURRENCY: the threshold is raised ONCE per session, the first time
-  * any probe plans, and never restored — a sticky serving-session mode.
-  * The earlier design set/restored the conf around every relation
-  * construction, which forced a per-session monitor (two concurrent
-  * probes could interleave a restore into the other's window); a serving
-  * engine's actual workload is N concurrent TVF queries, and every
-  * cache-miss probe planned under that global lock. With the sticky set
-  * there is no mutation to interleave, so probes plan lock-free. The
-  * trade: other reads in a session that has served a probe also list on
-  * the driver; for that to matter a NON-index table would need tens of
-  * thousands of partition directories in the same session that serves
-  * probes — accepted and documented over re-introducing a planning lock.
+  * CONCURRENCY + ISOLATION: probe relations are constructed in a cached
+  * '''serving session''' — a `newSession()` clone of the caller's session
+  * (same SparkContext, shared state and extensions, its own SQLConf) with
+  * the discovery threshold raised once at creation. Probes stay lock-free
+  * (the clone's conf is set once and never mutated again, so concurrent
+  * probes have no set/restore window to interleave — the r12 redesign's
+  * property), and the caller's session is left untouched: a
+  * highly-partitioned NON-index read in the same session no longer
+  * silently switches to serial driver-side listing just because a probe
+  * ran first (ADVICE r13). File listing happens eagerly while the relation
+  * is constructed inside the clone; the resulting plan fragment embeds the
+  * already-listed `FileIndex` and composes/executes fine from the caller's
+  * session — both share the one SparkContext.
   */
 object ProbePlanning {
 
   private val Key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
 
-  /** Make `spark` a serving session: partition discovery stays on the
-    * driver from here on. Idempotent and race-safe — concurrent callers
-    * write the same constant, so no ordering matters.
+  /** Serving-session clone per caller session. Weak keys: a stopped /
+    * collected caller session releases its clone. The lock guards only the
+    * map lookup (ns-scale), never relation construction.
     */
-  def ensureDriverListing(spark: SparkSession): Unit =
-    if (!spark.conf.getOption(Key).contains(Int.MaxValue.toString))
-      spark.conf.set(Key, Int.MaxValue.toString)
+  private val servingSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
-  /** Plan a probe relation with driver-side listing. Lock-free: flips the
-    * session into sticky driver-listing mode (see object doc) and runs
-    * `f` directly — safe under arbitrary probe concurrency.
+  /** The cached serving session for `spark`: same SparkContext and shared
+    * state, but an isolated SQLConf with driver-side partition discovery.
     */
-  def withDriverListing[A](spark: SparkSession)(f: => A): A = {
-    ensureDriverListing(spark)
-    f
-  }
+  def servingSession(spark: SparkSession): SparkSession =
+    servingSessions.synchronized {
+      val cached = servingSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        s.conf.set(Key, Int.MaxValue.toString)
+        servingSessions.put(spark, s)
+        s
+      }
+    }
+
+  /** Plan a probe relation with driver-side listing: `f` receives the
+    * serving session and must build its relations THROUGH it (reads via
+    * the caller's `spark` would list distributed again). Lock-free under
+    * arbitrary probe concurrency; the caller's session conf is never
+    * mutated (see object doc).
+    */
+  def withDriverListing[A](spark: SparkSession)(f: SparkSession => A): A =
+    f(servingSession(spark))
 }

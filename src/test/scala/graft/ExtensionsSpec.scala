@@ -497,5 +497,17 @@ class ExtensionsSpec extends SparkTestBase {
       assert(a.nonEmpty, s"query $i returned no rows — predicate too narrow to pin anything")
       assert(a == b, s"concurrent probe $i diverged from its serial twin")
     }
+    // the probes above planned through the cloned serving session — the
+    // CALLER's session conf must be untouched (ADVICE r13: the old sticky
+    // set silently flipped unrelated highly-partitioned reads in this
+    // session to serial driver-side listing)
+    val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    assert(!spark.conf.getOption(thresholdKey).contains(Int.MaxValue.toString),
+      "probe planning must not mutate the caller session's discovery threshold")
+    val ss1 = graft.util.ProbePlanning.servingSession(spark)
+    assert(ss1.conf.get(thresholdKey) == Int.MaxValue.toString,
+      "the serving session itself lists on the driver")
+    assert(graft.util.ProbePlanning.servingSession(spark) eq ss1,
+      "the serving session is cached per caller session")
   }
 }

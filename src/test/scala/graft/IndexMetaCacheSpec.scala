@@ -66,6 +66,62 @@ class IndexMetaCacheSpec extends SparkTestBase {
     assert(get() == "v2", "a mutated index must recompute")
   }
 
+  test("frozen-clock edge: same-name/same-length/same-mtime rewrite is invisible; stamp() is not") {
+    val d = tmp()
+    new java.io.File(d, "centroids").mkdirs()
+    val f = new java.io.File(d, "centroids/part-0")
+    java.nio.file.Files.writeString(f.toPath, "aaaa")
+    val frozen = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    java.nio.file.Files.setLastModifiedTime(f.toPath, frozen)
+    val s0 = IndexMetaCache.signature(spark, d.toString)
+    // the in-place rewrite a (name, mtime, length) walk CANNOT see: same
+    // name, same byte count, and the mtime pinned back to the same tick —
+    // this pins the documented limitation that makes stamp() mandatory
+    java.nio.file.Files.writeString(f.toPath, "bbbb")
+    java.nio.file.Files.setLastModifiedTime(f.toPath, frozen)
+    assert(IndexMetaCache.signature(spark, d.toString) == s0,
+      "the granularity edge itself: an entry-set-preserving rewrite is invisible by design")
+    // ... which is why every writer stamps: the rotated marker changes the
+    // entry SET, so the signature moves with no clock cooperation at all
+    IndexMetaCache.stamp(spark, d.toString)
+    val s1 = IndexMetaCache.signature(spark, d.toString)
+    assert(s1 != s0, "stamp() must invalidate even under a frozen clock")
+    IndexMetaCache.stamp(spark, d.toString)
+    assert(IndexMetaCache.signature(spark, d.toString) != s1,
+      "each stamp rotates a fresh marker name")
+  }
+
+  test("a signature change drops EVERY kind cached for the path") {
+    val d = tmp()
+    new java.io.File(d, "meta").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(d, "meta/part-0").toPath, "x")
+    IndexMetaCache.getOrCompute(spark, d.toString, "a") { 1 }
+    IndexMetaCache.getOrCompute(spark, d.toString, "b") { 2 }
+    assert(IndexMetaCache.cachedKinds(d.toString) == Set("a", "b"))
+    java.nio.file.Files.writeString(new java.io.File(d, "meta/part-1").toPath, "y")
+    // one access under the new state replaces the whole per-path group:
+    // kind "b"'s stale value dies with it (appends/compactions no longer
+    // accrete dead keys — ADVICE r13)
+    IndexMetaCache.getOrCompute(spark, d.toString, "a") { 10 }
+    assert(IndexMetaCache.cachedKinds(d.toString) == Set("a"),
+      "stale sibling kinds must be evicted with the old signature")
+  }
+
+  test("distinct paths are LRU-bounded at MaxPaths") {
+    IndexMetaCache.invalidateAll()
+    val dirs = (0 to IndexMetaCache.MaxPaths).map { i =>
+      val d = tmp()
+      java.nio.file.Files.writeString(new java.io.File(d, s"m$i").toPath, "x")
+      d.toString
+    }
+    dirs.foreach(p => IndexMetaCache.getOrCompute(spark, p, "k") { p })
+    assert(IndexMetaCache.cachedPaths().size <= IndexMetaCache.MaxPaths,
+      "cache must stay bounded as rebuilt/deleted index paths accumulate")
+    assert(!IndexMetaCache.cachedPaths().contains(dirs.head),
+      "the least-recently-used path is the one evicted")
+    assert(IndexMetaCache.cachedPaths().contains(dirs.last))
+  }
+
   test("end-to-end: probe reflects an append and a delete made after a cached probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val path = java.nio.file.Files.createTempDirectory("graft-metacache-ivf").toString
