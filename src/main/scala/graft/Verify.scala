@@ -22,12 +22,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dumped = 0
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,6 +51,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // SENTINEL (un-zeroable round gate, VERDICT r13): what this run DID,
+    // written last. An empty or missing correctness artifact downstream is
+    // now diagnosable — "Verify never ran / died early" (no sentinel or
+    // dumped < total) vs "compare layer lost the result" (sentinel says
+    // every query dumped). Also echoed to stderr so the driver's captured
+    // tail records it even if outDir is discarded.
+    val sentinel =
+      s"""{"queries_total": ${selected.size}, "dumped": $dumped,""" +
+      s""" "failed": ${failed.sorted.map(q).mkString("[", ",", "]")},""" +
+      s""" "sf_dir": ${q(sfDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_sentinel.json"), sentinel)
+    System.err.println(s"[verify-sentinel] $sentinel")
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size} of ${selected.size} queries FAILED to dump")
+    // rc stays 0 even with per-query failures: the sentinel carries the
+    // failure list, and a nonzero rc could make the harness discard an
+    // otherwise-usable partial dump.
     spark.stop()
   }
 }
