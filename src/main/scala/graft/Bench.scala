@@ -638,6 +638,14 @@ object Bench {
       // 14M-tick baseline workloads keep min-of-4
       val reps = if (name.startsWith("renko_14m")) 4 else 3
       Renko.drainPhaseLog() // discard marks from any earlier untimed work
+      // arm the job2 stall watchdog for the workloads where the spike was
+      // observed (r11–r13): a generous absolute threshold for rep 1
+      // (healthy job2 is ≤0.6 s; the spikes are ≥5 s), then 3x the
+      // entry's own rep-median once one is known — so a recurrence dumps
+      // threads IN the rep that stalls, not after the fact
+      val job2Hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+      if (name.startsWith("renko_14m"))
+        graft.util.StallDiag.stallThresholdSec = 6.0
       def oneRep(): Rep = {
         spark.catalog.clearCache()
         System.gc()
@@ -647,9 +655,20 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
+        val rep = Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
+        if (name.startsWith("renko_14m")) {
+          job2Hist ++= rep.phases.collect {
+            case (p, v) if p.endsWith("job2 suffix+ckpt") => v
+          }
+          if (job2Hist.nonEmpty)
+            graft.util.StallDiag.stallThresholdSec =
+              math.max(3 * medianOf(job2Hist.sorted.toSeq), 1.5)
+        }
+        rep
       }
-      val times = (1 to reps).map(_ => oneRep())
+      val times =
+        try (1 to reps).map(_ => oneRep())
+        finally graft.util.StallDiag.stallThresholdSec = Double.PositiveInfinity
       val best = times.minBy(_.sec)
       val repStr = times.map(t => f"${t.sec}%.3f").mkString(" / ")
       System.err.println(

@@ -546,7 +546,13 @@ object Renko {
     // is what makes the immediate unpersist below safe. The brick blocks
     // themselves are RDD-level (localCheckpoint), freed by the
     // ContextCleaner once the caller drops the result.
-    val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    // per-task histogram + driver-gap split + stall watchdog (r13 verdict:
+    // the spike shows zero spill/GC — the remaining suspects are straggler
+    // tasks, scheduler starvation, and driver-side checkpoint bookkeeping,
+    // which this window separates as taskMax/launchGap/postGap)
+    val all = graft.util.StallDiag.watch(spark, "job2", (p, v) => phaseLog.add(p -> v)) {
+      widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    }
     phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
@@ -793,7 +799,13 @@ object Renko {
     val prefixDf = spark.createDataset(prefixBricks.toSeq)(brickEnc).toDF()
     val suffixDf = spark.createDataFrame(suffixRdd)
     // same eager-materialization rationale as the single-series scan
-    val all = widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    // per-task histogram + driver-gap split + stall watchdog (r13 verdict:
+    // the spike shows zero spill/GC — the remaining suspects are straggler
+    // tasks, scheduler starvation, and driver-side checkpoint bookkeeping,
+    // which this window separates as taskMax/launchGap/postGap)
+    val all = graft.util.StallDiag.watch(spark, "job2", (p, v) => phaseLog.add(p -> v)) {
+      widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
+    }
     phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
