@@ -403,6 +403,7 @@ object Bench {
       "mm_resize_ppm" -> q("mm_resize_ppm"),
       "mm_resample_wav" -> q("mm_resample_wav"),
       "mm_decode_png" -> q("mm_decode_png"),
+      "mm_near_dup_pairs" -> q("mm_near_dup_pairs"),
       "emb_pca_topk" -> q("emb_pca_topk"),
       "events_funnel_stream" -> q("events_funnel_stream"),
       "events_retention_stream" -> q("events_retention_stream"),

@@ -1950,6 +1950,21 @@ object SparkEntry {
         .select(col("doc_id"), col("src_height"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("doc_id"))),
+    // perceptual image near-dup: every doc_id % 7 == 0 document gets a
+    // planted twin whose text differs by ONE character (same length, so
+    // the raster geometry is identical); the pairs must surface through
+    // the REAL decode -> dHash -> banded-join -> exact-Hamming path
+    "mm_near_dup_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val twins = docs
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("Z"),
+            expr("substring(text, 6)")).as("text"))
+      Multimodal.nearDupPairs(Multimodal.encodePpm(docs.unionByName(twins)))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "mm_decode_wav" -> ((s, dir) =>
       // real RIFF/PCM audio decode (chunk-walking parser) over payloads
       // whose sample stream is a pure function of the text — the audio
@@ -2834,6 +2849,60 @@ object SparkEntry {
         |SELECT doc_id, h AS src_height, CAST(8 AS BIGINT) AS width,
         |  CAST(8 AS BIGINT) AS height, sum_r, sum_g, sum_b
         |FROM s ORDER BY doc_id""".stripMargin,
+    // replays the full dHash near-dup path: planted one-char twins, the
+    // 9x8 grayscale grid over the text-derived raster (same integer floor
+    // sampling as the resize oracle), the hash as two unsigned 32-bit
+    // halves, the 4x16-bit bands, and the exact Hamming verify
+    "mm_near_dup_pairs" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    concat(substr(text, 1, 4), 'Z', substr(text, 6))
+        |  FROM documents WHERE doc_id % 7 = 0 AND strlen(text) >= 5),
+        |c AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_transform(range(1, strlen(text)+1),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+        |  FROM base),
+        |d AS (
+        |  SELECT doc_id, n, codes,
+        |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS h
+        |  FROM c),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 72), t ->
+        |        299*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 0 < n
+        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 AS INT)] ELSE 0 END)
+        |      + 587*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 < n
+        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 AS INT)] ELSE 0 END)
+        |      + 114*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 < n
+        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 3 AS INT)] ELSE 0 END)) AS gray
+        |  FROM d),
+        |hsh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+        |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+        |        THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_hi,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+        |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+        |        THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_lo
+        |  FROM g),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, dhash_hi, dhash_lo, k,
+        |    CASE k WHEN 0 THEN dhash_lo & 65535 WHEN 1 THEN (dhash_lo >> 16) & 65535
+        |           WHEN 2 THEN dhash_hi & 65535 ELSE (dhash_hi >> 16) & 65535 END AS band
+        |  FROM hsh, (SELECT unnest(range(0, 4)) AS k))
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
+        |     + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS INT) AS hamming
+        |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band
+        |  AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+        |    + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_decode_wav" ->
       """WITH c AS (
         |  SELECT doc_id, strlen(text) AS n,

@@ -276,6 +276,100 @@ object Multimodal {
         "resized", "sum_r", "sum_g", "sum_b")
   }
 
+  /** 64-bit difference hash (dHash) of each P6 payload: the raster is
+    * nearest-neighbor point-sampled onto the classic 9-wide x 8-tall
+    * grayscale grid — source pixel (r*srcH div 8, c*srcW div 9), the same
+    * integer floor mapping as [[resizePpm]] — and bit `r*8+c` is set iff
+    * `gray(r, c+1) > gray(r, c)`, with gray the integer ITU-R 601 weight
+    * `299*R + 587*G + 114*B` (no division: scale cannot change an order
+    * comparison). All-integer, so the hash replays exactly in the DuckDB
+    * oracle. The hash ships as two unsigned 32-bit halves in BIGINTs
+    * (`dhash_hi`, `dhash_lo`): bit 63 of a single signed 64-bit column
+    * would force HUGEINT gymnastics on the SQL side for zero analytical
+    * gain. Unparseable payloads emit `valid = false` with zero halves.
+    *
+    * Same 100 TB shape as every kernel here: batch-shaped mapPartitions,
+    * the payload never shuffles — 16 bytes of hash do.
+    */
+  def dhashPpm(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Boolean, Long, Long)] =
+      Encoders.product[(Long, Boolean, Long, Long)]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parsePpm(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((w, h, _, px)) if w >= 1 && h >= 1 =>
+                val gray = new Array[Long](8 * 9)
+                var r = 0
+                while (r < 8) {
+                  val sy = r.toLong * h / 8
+                  var c = 0
+                  while (c < 9) {
+                    val sx = c.toLong * w / 9
+                    val base = ((sy * w + sx) * 3).toInt
+                    gray(r * 9 + c) = 299L * (px(base) & 0xFF) +
+                      587L * (px(base + 1) & 0xFF) + 114L * (px(base + 2) & 0xFF)
+                    c += 1
+                  }
+                  r += 1
+                }
+                var hash = 0L
+                var b = 0
+                while (b < 64) {
+                  if (gray((b >> 3) * 9 + (b & 7) + 1) > gray((b >> 3) * 9 + (b & 7)))
+                    hash |= 1L << b
+                  b += 1
+                }
+                (id, true, hash >>> 32, hash & 0xFFFFFFFFL)
+              case _ => (id, false, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "valid", "dhash_hi", "dhash_lo")
+  }
+
+  /** Perceptual near-duplicate image pairs: [[dhashPpm]] signatures,
+    * blocked by a 4-band x 16-bit banded SELF-JOIN (two images are
+    * candidates iff any 16-bit quarter of their hashes matches exactly —
+    * the same equi-join candidate bound as the MinHash/SimHash text
+    * families: never all-pairs, collision mass N²/2^16 per band), then
+    * exact Hamming verification on the candidates only. Pigeonhole
+    * completeness holds to radius 3; beyond that the bands are a recall
+    * heuristic — the standard banding trade, and the DuckDB oracle replays
+    * the same bands, so the contract is exact either way. Output:
+    * (id_a, id_b, hamming INT), id_a < id_b, distinct.
+    */
+  def nearDupPairs(
+      media: DataFrame, maxHamming: Int = 6, batchSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val sigs = dhashPpm(media, batchSize).filter(col("valid"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+    val mask = lit(0xFFFFL)
+    val bands = sigs.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+      explode(array(
+        struct(lit(0).as("k"), col("dhash_lo").bitwiseAND(mask).as("band")),
+        struct(lit(1).as("k"),
+          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(mask).as("band")),
+        struct(lit(2).as("k"), col("dhash_hi").bitwiseAND(mask).as("band")),
+        struct(lit(3).as("k"),
+          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(mask).as("band")))).as("b"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        col("b.k").as("k"), col("b.band").as("band"))
+    val ham = (bit_count(col("x.dhash_hi").bitwiseXOR(col("y.dhash_hi"))) +
+      bit_count(col("x.dhash_lo").bitwiseXOR(col("y.dhash_lo")))).cast("int")
+    bands.as("x").join(bands.as("y"), Seq("k", "band"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= lit(maxHamming))
+      .distinct()
+  }
+
   /** The P6 parser: returns (width, height, maxval, samples) or None. Full
     * header grammar — any run of whitespace between tokens, `#` comments to
     * end-of-line inside the header, exactly one whitespace byte after

@@ -580,6 +580,50 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal dHash near-dup: planted twins pair, hash ignores benign bytes, invalid excluded") {
+    import spark.implicits._
+    // hash invariants on hand-built rasters: exact copy -> hamming 0;
+    // trailing garbage after the raster -> same hash (parser tolerates it);
+    // invalid payload -> excluded from pairing entirely
+    def img(px: Array[Byte]) = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ px
+    val px = Array.tabulate[Byte](24)(i => ((i * 37 + 11) % 251).toByte)
+    val rows = Seq(
+      1L -> img(px),
+      2L -> img(px),                              // exact copy
+      3L -> (img(px) ++ Array[Byte](1, 2, 3)),    // trailing bytes: same raster
+      4L -> "garbage".getBytes("US-ASCII"))
+    val sigs = operators.Multimodal.dhashPpm(rows.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L), "same raster must hash identically")
+    assert(sigs.values.forall { case (_, hi, lo) =>
+      hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL },
+      "halves must be unsigned 32-bit values")
+    assert(!sigs(4L)._1, "garbage payload must be invalid")
+    val pairs0 = operators.Multimodal.nearDupPairs(rows.toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs0 == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+      s"expected the copy triangle at hamming 0, got $pairs0")
+
+    // planted one-char twins over the real corpus (the query's shape):
+    // same text length keeps the raster geometry, so the twin stays within
+    // a few flipped bits of its original and must surface as a pair
+    val sample = docs.select(col("doc_id"), col("text")).limit(120)
+    val twins = sample.filter(length(col("text")) >= 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("Z"),
+          expr("substring(text, 6)")).as("text"))
+    val pairs = operators.Multimodal
+      .nearDupPairs(operators.Multimodal.encodePpm(sample.unionByName(twins)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.forall { case (a, b, h) => a < b && h >= 0 && h <= 6 },
+      "pair invariants: ordered ids, hamming within threshold")
+    val twinPairs = pairs.count { case (a, b, _) => b - a == 10000000L }
+    val planted = twins.count()
+    assert(twinPairs >= planted * 3 / 4,
+      s"most planted twins must pair: found $twinPairs of $planted")
+    assert(pairs.length == pairs.distinct.length, "pairs must be distinct")
+  }
+
   test("multimodal P6 resize: nearest-neighbor kernel, round-trip decodable, identity at source dims") {
     import spark.implicits._
     def img(hdr: String, px: Array[Byte]) = hdr.getBytes("US-ASCII") ++ px

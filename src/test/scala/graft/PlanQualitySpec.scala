@@ -156,6 +156,33 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("mm near-dup plan: equi-join on bands, no cartesian, decode exchange reused") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = graft.operators.Multimodal.nearDupPairs(
+      graft.operators.Multimodal.encodePpm(docs))
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded self-join must stay an equi-join:\n$plan")
+    // at this fixture size AQE rightly broadcasts one side; the 100 TB
+    // shape is the shuffled self-join, where both sides are the same
+    // banded-signature subtree — pin that the decode kernel runs ONCE
+    // there (second side reads the reused exchange, no double decode)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val shuffledDf = graft.operators.Multimodal.nearDupPairs(
+        graft.operators.Multimodal.encodePpm(docs))
+      shuffledDf.collect() // AQE stitches in exchange reuse at runtime
+      val shuffled = shuffledDf.queryExecution.executedPlan.toString
+      assert(shuffled.contains("ReusedExchange") || shuffled.contains("ReusedQueryStage"),
+        s"shuffled self-join must reuse the banded-signature exchange:\n$shuffled")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("winnowed fingerprints are scan-local: zero exchanges in the digest plan") {
     def countShuffles(p: SparkPlan): Int = {
       val self = p match {
