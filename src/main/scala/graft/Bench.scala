@@ -160,18 +160,40 @@ object Bench {
     var store: Option[(DataFrame, DataFrame)] = None
     var consumed = Map.empty[String, Long]
     val perEpoch = (0 until epochs).map { e =>
+      val tEp0 = System.nanoTime()
       val batch = corpus.filter(pmod(col("doc_id"), lit(epochs.toLong)) === lit(e.toLong))
       val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
         store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+      Renko.logPhase("curate stages", (System.nanoTime() - tEp0) / 1e9)
       // pin the epoch's bucket side once (same floor fix as the
       // CORRECTNESS fold — adm/fin come back already pinned)
+      val tAb0 = System.nanoTime()
       val abQ = admBuckets.localCheckpoint(true)
-      store = Some(store match {
-        case Some((sd, sb)) => (sd.unionByName(adm), sb.unionByName(abQ))
+      Renko.logPhase("curate abQ", (System.nanoTime() - tAb0) / 1e9)
+      // the store is re-pinned to ONE frame per side each epoch — the fold
+      // analog of the production stream's single parquet store scan per
+      // trigger. A union-of-pins store grows a plan branch (≈6 AQE jobs)
+      // per accumulated epoch: measured 15 jobs at epoch 1 vs 75 at epoch
+      // 10 inside the adm checkpoint, an O(E²) fold masquerading as a big
+      // linear constant. Re-pinning copies already-materialized blocks
+      // (no recompute) and keeps the probe plan flat-in-epochs; the
+      // superseded pins are released immediately (fin stays — it is the
+      // fold's output).
+      val tSt0 = System.nanoTime()
+      val next = store match {
+        case Some((sd, sb)) =>
+          val nd = sd.unionByName(adm).localCheckpoint(true)
+          val nb = sb.unionByName(abQ).localCheckpoint(true)
+          Seq(sd, sb, adm, abQ).foreach(graft.util.LocalCkpt.release)
+          (nd, nb)
         case None => (adm, abQ)
-      })
+      }
+      store = Some(next)
+      Renko.logPhase("curate storePin", (System.nanoTime() - tSt0) / 1e9)
+      val tC0 = System.nanoTime()
       consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Renko.logPhase("curate consumed", (System.nanoTime() - tC0) / 1e9)
       fin.withColumn("epoch", lit(e))
     }
     perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))

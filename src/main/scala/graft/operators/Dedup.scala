@@ -436,6 +436,75 @@ object Dedup {
       .filter(col("jaccard") >= lit(threshold))
   }
 
+  /** The admission front door's two gates in ONE verification: the batch's
+    * internal lower-id-wins candidates (`id_a < id_b`, batch self-probe)
+    * and its store-probe candidates, unioned BEFORE the exact-Jaccard
+    * verify so the expensive stages — shingle prune, per-doc size
+    * aggregates, the shared-shingle join — run once per micro-batch
+    * instead of once per gate (measured ~10 AQE jobs per admission at
+    * near-empty batch sizes, the curate stream's per-epoch floor).
+    *
+    * Semantics are EXACTLY the union of
+    * [[minhashLshPairsPrebucketed]]`.select(id_b)` and
+    * [[minhashIncrementalPairsBothPrebucketed]]`.select(doc_id)`: the same
+    * candidates, the same multiset shingle counts, the same threshold —
+    * NearDupAdmissionSpec pins the equality. Sides are id-disjoint except
+    * for a REPLAYED batch re-offering ids the store holds (identical
+    * text): those collide into an (X, X) candidate that verifies at
+    * jaccard 1.0 and rejects — the admission replay contract. Output:
+    * (ref_id, doc_id, jaccard) where `doc_id` is the batch doc that loses
+    * to `ref_id` (an earlier batch doc or a store doc).
+    */
+  private[graft] def minhashAdmissionPairsPrebucketed(
+      store: Option[(DataFrame, DataFrame)],
+      batch: DataFrame,
+      batchBuckets: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val internalCand = batchBuckets.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ref_id"), col("y.doc_id").as("doc_id"))
+    val cand0 = store match {
+      case Some((_, sb)) => internalCand.unionByName(
+        sb.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))
+          .select(col("x.doc_id").as("ref_id"), col("y.doc_id").as("doc_id")))
+      case None => internalCand
+    }
+    // NOT checkpointed (experiment r14): feeds the shingle prunes AND the
+    // verification join; the identical subtree should exchange-reuse
+    val candidates = cand0.distinct()
+    val refSrc = store match {
+      case Some((sd, _)) => sd.select(col(idCol), col(textCol))
+        .unionByName(batch.select(col(idCol), col(textCol)))
+      case None => batch.select(col(idCol), col(textCol))
+    }
+    // dropDuplicates: a REPLAYED batch re-offers ids the store already
+    // holds (identical text — the admission replay contract), so the
+    // ref-side union would shingle those ids twice and double their na.
+    // The (X_store, X_batch) candidate itself is legitimate and must
+    // verify at jaccard 1.0 — it is HOW a replay rejects its own re-offer.
+    val refSh = shingles(
+      refSrc.join(candidates.select(col("ref_id").as("__cand_id")).distinct(),
+        col(idCol) === col("__cand_id"), "left_semi")
+        .dropDuplicates(Seq(idCol)), idCol, textCol)
+    val docSh = shingles(
+      batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
+        col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
+    val szA = refSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      .select(col("doc_id").as("ref_id"), col("na"))
+    val szB = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val shared = refSh.select(col("doc_id").as("ref_id"), col("s"))
+      .join(docSh.select(col("doc_id"), col("s")), Seq("s"))
+      .join(candidates, Seq("ref_id", "doc_id"), "left_semi")
+      .groupBy(col("doc_id"), col("ref_id")).agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    shared.join(szA, Seq("ref_id")).join(szB, Seq("doc_id"))
+      .select(col("ref_id"), col("doc_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= lit(threshold))
+  }
+
   /** Connected components over a near-duplicate pair set: collapse pairs
     * into duplicate GROUPS (what a production dedup actually keeps/drops).
     * Min-label propagation: every node starts labeled with itself; each

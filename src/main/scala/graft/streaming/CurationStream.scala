@@ -146,10 +146,12 @@ object CurationStream {
     // every checkpoint this decision creates, eager or lazy, registers
     // here — the CurateStages release handle frees them all at once
     val pins = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val tAn0 = System.nanoTime()
     // 1: one annotate pass, same fusion as Curation.curate stage 1
     val annotated = TextAnalysis.langId(
       TextAnalysis.quality(batch, keep = Seq("text", langCol)),
       keep = Seq("text", langCol, "n_tokens", "quality_score"))
+    graft.operators.Renko.logPhase("curate cAnn", (System.nanoTime() - tAn0) / 1e9)
     val heur0 = annotated
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
     // 1a': the Gopher battery as the same per-doc gate the batch chain runs
@@ -188,9 +190,11 @@ object CurationStream {
     // suite is FIXED across the stream, so a repeated caller passes its
     // gram set precomputed (`benchGrams`) instead of re-shingling +
     // re-distincting the benchmark every micro-batch
+    val tOv0 = System.nanoTime()
     val overlap = Decontamination.overlapReportPrepared(
       surv.select(col("doc_id"), col("text")),
       benchGrams.getOrElse(Decontamination.benchGramsOf(bench)))
+    graft.operators.Renko.logPhase("curate cOverlap", (System.nanoTime() - tOv0) / 1e9)
     // LAZY checkpoint: the decontamination anti-join (a gram explode over
     // the survivors) is the chain's most expensive stage and has two
     // consumers in the funnel fold (the admission decision AND the
@@ -203,20 +207,39 @@ object CurationStream {
     pins += clean
     // 3: near-dup admission (annotations ride along: the admit functions
     // anti-join rejects off the frame they are given)
+    val tAc0 = System.nanoTime()
     val (admLazy, batchBuckets) =
       NearDupAdmission.admitBatchWithBuckets(store, clean, dedupThreshold, params)
+    graft.operators.Renko.logPhase("curate cAdmBuild", (System.nanoTime() - tAc0) / 1e9)
     pins += batchBuckets // the admission's lazy bucket-table pin
-    val adm = admLazy.localCheckpoint(true)
+    val tAdm0 = System.nanoTime()
+    val adm = graft.util.StallDiag.watch(
+      batch.sparkSession, "curate adm", graft.operators.Renko.logPhase) {
+      admLazy.localCheckpoint(true)
+    }
+    graft.operators.Renko.logPhase("curate admCkpt", (System.nanoTime() - tAdm0) / 1e9)
     pins += adm
     // 4: budget gate over the survivors, resuming from `consumed`; within
-    // the batch admission order is doc_id order (deterministic)
-    val badm = BudgetAdmission.admitBatch(
-      consumed, adm.select(col("doc_id"), col(langCol), col("text")), budget, langCol)
+    // the batch admission order is doc_id order (deterministic). Computed
+    // directly on the pinned admitted frame: adm already carries n_tokens
+    // from the annotate stage — the SAME size(tokens(text)) the standalone
+    // BudgetAdmission.admitBatch derives — so the gate is one window over
+    // adm instead of a re-tokenize plus a doc_id join (r14 floor trim;
+    // CurationStreamSpec pins stream == batch twin)
+    val baseCol = consumed.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((s, c), rest) => when(col(langCol) === s, lit(c)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tFin0 = System.nanoTime()
     val fin = adm
       .select(col("doc_id"), col(langCol), col("pred_lang"),
         col("n_tokens"), col("quality_score"))
-      .join(badm.select(col("doc_id"), col("cum_tokens")), Seq("doc_id"))
+      .withColumn("cum_tokens", baseCol + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
       .localCheckpoint(true)
+    graft.operators.Renko.logPhase("curate finCkpt", (System.nanoTime() - tFin0) / 1e9)
     pins += fin
     CurateStages(annotated, heur, surv, clean, adm,
       NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin,

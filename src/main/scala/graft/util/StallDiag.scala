@@ -102,6 +102,10 @@ object StallDiag {
         if (launch != Long.MaxValue)
           log(s"$label launchGap", math.max(0L, launch - submit) / 1e3)
         log(s"$label postGap", math.max(0L, tEnd - obs.map(_.endMs).max) / 1e3)
+        // driver-side planning before any job: analysis + optimization +
+        // physical planning of the action's query
+        log(s"$label preSubmit", math.max(0L, submit - t0) / 1e3)
+        log(s"$label jobs", jobsStarted.get().toDouble)
       }
       if (fired.get()) log(s"$label dumpFired", (tEnd - t0) / 1e3)
     }

@@ -70,6 +70,39 @@ class NearDupAdmissionSpec extends SparkTestBase {
         s"only-expected=${expected.toSet.diff(foldAdmitted.toSet).take(5)}")
   }
 
+  test("fused admission verify == per-gate internal ∪ incremental rejects") {
+    // the r14 fusion replaced two verification passes with one; this pins
+    // that the admitted set is bit-identical to the composed per-gate form
+    // at every epoch of a 3-epoch fold (empty store, small store, grown)
+    var store: Option[(DataFrame, DataFrame)] = None
+    for (e <- 0 until 3) {
+      val batch = epoch(e)
+      val batchBuckets = Dedup.minhashBucketsFor(batch).localCheckpoint(true)
+      val internal = Dedup
+        .minhashLshPairsPrebucketed(batch, batchBuckets, Threshold)
+        .select(col("id_b").as("doc_id"))
+      val oldRejects = (store match {
+        case Some((st, sb)) => internal.unionByName(
+          Dedup.minhashIncrementalPairsBothPrebucketed(
+            st, sb, batch, batchBuckets, Threshold).select(col("doc_id")))
+        case None => internal
+      }).distinct().collect().map(_.getLong(0)).toSet
+      val fusedRejects = Dedup.minhashAdmissionPairsPrebucketed(
+          store, batch, batchBuckets, Threshold)
+        .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(fusedRejects == oldRejects,
+        s"epoch $e: fused rejects diverge (${fusedRejects.diff(oldRejects)} extra, " +
+          s"${oldRejects.diff(fusedRejects)} missing)")
+      val (adm, ab) = NearDupAdmission.admitBatchWithBuckets(store, batch, Threshold)
+      val admQ = adm.localCheckpoint(true)
+      val abAdm = NearDupAdmission.bucketsOfAdmitted(ab, admQ).localCheckpoint(true)
+      store = Some(store match {
+        case Some((sd, sb)) => (sd.unionByName(admQ), sb.unionByName(abAdm))
+        case None => (admQ, abAdm)
+      })
+    }
+  }
+
   test("prebucketed store probe == derived-bucket probe") {
     val store = epoch(0)
     val derived = NearDupAdmission.admitBatch(Some(store), epoch(1), Threshold)
