@@ -33,6 +33,10 @@ object Bench {
   // serving family reports BOTH numbers and a probe regression is never
   // hidden inside construction noise
   private val preparedStores = scala.collection.concurrent.TrieMap.empty[String, String]
+  // serving_mixed_churn state: unique batch ids (replayed ids would
+  // overwrite a committed epoch) and disjoint append slices across reps
+  private val churnTick = new java.util.concurrent.atomic.AtomicLong(100L)
+  private val churnSlice = new java.util.concurrent.atomic.AtomicInteger(0)
   private def preparedEpochLex(s: SparkSession, dir: String): String =
     preparedStores.getOrElseUpdate(s"lex:$dir", SparkEntry.buildEpochTextIndex(s, dir, "epb"))
   private def preparedEpochIvf(s: SparkSession, dir: String): String =
@@ -85,6 +89,18 @@ object Bench {
         graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 1), p, 1L)
         graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") % 3 === 2), p, 2L)
         p
+      case "ivf_churn" =>
+        val p = freshDir(s, "ivfc", sfDir)
+        graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") < 800), p, 0L)
+        graft.streaming.IvfIngest.ingestBatch(
+          emb.filter(col("vec_id") >= 800 && col("vec_id") < 1600), p, 1L)
+        p
+      case "lex_churn" =>
+        val p = freshDir(s, "lexc", sfDir)
+        graft.streaming.TextIngest.ingestBatch(docs.filter(col("doc_id") < 2000), p, 0L)
+        graft.streaming.TextIngest.ingestBatch(
+          docs.filter(col("doc_id") >= 2000 && col("doc_id") < 4000), p, 1L)
+        p
       case "ivf_plain" =>
         val p = freshDir(s, "ivfp", sfDir)
         operators.IvfIndex.write(emb, p); p
@@ -112,7 +128,8 @@ object Bench {
     "text_bm25_appended_probe" -> Seq("lex_app"),
     "sim_topk_ivf_streamed_probe" -> Seq("ivf_str"),
     "text_bm25_streamed_probe" -> Seq("lex_str"),
-    "search_hybrid_rrf_served_probe" -> Seq("ivf_plain", "lex_plain"))
+    "search_hybrid_rrf_served_probe" -> Seq("ivf_plain", "lex_plain"),
+    "serving_mixed_churn" -> Seq("ivf_churn", "lex_churn"))
 
   /** The events_funnel_stream fold at an ARBITRARY epoch count — the
     * microbatch-floor characterization (r12 verdict: the 26x gap over the
@@ -500,6 +517,67 @@ object Bench {
         Renko.logPhase("conc8 max", sorted.last)
         s.range(sorted.size.toLong).toDF()
       }),
+      // r13 verdict #3: the serving engine's bad day — 32 concurrent
+      // probes WHILE ingest appends land and auto-compaction (forced via
+      // maxLiveTrees = 2) folds the trees mid-flight. The probes mix
+      // metadata-cache hits and misses naturally: every committed epoch
+      // rotates the FS signature, so probes planned after a commit
+      // recompute centroids/stats while in-flight ones keep the snapshot
+      // their plan captured. Phases: p50/p95/max over the 32 probes +
+      // the churn ops' own span. Bit-level churn atomicity (probe == pre-
+      // or post-append twin, never a blend) is pinned in ExtensionsSpec.
+      "serving_mixed_churn" -> (s => {
+        GraftExtensions.registerTvfs(s)
+        val ivf = store(s, sfDir, "ivf_churn")
+        val lex = store(s, sfDir, "lex_churn")
+        val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+        val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        emb.filter(col("vec_id") < 8).createOrReplaceTempView("bench_churn_q")
+        val terms = Seq("dup,vector", "join,slow", "data,query", "dup,join")
+        val sqls = (0 until 16).map(i =>
+          s"""SELECT query_id, rank, neighbor_id, cos_sim
+             |FROM graft_ann('$ivf', 'bench_churn_q', 5, ${2 + i % 3})
+             |ORDER BY query_id, rank""".stripMargin) ++
+          (0 until 16).map(i =>
+            s"SELECT doc_id, rank, bm25 FROM graft_bm25('$lex', '${terms(i % 4)}', 10) ORDER BY rank")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(sqls.size + 1)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration._
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val churn = Future {
+            val t0 = System.nanoTime()
+            val k = churnSlice.getAndIncrement() % 16
+            // maxLiveTrees = 2 forces a compaction per rep; the sweep grace
+            // is what keeps the in-flight probes alive through it (the
+            // first run of this entry, graceless, failed probes with
+            // FAILED_READ_FILE mid-compaction — the defect this entry
+            // exists to catch)
+            graft.streaming.IvfIngest.ingestBatch(
+              emb.filter(col("vec_id") >= 1600 + 25 * k && col("vec_id") < 1625 + 25 * k),
+              ivf, churnTick.getAndIncrement(), maxLiveTrees = 2,
+              sweepGraceMs = 600000L)
+            graft.streaming.TextIngest.ingestBatch(
+              docs.filter(col("doc_id") >= 4000 + 50 * k && col("doc_id") < 4050 + 50 * k),
+              lex, churnTick.getAndIncrement(), maxLiveTrees = 2,
+              sweepGraceMs = 600000L)
+            (System.nanoTime() - t0) / 1e9
+          }
+          val lats = Await.result(Future.sequence(sqls.map(q => Future {
+            val t0 = System.nanoTime()
+            s.sql(q).count()
+            (System.nanoTime() - t0) / 1e9
+          })), 10.minutes)
+          val churnSec = Await.result(churn, 10.minutes)
+          val sorted = lats.sorted
+          Renko.logPhase("churn32 p50", medianOf(sorted))
+          Renko.logPhase("churn32 p95",
+            sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1)))
+          Renko.logPhase("churn32 max", sorted.last)
+          Renko.logPhase("churn32 ops", churnSec)
+        } finally pool.shutdown()
+        s.range(sqls.size.toLong).toDF()
+      }),
       "sim_topk_ivf_tvf_probe" -> (s => {
         GraftExtensions.registerTvfs(s)
         s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 10)
@@ -589,6 +667,7 @@ object Bench {
     "text_bm25_epochs_probe", "sim_topk_ivf_epochs_probe",
     // r12: the probe-only serving twins + the new pushdown/subquery paths
     // lead the line so the driver diff sees serving-latency regressions
+    "serving_mixed_churn",
     "sim_topk_ivf_tvf_probe", "text_bm25_tvf_probe",
     "sim_topk_ivf_tvf_pushdown_probe", "text_bm25_tvf_pushdown_probe",
     "sim_topk_ivf_sq8_tvf_probe", "sim_topk_ivf_pq_tvf_probe",

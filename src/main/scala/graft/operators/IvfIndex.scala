@@ -402,7 +402,8 @@ object IvfIndex {
       vecCol: String = "embedding",
       filesPerList: Int = 1,
       epochId: Option[String] = None,
-      maxLiveTrees: Int = 0): Unit = {
+      maxLiveTrees: Int = 0,
+      sweepGraceMs: Long = 0L): Unit = {
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
@@ -450,7 +451,7 @@ object IvfIndex {
     // replays its own newest epoch (deterministic epochId) rewrites only
     // itself. 0 disables (default: existing callers manage compaction).
     if (maxLiveTrees > 0 && liveTreeIds(spark, path).size > maxLiveTrees)
-      compact(spark, path, filesPerList, keepLatest = 1)
+      compact(spark, path, filesPerList, keepLatest = 1, sweepGraceMs = sweepGraceMs)
   }
 
   /** DELETE vectors from the index without touching the list trees: write
@@ -563,15 +564,16 @@ object IvfIndex {
       spark: SparkSession,
       path: String,
       filesPerList: Int = 1,
-      keepLatest: Int = 0): Unit =
-    compact(spark, path, filesPerList, sweep = true, keepLatest)
+      keepLatest: Int = 0,
+      sweepGraceMs: Long = 0L): Unit =
+    compact(spark, path, filesPerList, sweep = true, keepLatest, sweepGraceMs)
 
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerList: Int,
       sweep: Boolean): Unit =
-    compact(spark, path, filesPerList, sweep, keepLatest = 0)
+    compact(spark, path, filesPerList, sweep, keepLatest = 0, sweepGraceMs = 0L)
 
   /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
     * state; exercised by IvfIndexSpec — production uses the sweeping
@@ -580,14 +582,23 @@ object IvfIndex {
     * yet past its streaming checkpoint must stay un-merged so a replay
     * rewrites only itself); tombstones are applied and retired only on a
     * FULL compact, since a protected epoch may hold rows of a tombstoned id
-    * and retiring the tombstone would resurrect them.
+    * and retiring the tombstone would resurrect them. `sweepGraceMs > 0`
+    * defers reclaiming a replaced tree until its manifest has aged past
+    * the window — REQUIRED when probes run concurrently with maintenance
+    * (a probe planned against the old tree list may still be scanning its
+    * files; an immediate sweep fails it with FILE_NOT_EXIST — found by the
+    * serving_mixed_churn bench). Replaced trees are invisible to every
+    * NEW plan the moment the manifest commits either way; the grace only
+    * delays the disk reclaim, and any later sweep (e.g. the next
+    * auto-compaction) reclaims what has aged out.
     */
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerList: Int,
       sweep: Boolean,
-      keepLatest: Int): Unit = {
+      keepLatest: Int,
+      sweepGraceMs: Long): Unit = {
     val allRoots = listRootsWithIds(spark, path)
     val protectSet = allRoots.map(_._1)
       .filter(t => t != "base" && !t.startsWith("compact-"))
@@ -621,19 +632,54 @@ object IvfIndex {
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/lists/_MERGED"))
       graft.util.IndexMetaCache.stamp(spark, path)
     }
-    if (sweep) sweepMerged(spark, path)
+    if (sweep) sweepMerged(spark, path, sweepGraceMs)
   }
 
-  /** Delete list trees a committed `_MERGED` manifest replaced, plus any
-    * orphaned pre-manifest compact tree (invisible either way).
+  /** Delete list trees a committed `_MERGED` manifest replaced — but only
+    * once that manifest has aged `graceMs` (see [[compact]]'s
+    * serving-concurrency note; replaced trees are invisible to new plans
+    * regardless) — plus any orphaned pre-manifest compact tree, which no
+    * reader can ever have planned against.
+    *
+    * ORDERING INVARIANT (the churn test's resurrection catch): a COMPACT
+    * tree is reclaimed only after every tree its OWN manifest names is
+    * already gone. Its manifest is the only record keeping those trees
+    * dead — deleting it while a grace window still defers them would
+    * resurrect them next to their consolidated copy (double-serving).
+    * Manifests are processed oldest-first so one full-aged sweep settles
+    * a whole chain; anything still guarded is left for a later sweep.
     */
-  private def sweepMerged(spark: SparkSession, path: String): Unit = {
+  private def sweepMerged(spark: SparkSession, path: String, graceMs: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedIds(spark, path).foreach {
-      case "base" => fs.delete(new Path(s"$path/lists"), true)
-      case t if t.startsWith("tombstones/") =>
-        fs.delete(new Path(s"$path/$t"), true)
-      case e => fs.delete(new Path(s"$path/epochs/$e"), true)
+    val now = System.currentTimeMillis()
+    def manifestOf(e: String) = new Path(s"$path/epochs/$e/lists/_MERGED")
+    def namedIds(m: Path): List[String] = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def treeGone(id: String): Boolean = id match {
+      case "base" => !fs.exists(new Path(s"$path/lists"))
+      case t if t.startsWith("tombstones/") => !fs.exists(new Path(s"$path/$t"))
+      case e2 => !fs.exists(new Path(s"$path/epochs/$e2"))
+    }
+    val manifests = committedEpochIds(spark, path)
+      .map(manifestOf).filter(fs.exists(_))
+      .map(m => (m, fs.getFileStatus(m).getModificationTime))
+      .sortBy(_._2)
+    for ((m, mtime) <- manifests
+         if graceMs <= 0L || now - mtime >= graceMs) {
+      namedIds(m).foreach {
+        case "base" => fs.delete(new Path(s"$path/lists"), true)
+        case t if t.startsWith("tombstones/") =>
+          fs.delete(new Path(s"$path/$t"), true)
+        case e2 if !e2.startsWith("compact-") =>
+          fs.delete(new Path(s"$path/epochs/$e2"), true)
+        case c =>
+          val own = manifestOf(c)
+          if (!fs.exists(own) || namedIds(own).forall(treeGone))
+            fs.delete(new Path(s"$path/epochs/$c"), true)
+      }
     }
     rawEpochs(spark, path)
       .filter(e => e.startsWith("compact-") &&

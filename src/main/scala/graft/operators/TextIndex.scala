@@ -177,7 +177,8 @@ object TextIndex {
       textCol: String = "text",
       filesPerBucket: Int = 1,
       epochId: Option[String] = None,
-      maxLiveTrees: Int = 0): Unit = {
+      maxLiveTrees: Int = 0,
+      sweepGraceMs: Long = 0L): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = liveNBuckets(spark, path)
@@ -205,7 +206,7 @@ object TextIndex {
     // replays its own newest epoch (deterministic epochId) rewrites only
     // itself. 0 disables (default: existing callers manage compaction).
     if (maxLiveTrees > 0 && liveTrees(spark, path).size > maxLiveTrees)
-      compact(spark, path, filesPerBucket, keepLatest = 1)
+      compact(spark, path, filesPerBucket, keepLatest = 1, sweepGraceMs = sweepGraceMs)
   }
 
   /** Tombstone-delete documents from serving: each call writes a committed
@@ -317,15 +318,16 @@ object TextIndex {
       spark: SparkSession,
       path: String,
       filesPerBucket: Int = 1,
-      keepLatest: Int = 0): Unit =
-    compact(spark, path, filesPerBucket, sweep = true, keepLatest)
+      keepLatest: Int = 0,
+      sweepGraceMs: Long = 0L): Unit =
+    compact(spark, path, filesPerBucket, sweep = true, keepLatest, sweepGraceMs)
 
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerBucket: Int,
       sweep: Boolean): Unit =
-    compact(spark, path, filesPerBucket, sweep, keepLatest = 0)
+    compact(spark, path, filesPerBucket, sweep, keepLatest = 0, sweepGraceMs = 0L)
 
   /** `sweep = false` stops after the manifest commit (the crash-mid-sweep
     * state; exercised by TextIndexSpec — production uses the sweeping
@@ -334,13 +336,18 @@ object TextIndex {
     * epoch of a micro-batch not yet past its streaming checkpoint is never
     * folded away — a replay then uncommits and rewrites ONLY its own epoch,
     * instead of re-appending docs the compact tree already serves.
+    * `sweepGraceMs > 0` defers reclaiming replaced trees until their
+    * manifest has aged past the window — required when probes run
+    * concurrently with maintenance (see [[IvfIndex.compact]]'s
+    * serving-concurrency note; same FILE_NOT_EXIST race).
     */
   private[graft] def compact(
       spark: SparkSession,
       path: String,
       filesPerBucket: Int,
       sweep: Boolean,
-      keepLatest: Int): Unit = {
+      keepLatest: Int,
+      sweepGraceMs: Long): Unit = {
     val allTrees = liveTrees(spark, path)
     val protectSet = allTrees
       .filter(t => t != "base" && !t.startsWith("compact-"))
@@ -379,21 +386,52 @@ object TextIndex {
       fs.rename(tmp, new Path(s"$path/epochs/$cpt/postings/_MERGED"))
       graft.util.IndexMetaCache.stamp(spark, path)
     }
-    if (sweep) sweepMerged(spark, path)
+    if (sweep) sweepMerged(spark, path, sweepGraceMs)
   }
 
-  /** Delete trees a committed `_MERGED` manifest replaced, plus any
-    * orphaned pre-manifest compact tree (invisible either way).
+  /** Delete trees a committed `_MERGED` manifest replaced — but only once
+    * that manifest has aged `graceMs` (serving-concurrency: an in-flight
+    * probe may still scan the replaced files; they are invisible to new
+    * plans regardless) — plus any orphaned pre-manifest compact tree,
+    * which no reader can ever have planned against.
+    *
+    * ORDERING INVARIANT (see [[IvfIndex]]'s sweep — same resurrection
+    * catch): a COMPACT tree is reclaimed only after every tree its OWN
+    * manifest names is gone; manifests are processed oldest-first.
     */
-  private def sweepMerged(spark: SparkSession, path: String): Unit = {
+  private def sweepMerged(spark: SparkSession, path: String, graceMs: Long = 0L): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedIds(spark, path).foreach {
-      case "base" =>
-        fs.delete(new Path(s"$path/postings"), true)
-        fs.delete(new Path(s"$path/meta"), true)
-      case t if t.startsWith("tombstones/") =>
-        fs.delete(new Path(s"$path/$t"), true)
-      case e => fs.delete(new Path(s"$path/epochs/$e"), true)
+    val now = System.currentTimeMillis()
+    def manifestOf(e: String) = new Path(s"$path/epochs/$e/postings/_MERGED")
+    def namedIds(m: Path): List[String] = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    def treeGone(id: String): Boolean = id match {
+      case "base" => !fs.exists(new Path(s"$path/postings"))
+      case t if t.startsWith("tombstones/") => !fs.exists(new Path(s"$path/$t"))
+      case e2 => !fs.exists(new Path(s"$path/epochs/$e2"))
+    }
+    val manifests = committedEpochs(spark, path)
+      .map(manifestOf).filter(fs.exists(_))
+      .map(m => (m, fs.getFileStatus(m).getModificationTime))
+      .sortBy(_._2)
+    for ((m, mtime) <- manifests
+         if graceMs <= 0L || now - mtime >= graceMs) {
+      namedIds(m).foreach {
+        case "base" =>
+          fs.delete(new Path(s"$path/postings"), true)
+          fs.delete(new Path(s"$path/meta"), true)
+        case t if t.startsWith("tombstones/") =>
+          fs.delete(new Path(s"$path/$t"), true)
+        case e2 if !e2.startsWith("compact-") =>
+          fs.delete(new Path(s"$path/epochs/$e2"), true)
+        case c =>
+          val own = manifestOf(c)
+          if (!fs.exists(own) || namedIds(own).forall(treeGone))
+            fs.delete(new Path(s"$path/epochs/$c"), true)
+      }
     }
     rawEpochs(spark, path)
       .filter(e => e.startsWith("compact-") &&

@@ -55,7 +55,8 @@ object IvfIngest {
       vecCol: String = "embedding",
       filesPerList: Int = 1,
       maxLiveTrees: Int = 16,
-      keepCols: Seq[String] = Nil): Unit = {
+      keepCols: Seq[String] = Nil,
+      sweepGraceMs: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -89,7 +90,8 @@ object IvfIngest {
     } else {
       // the append's own auto-compaction dial implements the bound
       IvfIndex.append(batch, indexPath, idCol, vecCol, filesPerList,
-        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees)
+        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees,
+        sweepGraceMs = sweepGraceMs)
     }
   }
 

@@ -55,7 +55,8 @@ object TextIngest {
       textCol: String = "text",
       filesPerBucket: Int = 1,
       maxLiveTrees: Int = 16,
-      keepCols: Seq[String] = Nil): Unit = {
+      keepCols: Seq[String] = Nil,
+      sweepGraceMs: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,7 +89,8 @@ object TextIngest {
     } else {
       // the append's own auto-compaction dial implements the bound
       TextIndex.append(batch, indexPath, idCol, textCol, filesPerBucket,
-        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees)
+        epochId = Some(f"batch-$batchId%08d"), maxLiveTrees = maxLiveTrees,
+        sweepGraceMs = sweepGraceMs)
     }
   }
 

@@ -510,4 +510,75 @@ class ExtensionsSpec extends SparkTestBase {
     assert(graft.util.ProbePlanning.servingSession(spark) eq ss1,
       "the serving session is cached per caller session")
   }
+
+  test("churn: probes survive append + compaction via the sweep grace, results pre- or post-state") {
+    // the serving_mixed_churn bench's first (graceless) run failed probes
+    // with FAILED_READ_FILE mid-compaction: the sweep deleted replaced
+    // trees an in-flight plan was still scanning. This pins the fix and
+    // the atomicity contract: every result equals serving over SOME
+    // committed state — the pre-churn or post-churn twin, never a blend,
+    // never a crash.
+    GraftExtensions.registerTvfs(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-churn-ivf").toString
+    graft.streaming.IvfIngest.ingestBatch(emb.filter(col("vec_id") < 300), path, 0L)
+    graft.streaming.IvfIngest.ingestBatch(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), path, 1L)
+    emb.filter(col("vec_id") < 4).createOrReplaceTempView("graft_churn_q")
+    val sql = s"""SELECT query_id, rank, neighbor_id, cos_sim
+                 |FROM graft_ann('$path', 'graft_churn_q', 4, 16)
+                 |ORDER BY query_id, rank""".stripMargin
+    val pre = spark.sql(sql).collect().toSeq
+
+    // a plan captured BEFORE the maintenance — the exact shape that read
+    // deleted files when sweeps were immediate
+    val inflight = spark.sql(sql)
+
+    // churn concurrent with probes: the append trips auto-compaction
+    // (maxLiveTrees = 2 with 3 live trees) whose sweep is grace-deferred
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+    val (concurrentResults, preDirs) =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val churn = Future {
+          graft.streaming.IvfIngest.ingestBatch(
+            emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), path, 2L,
+            maxLiveTrees = 2, sweepGraceMs = 600000L)
+        }
+        val probes = Future.sequence(
+          (1 to 8).map(_ => Future { spark.sql(sql).collect().toSeq }))
+        val r = Await.result(probes, 5.minutes)
+        Await.result(churn, 5.minutes)
+        (r, new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSeq)
+      } finally pool.shutdown()
+
+    val post = spark.sql(sql).collect().toSeq
+    assert(pre != post, "the appended vectors must change this probe, or the test pins nothing")
+    concurrentResults.zipWithIndex.foreach { case (r, i) =>
+      assert(r == pre || r == post,
+        s"concurrent probe $i returned a state that is neither pre- nor post-churn")
+    }
+    // the compaction committed (a compact tree exists) but the replaced
+    // trees are grace-deferred, which is what kept in-flight scans alive
+    assert(preDirs.exists(_.startsWith("compact-")), s"compaction must have run, got $preDirs")
+    assert(preDirs.exists(_.startsWith("batch-")),
+      s"replaced epochs must still be on disk inside the grace window, got $preDirs")
+    // a TVF frame resolves its probe at first execution, so this collect
+    // may serve either side of the churn — what it must NEVER do is crash
+    // on swept files or blend the two states
+    val inflightRows = inflight.collect().toSeq
+    assert(inflightRows == pre || inflightRows == post,
+      "a pre-churn frame must serve some committed state")
+
+    // a later zero-grace sweep reclaims what aged out of the (elapsed)
+    // window — here immediately, because grace 0 ignores manifest age
+    graft.operators.IvfIndex.compact(spark, path, keepLatest = 0, sweepGraceMs = 0L)
+    val sweptDirs = new java.io.File(s"$path/epochs").listFiles().map(_.getName).toSeq
+    assert(!sweptDirs.exists(_.startsWith("batch-0000000")) || sweptDirs.size < preDirs.size,
+      s"the zero-grace sweep must reclaim replaced trees, got $sweptDirs vs $preDirs")
+    assert(spark.sql(sql).collect().toSeq == post,
+      "probes must be bit-identical across the deferred sweep")
+  }
 }
