@@ -195,4 +195,50 @@ class RocksDBStreamSpec extends SparkTestBase {
     assert(rocks.nonEmpty && rocks.sameElements(dflt),
       "brick sequence differs between state store providers")
   }
+
+  test("multi-key renko on RocksDB: one state row per symbol, bit-exact vs batch") {
+    // the r14 Stress arm scales this to 10k symbols x 1k events; here the
+    // same shape stays in the suite at 200 keys, pinning the two things the
+    // big run asserts: state rows == #symbols (each key holds exactly one
+    // engine snapshot) and per-key correctness (stream == batch operator)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nKeys = 200
+    val evPerKey = 50
+    val events = (0 until nKeys * evPerKey).map { i =>
+      val k = i % nKeys
+      val seq = i / nKeys
+      graft.streaming.PriceEvent(s"s$k", i.toLong,
+        200.0 + 30.0 * math.sin(seq / 8.0) + (k % 7) * 0.1)
+    }
+    val got = withRocksDB {
+      val stream = MemoryStream[graft.streaming.PriceEvent]
+      val q = graft.streaming.RenkoWS.bricks(stream.toDS(), 1.0)
+        .writeStream.format("memory").queryName("rocks_mk")
+        .outputMode("append").start()
+      try {
+        events.grouped(events.length / 2 + 1).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+        assertRocksServed(q)
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows == nKeys.toLong,
+          s"state must hold one row per symbol: $stateRows vs $nKeys")
+      } finally q.stop()
+      spark.table("rocks_mk").collect().map(_.toString).sorted
+    }
+    // dropFirst = false: the stream emits every brick; the reference's
+    // drop-first-label rule is a batch-side projection
+    val batch = graft.operators.Renko.fromTicks(
+      events.toDF().select(col("symbol"), col("timestamp").as("datetime"),
+        col("price").as("close")),
+      1.0, symbolCol = Some("symbol"), tsUnit = "us", dropFirst = false)
+    assert(got.nonEmpty, "multi-key stream must emit bricks")
+    // the stream additionally emits the reference's INITIAL brick once per
+    // key (ws add_prices behavior, pinned by StreamingSpec) — so exactly
+    // one extra row per symbol over the batch scan
+    assert(got.length == batch.count() + nKeys,
+      s"streamed bricks must be the batch operator's plus one initial brick per symbol " +
+        s"(got ${got.length}, batch ${batch.count()}, keys $nKeys)")
+  }
 }
