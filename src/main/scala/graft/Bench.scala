@@ -443,6 +443,8 @@ object Bench {
       "mm_resample_wav" -> q("mm_resample_wav"),
       "mm_decode_png" -> q("mm_decode_png"),
       "mm_near_dup_pairs" -> q("mm_near_dup_pairs"),
+      "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
+      "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
       "events_funnel_stream" -> q("events_funnel_stream"),
       "events_retention_stream" -> q("events_retention_stream"),

@@ -1954,16 +1954,23 @@ object SparkEntry {
     // planted twin whose text differs by ONE character (same length, so
     // the raster geometry is identical); the pairs must surface through
     // the REAL decode -> dHash -> banded-join -> exact-Hamming path
-    "mm_near_dup_pairs" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val twins = docs
-        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 5)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          concat(substring(col("text"), 1, 4), lit("Z"),
-            expr("substring(text, 6)")).as("text"))
-      Multimodal.nearDupPairs(Multimodal.encodePpm(docs.unionByName(twins)))
-        .orderBy(col("id_a"), col("id_b"))
+    "mm_near_dup_pairs" -> ((s, dir) =>
+      mmNearDupInput(s, dir)._2.orderBy(col("id_a"), col("id_b"))),
+    // the decision layers over the perceptual pairs, completing parity
+    // with the text dedup family (dedup_clusters / dedup_keepers): group
+    // the near-dup graph, then keep the ORIGINAL of each group (planted
+    // twins carry the +10M id offset, so originals outrank; ties ->
+    // smallest id, the same arg-max rule as canonicalKeepers everywhere)
+    "mm_near_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          mmNearDupInput(s, dir)._2.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))),
+    "mm_near_dup_keepers" -> ((s, dir) => {
+      val (media, pairs) = mmNearDupInput(s, dir)
+      Dedup.canonicalKeepers(media,
+          pairs.select(col("id_a"), col("id_b")),
+          when(col("doc_id") < 10000000L, 1).otherwise(0))
+        .orderBy(col("doc_id"))
     }),
     "mm_decode_wav" -> ((s, dir) =>
       // real RIFF/PCM audio decode (chunk-walking parser) over payloads
@@ -2056,6 +2063,23 @@ object SparkEntry {
     * reachability → min-label clusters, ending in `cl(doc_id, cluster_id)`
     * (used by dedup_clusters and dedup_keepers).
     */
+  /** The mm near-dup fixture and its dHash banded pairs: documents plus a
+    * one-character twin for every doc_id % 7 == 0 (same text LENGTH, so
+    * the raster geometry is preserved and the twin lands within a few
+    * flipped hash bits) — shared by the pairs/clusters/keepers queries.
+    */
+  private def mmNearDupInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val twins = docs
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("Z"),
+          expr("substring(text, 6)")).as("text"))
+    val media = docs.unionByName(twins)
+    (media, Multimodal.nearDupPairs(Multimodal.encodePpm(media)))
+  }
+
   private val ClustersCte =
     s"""WITH RECURSIVE tok AS (
        |  SELECT doc_id, $Tok AS w FROM documents
@@ -2079,6 +2103,65 @@ object SparkEntry {
        |  UNION
        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.n),
        |cl AS (SELECT n AS doc_id, min(l) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
+  /** The dHash near-dup replica shared by the mm_near_dup_* oracles:
+    * planted one-char twins (+10M id offset), the 9x8 grayscale grid over
+    * the text-derived raster (the same integer floor sampling as the
+    * resize oracle), the hash as two unsigned 32-bit halves, 4x16-bit
+    * bands, exact Hamming — ending at `mmpairs(id_a, id_b, hamming)`.
+    * Declared RECURSIVE so the clusters/keepers oracles can append their
+    * reachability CTE.
+    */
+  private val MmPairsCte =
+    """WITH RECURSIVE base AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    concat(substr(text, 1, 4), 'Z', substr(text, 6))
+      |  FROM documents WHERE doc_id % 7 = 0 AND strlen(text) >= 5),
+      |c AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text)+1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM base),
+      |d AS (
+      |  SELECT doc_id, n, codes,
+      |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS h
+      |  FROM c),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 72), t ->
+      |        299*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 0 < n
+      |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 AS INT)] ELSE 0 END)
+      |      + 587*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 < n
+      |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 AS INT)] ELSE 0 END)
+      |      + 114*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 < n
+      |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 3 AS INT)] ELSE 0 END)) AS gray
+      |  FROM d),
+      |hsh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(range(32, 64), b ->
+      |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+      |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+      |        THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_hi,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+      |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+      |        THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_lo
+      |  FROM g),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, dhash_hi, dhash_lo, k,
+      |    CASE k WHEN 0 THEN dhash_lo & 65535 WHEN 1 THEN (dhash_lo >> 16) & 65535
+      |           WHEN 2 THEN dhash_hi & 65535 ELSE (dhash_hi >> 16) & 65535 END AS band
+      |  FROM hsh, (SELECT unnest(range(0, 4)) AS k)),
+      |mmpairs AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
+      |       + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS INT) AS hamming
+      |  FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band
+      |    AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
+      |      + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 6)""".stripMargin
 
   /** Shared raster-stats replica for the image-decode fixtures: 16-wide
     * RGB raster, pixel stream = ASCII text bytes zero-padded to 16*h*3
@@ -2849,60 +2932,47 @@ object SparkEntry {
         |SELECT doc_id, h AS src_height, CAST(8 AS BIGINT) AS width,
         |  CAST(8 AS BIGINT) AS height, sum_r, sum_g, sum_b
         |FROM s ORDER BY doc_id""".stripMargin,
-    // replays the full dHash near-dup path: planted one-char twins, the
-    // 9x8 grayscale grid over the text-derived raster (same integer floor
-    // sampling as the resize oracle), the hash as two unsigned 32-bit
-    // halves, the 4x16-bit bands, and the exact Hamming verify
+    // replays the full dHash near-dup path (see MmPairsCte): planted
+    // one-char twins, the 9x8 grayscale grid over the text-derived raster,
+    // the hash as two unsigned 32-bit halves, the 4x16-bit bands, and the
+    // exact Hamming verify
     "mm_near_dup_pairs" ->
-      """WITH base AS MATERIALIZED (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000,
-        |    concat(substr(text, 1, 4), 'Z', substr(text, 6))
-        |  FROM documents WHERE doc_id % 7 = 0 AND strlen(text) >= 5),
-        |c AS (
-        |  SELECT doc_id, strlen(text) AS n,
-        |    list_transform(range(1, strlen(text)+1),
-        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
-        |  FROM base),
-        |d AS (
-        |  SELECT doc_id, n, codes,
-        |    CAST(greatest(1, ((n+2)//3 + 15)//16) AS BIGINT) AS h
-        |  FROM c),
-        |g AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 72), t ->
-        |        299*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 0 < n
-        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 AS INT)] ELSE 0 END)
-        |      + 587*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 1 < n
-        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 AS INT)] ELSE 0 END)
-        |      + 114*(CASE WHEN ((t//9)*h//8*16 + (t%9)*16//9)*3 + 2 < n
-        |          THEN codes[CAST(((t//9)*h//8*16 + (t%9)*16//9)*3 + 3 AS INT)] ELSE 0 END)) AS gray
-        |  FROM d),
-        |hsh AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CAST(coalesce(list_sum(list_transform(range(32, 64), b ->
-        |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
-        |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
-        |        THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_hi,
-        |    CAST(coalesce(list_sum(list_transform(range(0, 32), b ->
-        |      CASE WHEN gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
-        |              > gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
-        |        THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)), 0) AS BIGINT) AS dhash_lo
-        |  FROM g),
-        |bands AS MATERIALIZED (
-        |  SELECT doc_id, dhash_hi, dhash_lo, k,
-        |    CASE k WHEN 0 THEN dhash_lo & 65535 WHEN 1 THEN (dhash_lo >> 16) & 65535
-        |           WHEN 2 THEN dhash_hi & 65535 ELSE (dhash_hi >> 16) & 65535 END AS band
-        |  FROM hsh, (SELECT unnest(range(0, 4)) AS k))
-        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-        |  CAST(bit_count(xor(x.dhash_hi, y.dhash_hi))
-        |     + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS INT) AS hamming
-        |FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band
-        |  AND x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
-        |    + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 6
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""$MmPairsCte
+        |SELECT id_a, id_b, hamming FROM mmpairs ORDER BY id_a, id_b""".stripMargin,
+    "mm_near_dup_clusters" ->
+      s"""$MmPairsCte,
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM mmpairs
+        |  UNION SELECT id_b, id_a FROM mmpairs),
+        |reach(nn, l) AS (
+        |  SELECT src, src FROM bidir
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.nn),
+        |cl AS (SELECT nn AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nn)
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "mm_near_dup_keepers" ->
+      s"""$MmPairsCte,
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM mmpairs
+        |  UNION SELECT id_b, id_a FROM mmpairs),
+        |reach(nn, l) AS (
+        |  SELECT src, src FROM bidir
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.nn),
+        |cl AS (SELECT nn AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nn),
+        |m AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN doc_id < 10000000 THEN 1 ELSE 0 END AS prio
+        |  FROM cl),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY prio DESC, doc_id ASC) AS rn
+        |  FROM m)
+        |SELECT m.doc_id, m.cluster_id, k.keeper_id,
+        |  m.doc_id = k.keeper_id AS keep
+        |FROM m JOIN k ON k.cluster_id = m.cluster_id AND k.rn = 1
+        |ORDER BY m.doc_id""".stripMargin,
     "mm_decode_wav" ->
       """WITH c AS (
         |  SELECT doc_id, strlen(text) AS n,

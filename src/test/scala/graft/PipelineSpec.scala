@@ -622,6 +622,22 @@ class PipelineSpec extends SparkTestBase {
     assert(twinPairs >= planted * 3 / 4,
       s"most planted twins must pair: found $twinPairs of $planted")
     assert(pairs.length == pairs.distinct.length, "pairs must be distinct")
+
+    // decision layers: twins land in their original's cluster, and the
+    // keeper rule (original outranks its +10M twin) keeps the original
+    val pairDf = pairs.toSeq.toDF("id_a", "id_b", "hamming")
+    val clusters = operators.Dedup.connectedComponents(pairDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.filter { case (a, b, _) => b - a == 10000000L }.foreach { case (a, b, _) =>
+      assert(clusters(a) == clusters(b), s"twin $b must share $a's cluster")
+    }
+    val keepers = operators.Dedup.canonicalKeepers(
+        sample.unionByName(twins), pairDf,
+        when(col("doc_id") < 10000000L, 1).otherwise(0))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    pairs.filter { case (a, b, _) => b - a == 10000000L }.foreach { case (_, b, _) =>
+      assert(!keepers(b), s"planted twin $b must be dropped, its original kept")
+    }
   }
 
   test("multimodal P6 resize: nearest-neighbor kernel, round-trip decodable, identity at source dims") {
