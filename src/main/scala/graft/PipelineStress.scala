@@ -279,6 +279,31 @@ object PipelineStress {
     t("dedup_keepers_e2e", nDocs)(Dedup.canonicalKeepers(
       docs, Dedup.minhashLshPairs(docs, 0.8), keepPrio).count())
 
+    // multimodal near-dup at scale (r14): dHash + 4x16-bit banded join
+    // over ~220k REAL P6 payloads. Twins substitute one byte IN PLACE
+    // (length-preserving — the text family's word substitutions change
+    // byte lengths and thus the raster geometry, which is exactly what a
+    // perceptual hash is NOT robust to), landing within a couple of hash
+    // bits of their originals; recall against them is measured, and the
+    // candidate bound holds or the banded join itself would be the
+    // slowest line here.
+    val mmTwins = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 9), lit("#"),
+          expr("substring(text, 11)")).as("text"))
+    val nMmTwins = mmTwins.count()
+    val media = graft.operators.Multimodal
+      .encodePpm(docs.unionByName(mmTwins)).localCheckpoint(true)
+    val mmFound = t("mm_near_dup_pairs", nDocs + nMmTwins)(
+      graft.operators.Multimodal.nearDupPairs(media).count())
+    val mmTwinHits = graft.operators.Multimodal.nearDupPairs(media)
+      .filter(col("id_b") - col("id_a") === 10000000L)
+      .select("id_a").distinct().count()
+    val mmRecall = mmTwinHits.toDouble / nMmTwins
+    println(f"[pstress] mm dhash recall@planted  $mmRecall%.4f " +
+      s"($mmFound pairs total, $mmTwinHits of $nMmTwins planted twins)")
+    assert(mmRecall >= 0.95, s"mm dHash recall at scale degraded: $mmRecall")
+
     // round-6 composed operators at scale — still inside the doc-corpus
     // section (before the event arms pin their checkpoint blocks).
     // curate_e2e chains annotate → decontaminate → LSH dedup → mixture

@@ -233,12 +233,23 @@ object Renko {
     * re-run). Driver-side, tiny (3 entries per scan call).
     */
   private val phaseLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+  private val phaseLogSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Entries beyond this are dropped oldest-first: the bench drains per
+    * rep, but a long-running production STREAM also logs phases per epoch
+    * (the curate/admission sync points) with nobody draining — the queue
+    * must stay bounded over an unbounded stream lifetime.
+    */
+  private val PhaseLogCap = 8192
   /** Bench-visible phase entry from OUTSIDE the scan (e.g. the concurrent
     * serving bench's per-query latency percentiles) — same drain channel,
     * so the numbers land in the artifact's per-rep diag.
     */
-  private[graft] def logPhase(phase: String, sec: Double): Unit =
+  private[graft] def logPhase(phase: String, sec: Double): Unit = {
     phaseLog.add(phase -> sec)
+    if (phaseLogSize.incrementAndGet() > PhaseLogCap) {
+      if (phaseLog.poll() != null) phaseLogSize.decrementAndGet()
+    }
+  }
 
   /** Cumulative JVM GC time (ms) across all collectors — deltas around a
     * phase attribute stall time to garbage collection in the diag.
@@ -252,7 +263,7 @@ object Renko {
   private[graft] def drainPhaseLog(): Seq[(String, Double)] = {
     val b = Seq.newBuilder[(String, Double)]
     var x = phaseLog.poll()
-    while (x != null) { b += x; x = phaseLog.poll() }
+    while (x != null) { b += x; phaseLogSize.decrementAndGet(); x = phaseLog.poll() }
     b.result()
   }
 
@@ -370,7 +381,7 @@ object Renko {
     def mark(phase: String): Unit = {
       val now = System.nanoTime()
       val sec = (now - tMark) / 1e9
-      phaseLog.add(phase -> sec)
+      logPhase(phase, sec)
       if (debug) System.err.println(f"[scan-debug] $phase%-18s $sec%7.3f s")
       tMark = now
     }
@@ -498,8 +509,8 @@ object Renko {
     // diag, so a slow rep carries its cause inside the artifact.
     locally {
       val infos = spark.sparkContext.getRDDStorageInfo
-      phaseLog.add("cacheMemMB" -> infos.map(_.memSize).sum / 1e6)
-      phaseLog.add("cacheDiskMB" -> infos.map(_.diskSize).sum / 1e6)
+      logPhase("cacheMemMB", infos.map(_.memSize).sum / 1e6)
+      logPhase("cacheDiskMB", infos.map(_.diskSize).sum / 1e6)
     }
     val gcBeforeJob2 = gcMillis()
     val suffixRdd = ticks.as[(Long, Double)].rdd
@@ -550,10 +561,10 @@ object Renko {
     // the spike shows zero spill/GC — the remaining suspects are straggler
     // tasks, scheduler starvation, and driver-side checkpoint bookkeeping,
     // which this window separates as taskMax/launchGap/postGap)
-    val all = graft.util.StallDiag.watch(spark, "job2", (p, v) => phaseLog.add(p -> v)) {
+    val all = graft.util.StallDiag.watch(spark, "job2", logPhase) {
       widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
     }
-    phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
+    logPhase("job2GcSec", (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all
@@ -631,7 +642,7 @@ object Renko {
     def mark(phase: String): Unit = {
       val now = System.nanoTime()
       val sec = (now - tMark) / 1e9
-      phaseLog.add(phase -> sec)
+      logPhase(phase, sec)
       if (debug) System.err.println(f"[scan-debug] $phase%-18s $sec%7.3f s")
       tMark = now
     }
@@ -750,8 +761,8 @@ object Renko {
     // the path whose "job2 suffix+ckpt" spiked in r11/r12 sweeps
     locally {
       val infos = spark.sparkContext.getRDDStorageInfo
-      phaseLog.add("cacheMemMB" -> infos.map(_.memSize).sum / 1e6)
-      phaseLog.add("cacheDiskMB" -> infos.map(_.diskSize).sum / 1e6)
+      logPhase("cacheMemMB", infos.map(_.memSize).sum / 1e6)
+      logPhase("cacheDiskMB", infos.map(_.diskSize).sum / 1e6)
     }
     val gcBeforeJob2 = gcMillis()
     val suffixRdd = ticks.as[Tick].rdd
@@ -803,10 +814,10 @@ object Renko {
     // the spike shows zero spill/GC — the remaining suspects are straggler
     // tasks, scheduler starvation, and driver-side checkpoint bookkeeping,
     // which this window separates as taskMax/launchGap/postGap)
-    val all = graft.util.StallDiag.watch(spark, "job2", (p, v) => phaseLog.add(p -> v)) {
+    val all = graft.util.StallDiag.watch(spark, "job2", logPhase) {
       widen(prefixDf.unionByName(suffixDf)).localCheckpoint(true)
     }
-    phaseLog.add("job2GcSec" -> (gcMillis() - gcBeforeJob2) / 1e3)
+    logPhase("job2GcSec", (gcMillis() - gcBeforeJob2) / 1e3)
     mark("job2 suffix+ckpt")
     ticks.unpersist(blocking = true)
     val result = if (!dropFirst) all

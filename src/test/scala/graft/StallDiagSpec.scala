@@ -56,6 +56,18 @@ class StallDiagSpec extends SparkTestBase {
     } finally StallDiag.stallThresholdSec = before
   }
 
+  test("phase log stays bounded under an unbounded producer") {
+    // a long-running production stream logs sync-point phases per epoch
+    // with nobody draining — the queue must not grow without bound
+    graft.operators.Renko.drainPhaseLog()
+    (1 to 20000).foreach(i => graft.operators.Renko.logPhase(s"p$i", i.toDouble))
+    val drained = graft.operators.Renko.drainPhaseLog()
+    assert(drained.size <= 8192 + 1, s"phase log unbounded: ${drained.size} entries")
+    assert(drained.nonEmpty && drained.last._1 == "p20000",
+      "the cap must drop oldest-first, keeping the newest entries")
+    assert(graft.operators.Renko.drainPhaseLog().isEmpty)
+  }
+
   test("a fast action under an armed threshold does not fire") {
     val before = StallDiag.stallThresholdSec
     try {
