@@ -443,6 +443,11 @@ object Bench {
       "mm_resample_wav" -> q("mm_resample_wav"),
       "mm_decode_png" -> q("mm_decode_png"),
       "mm_near_dup_pairs" -> q("mm_near_dup_pairs"),
+      // r14: z-order layout family (pruning = zonemap + assignment math)
+      // and the leakage-safe grouped split
+      "layout_zorder" -> q("layout_zorder"),
+      "layout_zorder_pruning" -> q("layout_zorder_pruning"),
+      "sample_split_grouped" -> q("sample_split_grouped"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -686,7 +691,9 @@ object Bench {
     "dedup_spans_verified", "dedup_span_removal_verified",
     "text_decontaminate_spans_verified", "dedup_span_provenance",
     "dedup_spans_stream",
-    "text_normalize", "text_script")
+    "text_normalize", "text_script",
+    // r14: the layout family + grouped split
+    "layout_zorder", "layout_zorder_pruning", "sample_split_grouped")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2451,6 +2451,86 @@ object PipelineOracleSql {
     * polyhash, doc_id). One flat window here — the engine's hierarchical
     * rank is exact, so it must reproduce this bit-for-bit.
     */
+  /** The z-order layout family's shared CTE chain (mirrors
+    * `Layout.annotated`): corpus min/max/count stats, 16-bit quantization
+    * of each dim — `floor(((v − min)/(max − min))·65536)` clamped to
+    * [0, 65535], IEEE-double exact in both engines — and the Morton
+    * interleave as integer bit arithmetic (x odd positions, y even),
+    * ending in `z(event_id, x, y, zval, total, xmn..ymx)`.
+    */
+  private def zorderCtes: String = {
+    def quant(v: String, mn: String, mx: String): String =
+      s"LEAST(GREATEST(CAST(floor((($v - $mn) / ($mx - $mn)) * 65536.0) AS BIGINT), 0), 65535)"
+    s"""WITH s AS (
+       |  SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx,
+       |         min(value) AS vmn, max(value) AS vmx, count(*) AS total
+       |  FROM events
+       |), q AS (
+       |  SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y,
+       |    ${quant("CAST(epoch_us(ts) AS DOUBLE)", "CAST(tmn AS DOUBLE)", "CAST(tmx AS DOUBLE)")} AS qx,
+       |    ${quant("value", "vmn", "vmx")} AS qy,
+       |    total, CAST(tmn AS DOUBLE) AS xmn, CAST(tmx AS DOUBLE) AS xmx,
+       |    vmn AS ymn, vmx AS ymx
+       |  FROM events, s
+       |), z AS (
+       |  SELECT event_id, x, y, total, xmn, xmx, ymn, ymx, qx,
+       |    CAST(list_sum(list_transform(range(0, 16),
+       |      b -> ((qx >> CAST(b AS INT)) & 1) * CAST(power(2, 2*b+1) AS BIGINT)
+       |         + ((qy >> CAST(b AS INT)) & 1) * CAST(power(2, 2*b) AS BIGINT))) AS BIGINT) AS zval
+       |  FROM q)""".stripMargin
+  }
+
+  /** Morton z-value per event (mirrors `Layout.withZValue`). */
+  def layoutZorder: String =
+    s"""$zorderCtes
+       |SELECT event_id, zval FROM z ORDER BY event_id""".stripMargin
+
+  /** Per-file zone map of the 64-file z-order layout (mirrors
+    * `Layout.zoneMap(zOrderAssign(...))`): contiguous file assignment by
+    * exact (zval, event_id) rank, integer division.
+    */
+  def layoutZorderZonemap: String =
+    s"""$zorderCtes,
+       |a AS (
+       |  SELECT *, ((row_number() OVER (ORDER BY zval, event_id)) - 1) * 64 // total AS file_id
+       |  FROM z)
+       |SELECT CAST(file_id AS BIGINT) AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+       |FROM a GROUP BY file_id ORDER BY file_id""".stripMargin
+
+  /** The pruning witness (mirrors `Layout.pruningStats`): zone maps of the
+    * z-order and natural-time 64-file layouts vs a centered quarter-range
+    * box on both dims — files_hit is what a scan cannot prune.
+    */
+  def layoutZorderPruning: String =
+    s"""$zorderCtes,
+       |a AS (
+       |  SELECT *,
+       |    ((row_number() OVER (ORDER BY zval, event_id)) - 1) * 64 // total AS fz,
+       |    ((row_number() OVER (ORDER BY x, event_id)) - 1) * 64 // total AS fl
+       |  FROM z
+       |), zm AS (
+       |  SELECT 'zorder' AS layout, fz AS file_id, count(*) AS n_rows,
+       |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+       |    any_value(xmn) AS xmn, any_value(xmx) AS xmx,
+       |    any_value(ymn) AS ymn, any_value(ymx) AS ymx
+       |  FROM a GROUP BY fz
+       |  UNION ALL
+       |  SELECT 'linear', fl, count(*), min(x), max(x), min(y), max(y),
+       |    any_value(xmn), any_value(xmx), any_value(ymn), any_value(ymx)
+       |  FROM a GROUP BY fl
+       |), b AS (
+       |  SELECT *,
+       |    xmn + 0.375*(xmx - xmn) AS xlo, xmn + 0.625*(xmx - xmn) AS xhi,
+       |    ymn + 0.375*(ymx - ymn) AS ylo, ymn + 0.625*(ymx - ymn) AS yhi
+       |  FROM zm)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+       |  CAST(sum(CASE WHEN x_max >= xlo AND x_min <= xhi
+       |                 AND y_max >= ylo AND y_min <= yhi THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN x_max >= xlo AND x_min <= xhi
+       |                 AND y_max >= ylo AND y_min <= yhi THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_hit
+       |FROM b GROUP BY layout ORDER BY layout""".stripMargin
+
   /** Shared CTE chain for the export oracles: the [[sampleShuffleOrder]]
     * scrambled-hash global rank joined with whitespace token counts.
     */
@@ -2927,6 +3007,9 @@ object PipelineOracleSql {
     "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,
+    "layout_zorder" -> layoutZorder,
+    "layout_zorder_zonemap" -> layoutZorderZonemap,
+    "layout_zorder_pruning" -> layoutZorderPruning,
     "export_shards" -> exportShards,
     "export_shards_balanced" -> exportShardsBalanced,
     "export_manifest" -> exportManifest,

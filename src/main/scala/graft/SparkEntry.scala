@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, EventAnalytics, Export, IvfIndex, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
+import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, EventAnalytics, Export, IvfIndex, Layout, Multimodal, RangeJoin, Renko, RenkoModes, Sampling, Search, SeriesCompare, Similarity, Sketches, Skew, TextAnalysis, TextIndex, ToRws}
 import graft.streaming.{PriceEvent, RenkoWS}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -21,6 +21,16 @@ object SparkEntry {
     */
   private def ensureConf(s: SparkSession): Unit =
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events projected for the layout family: (event_id, x = ts epoch-µs as
+    * double, y = value) — the two numeric dimensions the z-order interleaves.
+    */
+  private def layoutEventsBase(s: SparkSession, dir: String): DataFrame = {
+    ensureConf(s)
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    ev.select(col("event_id"), tsUs(ev).cast("double").as("x"),
+      col("value").cast("double").as("y"))
+  }
 
   /** events table as a single-series tick stream: ts (epoch ns) + value. */
   private def eventTicks(s: SparkSession, dir: String): DataFrame = {
@@ -843,6 +853,36 @@ object SparkEntry {
     "sample_shuffle_order" -> ((s, dir) =>
       Sampling.shufflePosition(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("position")).orderBy(col("doc_id"))),
+    // leakage-safe split: near-dup cluster members are co-assigned (the
+    // split key is the cluster id, falling back to the doc's own id for
+    // singletons), so a near-duplicate can never straddle train/test —
+    // the contamination mode a per-document split cannot prevent
+    "sample_split_grouped" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.assignSplitsGrouped(d, Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d, 0.5)))
+        .select(col("doc_id"), col("group_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    // Morton z-value of (ts, value): the 2-D clustering key whose
+    // contiguous ranges give files tight min/max spans in BOTH dims —
+    // built-in bit arithmetic only, scan-local, codegen'd
+    "layout_zorder" -> ((s, dir) =>
+      Layout.withZValue(layoutEventsBase(s, dir), "x", "y")
+        .select(col("event_id"), col("zval")).orderBy(col("event_id"))),
+    // per-file zone map of the 64-file z-order layout: exactly the min/max
+    // statistics a parquet footer carries — the pruning surface itself
+    "layout_zorder_zonemap" -> ((s, dir) =>
+      Layout.zoneMap(
+        Layout.zOrderAssign(layoutEventsBase(s, dir), "x", "y", 64, "event_id"),
+        "x", "y").orderBy(col("file_id"))),
+    // the pruning dividend, oracle-checked: a centered quarter-range box
+    // on (ts, value) vs the zone maps of the z-order and natural-time
+    // layouts — z-order touches ~4x fewer files (both dims bounded per
+    // file) where the time layout prunes on ts only
+    "layout_zorder_pruning" -> ((s, dir) =>
+      Layout.pruningStats(layoutEventsBase(s, dir), "x", "y", 64, "event_id")
+        .orderBy(col("layout"))),
     // DSIR importance resampling (hashed-ngram log-likelihood ratio vs the
     // bench target + deterministic Gumbel top-k): the published data-
     // selection procedure with the RNG replaced by a replayable hash
@@ -2369,6 +2409,24 @@ object SparkEntry {
          |  m.doc_id = k.keeper_id AS keep
          |FROM m JOIN k ON k.cluster_id = m.cluster_id AND k.rn = 1
          |ORDER BY m.doc_id""".stripMargin,
+    // leakage-safe split: the assignSplits bucket arithmetic keyed on
+    // coalesce(cluster_id, doc_id) — cluster members co-assigned
+    "sample_split_grouped" ->
+      s"""$ClustersCte,
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |hg AS (
+         |  SELECT doc_id, group_key,
+         |    (((list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, strlen('split:' || CAST(group_key AS VARCHAR)) + 1),
+         |        i -> CAST(ascii(substr('split:' || CAST(group_key AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 2147483647)
+         |      * 2654435761 + 12345) % 2147483647) % 1000000) AS b
+         |  FROM g)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM hg ORDER BY doc_id""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,

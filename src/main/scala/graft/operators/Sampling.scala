@@ -106,6 +106,35 @@ object Sampling {
     docs.withColumn("split", assigned)
   }
 
+  /** GROUP-aware split assignment — the leakage-safe variant of
+    * [[assignSplits]]: every member of a duplicate cluster gets the SAME
+    * split, because the hash is taken over the cluster id (min-label
+    * component id from [[Dedup.connectedComponents]]) rather than the
+    * document's own id. A per-document split puts ~w_train·w_test of every
+    * near-dup pair across the train/test boundary — test-set contamination
+    * by construction; keying the split on the group closes that channel
+    * while keeping every [[assignSplits]] property (pure function of
+    * (seed, group), stable under corpus growth).
+    *
+    * `clusters` is (idCol, cluster_id) covering only clustered docs;
+    * singletons fall back to their own id (`group_key = coalesce(cluster_id,
+    * id)`). Scale shape: one equi-join on the id (broadcast when the
+    * cluster frame is small — the usual case, |clusters| ≈ duplicated docs
+    * only), then the same scan-local CASE chain as assignSplits.
+    */
+  def assignSplitsGrouped(
+      docs: DataFrame,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "split",
+      idCol: String = "doc_id"): DataFrame = {
+    val grouped = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    assignSplits(grouped, splits, seed, idCol = "group_key")
+  }
+
   /** Deterministic fixed-size sample: exactly `k` docs per stratum (all of
     * them if the stratum is smaller), chosen as the k smallest scrambled
     * hashes — a uniform without-replacement draw that is a pure function of

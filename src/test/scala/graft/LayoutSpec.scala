@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Layout, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout family: bit-level correctness of the Morton interleave,
+  * quantization edges, exact file-assignment math, the pruning dividend on
+  * PHYSICALLY WRITTEN parquet (not just the zone-map model), and the
+  * leakage-safe grouped split.
+  */
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("interleave2 puts x on odd bits, y on even — known values") {
+    // x=5 (101b) -> bits 1,5 set = 34; y=3 (011b) -> bits 0,2 set = 5
+    val r = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.interleave2(col("x"), col("y"), 3).as("z"))
+      .head().getLong(0)
+    assert(r == 39L)
+    // full-width: x = 0xFFFF, y = 0 -> all odd bits of 32 = 0xAAAAAAAA
+    val r2 = Seq((65535L, 0L)).toDF("x", "y")
+      .select(Layout.interleave2(col("x"), col("y"), 16).as("z"))
+      .head().getLong(0)
+    assert(r2 == 0xAAAAAAAAL)
+    val r3 = Seq((0L, 65535L)).toDF("x", "y")
+      .select(Layout.interleave2(col("x"), col("y"), 16).as("z"))
+      .head().getLong(0)
+    assert(r3 == 0x55555555L)
+  }
+
+  test("quantize: min->0, max clamps to 2^bits-1, degenerate range -> 0") {
+    val df = Seq((0.0), (1.0), (0.5), (-3.0), (9.0)).toDF("v")
+    val q = df.select(Layout.quantize(col("v"), lit(0.0), lit(1.0), 16).as("q"))
+      .as[Long].collect().toSeq
+    assert(q == Seq(0L, 65535L, 32768L, 0L, 65535L)) // outside clamps, never wraps
+    val deg = Seq(7.0).toDF("v")
+      .select(Layout.quantize(col("v"), lit(5.0), lit(5.0), 16).as("q"))
+      .head().getLong(0)
+    assert(deg == 0L)
+  }
+
+  test("zOrderAssign: contiguous balanced files, rank == single-task ground truth") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"), col("value").as("y"))
+    val assigned = Layout.zOrderAssign(base, "x", "y", nFiles = 16, idCol = "event_id")
+    val rows = assigned.select("event_id", "zval", "position", "file_id").collect()
+    val n = rows.length
+    // ground truth: rank by (zval, event_id) computed driver-side
+    val truth = rows.sortBy(r => (r.getLong(1), r.getLong(0))).zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> ((i + 1).toLong, i.toLong * 16 / n) }.toMap
+    rows.foreach { r =>
+      val (pos, fid) = truth(r.getLong(0))
+      assert(r.getLong(2) == pos, s"position of ${r.getLong(0)}")
+      assert(r.getLong(3) == fid, s"file_id of ${r.getLong(0)}")
+    }
+    // contiguous ranges: every file's rank span is dense and balanced ±1
+    val sizes = rows.groupBy(_.getLong(3)).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"file sizes $sizes")
+  }
+
+  test("physically written z-order layout prunes a 2-D box better than the time layout") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"), col("value").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    Layout.zOrderWrite(base, "x", "y", nFiles = 16, path = s"$tmp/z")
+    base.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // round trip: the layout is a reorder, never a row change
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() == base.count())
+    assert(back.select("event_id", "x", "y").except(base).isEmpty &&
+      base.except(back.select("event_id", "x", "y")).isEmpty)
+
+    // REAL file spans via input_file_name: the box hits fewer z files
+    val st = base.agg(min("x").as("xmn"), max("x").as("xmx"),
+      min("y").as("ymn"), max("y").as("ymx")).head()
+    val (xmn, xmx, ymn, ymx) =
+      (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+    val (xlo, xhi) = (xmn + 0.375 * (xmx - xmn), xmn + 0.625 * (xmx - xmn))
+    val (ylo, yhi) = (ymn + 0.375 * (ymx - ymn), ymn + 0.625 * (ymx - ymn))
+    def filesHit(path: String): (Long, Long) = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      val total = spans.count()
+      val hit = spans.filter(col("x1") >= xlo && col("x0") <= xhi &&
+        col("y1") >= ylo && col("y0") <= yhi).count()
+      (total, hit)
+    }
+    val (zTotal, zHit) = filesHit(s"$tmp/z")
+    val (lTotal, lHit) = filesHit(s"$tmp/linear")
+    assert(zTotal >= 12 && lTotal >= 12, s"want ~16 files, got $zTotal / $lTotal")
+    assert(zHit < lHit,
+      s"z-order must prune better: z $zHit/$zTotal vs linear $lHit/$lTotal")
+  }
+
+  test("pruningStats model agrees in shape: zorder strictly fewer files hit") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"), col("value").as("y"))
+    val rows = Layout.pruningStats(base, "x", "y", nFiles = 64, idCol = "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (zt, zh, _) = rows("zorder")
+    val (lt, lh, _) = rows("linear")
+    assert(zt == 64 && lt == 64)
+    assert(zh < lh, s"zorder $zh vs linear $lh files hit")
+    assert(zh <= 16, s"a quarter-range box should hit ~area*files, got $zh")
+  }
+
+  test("grouped split co-assigns cluster members; singletons match assignSplits") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} and {10,11}; everything else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.assignSplitsGrouped(docs, clusters)
+      .select("doc_id", "group_key", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(10L) == out(11L))
+    // singleton assignment == plain assignSplits on the doc's own id
+    val plain = Sampling.assignSplits(docs.filter(col("doc_id") > 11))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, split) =>
+      assert(out(id)._1 == id)
+      assert(out(id)._2 == split, s"singleton $id")
+    }
+  }
+}
