@@ -448,6 +448,7 @@ object Bench {
       "layout_zorder" -> q("layout_zorder"),
       "layout_zorder_pruning" -> q("layout_zorder_pruning"),
       "sample_split_grouped" -> q("sample_split_grouped"),
+      "sim_topk_ivf_recall" -> q("sim_topk_ivf_recall"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -693,7 +694,8 @@ object Bench {
     "dedup_spans_stream",
     "text_normalize", "text_script",
     // r14: the layout family + grouped split
-    "layout_zorder", "layout_zorder_pruning", "sample_split_grouped")
+    "layout_zorder", "layout_zorder_pruning", "sample_split_grouped",
+    "sim_topk_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

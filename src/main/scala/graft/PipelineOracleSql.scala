@@ -1150,7 +1150,12 @@ object PipelineOracleSql {
     * tombstone-delete semantics (`IvfIndex.delete`): deleted vectors leave
     * serving, the frozen centroids do not move.
     */
-  def ivfTopKWhere(corpusPred: String): String =
+  def ivfTopKWhere(corpusPred: String): String = ivfTopKWhere(corpusPred, 4)
+
+  /** [[ivfTopKWhere]] with a caller-chosen `nprobe` — the recall-curve
+    * oracle sweeps it while everything else stays the standard probe.
+    */
+  def ivfTopKWhere(corpusPred: String, nprobe: Int): String =
     s"""WITH n AS (
        |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm, label FROM embeddings
        |), cent AS (
@@ -1172,7 +1177,7 @@ object PipelineOracleSql {
        |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
        |        c.cid ASC) AS crank
        |    FROM n CROSS JOIN cent c WHERE n.id < 10)
-       |  WHERE crank <= 4
+       |  WHERE crank <= $nprobe
        |), scored AS (
        |  SELECT q.id AS query_id, c.id AS neighbor_id,
        |    round(list_sum(list_transform(range(1, len(q.v)+1),
@@ -1184,6 +1189,40 @@ object PipelineOracleSql {
        |  FROM scored)
        |SELECT DISTINCT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** The recall curve (mirrors the `sim_topk_ivf_recall` query): for each
+    * nprobe, micro-averaged recall@5 of [[ivfTopKWhere]] against the
+    * brute-force ground truth — the latency-vs-quality trade measured
+    * in-engine.
+    */
+  def ivfRecallCurve(nprobes: Seq[Int]): String = {
+    val per = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM bf LEFT JOIN (
+         |  SELECT query_id, neighbor_id
+         |  FROM (${ivfTopKWhere("TRUE", np).replace("\n", "\n  ")}) t$np
+         |) i ON i.query_id = bf.query_id AND i.neighbor_id = bf.neighbor_id""".stripMargin
+    }
+    s"""WITH bfn AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm FROM embeddings
+       |), bfs AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM bfn q JOIN bfn c ON q.id < 10 AND c.id != q.id
+       |), bfr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+       |  FROM bfs
+       |), bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rnk <= 5)
+       |SELECT * FROM (
+       |${per.mkString("\nUNION ALL\n")}
+       |) ORDER BY nprobe""".stripMargin
+  }
 
   /** CTE chain replaying `Clustering.kmeansTrain(k, iters)`: lowest-id
     * init, cosine argmax assignment with ties to the lowest cid,
@@ -2804,6 +2843,7 @@ object PipelineOracleSql {
     "dedup_cosine_neardup" -> cosineNearDup,
     "dedup_semantic" -> semanticDedup,
     "sim_topk_ivf" -> ivfTopK,
+    "sim_topk_ivf_recall" -> ivfRecallCurve(Seq(1, 2, 4, 8)),
     // the persisted index is bit-transparent: same result, same oracle
     "sim_topk_ivf_indexed" -> ivfTopK,
     // ...and so is the SQL TVF over it

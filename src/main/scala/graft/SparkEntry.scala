@@ -560,6 +560,20 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the recall curve an IVF deployment is tuned by: micro-averaged
+    // recall@5 vs brute-force ground truth at nprobe 1/2/4/8 — the
+    // latency-vs-quality trade, measured in-engine
+    "sim_topk_ivf_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, qs, 5)
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallAtK(Similarity.ivfTopK(emb, qs, 5, nprobe = np), bf)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_.unionByName(_))
+        .select(col("nprobe"), col("n_true"), col("n_found"), col("recall"))
+        .orderBy(col("nprobe"))
+    }),
     // the write-once/probe-many form: build the cid-partitioned index, then
     // answer the same probe from the persisted layout (partition-pruned
     // scan of nprobe lists). Same oracle as sim_topk_ivf — the index is

@@ -42,6 +42,28 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Micro-averaged recall of an approximate ANN result against exact
+    * ground truth — THE quality metric an ANN deployment is tuned by
+    * (recall@k vs nprobe is the knob a serving engine trades latency
+    * against). Both inputs carry (query_id, neighbor_id); the output is
+    * one row: n_true (ground-truth pairs), n_found (of those, how many the
+    * approximate result returned), recall = n_found / n_true.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) — both sides
+    * are top-k results, k·|queries| rows, so the join is broadcast-sized
+    * by construction regardless of corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(a), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_true").cast("double"))
+  }
+
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits from
     * globally-numbered planes `planeBase .. planeBase + numPlanes - 1`.
     * Plane coefficients come from a fixed integer LCG over (plane, dim)

@@ -488,4 +488,29 @@ class IvfIndexSpec extends SparkTestBase {
     assert(e2.getMessage.contains("Codes"),
       s"mixed-case clash must name the offending column: ${e2.getMessage}")
   }
+
+  test("recallAtK: exact hand case + nprobe monotone on the real corpus") {
+    import spark.implicits._
+    // hand case: ground truth 2 queries x 2 neighbors, approx finds 3 of 4
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact).head()
+    assert(r.getAs[Long]("n_true") == 4L)
+    assert(r.getAs[Long]("n_found") == 3L)
+    assert(r.getAs[Double]("recall") == 0.75)
+    // full-corpus probe (nprobe = nlist) must reach recall 1.0, and the
+    // curve never decreases in nprobe (probing more lists only adds
+    // candidates)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, qs, 5)
+    val recalls = Seq(1, 4, 16).map { np =>
+      Similarity.recallAtK(Similarity.ivfTopK(emb, qs, 5, nprobe = np), bf)
+        .head().getAs[Double]("recall")
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"nprobe=nlist must be exhaustive: $recalls")
+  }
 }
