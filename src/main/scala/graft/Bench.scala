@@ -449,6 +449,7 @@ object Bench {
       "layout_zorder_pruning" -> q("layout_zorder_pruning"),
       "sample_split_grouped" -> q("sample_split_grouped"),
       "sim_topk_ivf_recall" -> q("sim_topk_ivf_recall"),
+      "text_classifier_pr_curve" -> q("text_classifier_pr_curve"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -695,7 +696,7 @@ object Bench {
     "text_normalize", "text_script",
     // r14: the layout family + grouped split
     "layout_zorder", "layout_zorder_pruning", "sample_split_grouped",
-    "sim_topk_ivf_recall")
+    "sim_topk_ivf_recall", "text_classifier_pr_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -706,6 +707,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // diagnostics knob (local iteration only; the driver never sets it):
+      // the curate-stream slope decomposes into ~20 near-empty AQE
+      // stage-jobs per epoch — GRAFT_AQE=false measures how much of the
+      // per-epoch constant is AQE re-planning vs real work
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.SparkLogNoise.suppressAccumulatorUpdateErrors()

@@ -2402,6 +2402,45 @@ object PipelineOracleSql {
        |FROM base LEFT JOIN sc ON sc.doc_id = base.doc_id CROSS JOIN pr
        |ORDER BY base.doc_id""".stripMargin
 
+  /** The PR calibration curve (mirrors the `text_classifier_pr_curve`
+    * query): NB gate trained on the %20==7/%20==3 halves, held-out
+    * %20==17/13 eval, exact cumulative tp/fp at every distinct score.
+    */
+  def textClassifierPrCurve: String =
+    s"""WITH $featureCtes, ${lrWeightCtes("doc_id % 20 = 7", "doc_id % 20 = 3")},
+       |np AS (SELECT count(*) AS n FROM documents WHERE doc_id % 20 = 7),
+       |nn AS (SELECT count(*) AS n FROM documents WHERE doc_id % 20 = 3),
+       |pr AS (SELECT CAST(floor(ln(CAST(np.n AS DOUBLE) / CAST(nn.n AS DOUBLE))
+       |    * 1e6 + 0.5) AS BIGINT) AS prior FROM np CROSS JOIN nn),
+       |ev AS (
+       |  SELECT doc_id, (doc_id % 20 = 17) AS label FROM documents
+       |  WHERE doc_id % 20 = 17 OR doc_id % 20 = 13),
+       |df AS (SELECT f.doc_id, f.b FROM feats f JOIN ev ON ev.doc_id = f.doc_id),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(sum(w.lw) AS BIGINT) AS s
+       |  FROM df f JOIN w ON w.b = f.b GROUP BY f.doc_id),
+       |scored AS (
+       |  SELECT ev.doc_id, ev.label,
+       |    CAST(coalesce(sc.s, 0) + pr.prior AS BIGINT) AS score_micro
+       |  FROM ev LEFT JOIN sc ON sc.doc_id = ev.doc_id CROSS JOIN pr),
+       |per AS (
+       |  SELECT score_micro AS threshold_micro,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n
+       |  FROM scored GROUP BY score_micro),
+       |tot AS (SELECT CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS tp_all FROM scored),
+       |cum AS (
+       |  SELECT threshold_micro,
+       |    CAST(sum(p) OVER (ORDER BY threshold_micro DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(sum(n) OVER (ORDER BY threshold_micro DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM per)
+       |SELECT threshold_micro, tp, fp, (tot.tp_all - tp) AS fn,
+       |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+       |  CAST(tp AS DOUBLE) / CAST(tot.tp_all AS DOUBLE) AS recall
+       |FROM cum CROSS JOIN tot ORDER BY threshold_micro DESC""".stripMargin
+
   /** Temperature mixture draw, α=0.5, ~500 docs over lang strata, seed
     * 'temp' (mirrors `Sampling.temperatureSample`): sqrt weights quantized
     * to micro-units, INTEGER-division quotas, per-stratum rank by scrambled
@@ -3044,6 +3083,7 @@ object PipelineOracleSql {
     "sample_length_stratified" -> sampleLengthStratified,
     "sample_dsir" -> sampleDsir,
     "text_nb_classifier" -> textNbClassifier,
+    "text_classifier_pr_curve" -> textClassifierPrCurve,
     "sample_temperature" -> sampleTemperature,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_shuffle_order" -> sampleShuffleOrder,

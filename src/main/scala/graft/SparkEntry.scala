@@ -916,6 +916,21 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 === 7), d.filter(col("doc_id") % 10 === 3))
         .orderBy(col("doc_id"))
     }),
+    // the quality gate's calibration curve: train the NB classifier on
+    // half of each seed slice (%20==7 pos / %20==3 neg), score the
+    // HELD-OUT halves (%20==17/13), and emit exact cumulative
+    // precision/recall at every distinct score threshold — how the
+    // curation gate's minScore is actually chosen
+    "text_classifier_pr_curve" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.operators.Selection.nbClassifierScores(
+        d.filter(col("doc_id") % 20 === 17 || col("doc_id") % 20 === 13),
+        d.filter(col("doc_id") % 20 === 7),
+        d.filter(col("doc_id") % 20 === 3))
+        .withColumn("label", col("doc_id") % 20 === 17)
+      graft.operators.Selection.prCurve(scored)
+        .orderBy(col("threshold_micro").desc)
+    }),
     // temperature mixture draw (n_l^0.5 stratum weights, ~500 docs total):
     // exponent-smoothed multilingual sampling with cross-engine-exact
     // sqrt/integer-division quota arithmetic

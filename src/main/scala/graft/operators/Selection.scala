@@ -221,6 +221,41 @@ object Selection {
     (weights, math.floor(math.log(np.toDouble / nn.toDouble) * 1e6 + 0.5).toLong)
   }
 
+  /** Precision/recall calibration curve of a scored, LABELED eval set —
+    * the readout a quality gate's threshold is chosen from (the
+    * classifier-gate twin of `Similarity.recallAtK`'s nprobe curve). For
+    * every distinct score t (descending): tp/fp = labeled-positive/
+    * -negative docs scoring ≥ t, fn = positives missed, precision =
+    * tp/(tp+fp), recall = tp/total-positives — the standard cumulative
+    * construction, exact integer arithmetic until the final divisions.
+    *
+    * Scale contract: the input is a labeled EVAL SAMPLE (held-out seed
+    * slices), so the curve window runs over |distinct scores| ≤ |eval|
+    * rows — sample-sized by construction, never the corpus. Scoring the
+    * corpus stays scan-local; only the labeled calibration set comes here.
+    */
+  def prCurve(
+      scored: DataFrame,
+      labelCol: String = "label",
+      scoreCol: String = "score_micro"): DataFrame = {
+    val per = scored.groupBy(col(scoreCol).as("threshold_micro"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val tot = scored.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold_micro").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .withColumn("tp", sum(col("__p")).over(w))
+      .withColumn("fp", sum(col("__n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold_micro"), col("tp"), col("fp"),
+        (col("__tot") - col("tp")).as("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("__tot").cast("double")).as("recall"))
+  }
+
   /** Score against a pre-trained [[nbClassifierModel]] — same output shape
     * and bits as [[nbClassifierScores]], no training work.
     */

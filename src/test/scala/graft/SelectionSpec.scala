@@ -125,4 +125,26 @@ class SelectionSpec extends SparkTestBase {
       .select("doc_id", "lang", "draw_rank").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("prCurve: exact cumulative construction on a hand case") {
+    import spark.implicits._
+    // scores desc: 90(+), 80(-), 70(+), 70(+), 60(-) -> thresholds 90/80/70/60
+    val scored = Seq(
+      (1L, true, 90L), (2L, false, 80L), (3L, true, 70L),
+      (4L, true, 70L), (5L, false, 60L)
+    ).toDF("doc_id", "label", "score_micro")
+    val rows = Selection.prCurve(scored)
+      .orderBy(col("threshold_micro").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (90L, 1L, 0L, 2L, 1.0, 1.0 / 3),
+      (80L, 1L, 1L, 2L, 0.5, 1.0 / 3),
+      (70L, 3L, 1L, 0L, 0.75, 1.0),
+      (60L, 3L, 2L, 0L, 0.6, 1.0)))
+    // partitioning-invariant (exact integer arithmetic until the final division)
+    val again = Selection.prCurve(scored.repartition(5))
+      .orderBy(col("threshold_micro").desc).collect().toSeq
+    assert(again == Selection.prCurve(scored).orderBy(col("threshold_micro").desc).collect().toSeq)
+  }
 }
