@@ -190,6 +190,37 @@ object Stress {
       case None => spark.conf.unset(providerKey)
     }
 
+    // z-order LAYOUT at scale (r14): Morton assign + zone map over 20M
+    // rows into 256 contiguous files. The assertions are the 100 TB
+    // contract itself: file sizes balanced ±1 (the exact-rank math), and
+    // a centered quarter-range box on two INDEPENDENT dims touching at
+    // most a quarter of the files (a single-dim layout's floor) — the
+    // pruning dividend the layout exists for.
+    locally {
+      val nLayout = math.min(n, 20000000L)
+      val lay = spark.range(nLayout).select(
+        col("id").as("event_id"),
+        col("id").cast("double").as("x"),
+        (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / lit(1000000.0)).as("y"))
+      val tz0 = System.nanoTime()
+      val zm = graft.operators.Layout.zoneMap(
+        graft.operators.Layout.zOrderAssign(lay, "x", "y", nFiles = 256, idCol = "event_id"),
+        "x", "y").collect()
+      val zSec = (System.nanoTime() - tz0) / 1e9
+      val sizes = zm.map(_.getAs[Long]("n_rows"))
+      require(zm.length == 256 && sizes.max - sizes.min <= 1,
+        s"file balance broken: ${zm.length} files, sizes ${sizes.min}..${sizes.max}")
+      val (xlo, xhi) = (0.375 * (nLayout - 1).toDouble, 0.625 * (nLayout - 1).toDouble)
+      val (ylo, yhi) = (0.375, 0.625)
+      val hit = zm.count { r =>
+        r.getAs[Double]("x_max") >= xlo && r.getAs[Double]("x_min") <= xhi &&
+        r.getAs[Double]("y_max") >= ylo && r.getAs[Double]("y_min") <= yhi
+      }
+      require(hit < 64, s"z-order must beat the single-dim floor (64/256): hit $hit")
+      println(f"[stress] z-order layout ${nLayout / 1000000}M rows x 256 files  $zSec%8.1f s  " +
+        f"(${nLayout / zSec / 1e6}%.1f M rows/s, box hits $hit/256 files)")
+    }
+
     spark.stop()
   }
 }
