@@ -98,6 +98,44 @@ class LayoutSpec extends SparkTestBase {
       s"z-order must prune better: z $zHit/$zTotal vs linear $lHit/$lTotal")
   }
 
+  test("row-group skipping is real: pushed box filter reads fewer rows off the z layout") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"), col("value").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout-rg").toString
+    Layout.zOrderWrite(base, "x", "y", nFiles = 16, path = s"$tmp/z")
+    base.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    val st = base.agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (xmn, xmx, ymn, ymx) =
+      (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+    // LITERAL box predicate — what reaches the parquet reader as
+    // PushedFilters and drives row-group min/max skipping
+    val (xlo, xhi) = (xmn + 0.375 * (xmx - xmn), xmn + 0.625 * (xmx - xmn))
+    val (ylo, yhi) = (ymn + 0.375 * (ymx - ymn), ymn + 0.625 * (ymx - ymn))
+    def scannedRows(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("x") >= xlo && col("x") <= xhi && col("y") >= ylo && col("y") <= yhi)
+      // collect() executes THIS queryExecution — its scan metrics are the
+      // ones to read (a count() would run a different derived plan)
+      val matched = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in the plan"))
+      assert(scan.metadata.get("PushedFilters").exists(s =>
+        s.contains("GreaterThanOrEqual(x,") && s.contains("LessThanOrEqual(y,")),
+        s"box predicate not pushed: ${scan.metadata.get("PushedFilters")}")
+      (scan.metrics("numOutputRows").value, matched)
+    }
+    val total = base.count()
+    val (zRead, zMatch) = scannedRows(s"$tmp/z")
+    val (lRead, lMatch) = scannedRows(s"$tmp/linear")
+    assert(zMatch == lMatch, "same rows must match either layout")
+    assert(zRead < total, s"z layout must skip row groups: read $zRead of $total")
+    assert(zRead < lRead,
+      s"z layout must out-skip the time layout: z $zRead vs linear $lRead rows read")
+  }
+
   test("pruningStats model agrees in shape: zorder strictly fewer files hit") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val base = ev.select(col("event_id"),
@@ -109,6 +147,25 @@ class LayoutSpec extends SparkTestBase {
     assert(zt == 64 && lt == 64)
     assert(zh < lh, s"zorder $zh vs linear $lh files hit")
     assert(zh <= 16, s"a quarter-range box should hit ~area*files, got $zh")
+  }
+
+  test("zOrderAssign is partitioning-invariant; empty and single-row inputs degrade sanely") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"), col("value").as("y"))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Layout.zOrderAssign(df, "x", "y", nFiles = 16, idCol = "event_id")
+        .select("event_id", "zval", "position", "file_id")
+        .orderBy("event_id").collect().toSeq
+    assert(assign(base) == assign(base.repartition(7)),
+      "file assignment must not depend on input partitioning")
+    // empty input: empty output, no crash
+    assert(assign(base.filter(col("event_id") < 0)).isEmpty)
+    // single row: degenerate ranges quantize to 0 -> zval 0, rank 1, file 0
+    val one = assign(base.filter(col("event_id") === 0))
+    assert(one.size == 1, s"single-row assignment: $one")
+    assert(one.head.getLong(1) == 0L && one.head.getLong(2) == 1L &&
+      one.head.getLong(3) == 0L, s"single-row assignment: ${one.head}")
   }
 
   test("grouped split co-assigns cluster members; singletons match assignSplits") {

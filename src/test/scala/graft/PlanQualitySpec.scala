@@ -422,4 +422,47 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "sample_temperature: no partitionless window allowed")
   }
+
+  test("layout family: codegen'd z-value, broadcast stats/range-base, pruned scans, no UDF") {
+    // z-value compute is scan-local built-in bit arithmetic
+    val zv = formatted(SparkEntry.queries("layout_zorder")(spark, sf))
+    assert(!zv.contains("ScalaUDF") && !zv.contains("BatchEvalPython"),
+      "layout_zorder must not use UDFs")
+    // the one-row stats frame joins as a BROADCAST (nested-loop on a
+    // broadcast scalar is fine; an un-broadcast CartesianProduct is not)
+    assert(!zv.contains("CartesianProduct"), "stats frame must broadcast")
+    assert(zv.contains("BroadcastExchange"), "stats frame must broadcast")
+    zv.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("user_id") && !l.contains("props"),
+        s"layout_zorder events scan not pruned: $l")
+    }
+    // file assignment: the corpus-side window is range-partitioned (never
+    // a one-task global window) and the range-base frame broadcasts
+    val asn = SparkEntry.queries("layout_zorder_zonemap")(spark, sf)
+    val plan = formatted(asn)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "zonemap: range-base must broadcast")
+    val windows = asn.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val corpusWindows = windows.filterNot(_.partitionSpec.nonEmpty)
+    // partitionless windows are allowed ONLY over the <=1024-row range-base
+    // frame (an Aggregate below them); the corpus rank must be partitioned
+    corpusWindows.foreach { w =>
+      val hasAgg = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(hasAgg, "partitionless window must sit on the tiny range-base aggregate")
+    }
+  }
+
+  test("recall + pr-curve: top-k joins broadcast, no cartesian, no UDF") {
+    for (name <- Seq("sim_topk_ivf_recall", "text_classifier_pr_curve")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), name)
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name: the sample-sized side must broadcast")
+    }
+  }
 }
