@@ -2551,12 +2551,83 @@ object PipelineOracleSql {
        |    vmn AS ymn, vmx AS ymx
        |  FROM events, s
        |), z AS (
-       |  SELECT event_id, x, y, total, xmn, xmx, ymn, ymx, qx,
+       |  SELECT event_id, x, y, total, xmn, xmx, ymn, ymx, qx, qy,
        |    CAST(list_sum(list_transform(range(0, 16),
        |      b -> ((qx >> CAST(b AS INT)) & 1) * CAST(power(2, 2*b+1) AS BIGINT)
        |         + ((qy >> CAST(b AS INT)) & 1) * CAST(power(2, 2*b) AS BIGINT))) AS BIGINT) AS zval
        |  FROM q)""".stripMargin
   }
+
+  /** The Hilbert index of CTE `z`'s (qx, qy) as a packed-state
+    * `list_reduce` fold (mirrors `graft_hilbert2`, bits = 16): state =
+    * x + y·2^16 + d·2^32 in HUGEINT (d alone reaches 2^32 − 1), one fold
+    * step per bit from s = 2^15 down to 1, canonical n−1 reflection.
+    */
+  private def hilbertSqlOf(qx: String, qy: String): String = {
+    val X = "CAST(st % 65536 AS BIGINT)"
+    val Y = "CAST((st // 65536) % 65536 AS BIGINT)"
+    val D = "(st // 4294967296)"
+    val RX = s"(CASE WHEN ($X & s) > 0 THEN 1 ELSE 0 END)"
+    val RY = s"(CASE WHEN ($Y & s) > 0 THEN 1 ELSE 0 END)"
+    val XR = s"(CASE WHEN $RY = 0 AND $RX = 1 THEN 65535 - $X ELSE $X END)"
+    val YR = s"(CASE WHEN $RY = 0 AND $RX = 1 THEN 65535 - $Y ELSE $Y END)"
+    val NX = s"(CASE WHEN $RY = 0 THEN $YR ELSE $XR END)"
+    val NY = s"(CASE WHEN $RY = 0 THEN $XR ELSE $YR END)"
+    val step = s"CAST($NX AS HUGEINT) + CAST($NY AS HUGEINT) * 65536 " +
+      s"+ ($D + CAST(s * s * xor(3 * $RX, $RY) AS HUGEINT)) * 4294967296"
+    s"""CAST(list_reduce(list_prepend(CAST($qx AS HUGEINT) + CAST($qy AS HUGEINT) * 65536,
+       |      list_transform(range(0, 16), i -> CAST(power(2, 15 - i) AS BIGINT))),
+       |      (st, s) -> $step) // 4294967296 AS BIGINT)""".stripMargin
+  }
+
+  /** Morton z-value AND Hilbert index per event: `zorderCtes` + `hz`. */
+  private def hilbertCtes: String =
+    s"""$zorderCtes,
+       |hz AS (
+       |  SELECT *, ${hilbertSqlOf("qx", "qy").replace("\n", "\n  ")} AS hval
+       |  FROM z)""".stripMargin
+
+  /** Hilbert index per event (mirrors `Layout.withHilbertValue`). */
+  def layoutHilbert: String =
+    s"""$hilbertCtes
+       |SELECT event_id, hval FROM hz ORDER BY event_id""".stripMargin
+
+  /** Three-way pruning witness (mirrors `Layout.pruningStats(withHilbert =
+    * true)`): hilbert vs zorder vs the natural time layout, same box.
+    */
+  def layoutHilbertPruning: String =
+    s"""$hilbertCtes,
+       |a AS (
+       |  SELECT *,
+       |    ((row_number() OVER (ORDER BY hval, event_id)) - 1) * 64 // total AS fh,
+       |    ((row_number() OVER (ORDER BY zval, event_id)) - 1) * 64 // total AS fz,
+       |    ((row_number() OVER (ORDER BY x, event_id)) - 1) * 64 // total AS fl
+       |  FROM hz
+       |), zm AS (
+       |  SELECT 'hilbert' AS layout, fh AS file_id, count(*) AS n_rows,
+       |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+       |    any_value(xmn) AS xmn, any_value(xmx) AS xmx,
+       |    any_value(ymn) AS ymn, any_value(ymx) AS ymx
+       |  FROM a GROUP BY fh
+       |  UNION ALL
+       |  SELECT 'zorder', fz, count(*), min(x), max(x), min(y), max(y),
+       |    any_value(xmn), any_value(xmx), any_value(ymn), any_value(ymx)
+       |  FROM a GROUP BY fz
+       |  UNION ALL
+       |  SELECT 'linear', fl, count(*), min(x), max(x), min(y), max(y),
+       |    any_value(xmn), any_value(xmx), any_value(ymn), any_value(ymx)
+       |  FROM a GROUP BY fl
+       |), b AS (
+       |  SELECT *,
+       |    xmn + 0.375*(xmx - xmn) AS xlo, xmn + 0.625*(xmx - xmn) AS xhi,
+       |    ymn + 0.375*(ymx - ymn) AS ylo, ymn + 0.625*(ymx - ymn) AS yhi
+       |  FROM zm)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+       |  CAST(sum(CASE WHEN x_max >= xlo AND x_min <= xhi
+       |                 AND y_max >= ylo AND y_min <= yhi THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       |  CAST(sum(CASE WHEN x_max >= xlo AND x_min <= xhi
+       |                 AND y_max >= ylo AND y_min <= yhi THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_hit
+       |FROM b GROUP BY layout ORDER BY layout""".stripMargin
 
   /** Morton z-value per event (mirrors `Layout.withZValue`). */
   def layoutZorder: String =
@@ -3090,6 +3161,8 @@ object PipelineOracleSql {
     "layout_zorder" -> layoutZorder,
     "layout_zorder_zonemap" -> layoutZorderZonemap,
     "layout_zorder_pruning" -> layoutZorderPruning,
+    "layout_hilbert" -> layoutHilbert,
+    "layout_hilbert_pruning" -> layoutHilbertPruning,
     "export_shards" -> exportShards,
     "export_shards_balanced" -> exportShardsBalanced,
     "export_manifest" -> exportManifest,

@@ -897,6 +897,18 @@ object SparkEntry {
     "layout_zorder_pruning" -> ((s, dir) =>
       Layout.pruningStats(layoutEventsBase(s, dir), "x", "y", 64, "event_id")
         .orderBy(col("layout"))),
+    // Hilbert index per event: the native codegen'd graft_hilbert2
+    // expression (the per-bit rotation fold rewrites both coordinates per
+    // step — a composed Column form would double its tree per bit)
+    "layout_hilbert" -> ((s, dir) =>
+      Layout.withHilbertValue(layoutEventsBase(s, dir), "x", "y")
+        .select(col("event_id"), col("hval")).orderBy(col("event_id"))),
+    // three-way pruning: hilbert vs zorder vs natural time — Hilbert's
+    // every-step-adjacent walk gives contiguous file ranges spans at
+    // least as tight as Morton's
+    "layout_hilbert_pruning" -> ((s, dir) =>
+      Layout.pruningStats(layoutEventsBase(s, dir), "x", "y", 64, "event_id",
+        withHilbert = true).orderBy(col("layout"))),
     // DSIR importance resampling (hashed-ngram log-likelihood ratio vs the
     // bench target + deterministic Gumbel top-k): the published data-
     // selection procedure with the RNG replaced by a replayable hash

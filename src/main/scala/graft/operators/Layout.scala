@@ -83,6 +83,39 @@ object Layout {
   def withZValue(df: DataFrame, xCol: String, yCol: String, bits: Int = 16): DataFrame =
     annotated(df, xCol, yCol, bits).drop(InternalCols: _*)
 
+  /** Hilbert-curve index of two `bits`-wide quantized dims — the stronger
+    * locality sibling of [[interleave2]] (consecutive indices are always
+    * adjacent cells; Morton jumps at power-of-two boundaries), via the
+    * native codegen'd [[graft.functions.expressions.GraftHilbert2]] (the
+    * per-bit rotation fold rewrites x AND y each step, so a composed
+    * Column form would double its expression tree per bit).
+    */
+  def hilbert2(qx: Column, qy: Column, bits: Int = 16): Column =
+    graft.functions.expressions.HilbertExpression.hilbert2Native(qx, qy, bits)
+
+  /** Input columns + `hval`, the Hilbert index of (xCol, yCol) against
+    * bounds computed from the data in one tiny broadcast aggregate.
+    */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String, bits: Int = 16): DataFrame =
+    annotated(df, xCol, yCol, bits)
+      .withColumn("hval", hilbert2(col("__qx"), col("__qy"), bits))
+      .drop(InternalCols: _*).drop("zval")
+
+  /** Hilbert-curve file assignment — [[zOrderAssign]] with the Hilbert
+    * index as the clustering key: input columns + `hval`, `position`,
+    * `file_id`.
+    */
+  def hilbertAssign(
+      df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, idCol: String, bits: Int = 16): DataFrame = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val h = annotated(df, xCol, yCol, bits)
+      .withColumn("hval", hilbert2(col("__qx"), col("__qy"), bits))
+    hierarchicalRank(h, col("hval"), shiftright(col("hval"), math.max(1, 2 * bits - 10)), idCol)
+      .withColumn("file_id", expr(s"(position - 1) * $nFiles div __total"))
+      .drop(InternalCols: _*).drop("zval")
+  }
+
   /** Exact global 1-based rank in (orderCol, idCol) order — hierarchical:
     * a monotone coarse `rangeKey` splits the corpus into ≤1024 ranges, the
     * per-range counts form a broadcast-sized base frame, and the rank is
@@ -156,16 +189,21 @@ object Layout {
       df: DataFrame, xCol: String, yCol: String,
       nFiles: Int, idCol: String,
       boxLoFrac: Double = 0.375, boxHiFrac: Double = 0.625,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, withHilbert: Boolean = false): DataFrame = {
     val stats = df.agg(
       min(col(xCol).cast("double")).as("__xmn"), max(col(xCol).cast("double")).as("__xmx"),
       min(col(yCol).cast("double")).as("__ymn"), max(col(yCol).cast("double")).as("__ymx"))
-    val zm =
+    val zm0 =
       zoneMap(zOrderAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
         .withColumn("layout", lit("zorder"))
         .unionByName(
           zoneMap(linearAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
             .withColumn("layout", lit("linear")))
+    val zm =
+      if (!withHilbert) zm0
+      else zm0.unionByName(
+        zoneMap(hilbertAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
+          .withColumn("layout", lit("hilbert")))
     val xlo = col("__xmn") + lit(boxLoFrac) * (col("__xmx") - col("__xmn"))
     val xhi = col("__xmn") + lit(boxHiFrac) * (col("__xmx") - col("__xmn"))
     val ylo = col("__ymn") + lit(boxLoFrac) * (col("__ymx") - col("__ymn"))
