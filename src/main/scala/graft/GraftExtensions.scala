@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.graftMinhashSig)
     ext.injectFunction(GraftExtensions.graftSimhashSig)
     ext.injectFunction(GraftExtensions.graftQuantize)
+    ext.injectFunction(GraftExtensions.graftHilbert2)
     ext.injectFunction(GraftExtensions.graftNfc)
     ext.injectFunction(GraftExtensions.graftVecMicroSum)
     ext.injectTableFunction(GraftExtensions.graftRenko)
@@ -179,6 +180,16 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "graft_quantize expects (vec)")
       GraftQuantize(children.head)
+    })
+
+  private[graft] val graftHilbert2: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hilbert2"),
+    new ExpressionInfo(classOf[graft.functions.expressions.GraftHilbert2].getName, "graft_hilbert2"),
+    (children: Seq[Expression]) => {
+      require(children.length >= 2 && children.length <= 3,
+        "graft_hilbert2 expects (qx, qy [, bits])")
+      graft.functions.expressions.GraftHilbert2(
+        children(0), children(1), intLit(children, 2, 16, "graft_hilbert2"))
     })
 
   private def stringLit(e: Expression, what: String): String = e.eval() match {

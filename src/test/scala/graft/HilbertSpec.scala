@@ -55,6 +55,20 @@ class HilbertSpec extends SparkTestBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("graft_hilbert2 callable from SQL, matches the Column API") {
+    val (hi, hinfo, hbuilder) = GraftExtensions.graftHilbert2
+    spark.sessionState.functionRegistry.registerFunction(hi, hinfo, hbuilder)
+    val viaSql = spark.sql(
+      "SELECT graft_hilbert2(CAST(5 AS BIGINT), CAST(3 AS BIGINT), 3) AS d").head().getLong(0)
+    val viaCol = spark.range(1)
+      .select(Layout.hilbert2(lit(5L), lit(3L), 3).as("d")).head().getLong(0)
+    assert(viaSql == viaCol)
+    // default bits = 16
+    val defSql = spark.sql(
+      "SELECT graft_hilbert2(CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS d").head().getLong(0)
+    assert(defSql == 4294967295L)
+  }
+
   test("three-way pruning on events: hilbert <= zorder < linear files hit") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val base = ev.select(col("event_id"),
