@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
 object BenchSf1 {
 
   private def prepare(spark: SparkSession, base: String, out: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$out/_PREPARED")
+    // _PREPARED_V2: r14 added the events table (layout family) — a v1
+    // prepare dir must be refreshed
+    val p = new org.apache.hadoop.fs.Path(s"$out/_PREPARED_V2")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) return
     def scale(table: String, idCol: String): Unit = {
@@ -38,6 +40,7 @@ object BenchSf1 {
     }
     scale("documents", "doc_id")
     scale("embeddings", "vec_id")
+    scale("events", "event_id")
     fs.create(p, true).close()
   }
 
@@ -82,7 +85,14 @@ object BenchSf1 {
       "dedup_clusters",
       "text_bm25_indexed", "sim_topk_ivf_indexed", "sim_topk_ivf_sq8",
       "sim_topk_ivf_pq", "sim_topk_ivf_tvf", "text_bm25_tvf",
-      "search_hybrid_rrf_served")
+      "search_hybrid_rrf_served",
+      // r14: the layout family (rank + zone maps must scale linearly in
+      // rows at fixed file count), the leakage-safe grouped split
+      // (adversarial here — 10x duplication makes every doc a 10-member
+      // cluster, maximal join volume for the corpus size), and the two
+      // tuning curves (fixed query/eval sets against a 10x corpus)
+      "layout_zorder", "layout_zorder_pruning", "layout_hilbert_pruning",
+      "sample_split_grouped", "sim_topk_ivf_recall", "text_classifier_pr_curve")
       .map(n => n -> SparkEntry.queries(n)) :+
       ("dedup_clusters_distributed" -> ((s: SparkSession, dir: String) =>
         Dedup.connectedComponents(
