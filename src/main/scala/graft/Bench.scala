@@ -451,6 +451,7 @@ object Bench {
       "sim_topk_ivf_recall" -> q("sim_topk_ivf_recall"),
       "text_classifier_pr_curve" -> q("text_classifier_pr_curve"),
       "layout_hilbert_pruning" -> q("layout_hilbert_pruning"),
+      "sample_split_leakage" -> q("sample_split_leakage"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -697,7 +698,8 @@ object Bench {
     "text_normalize", "text_script",
     // r14: the layout family + grouped split
     "layout_zorder", "layout_zorder_pruning", "sample_split_grouped",
-    "sim_topk_ivf_recall", "text_classifier_pr_curve", "layout_hilbert_pruning")
+    "sim_topk_ivf_recall", "text_classifier_pr_curve", "layout_hilbert_pruning",
+    "sample_split_leakage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

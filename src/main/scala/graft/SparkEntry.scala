@@ -878,6 +878,15 @@ object SparkEntry {
         .select(col("doc_id"), col("group_key"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    // the leakage measurement that motivates the grouped split: near-dup
+    // pairs straddling two splits — per-document leaks, grouped is zero
+    // by construction
+    "sample_split_leakage" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, 0.5)
+      Sampling.splitLeakage(d, pairs, Dedup.connectedComponents(pairs))
+        .orderBy(col("scheme"))
+    }),
     // Morton z-value of (ts, value): the 2-D clustering key whose
     // contiguous ranges give files tight min/max spans in BOTH dims —
     // built-in bit arithmetic only, scan-local, codegen'd
@@ -2450,6 +2459,44 @@ object SparkEntry {
          |  m.doc_id = k.keeper_id AS keep
          |FROM m JOIN k ON k.cluster_id = m.cluster_id AND k.rn = 1
          |ORDER BY m.doc_id""".stripMargin,
+    // near-dup pairs straddling two splits, per scheme (the pairs CTE is
+    // the ClustersCte's >= 0.5 Jaccard pair set)
+    "sample_split_leakage" ->
+      s"""$ClustersCte,
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |bp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    (((list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, strlen('split:' || CAST(doc_id AS VARCHAR)) + 1),
+         |        i -> CAST(ascii(substr('split:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 2147483647)
+         |      * 2654435761 + 12345) % 2147483647) % 1000000) AS b FROM documents)),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    (((list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, strlen('split:' || CAST(group_key AS VARCHAR)) + 1),
+         |        i -> CAST(ascii(substr('split:' || CAST(group_key AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 2147483647)
+         |      * 2654435761 + 12345) % 2147483647) % 1000000) AS b FROM g)),
+         |lp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS pairs_total,
+         |    CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END) AS BIGINT) AS pairs_straddling
+         |  FROM pairs p JOIN bp a ON a.doc_id = p.id_a JOIN bp b ON b.doc_id = p.id_b),
+         |lg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS pairs_total,
+         |    CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END) AS BIGINT) AS pairs_straddling
+         |  FROM pairs p JOIN bg a ON a.doc_id = p.id_a JOIN bg b ON b.doc_id = p.id_b)
+         |SELECT * FROM (
+         |  SELECT 'per_document' AS scheme, pairs_total, pairs_straddling FROM lp
+         |  UNION ALL
+         |  SELECT 'grouped', pairs_total, pairs_straddling FROM lg)
+         |ORDER BY scheme""".stripMargin,
     // leakage-safe split: the assignSplits bucket arithmetic keyed on
     // coalesce(cluster_id, doc_id) — cluster members co-assigned
     "sample_split_grouped" ->

@@ -135,6 +135,42 @@ object Sampling {
     assignSplits(grouped, splits, seed, idCol = "group_key")
   }
 
+  /** The leakage MEASUREMENT that motivates [[assignSplitsGrouped]]: for
+    * each split scheme, how many near-dup pairs STRADDLE two different
+    * splits (a straddling pair is test-set contamination — the model sees
+    * a near-copy of an eval document in training). Output: one row per
+    * scheme (scheme, pairs_total, pairs_straddling); the grouped scheme
+    * is zero by construction (both endpoints share a cluster, clusters
+    * share a split), the per-document scheme leaks ~Σ_{s≠t} w_s·w_t of
+    * all pairs.
+    *
+    * Scale shape: two broadcast-sized joins of the pair list against the
+    * per-doc split assignment (pairs are the dedup family's bounded
+    * candidate output, never all-pairs).
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      pairs: DataFrame,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      seed: String = "split",
+      idCol: String = "doc_id"): DataFrame = {
+    def straddle(assigned: DataFrame, scheme: String): DataFrame = {
+      val sa = assigned.select(col(idCol).as("id_a"), col("split").as("__sa"))
+      val sb = assigned.select(col(idCol).as("id_b"), col("split").as("__sb"))
+      pairs.select(col("id_a"), col("id_b"))
+        .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .agg(count(lit(1)).as("pairs_total"),
+          sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+            .as("pairs_straddling"))
+        .select(lit(scheme).as("scheme"), col("pairs_total"), col("pairs_straddling"))
+    }
+    straddle(assignSplits(docs, splits, seed, idCol), "per_document")
+      .unionByName(
+        straddle(assignSplitsGrouped(docs, clusters, splits, seed, idCol), "grouped"))
+  }
+
   /** Deterministic fixed-size sample: exactly `k` docs per stratum (all of
     * them if the stratum is smaller), chosen as the k smallest scrambled
     * hashes — a uniform without-replacement draw that is a pure function of

@@ -187,4 +187,19 @@ class LayoutSpec extends SparkTestBase {
       assert(out(id)._2 == split, s"singleton $id")
     }
   }
+
+  test("splitLeakage: per-document straddles, grouped is zero by construction") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 50 near-dup pairs chaining (2k-1, 2k): enough that SOME pair lands
+    // astride a split boundary under the per-document hash
+    val pairs = (1L to 50L).map(k => (2 * k - 1, 2 * k)).toDF("id_a", "id_b")
+    val clusters = pairs.select(col("id_a").as("doc_id"), col("id_a").as("cluster_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cluster_id")))
+    val rows = Sampling.splitLeakage(docs, pairs, clusters)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("per_document")._1 == 50L && rows("grouped")._1 == 50L)
+    assert(rows("grouped")._2 == 0L, s"grouped must never straddle: ${rows("grouped")}")
+    assert(rows("per_document")._2 > 0L,
+      s"the per-document scheme should leak on 50 pairs: ${rows("per_document")}")
+  }
 }
