@@ -59,6 +59,44 @@ object Layout {
     }
   }
 
+  /** N-dimensional Morton interleave: dim k of `qs` takes bit positions
+    * k, k+N, k+2N, … (dim 0 the LOWEST lane, so [[interleave2]]'s (x odd,
+    * y even) convention is `interleaveN(Seq(y, x), …)` reversed — 2-dim
+    * callers should keep using interleave2). Total width N·bits must fit
+    * a long. Disjoint lanes, `+` is exact OR, built-ins only — codegen'd.
+    */
+  def interleaveN(qs: Seq[Column], bits: Int): Column = {
+    require(qs.nonEmpty, "need at least one dimension")
+    require(bits >= 1 && qs.size * bits <= 63,
+      s"${qs.size} dims x $bits bits must fit a long")
+    val n = qs.size
+    qs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (q, k)) =>
+      (0 until bits).foldLeft(acc) { (a, b) =>
+        a + shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + k)
+      }
+    }
+  }
+
+  /** Input columns + `zval` over ANY number of numeric dims: per-dim
+    * bounds from one broadcast aggregate, `bits` per dim chosen to fit
+    * 63 total unless overridden. The 3-dim form is the (time, value,
+    * entity) layout a multi-tenant event store prunes with.
+    */
+  def withZValueN(df: DataFrame, cols: Seq[String], bits: Int = 0): DataFrame = {
+    require(cols.nonEmpty, "need at least one dimension")
+    val b = if (bits > 0) bits else math.min(16, 63 / cols.size)
+    require(cols.size * b <= 63, s"${cols.size} dims x $b bits must fit a long")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val annotated = df.crossJoin(broadcast(stats))
+    val qs = cols.map(c => quantize(col(c), col(s"__mn_$c"), col(s"__mx_$c"), b))
+    annotated
+      .withColumn("zval", interleaveN(qs, b))
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
   /** Internal: annotate `df` with the corpus stats (broadcast one-row
     * frame), the per-dim quantizations `__qx`/`__qy`, and the z-value.
     * Stats columns stay on the frame for downstream file assignment and

@@ -202,4 +202,37 @@ class LayoutSpec extends SparkTestBase {
     assert(rows("per_document")._2 > 0L,
       s"the per-document scheme should leak on 50 pairs: ${rows("per_document")}")
   }
+
+  test("interleaveN: 3-dim lanes disjoint, bijective on a small grid, bounds enforced") {
+    // dims (a, b, c) at 2 bits: a -> bits 0,3; b -> bits 1,4; c -> bits 2,5
+    val r = Seq((3L, 0L, 0L), (0L, 3L, 0L), (0L, 0L, 3L)).toDF("a", "b", "c")
+      .select(Layout.interleaveN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(r == Seq(9L, 18L, 36L), s"lane values: $r") // 0b001001, 0b010010, 0b100100
+    // bijective over the 4x4x4 grid
+    val all = (for { a <- 0 to 3; b <- 0 to 3; c <- 0 to 3 } yield (a.toLong, b.toLong, c.toLong))
+      .toDF("a", "b", "c")
+      .select(Layout.interleaveN(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .as[Long].collect().toSet
+    assert(all.size == 64 && all.min == 0L && all.max == 63L)
+    // 2-dim equivalence: interleave2(x, y) == interleaveN(Seq(y, x)) (x odd lanes)
+    val eq = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.interleave2(col("x"), col("y"), 3).as("z2"),
+        Layout.interleaveN(Seq(col("y"), col("x")), 3).as("zn")).head()
+    assert(eq.getLong(0) == eq.getLong(1))
+    intercept[IllegalArgumentException] {
+      Layout.interleaveN(Seq(col("a"), col("b"), col("c"), col("a")), 16)
+    }
+    // withZValueN end to end on 3 real dims
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val base = ev.select(col("event_id"),
+      SparkTestBase.tsEpochUs(ev).cast("double").as("x"),
+      col("value").as("y"), col("user_id").cast("double").as("u"))
+    val z3 = Layout.withZValueN(base, Seq("x", "y", "u"))
+    assert(z3.columns.toSeq == Seq("event_id", "x", "y", "u", "zval"))
+    assert(z3.count() == base.count())
+    // 3 dims x 16 bits = 48-bit z-values, never negative
+    val zmax = z3.agg(max("zval")).head().getLong(0)
+    assert(zmax >= 0L && zmax < (1L << 48), s"zmax $zmax")
+  }
 }
