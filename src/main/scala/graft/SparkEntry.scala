@@ -883,7 +883,10 @@ object SparkEntry {
     // by construction
     "sample_split_leakage" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, 0.5)
+      // the pair set is one expensive similarity join with THREE consumers
+      // (components + both straddle branches) — pin it once; the RDD
+      // blocks are ContextCleaner-freed when the result is dropped
+      val pairs = Dedup.ngramJaccardPairs(d, 0.5).localCheckpoint(true)
       Sampling.splitLeakage(d, pairs, Dedup.connectedComponents(pairs))
         .orderBy(col("scheme"))
     }),

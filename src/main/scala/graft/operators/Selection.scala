@@ -252,8 +252,15 @@ object Selection {
       .crossJoin(broadcast(tot))
       .select(col("threshold_micro"), col("tp"), col("fp"),
         (col("__tot") - col("tp")).as("fn"),
-        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
-        (col("tp").cast("double") / col("__tot").cast("double")).as("recall"))
+        // explicit NaN on a zero denominator (degenerate all-one-class
+        // eval set): ANSI mode would otherwise raise DIVIDE_BY_ZERO, and
+        // NaN is the IEEE value the oracle engine produces for 0/0
+        when(col("tp") + col("fp") === 0L, lit(Double.NaN))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("__tot") === 0L, lit(Double.NaN))
+          .otherwise(col("tp").cast("double") / col("__tot").cast("double"))
+          .as("recall"))
   }
 
   /** Score against a pre-trained [[nbClassifierModel]] — same output shape

@@ -59,9 +59,12 @@ object Similarity {
     exact.select(col("query_id"), col("neighbor_id"))
       .join(broadcast(a), Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_found"))
+      // explicit NaN on an empty ground-truth set: ANSI mode would raise
+      // DIVIDE_BY_ZERO, and NaN is the IEEE 0/0 the oracle engine returns
       .withColumn("recall",
-        col("n_found").cast("double") / col("n_true").cast("double"))
+        when(col("n_true") === 0L, lit(Double.NaN))
+          .otherwise(col("n_found").cast("double") / col("n_true").cast("double")))
   }
 
   /** Deterministic random-hyperplane signature: `numPlanes` sign bits from

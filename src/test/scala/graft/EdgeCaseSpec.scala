@@ -187,4 +187,27 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(fused.nonEmpty)
     assert(fused.forall(_.getLong(3) == -1L), "no doc should carry a lexical rank")
   }
+
+  test("curve operators on degenerate eval sets: empty and single-class") {
+    import graft.operators.{Selection, Similarity}
+    // empty scored set: prCurve -> zero rows, no crash
+    val empty = Seq.empty[(Long, Boolean, Long)].toDF("doc_id", "label", "score_micro")
+    assert(Selection.prCurve(empty).collect().isEmpty)
+    // all-negative eval: tp stays 0, recall is NaN (0/0) not a crash
+    val allNeg = Seq((1L, false, 5L), (2L, false, 3L)).toDF("doc_id", "label", "score_micro")
+    val rows = Selection.prCurve(allNeg).orderBy(col("threshold_micro").desc).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(1) == 0L))
+    assert(rows.forall(r => r.getDouble(5).isNaN))
+    // recallAtK with an empty approximate side: n_found 0, recall 0
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val approx = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact).head()
+    assert(r.getAs[Long]("n_true") == 2L && r.getAs[Long]("n_found") == 0L)
+    assert(r.getAs[Double]("recall") == 0.0)
+    // empty ground truth: NaN recall, not an ANSI DIVIDE_BY_ZERO
+    val r2 = Similarity.recallAtK(approx,
+      Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")).head()
+    assert(r2.getAs[Long]("n_true") == 0L && r2.getAs[Long]("n_found") == 0L)
+    assert(r2.getAs[Double]("recall").isNaN)
+  }
 }
