@@ -2532,13 +2532,16 @@ object PipelineOracleSql {
   /** The z-order layout family's shared CTE chain (mirrors
     * `Layout.annotated`): corpus min/max/count stats, 16-bit quantization
     * of each dim — `floor(((v − min)/(max − min))·65536)` clamped to
-    * [0, 65535], IEEE-double exact in both engines — and the Morton
+    * [0, 65535], IEEE-double exact in both engines, with the same
+    * degenerate-range (max ≤ min → 0) and NULL (→ 0) guards as
+    * `Layout.quantize` — and the Morton
     * interleave as integer bit arithmetic (x odd positions, y even),
     * ending in `z(event_id, x, y, zval, total, xmn..ymx)`.
     */
   private def zorderCtes: String = {
     def quant(v: String, mn: String, mx: String): String =
-      s"LEAST(GREATEST(CAST(floor((($v - $mn) / ($mx - $mn)) * 65536.0) AS BIGINT), 0), 65535)"
+      s"CASE WHEN $mx <= $mn THEN 0 ELSE COALESCE(" +
+        s"LEAST(GREATEST(CAST(floor((($v - $mn) / ($mx - $mn)) * 65536.0) AS BIGINT), 0), 65535), 0) END"
     s"""WITH s AS (
        |  SELECT min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx,
        |         min(value) AS vmn, max(value) AS vmx, count(*) AS total

@@ -60,10 +60,13 @@ object Export {
     * byte-identical on re-export, engine-replayable.
     *
     * Scale shape: the exact global rank reuses the hierarchical pattern
-    * ([[Sampling.shufflePosition]]) with the range key extended to
-    * (-n_tokens, hash-high-bits) — order-preserving for the token-desc
-    * sort, so no single-task window; the range frame is
-    * |distinct token counts| x 1024 rows, still broadcast-sized.
+    * ([[Sampling.shufflePosition]]): one tiny token-range stats aggregate
+    * fixes an integer-division step, the coarse `__rng` key buckets the
+    * token-DESC axis into ≤1024 monotone ranges (the PlanLint whitelist
+    * bound), the per-range counts form a broadcast base frame, and the
+    * within-range window is partitioned by range — never a single task,
+    * and never the earlier (distinct-token-counts × 1024)-row base frame,
+    * which was corpus-coupled on long-document corpora.
     *
     * Output: input columns + (position — the token-desc global rank,
     * shard, shard_pos, n_tokens).
@@ -81,33 +84,40 @@ object Export {
     val h = pmod(
       TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
         * lit(2654435761L) + lit(12345L), lit(2147483647L))
-    val perDoc = docs
+    val perDoc0 = docs
       .withColumn("n_tokens", nTok)
       .withColumn("__hv", h)
       .withColumn("__nt", -col("n_tokens"))
-      .withColumn("__hb", shiftright(col("__hv"), 21))
+    val ntStats = perDoc0.agg(
+      min(col("__nt")).as("__ntmn"), max(col("__nt")).as("__ntmx"))
+    // coarse range id 0..1023, monotone in the (-n_tokens) sort axis:
+    // integer division of exact integers (the prCurve/hierarchicalRank step
+    // construction) — the base frame is <= 1024 rows whatever the corpus
+    val perDoc = perDoc0.crossJoin(broadcast(ntStats))
+      .withColumn("__step", expr("((__ntmx - __ntmn) div 1024) + 1L"))
+      .withColumn("__rng", expr("(__nt - __ntmn) div __step"))
     val wRange = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__nt").asc, col("__hb").asc)
+      .orderBy(col("__rng").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val rangeBase = perDoc
-      .groupBy(col("__nt"), col("__hb"))
+      .groupBy(col("__rng"))
       .agg(count(lit(1)).as("__rcnt"))
       .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
-      .select(col("__nt"), col("__hb"), col("__base"))
+      .select(col("__rng"), col("__base"))
     val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__nt"), col("__hb"))
-      .orderBy(col("__hv").asc, col(idCol).asc)
+      .partitionBy(col("__rng"))
+      .orderBy(col("__nt").asc, col("__hv").asc, col(idCol).asc)
     val p0 = col("position") - lit(1L)
     val round = (p0 / lit(nShards.toLong)).cast("long")
     val inRound = pmod(p0, lit(nShards.toLong))
     perDoc
-      .join(broadcast(rangeBase), Seq("__nt", "__hb"))
+      .join(broadcast(rangeBase), Seq("__rng"))
       .withColumn("position", col("__base") + row_number().over(wIn).cast("long"))
       .withColumn("shard",
         when(pmod(round, lit(2L)) === lit(0L), inRound)
           .otherwise(lit(nShards.toLong - 1L) - inRound))
       .withColumn("shard_pos", round + lit(1L))
-      .drop("__hv", "__nt", "__hb", "__base")
+      .drop("__hv", "__nt", "__rng", "__base", "__step", "__ntmn", "__ntmx")
   }
 
   /** Per-shard manifest: (shard, n_docs, n_tokens, first_doc) — the export

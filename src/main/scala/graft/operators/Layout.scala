@@ -35,14 +35,20 @@ object Layout {
   /** Quantize `v` against the closed range [vmin, vmax] into `bits`-bit
     * space: 0 at vmin, 2^bits−1 at vmax, clamped (values outside the
     * range — e.g. from a stale stats frame — saturate rather than wrap).
-    * Degenerate range (vmax ≤ vmin) maps everything to 0.
+    * Degenerate range (vmax ≤ vmin) maps everything to 0, and a NULL value
+    * (or an all-NULL stats range) also quantizes to 0 — consistent with the
+    * clamping contract, and required so file assignment stays a pure
+    * REORDER: a NULL dim must land in file 0's region, never silently drop
+    * the row (a NULL z-value would void the rank join's equi-key).
     */
   def quantize(v: Column, vmin: Column, vmax: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
     val hi = (1L << bits) - 1L
     val vd = v.cast("double"); val mn = vmin.cast("double"); val mx = vmax.cast("double")
     val scaled = floor(((vd - mn) / (mx - mn)) * lit((1L << bits).toDouble)).cast("long")
-    when(mx <= mn, lit(0L)).otherwise(least(greatest(scaled, lit(0L)), lit(hi)))
+    coalesce(
+      when(mx <= mn, lit(0L)).otherwise(least(greatest(scaled, lit(0L)), lit(hi))),
+      lit(0L))
   }
 
   /** Morton interleave of two `bits`-wide quantized dims: qx takes the odd
@@ -102,16 +108,25 @@ object Layout {
     * Stats columns stay on the frame for downstream file assignment and
     * box arithmetic; public entry points drop them.
     */
-  private def annotated(df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame = {
-    val stats = df.agg(
+  private def corpusStats(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.agg(
       min(col(xCol).cast("double")).as("__xmn"), max(col(xCol).cast("double")).as("__xmx"),
       min(col(yCol).cast("double")).as("__ymn"), max(col(yCol).cast("double")).as("__ymx"),
       count(lit(1)).as("__total"))
+
+  /** [[annotated]] against a PRE-COMPUTED one-row stats frame — so a
+    * caller deriving several layouts of the same corpus (the pruning
+    * witness) pays the corpus-wide stats aggregate once, not per layout.
+    */
+  private def annotatedFrom(
+      df: DataFrame, stats: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame =
     df.crossJoin(broadcast(stats))
       .withColumn("__qx", quantize(col(xCol), col("__xmn"), col("__xmx"), bits))
       .withColumn("__qy", quantize(col(yCol), col("__ymn"), col("__ymx"), bits))
       .withColumn("zval", interleave2(col("__qx"), col("__qy"), bits))
-  }
+
+  private def annotated(df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame =
+    annotatedFrom(df, corpusStats(df, xCol, yCol), xCol, yCol, bits)
 
   private val InternalCols = Seq("__xmn", "__xmx", "__ymn", "__ymx", "__total", "__qx", "__qy")
 
@@ -145,10 +160,13 @@ object Layout {
     */
   def hilbertAssign(
       df: DataFrame, xCol: String, yCol: String,
-      nFiles: Int, idCol: String, bits: Int = 16): DataFrame = {
+      nFiles: Int, idCol: String, bits: Int = 16): DataFrame =
+    hilbertAssignFrom(annotated(df, xCol, yCol, bits), nFiles, idCol, bits)
+
+  private def hilbertAssignFrom(
+      ann: DataFrame, nFiles: Int, idCol: String, bits: Int): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val h = annotated(df, xCol, yCol, bits)
-      .withColumn("hval", hilbert2(col("__qx"), col("__qy"), bits))
+    val h = ann.withColumn("hval", hilbert2(col("__qx"), col("__qy"), bits))
     hierarchicalRank(h, col("hval"), shiftright(col("hval"), math.max(1, 2 * bits - 10)), idCol)
       .withColumn("file_id", expr(s"(position - 1) * $nFiles div __total"))
       .drop(InternalCols: _*).drop("zval")
@@ -182,10 +200,13 @@ object Layout {
     */
   def zOrderAssign(
       df: DataFrame, xCol: String, yCol: String,
-      nFiles: Int, idCol: String, bits: Int = 16): DataFrame = {
+      nFiles: Int, idCol: String, bits: Int = 16): DataFrame =
+    zOrderAssignFrom(annotated(df, xCol, yCol, bits), nFiles, idCol, bits)
+
+  private def zOrderAssignFrom(
+      ann: DataFrame, nFiles: Int, idCol: String, bits: Int): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val z = annotated(df, xCol, yCol, bits)
-    hierarchicalRank(z, col("zval"), shiftright(col("zval"), math.max(1, 2 * bits - 10)), idCol)
+    hierarchicalRank(ann, col("zval"), shiftright(col("zval"), math.max(1, 2 * bits - 10)), idCol)
       .withColumn("file_id", expr(s"(position - 1) * $nFiles div __total"))
       .drop(InternalCols: _*)
   }
@@ -196,10 +217,13 @@ object Layout {
     */
   def linearAssign(
       df: DataFrame, xCol: String, yCol: String,
-      nFiles: Int, idCol: String, bits: Int = 16): DataFrame = {
+      nFiles: Int, idCol: String, bits: Int = 16): DataFrame =
+    linearAssignFrom(annotated(df, xCol, yCol, bits), xCol, nFiles, idCol, bits)
+
+  private def linearAssignFrom(
+      ann: DataFrame, xCol: String, nFiles: Int, idCol: String, bits: Int): DataFrame = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val z = annotated(df, xCol, yCol, bits)
-    hierarchicalRank(z, col(xCol).cast("double"), shiftright(col("__qx"), math.max(1, bits - 10)), idCol)
+    hierarchicalRank(ann, col(xCol).cast("double"), shiftright(col("__qx"), math.max(1, bits - 10)), idCol)
       .withColumn("file_id", expr(s"(position - 1) * $nFiles div __total"))
       .drop(InternalCols: _*)
   }
@@ -228,19 +252,21 @@ object Layout {
       nFiles: Int, idCol: String,
       boxLoFrac: Double = 0.375, boxHiFrac: Double = 0.625,
       bits: Int = 16, withHilbert: Boolean = false): DataFrame = {
-    val stats = df.agg(
-      min(col(xCol).cast("double")).as("__xmn"), max(col(xCol).cast("double")).as("__xmx"),
-      min(col(yCol).cast("double")).as("__ymn"), max(col(yCol).cast("double")).as("__ymx"))
+    // ONE corpus-stats pass shared by every layout branch AND the box
+    // arithmetic (localCheckpoint pins the one-row frame, so the 2-3
+    // rank branches re-scan the corpus but never re-aggregate it)
+    val stats = corpusStats(df, xCol, yCol).localCheckpoint(true)
+    def ann = annotatedFrom(df, stats, xCol, yCol, bits)
     val zm0 =
-      zoneMap(zOrderAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
+      zoneMap(zOrderAssignFrom(ann, nFiles, idCol, bits), xCol, yCol)
         .withColumn("layout", lit("zorder"))
         .unionByName(
-          zoneMap(linearAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
+          zoneMap(linearAssignFrom(ann, xCol, nFiles, idCol, bits), xCol, yCol)
             .withColumn("layout", lit("linear")))
     val zm =
       if (!withHilbert) zm0
       else zm0.unionByName(
-        zoneMap(hilbertAssign(df, xCol, yCol, nFiles, idCol, bits), xCol, yCol)
+        zoneMap(hilbertAssignFrom(ann, nFiles, idCol, bits), xCol, yCol)
           .withColumn("layout", lit("hilbert")))
     val xlo = col("__xmn") + lit(boxLoFrac) * (col("__xmx") - col("__xmn"))
     val xhi = col("__xmn") + lit(boxHiFrac) * (col("__xmx") - col("__xmn"))

@@ -129,7 +129,13 @@ object Sampling {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       seed: String = "split",
       idCol: String = "doc_id"): DataFrame = {
-    val grouped = docs.join(clusters, Seq(idCol), "left")
+    require(!docs.columns.contains("cluster_id") && !docs.columns.contains("group_key"),
+      "docs must not already carry a cluster_id/group_key column")
+    // project the cluster frame to exactly (id, cluster_id): extra columns
+    // on it must never leak into the output, and the join key set stays
+    // unambiguous
+    val clusterKeys = clusters.select(col(idCol), col("cluster_id"))
+    val grouped = docs.join(clusterKeys, Seq(idCol), "left")
       .withColumn("group_key", coalesce(col("cluster_id"), col(idCol)))
       .drop("cluster_id")
     assignSplits(grouped, splits, seed, idCol = "group_key")

@@ -229,27 +229,52 @@ object Selection {
     * tp/(tp+fp), recall = tp/total-positives — the standard cumulative
     * construction, exact integer arithmetic until the final divisions.
     *
-    * Scale contract: the input is a labeled EVAL SAMPLE (held-out seed
-    * slices), so the curve window runs over |distinct scores| ≤ |eval|
-    * rows — sample-sized by construction, never the corpus. Scoring the
-    * corpus stays scan-local; only the labeled calibration set comes here.
+    * Scale contract: NO single-task stage anywhere — the cumulative runs
+    * on the hierarchical ≤1024-range pattern ([[Sampling.shufflePosition]]
+    * / `Layout.hierarchicalRank`'s shape): integer-divide the threshold
+    * axis into ≤1024 coarse ranges from one broadcast stats row, take
+    * per-range (p, n) subtotals, prefix-sum THOSE over a ≤1024-row window,
+    * and finish with a range-partitioned within-range cumulative. Integer
+    * sums are order-independent, so this reproduces the flat descending
+    * cumulative bit-for-bit while the largest window task holds one range,
+    * not the whole curve — the curve frame may be eval-sample-bounded by
+    * convention, but the plan no longer bets on it.
+    *
+    * A NULL label raises (scan-local `raise_error`): a partially-labeled
+    * eval set must fail loudly, not count its unlabeled rows as negatives.
     */
   def prCurve(
       scored: DataFrame,
       labelCol: String = "label",
       scoreCol: String = "score_micro"): DataFrame = {
+    val lbl = when(col(labelCol).isNull, raise_error(lit(
+        s"prCurve: NULL label in '$labelCol' — label every eval row (an unlabeled row is not a negative)")))
+      .otherwise(col(labelCol))
     val per = scored.groupBy(col(scoreCol).as("threshold_micro"))
-      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+      .agg(sum(when(lbl, 1L).otherwise(0L)).as("__p"),
+        sum(when(lbl, 0L).otherwise(1L)).as("__n"))
     val tot = scored.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("__tot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("threshold_micro").desc)
+      sum(when(lbl, 1L).otherwise(0L)).as("__tot"),
+      min(col(scoreCol)).as("__tmn"), max(col(scoreCol)).as("__tmx"))
+    // coarse range id: 0..1023, monotone in threshold (integer division of
+    // exact integers; degenerate span -> single range 0)
+    val ranged = per.crossJoin(broadcast(tot))
+      .withColumn("__step", expr("((__tmx - __tmn) div 1024) + 1L"))
+      .withColumn("__rng", expr("(threshold_micro - __tmn) div __step"))
+    val wRange = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rng").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = ranged.groupBy(col("__rng"))
+      .agg(sum(col("__p")).as("__rp"), sum(col("__n")).as("__rn"))
+      .withColumn("__bp", coalesce(sum(col("__rp")).over(wRange), lit(0L)))
+      .withColumn("__bn", coalesce(sum(col("__rn")).over(wRange), lit(0L)))
+      .select(col("__rng"), col("__bp"), col("__bn"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rng")).orderBy(col("threshold_micro").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    per
-      .withColumn("tp", sum(col("__p")).over(w))
-      .withColumn("fp", sum(col("__n")).over(w))
-      .crossJoin(broadcast(tot))
+    ranged.join(broadcast(rangeBase), Seq("__rng"))
+      .withColumn("tp", col("__bp") + sum(col("__p")).over(wIn))
+      .withColumn("fp", col("__bn") + sum(col("__n")).over(wIn))
       .select(col("threshold_micro"), col("tp"), col("fp"),
         (col("__tot") - col("tp")).as("fn"),
         // explicit NaN on a zero denominator (degenerate all-one-class
