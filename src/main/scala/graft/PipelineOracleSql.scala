@@ -222,6 +222,86 @@ object PipelineOracleSql {
        |                                WHEN 'zh' THEN 300000 ELSE 400000 END
        |ORDER BY doc_id""".stripMargin
 
+  /** The pipeline END TO END (mirrors the `pipeline_e2e` query): the
+    * [[pipelineCurate]] chain as CTE `cur`, 0.5-Jaccard n-gram near-dup
+    * clusters over the survivors (min-label components via the recursive
+    * reachability CTE — `c`-prefixed names to stay clear of the curate
+    * prefix's minhash CTEs), split assignment keyed on
+    * coalesce(cluster_id, doc_id), a per-split (scrambled-hash, id)
+    * round-robin shard deal, and the manifest + the measured cross-split
+    * straddle count (0 by the grouped split's construction). The curate
+    * survivor set, pair set, and split assignment are MATERIALIZED — each
+    * has 2-3 consumers and DuckDB re-inlines per reference.
+    */
+  def pipelineE2e: String = {
+    def splitBucket(key: String): String =
+      s"(((list_reduce(list_prepend(0::BIGINT, " +
+        s"list_transform(range(1, strlen('split:' || CAST($key AS VARCHAR)) + 1), " +
+        s"i -> CAST(ascii(substr('split:' || CAST($key AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))), " +
+        s"(a, x) -> (a * 31 + x) % 2147483647) * 2654435761 + 12345) % 2147483647) % 1000000)"
+    s"""${curatePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cur AS MATERIALIZED (
+       |  SELECT doc_id, lang, n_tokens FROM
+       |    (SELECT * FROM clean WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM p)) ded
+       |  WHERE $curateSampleBucket < CASE lang WHEN 'en' THEN 900000 WHEN 'de' THEN 500000
+       |                                  WHEN 'zh' THEN 300000 ELSE 400000 END),
+       |ctok AS (
+       |  SELECT d.doc_id, $Tok AS w FROM documents d JOIN cur USING (doc_id)),
+       |csh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM ctok WHERE len(w) >= 3),
+       |csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+       |cshared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |cpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM cshared
+       |  JOIN csz sa ON sa.doc_id = id_a JOIN csz sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+       |cbidir AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cpairs
+       |  UNION SELECT id_b, id_a FROM cpairs),
+       |creach(nn, l) AS (
+       |  SELECT src, src FROM cbidir
+       |  UNION
+       |  SELECT e.dst, r.l FROM creach r JOIN cbidir e ON e.src = r.nn),
+       |ccl AS (SELECT nn AS doc_id, min(l) AS cluster_id FROM creach GROUP BY nn),
+       |g AS (
+       |  SELECT cur.doc_id, COALESCE(ccl.cluster_id, cur.doc_id) AS group_key, cur.n_tokens
+       |  FROM cur LEFT JOIN ccl ON ccl.doc_id = cur.doc_id),
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, n_tokens, ${splitBucket("group_key")} AS b FROM g)),
+       |eh AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    ((${ph("'shuffle:' || CAST(doc_id AS VARCHAR)")}
+       |      * 2654435761 + 12345) % 2147483647) AS hv
+       |  FROM sp),
+       |er AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY split ORDER BY hv, doc_id) AS BIGINT) AS pos
+       |  FROM eh),
+       |esh AS (
+       |  SELECT split, doc_id, n_tokens,
+       |    (pos - 1) % 4 AS shard, (pos - 1) // 4 + 1 AS shard_pos
+       |  FROM er),
+       |man AS (
+       |  SELECT split, shard,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    min_by(doc_id, shard_pos) AS first_doc
+       |  FROM esh GROUP BY split, shard),
+       |leak AS (
+       |  SELECT CAST(coalesce(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS straddling_pairs
+       |  FROM cpairs pr JOIN sp a ON a.doc_id = pr.id_a JOIN sp b ON b.doc_id = pr.id_b)
+       |SELECT man.split, man.shard, man.n_docs, man.n_tokens, man.first_doc,
+       |  leak.straddling_pairs
+       |FROM man CROSS JOIN leak ORDER BY man.split, man.shard""".stripMargin
+  }
+
   /** The curate chain with the learned NB quality gate inserted after the
     * heuristic floor (mirrors `Curation.curate(classifierSeeds = ...)`);
     * everything downstream — decontamination, dedup, mixture — composes
@@ -3105,6 +3185,7 @@ object PipelineOracleSql {
     "dedup_incremental" -> minhashIncremental,
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_e2e" -> pipelineE2e,
     "pipeline_curate_classified" -> pipelineCurateClassified,
     "pipeline_curate_gopher" -> pipelineCurateGopher,
     "pipeline_curate_funnel" -> pipelineCurateFunnel,

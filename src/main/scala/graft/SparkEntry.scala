@@ -1750,6 +1750,43 @@ object SparkEntry {
           d.filter(col("doc_id") % 10 === 7), d.filter(col("doc_id") % 10 === 3))))
         .orderBy(col("doc_id"))
     }),
+    // the pipeline END TO END as one oracle-checked artifact (VERDICT r14
+    // #3): curate gates (annotate → heuristic floor → decontaminate →
+    // 0.8-MinHash keep-lowest dedup → mixture draw) → near-dup FAMILY
+    // clusters at the looser 0.5 n-gram Jaccard over the survivors (the
+    // leakage channel the 0.8 dedup does not close) → leakage-safe grouped
+    // split → per-split round-robin shard deal → the end manifest a
+    // training job reads: (split, shard, n_docs, n_tokens, first_doc)
+    // with the measured cross-split near-dup straddle count, which the
+    // grouped split pins to 0 BY CONSTRUCTION — the manifest certifies
+    // its own contamination safety
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val bench = d.filter(col("doc_id") % 10 === 7)
+      // pin each expensive stage once: curated feeds the text rejoin, the
+      // split, and (transitively) the leakage probe
+      val curated = Curation.curate(
+        corpus, bench, minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3), defaultFrac = 0.4)
+        .localCheckpoint(true)
+      val survivorText = corpus.select(col("doc_id"), col("text"))
+        .join(curated.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.ngramJaccardPairs(survivorText, 0.5).localCheckpoint(true)
+      val split = Sampling.assignSplitsGrouped(
+        curated, Dedup.connectedComponents(pairs)).localCheckpoint(true)
+      val manifest = Export
+        .shardAssignGrouped(split, 4, "split", tokensCol = Some("n_tokens"))
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min_by(col("doc_id"), col("shard_pos")).as("first_doc"))
+      val sa = split.select(col("doc_id").as("id_a"), col("split").as("__sa"))
+      val sb = split.select(col("doc_id").as("id_b"), col("split").as("__sb"))
+      val leak = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .agg(coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)),
+          lit(0L)).as("straddling_pairs"))
+      manifest.crossJoin(broadcast(leak)).orderBy(col("split"), col("shard"))
+    }),
     // batch replay of the STREAMING curation front door: the corpus
     // arrives as three doc_id%3 epochs, each run through the full chain
     // (annotate+filter → decontaminate → near-dup admit vs the admitted

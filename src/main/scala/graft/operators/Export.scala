@@ -120,6 +120,60 @@ object Export {
       .drop("__hv", "__nt", "__rng", "__base", "__step", "__ntmn", "__ntmx")
   }
 
+  /** GROUP-scoped shard assignment — [[shardAssign]] with the deal keyed
+    * per `groupCol` value (a train/val/test split, a language, an epoch):
+    * position, shard, and shard_pos restart inside every group, so each
+    * group exports into its OWN nShards round-robin shards and no shard
+    * file ever mixes two groups — the property a train/test split needs
+    * from its export (a shard readable by exactly one consumer).
+    *
+    * Scale shape: [[Sampling.shufflePosition]]'s hierarchical rank with
+    * every stage partitioned by the group — the range-base frame is
+    * |groups|·1024 rows (broadcast for any realistic group count) and its
+    * prefix window is PARTITIONED by group, so nothing here is a one-task
+    * stage even before whitelisting.
+    *
+    * Output: input columns + (position — 1-based rank within the group's
+    * (scrambled hash, id) order, shard, shard_pos, n_tokens).
+    */
+  def shardAssignGrouped(
+      docs: DataFrame,
+      nShards: Int,
+      groupCol: String,
+      seed: String = "shuffle",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tokensCol: Option[String] = None): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val nTok = tokensCol.map(tc => col(tc).cast("long"))
+      .getOrElse(size(TextFunctions.tokens(col(textCol))).cast("long"))
+    val h = pmod(
+      TextFunctions.polyHash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val perDoc = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("__hv", h)
+      .withColumn("__rng", shiftright(col("__hv"), 21))
+    val wRange = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__rng").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rangeBase = perDoc
+      .groupBy(col(groupCol), col("__rng"))
+      .agg(count(lit(1)).as("__rcnt"))
+      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+      .select(col(groupCol), col("__rng"), col("__base"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__rng"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+    val p0 = col("position") - lit(1L)
+    perDoc
+      .join(broadcast(rangeBase), Seq(groupCol, "__rng"))
+      .withColumn("position", col("__base") + row_number().over(wIn).cast("long"))
+      .withColumn("shard", pmod(p0, lit(nShards.toLong)))
+      .withColumn("shard_pos", (p0 / lit(nShards.toLong)).cast("long") + lit(1L))
+      .drop("__hv", "__rng", "__base")
+  }
+
   /** Per-shard manifest: (shard, n_docs, n_tokens, first_doc) — the export
     * summary a training job reads to plan its input streams. `first_doc`
     * (the id at shard_pos 1) pins the head of each shard's order into the

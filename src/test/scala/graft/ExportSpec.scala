@@ -97,4 +97,34 @@ class ExportSpec extends SparkTestBase {
     assert(rows(Export.shardAssignTokenBalanced(docs.repartition(7), 8)) ==
       rows(Export.shardAssignTokenBalanced(docs, 8)))
   }
+
+  test("grouped deal: per-group rank equals the group's flat rank, shards never mix groups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(3L))))
+    val dealt = Export.shardAssignGrouped(docs, nShards = 4, groupCol = "grp")
+      .select("grp", "doc_id", "position", "shard", "shard_pos", "n_tokens").collect()
+    assert(dealt.length == docs.count(), "every document is dealt exactly once")
+
+    dealt.groupBy(_.getString(0)).foreach { case (g, rs) =>
+      // within the group: position is the flat per-group shufflePosition
+      // (hierarchical rank restricted to the group's rows), shard
+      // round-robin over it, doc counts balanced to +-1
+      val flat = Sampling.shufflePosition(docs.filter(col("grp") === g))
+        .select("doc_id", "position").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rs.foreach { r =>
+        assert(r.getLong(2) == flat(r.getLong(1)),
+          s"group $g doc ${r.getLong(1)}: grouped rank must equal the group-restricted flat rank")
+        assert(r.getLong(3) == (r.getLong(2) - 1) % 4 &&
+          r.getLong(4) == (r.getLong(2) - 1) / 4 + 1)
+      }
+      val byShard = rs.groupBy(_.getLong(3))
+      assert(byShard.values.map(_.length).max - byShard.values.map(_.length).min <= 1,
+        s"group $g: per-group deal balances to +-1")
+    }
+    // the property the train/test export needs: a (group, shard) cell is
+    // single-group by construction — shard ids repeat across groups but
+    // the deal never routes two groups into one group's cell
+    assert(dealt.map(r => (r.getString(0), r.getLong(3))).distinct.length == 3 * 4)
+  }
 }
