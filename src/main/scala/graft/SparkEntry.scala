@@ -2102,6 +2102,14 @@ object SparkEntry {
           when(col("doc_id") < 10000000L, 1).otherwise(0))
         .orderBy(col("doc_id"))
     }),
+    // perceptual near-dup for AUDIO: the energy-envelope contour hash
+    // (65 integer windows, cross-multiplied mean comparisons — the WAV
+    // twin of the image dHash) over the same planted-twin corpus, through
+    // the same 4x16-bit banded self-join + exact-Hamming verify
+    "mm_wav_near_dup_pairs" -> ((s, dir) =>
+      Multimodal.nearDupPairsWav(
+          Multimodal.encodeWav(mmTwinnedDocs(s, dir)))
+        .orderBy(col("id_a"), col("id_b"))),
     "mm_decode_wav" -> ((s, dir) =>
       // real RIFF/PCM audio decode (chunk-walking parser) over payloads
       // whose sample stream is a pure function of the text — the audio
@@ -2198,7 +2206,10 @@ object SparkEntry {
     * the raster geometry is preserved and the twin lands within a few
     * flipped hash bits) — shared by the pairs/clusters/keepers queries.
     */
-  private def mmNearDupInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The perceptual-near-dup text corpus: every document plus a planted
+    * one-char twin (+10M id offset) for ids %7==0.
+    */
+  private def mmTwinnedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val twins = docs
@@ -2206,8 +2217,23 @@ object SparkEntry {
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
         concat(substring(col("text"), 1, 4), lit("Z"),
           expr("substring(text, 6)")).as("text"))
-    val media = docs.unionByName(twins)
-    (media, Multimodal.nearDupPairs(Multimodal.encodePpm(media)))
+    docs.unionByName(twins)
+  }
+
+  private def mmNearDupInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val media = mmTwinnedDocs(s, dir)
+    // MIXED-CODEC corpus: originals ship P6 on even ids and PNG on odd,
+    // and every planted twin ships the OPPOSITE container of its original
+    // (the +10M offset preserves parity, so twin-side parity is flipped
+    // explicitly) — every planted near-dup pair SPANS codecs, and finding
+    // it proves dhashImage is codec-invariant. The oracle derives the
+    // hash from TEXT alone and never knows the container, so it needs no
+    // change: codec variance would show up as a hash mismatch here.
+    val isTwin = col("doc_id") >= lit(10000000L)
+    val asPpm = (pmod(col("doc_id"), lit(2L)) === 0) =!= isTwin
+    val payloads = Multimodal.encodePpm(media.filter(asPpm))
+      .unionByName(Multimodal.encodePng(media.filter(!asPpm)))
+    (media, Multimodal.nearDupPairs(payloads))
   }
 
   private val ClustersCte =
@@ -2292,6 +2318,70 @@ object SparkEntry {
       |    AND x.doc_id < y.doc_id
       |  WHERE bit_count(xor(x.dhash_hi, y.dhash_hi))
       |      + bit_count(xor(x.dhash_lo, y.dhash_lo)) <= 6)""".stripMargin
+
+  /** The WAV energy-envelope near-dup replica (mirrors
+    * `Multimodal.envelopeHashWav` + `nearDupPairsWav` over the same
+    * planted-twin corpus as [[MmPairsCte]]): text bytes → signed 16-bit
+    * little-endian samples (the encodeWav fixture contract), 65
+    * floor-boundary windows of absolute-amplitude sums, contour bit b =
+    * cross-multiplied mean comparison e_{b+1}·n_b > e_b·n_{b+1}, two
+    * unsigned 32-bit halves, the same 4x16-bit bands and exact Hamming —
+    * ending at `wpairs(id_a, id_b, hamming)`.
+    */
+  private val WavPairsCte =
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    concat(substr(text, 1, 4), 'Z', substr(text, 6))
+      |  FROM documents WHERE doc_id % 7 = 0 AND strlen(text) >= 5),
+      |c AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    list_transform(range(1, strlen(text)+1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+      |  FROM base),
+      |s AS (
+      |  SELECT doc_id, (n + (n % 2)) // 2 AS nf,
+      |    list_transform(range(1, ((n + (n % 2)) // 2) + 1),
+      |      i -> codes[CAST(2*i - 1 AS INT)]
+      |        + 256 * (CASE WHEN 2*i <= n THEN codes[CAST(2*i AS INT)] ELSE 0 END)) AS v
+      |  FROM c),
+      |t AS (
+      |  SELECT doc_id, nf,
+      |    list_transform(v, x -> abs(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END)) AS av
+      |  FROM s),
+      |e AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 65), j -> CAST(coalesce(list_sum(
+      |      list_transform(range(CAST(nf*j//65 AS INT) + 1, CAST(nf*(j+1)//65 AS INT) + 1),
+      |        i -> av[CAST(i AS INT)])), 0) AS BIGINT)) AS en,
+      |    list_transform(range(0, 65),
+      |      j -> CAST(nf*(j+1)//65 - nf*j//65 AS BIGINT)) AS wn
+      |  FROM t),
+      |hsh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(list_transform(range(32, 64), b ->
+      |      CASE WHEN en[CAST(b+2 AS INT)] * wn[CAST(b+1 AS INT)]
+      |              > en[CAST(b+1 AS INT)] * wn[CAST(b+2 AS INT)]
+      |        THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)), 0) AS BIGINT) AS ehash_hi,
+      |    CAST(coalesce(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN en[CAST(b+2 AS INT)] * wn[CAST(b+1 AS INT)]
+      |              > en[CAST(b+1 AS INT)] * wn[CAST(b+2 AS INT)]
+      |        THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)), 0) AS BIGINT) AS ehash_lo
+      |  FROM e),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, ehash_hi, ehash_lo, k,
+      |    CASE k WHEN 0 THEN ehash_lo & 65535 WHEN 1 THEN (ehash_lo >> 16) & 65535
+      |           WHEN 2 THEN ehash_hi & 65535 ELSE (ehash_hi >> 16) & 65535 END AS band
+      |  FROM hsh, (SELECT unnest(range(0, 4)) AS k)),
+      |wpairs AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    CAST(bit_count(xor(x.ehash_hi, y.ehash_hi))
+      |       + bit_count(xor(x.ehash_lo, y.ehash_lo)) AS INT) AS hamming
+      |  FROM bands x JOIN bands y ON x.k = y.k AND x.band = y.band
+      |    AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.ehash_hi, y.ehash_hi))
+      |      + bit_count(xor(x.ehash_lo, y.ehash_lo)) <= 6)""".stripMargin
 
   /** Shared raster-stats replica for the image-decode fixtures: 16-wide
     * RGB raster, pixel stream = ASCII text bytes zero-padded to 16*h*3
@@ -3125,6 +3215,12 @@ object SparkEntry {
     "mm_near_dup_pairs" ->
       s"""$MmPairsCte
         |SELECT id_a, id_b, hamming FROM mmpairs ORDER BY id_a, id_b""".stripMargin,
+    // replays the WAV envelope-contour near-dup path (see WavPairsCte);
+    // the engine side hashes REAL RIFF payloads through the chunk-walking
+    // parser — the oracle derives the same 64 bits from the text fixture
+    "mm_wav_near_dup_pairs" ->
+      s"""$WavPairsCte
+        |SELECT id_a, id_b, hamming FROM wpairs ORDER BY id_a, id_b""".stripMargin,
     "mm_near_dup_clusters" ->
       s"""$MmPairsCte,
         |bidir AS (

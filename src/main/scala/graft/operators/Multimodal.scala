@@ -333,35 +333,117 @@ object Multimodal {
       .toDF("doc_id", "valid", "dhash_hi", "dhash_lo")
   }
 
-  /** Perceptual near-duplicate image pairs: [[dhashPpm]] signatures,
-    * blocked by a 4-band x 16-bit banded SELF-JOIN (two images are
-    * candidates iff any 16-bit quarter of their hashes matches exactly —
-    * the same equi-join candidate bound as the MinHash/SimHash text
-    * families: never all-pairs, collision mass N²/2^16 per band), then
-    * exact Hamming verification on the candidates only. Pigeonhole
-    * completeness holds to radius 3; beyond that the bands are a recall
-    * heuristic — the standard banding trade, and the DuckDB oracle replays
-    * the same bands, so the contract is exact either way. Output:
-    * (id_a, id_b, hamming INT), id_a < id_b, distinct.
+  /** CODEC-INVARIANT 64-bit dHash: [[dhashPpm]]'s 9x8 grayscale-grid hash
+    * over ANY decodable image payload — the hand-parsed P6 fast path
+    * first (no BufferedImage allocation for the common fixture format),
+    * then the JDK's public ImageIO stack (PNG, JPEG, BMP, GIF). The grid
+    * sampling and ITU-R 601 weights are byte-identical across both
+    * decode paths, so the SAME raster hashes to the SAME 64 bits
+    * whatever container it shipped in — which is the whole point of a
+    * perceptual near-dup pass over a mixed-codec corpus (a PNG re-encode
+    * of a PPM is Hamming-0, not a new image). Same kernel shape:
+    * batch-sized mapPartitions, payloads never shuffle, 16 hash bytes do.
     */
-  def nearDupPairs(
-      media: DataFrame, maxHamming: Int = 6, batchSize: Int = 64): DataFrame = {
+  def dhashImage(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Boolean, Long, Long)] =
+      Encoders.product[(Long, Boolean, Long, Long)]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes0) =>
+            val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+            val gray: Array[Long] = parsePpm(bytes) match {
+              case Some((w, h, _, px)) if w >= 1 && h >= 1 =>
+                val g = new Array[Long](8 * 9)
+                var r = 0
+                while (r < 8) {
+                  val sy = r.toLong * h / 8
+                  var c = 0
+                  while (c < 9) {
+                    val sx = c.toLong * w / 9
+                    val base = ((sy * w + sx) * 3).toInt
+                    g(r * 9 + c) = 299L * (px(base) & 0xFF) +
+                      587L * (px(base + 1) & 0xFF) + 114L * (px(base + 2) & 0xFF)
+                    c += 1
+                  }
+                  r += 1
+                }
+                g
+              case _ =>
+                val img =
+                  if (bytes.isEmpty) null
+                  else
+                    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                    catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null || img.getWidth < 1 || img.getHeight < 1) null
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  val g = new Array[Long](8 * 9)
+                  var r = 0
+                  while (r < 8) {
+                    val sy = (r.toLong * h / 8).toInt
+                    var c = 0
+                    while (c < 9) {
+                      val sx = (c.toLong * w / 9).toInt
+                      val rgb = img.getRGB(sx, sy)
+                      g(r * 9 + c) = 299L * ((rgb >> 16) & 0xFF) +
+                        587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                      c += 1
+                    }
+                    r += 1
+                  }
+                  g
+                }
+            }
+            if (gray == null) (id, false, 0L, 0L)
+            else {
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                if (gray((b >> 3) * 9 + (b & 7) + 1) > gray((b >> 3) * 9 + (b & 7)))
+                  hash |= 1L << b
+                b += 1
+              }
+              (id, true, hash >>> 32, hash & 0xFFFFFFFFL)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "valid", "dhash_hi", "dhash_lo")
+  }
+
+  /** The shared banded-Hamming candidate machinery of the perceptual
+    * near-dup family: 64-bit signatures (as unsigned 32-bit halves)
+    * blocked by a 4-band x 16-bit banded SELF-JOIN (two signatures are
+    * candidates iff any 16-bit quarter matches exactly — the same
+    * equi-join candidate bound as the MinHash/SimHash text families:
+    * never all-pairs, collision mass N²/2^16 per band), then exact
+    * Hamming verification on the candidates only. Pigeonhole
+    * completeness holds to radius 3; beyond that the bands are a recall
+    * heuristic — the standard banding trade, and the DuckDB oracles
+    * replay the same bands, so the contract is exact either way.
+    */
+  private def bandedHammingPairs(
+      sigs: DataFrame, hiCol: String, loCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val sigs = dhashPpm(media, batchSize).filter(col("valid"))
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
     val mask = lit(0xFFFFL)
-    val bands = sigs.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-      explode(array(
-        struct(lit(0).as("k"), col("dhash_lo").bitwiseAND(mask).as("band")),
-        struct(lit(1).as("k"),
-          shiftrightunsigned(col("dhash_lo"), 16).bitwiseAND(mask).as("band")),
-        struct(lit(2).as("k"), col("dhash_hi").bitwiseAND(mask).as("band")),
-        struct(lit(3).as("k"),
-          shiftrightunsigned(col("dhash_hi"), 16).bitwiseAND(mask).as("band")))).as("b"))
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+    val bands = sigs.select(col("doc_id"), col(hiCol).as("__hi"), col(loCol).as("__lo"))
+      .select(col("doc_id"), col("__hi"), col("__lo"),
+        explode(array(
+          struct(lit(0).as("k"), col("__lo").bitwiseAND(mask).as("band")),
+          struct(lit(1).as("k"),
+            shiftrightunsigned(col("__lo"), 16).bitwiseAND(mask).as("band")),
+          struct(lit(2).as("k"), col("__hi").bitwiseAND(mask).as("band")),
+          struct(lit(3).as("k"),
+            shiftrightunsigned(col("__hi"), 16).bitwiseAND(mask).as("band")))).as("b"))
+      .select(col("doc_id"), col("__hi"), col("__lo"),
         col("b.k").as("k"), col("b.band").as("band"))
-    val ham = (bit_count(col("x.dhash_hi").bitwiseXOR(col("y.dhash_hi"))) +
-      bit_count(col("x.dhash_lo").bitwiseXOR(col("y.dhash_lo")))).cast("int")
+    val ham = (bit_count(col("x.__hi").bitwiseXOR(col("y.__hi"))) +
+      bit_count(col("x.__lo").bitwiseXOR(col("y.__lo")))).cast("int")
     bands.as("x").join(bands.as("y"), Seq("k", "band"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
@@ -369,6 +451,88 @@ object Multimodal {
       .filter(col("hamming") <= lit(maxHamming))
       .distinct()
   }
+
+  /** Perceptual near-duplicate image pairs over a (possibly mixed-codec)
+    * corpus: [[dhashImage]] signatures — P6 and every ImageIO format hash
+    * identically, so a pair can span codecs — through the banded-Hamming
+    * machinery ([[bandedHammingPairs]]). Output: (id_a, id_b,
+    * hamming INT), id_a < id_b, distinct.
+    */
+  def nearDupPairs(
+      media: DataFrame, maxHamming: Int = 6, batchSize: Int = 64): DataFrame =
+    bandedHammingPairs(
+      dhashImage(media, batchSize).filter(col("valid")),
+      "dhash_hi", "dhash_lo", maxHamming)
+
+  /** 64-bit energy-envelope contour hash of a PCM WAV payload — the AUDIO
+    * twin of [[dhashPpm]]: the signed 16-bit sample stream is cut into 65
+    * contiguous floor-boundary windows (window j = samples
+    * [j·n div 65, (j+1)·n div 65)), each window's energy is the exact
+    * integer sum of absolute amplitudes, and bit b is set iff window b+1's
+    * MEAN energy exceeds window b's — compared cross-multiplied
+    * (e_{b+1}·n_b > e_b·n_{b+1}), exact integers, no division. Loudness-
+    * contour shape, not absolute level, is what survives small edits: a
+    * one-sample change perturbs one window and flips at most its two
+    * adjacent comparison bits. All-integer (exact to ~10^8 samples per
+    * payload before the cross-product nears 2^63), so the DuckDB oracle
+    * replays it bit-for-bit. Ships as two unsigned 32-bit halves
+    * (`ehash_hi`, `ehash_lo`), mirroring [[dhashPpm]]'s contract;
+    * unparseable payloads emit valid = false.
+    */
+  def envelopeHashWav(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    implicit val enc: Encoder[(Long, Boolean, Long, Long)] =
+      Encoders.product[(Long, Boolean, Long, Long)]
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            parseWav(if (bytes == null) Array.emptyByteArray else bytes) match {
+              case Some((ch, _, _, data)) =>
+                val n = data.length / (ch * 2) // frames (mono fixtures: ch=1)
+                val e = new Array[Long](65)
+                val wn = new Array[Long](65)
+                var j = 0
+                while (j < 65) {
+                  val lo = (j.toLong * n / 65).toInt
+                  val hi = ((j + 1).toLong * n / 65).toInt
+                  wn(j) = hi - lo
+                  var i = lo
+                  var s = 0L
+                  while (i < hi) {
+                    val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
+                    s += math.abs(v)
+                    i += 1
+                  }
+                  e(j) = s
+                  j += 1
+                }
+                var hash = 0L
+                var b = 0
+                while (b < 64) {
+                  if (e(b + 1) * wn(b) > e(b) * wn(b + 1)) hash |= 1L << b
+                  b += 1
+                }
+                (id, true, hash >>> 32, hash & 0xFFFFFFFFL)
+              case None => (id, false, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "valid", "ehash_hi", "ehash_lo")
+  }
+
+  /** Perceptual near-duplicate AUDIO pairs: [[envelopeHashWav]] contour
+    * signatures through the same banded-Hamming machinery as the image
+    * family. Output: (id_a, id_b, hamming INT), id_a < id_b, distinct.
+    */
+  def nearDupPairsWav(
+      media: DataFrame, maxHamming: Int = 6, batchSize: Int = 64): DataFrame =
+    bandedHammingPairs(
+      envelopeHashWav(media, batchSize).filter(col("valid")),
+      "ehash_hi", "ehash_lo", maxHamming)
 
   /** The P6 parser: returns (width, height, maxval, samples) or None. Full
     * header grammar — any run of whitespace between tokens, `#` comments to

@@ -640,6 +640,75 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal dHash is codec-invariant: PNG hash == P6 hash of the same raster, cross-codec twins pair") {
+    import spark.implicits._
+    val sample = docs.select(col("doc_id"), col("text")).limit(80)
+    // the same text encoded both ways must produce the SAME 64 bits
+    def sigsOf(payloads: org.apache.spark.sql.DataFrame) =
+      operators.Multimodal.dhashImage(payloads)
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    val viaPpm = sigsOf(operators.Multimodal.encodePpm(sample))
+    val viaPng = sigsOf(operators.Multimodal.encodePng(sample))
+    assert(viaPpm.nonEmpty && viaPpm == viaPng,
+      "dhashImage must hash a raster identically whatever container it ships in")
+    // and dhashImage over P6 equals the PPM-only fast path bit-for-bit
+    val fastPath = operators.Multimodal.dhashPpm(operators.Multimodal.encodePpm(sample))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaPpm == fastPath, "the P6 fast path and the generic kernel must agree")
+
+    // cross-codec planted twins (the mm_near_dup_pairs corpus shape):
+    // original as P6, twin as PNG — the pair must still surface
+    val twins = sample.filter(length(col("text")) >= 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("Z"),
+          expr("substring(text, 6)")).as("text"))
+    val mixed = operators.Multimodal.encodePpm(sample)
+      .unionByName(operators.Multimodal.encodePng(twins))
+    val pairs = operators.Multimodal.nearDupPairs(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val twinPairs = pairs.count { case (a, b) => b - a == 10000000L }
+    assert(twinPairs >= twins.count() * 3 / 4,
+      s"cross-codec twins must pair: found $twinPairs of ${twins.count()}")
+  }
+
+  test("multimodal WAV envelope hash: copy is hamming 0, one-char twin flips <= 2 bits, garbage invalid") {
+    import spark.implicits._
+    val sample = docs.select(col("doc_id"), col("text")).limit(80)
+    val wavs = operators.Multimodal.encodeWav(sample)
+    val sigs = operators.Multimodal.envelopeHashWav(wavs)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sigs.values.forall(_._1), "fixture WAVs must all parse")
+    assert(sigs.values.forall { case (_, hi, lo) =>
+      hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL },
+      "halves must be unsigned 32-bit values")
+    // exact copy (new id, same text) -> identical hash -> hamming 0 pair
+    val copies = sample.limit(5)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("text"))
+    val withCopies = operators.Multimodal.encodeWav(sample.unionByName(copies))
+    val copyPairs = operators.Multimodal.nearDupPairsWav(withCopies)
+      .filter(col("id_b") - col("id_a") === 20000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(copyPairs.length == 5 && copyPairs.forall(_._2 == 0),
+      s"every exact copy must pair at hamming 0: $copyPairs")
+    // one-char twin: one sample changes -> one window's energy moves ->
+    // at most the two adjacent contour bits flip
+    val twins = sample.filter(length(col("text")) >= 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("Z"),
+          expr("substring(text, 6)")).as("text"))
+    val twinSigs = operators.Multimodal.envelopeHashWav(operators.Multimodal.encodeWav(twins))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    twinSigs.foreach { case (tid, (thi, tlo)) =>
+      val (_, ohi, olo) = sigs(tid - 10000000L)
+      val ham = java.lang.Long.bitCount(thi ^ ohi) + java.lang.Long.bitCount(tlo ^ olo)
+      assert(ham <= 2, s"one-sample edit must flip <= 2 contour bits, got $ham for $tid")
+    }
+    // garbage payload -> invalid, excluded from pairing
+    val bad = Seq((99L, "not riff".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val badSig = operators.Multimodal.envelopeHashWav(bad).collect().head
+    assert(!badSig.getBoolean(1), "garbage payload must be invalid")
+  }
+
   test("multimodal P6 resize: nearest-neighbor kernel, round-trip decodable, identity at source dims") {
     import spark.implicits._
     def img(hdr: String, px: Array[Byte]) = hdr.getBytes("US-ASCII") ++ px
