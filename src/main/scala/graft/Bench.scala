@@ -556,6 +556,20 @@ object Bench {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration._
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          // QUIET twin first (r14 verdict #6): the same 32 probes at the
+          // same concurrency with NO churn ops — its p50 prices the host +
+          // planner floor this rep, and the churn phase below must keep
+          // p95 within 3x of it. Running the quiet twin FIRST means it
+          // pays the cold metadata/planning cost, so the budget can only
+          // be conservative. A violation fails the entry: the two serving
+          // defects this entry has already caught both showed up exactly
+          // here first.
+          val quiet = Await.result(Future.sequence(sqls.map(q => Future {
+            val t0 = System.nanoTime()
+            s.sql(q).count()
+            (System.nanoTime() - t0) / 1e9
+          })), 10.minutes).sorted
+          val quietP50 = medianOf(quiet)
           val churn = Future {
             val t0 = System.nanoTime()
             val k = churnSlice.getAndIncrement() % 16
@@ -581,11 +595,16 @@ object Bench {
           })), 10.minutes)
           val churnSec = Await.result(churn, 10.minutes)
           val sorted = lats.sorted
+          val p95 = sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1))
+          Renko.logPhase("churn32 quiet p50", quietP50)
+          Renko.logPhase("churn32 budget p95<=", 3 * quietP50)
           Renko.logPhase("churn32 p50", medianOf(sorted))
-          Renko.logPhase("churn32 p95",
-            sorted(math.min(sorted.size - 1, math.ceil(sorted.size * 0.95).toInt - 1)))
+          Renko.logPhase("churn32 p95", p95)
           Renko.logPhase("churn32 max", sorted.last)
           Renko.logPhase("churn32 ops", churnSec)
+          require(p95 <= 3 * quietP50,
+            f"serving churn budget blown: p95 $p95%.3f s > 3x quiet p50 $quietP50%.3f s " +
+              "(probes are stalling under ingest/compaction churn)")
         } finally pool.shutdown()
         s.range(sqls.size.toLong).toDF()
       }),
