@@ -96,13 +96,9 @@ object Export {
     val perDoc = perDoc0.crossJoin(broadcast(ntStats))
       .withColumn("__step", expr("((__ntmx - __ntmn) div 1024) + 1L"))
       .withColumn("__rng", expr("(__nt - __ntmn) div __step"))
-    val wRange = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__rng").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val rangeBase = perDoc
-      .groupBy(col("__rng"))
-      .agg(count(lit(1)).as("__rcnt"))
-      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+    val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
+        perDoc.groupBy(col("__rng")).agg(count(lit(1)).as("__rcnt")),
+        "__rng", Map("__rcnt" -> "__base"))
       .select(col("__rng"), col("__base"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__rng"))

@@ -174,17 +174,18 @@ object Layout {
 
   /** Exact global 1-based rank in (orderCol, idCol) order — hierarchical:
     * a monotone coarse `rangeKey` splits the corpus into ≤1024 ranges, the
-    * per-range counts form a broadcast-sized base frame, and the rank is
-    * base + within-range row_number. The only corpus-sized operation is
-    * the within-range window — partitioned, never one task.
+    * per-range counts form a broadcast-sized base frame whose exclusive
+    * prefix comes from a broadcast self-join ([[graft.util.SmallPrefix]] —
+    * no single-task window anywhere), and the rank is base + within-range
+    * row_number. The only corpus-sized operation is the within-range
+    * window — partitioned, never one task.
     */
   private def hierarchicalRank(
       df: DataFrame, orderCol: Column, rangeKey: Column, idCol: String): DataFrame = {
     val tagged = df.withColumn("__rng", rangeKey).withColumn("__ord", orderCol)
-    val wRange = Window.orderBy(col("__rng").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val rangeBase = tagged.groupBy(col("__rng")).agg(count(lit(1)).as("__rcnt"))
-      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+    val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
+        tagged.groupBy(col("__rng")).agg(count(lit(1)).as("__rcnt")),
+        "__rng", Map("__rcnt" -> "__base"))
       .select(col("__rng"), col("__base"))
     val wIn = Window.partitionBy(col("__rng")).orderBy(col("__ord").asc, col(idCol).asc)
     tagged.join(broadcast(rangeBase), Seq("__rng"))

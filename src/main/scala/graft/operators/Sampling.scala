@@ -358,15 +358,11 @@ object Sampling {
     val perDoc = docs
       .withColumn("__hv", h)
       .withColumn("__rng", shiftright(col("__hv"), 21))
-    // 1024 rows: the empty-partition window is over the tiny range frame
-    // only, never the corpus
-    val wRange = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__rng").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val rangeBase = perDoc
-      .groupBy(col("__rng"))
-      .agg(count(lit(1)).as("__rcnt"))
-      .withColumn("__base", coalesce(sum(col("__rcnt")).over(wRange), lit(0L)))
+    // <=1024 rows: the exclusive prefix over the tiny range frame is a
+    // broadcast self-join (SmallPrefix) — no single-task window anywhere
+    val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
+        perDoc.groupBy(col("__rng")).agg(count(lit(1)).as("__rcnt")),
+        "__rng", Map("__rcnt" -> "__base"))
       .select(col("__rng"), col("__base"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__rng"))

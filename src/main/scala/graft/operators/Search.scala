@@ -92,13 +92,18 @@ object Search {
       .agg(perTerm.head, perTerm.tail ++ metaCols.map(m => first(col(m)).as(m)): _*)
       .withColumn("bm25", round(total, 6))
     // global top-k via TakeOrderedAndProject (distributed partial top-k per
-    // partition, k rows to the driver-side reduce) — the single-partition
-    // ranking window then only ever sees k rows, not the whole candidate set
+    // partition, k rows to the driver-side reduce) — then rank the k rows
+    // via the broadcast self-join (SmallPrefix.rankSmall: no ranking
+    // window, no single-task stage, no WindowExec warning)
     val top = byDoc.orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
-    val w = Window.orderBy(col("bm25").desc, col("doc_id").asc)
-    top.withColumn("rank", row_number().over(w))
-      .select(col("doc_id") +: col("rank").cast("long").as("rank") +:
+    graft.util.SmallPrefix.rankSmall(top, (b, a) =>
+        col(s"$b.bm25") > col(s"$a.bm25") ||
+          (col(s"$b.bm25") === col(s"$a.bm25") && col(s"$b.doc_id") < col(s"$a.doc_id")))
+      .select(col("doc_id") +: col("rank").as("rank") +:
         col("bm25") +: metaCols.map(col): _*)
+      // row order IS rank order — the window this replaced emitted sorted
+      // rows and callers (and tests) read the frame that way; a k-row sort
+      .orderBy(col("rank"))
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion [Cormack et al., SIGIR'09] of
@@ -214,14 +219,16 @@ object Search {
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
-    // global top-k via TakeOrderedAndProject, then rank over just k rows —
-    // same shape as bm25TopK's tail
+    // global top-k via TakeOrderedAndProject, then the broadcast
+    // self-join rank over just k rows — same shape as bm25TopK's tail
     val top = fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
-    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
-    top.withColumn("rank", row_number().over(w))
-      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+    graft.util.SmallPrefix.rankSmall(top, (b, a) =>
+        col(s"$b.rrf") > col(s"$a.rrf") ||
+          (col(s"$b.rrf") === col(s"$a.rrf") && col(s"$b.doc_id") < col(s"$a.doc_id")))
+      .select(col("doc_id"), col("rank"),
         round(col("rrf"), 6).as("rrf"),
         coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
         coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"))
+      .orderBy(col("rank"))
   }
 }

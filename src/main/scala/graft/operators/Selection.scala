@@ -233,8 +233,10 @@ object Selection {
     * on the hierarchical ≤1024-range pattern ([[Sampling.shufflePosition]]
     * / `Layout.hierarchicalRank`'s shape): integer-divide the threshold
     * axis into ≤1024 coarse ranges from one broadcast stats row, take
-    * per-range (p, n) subtotals, prefix-sum THOSE over a ≤1024-row window,
-    * and finish with a range-partitioned within-range cumulative. Integer
+    * per-range (p, n) subtotals, prefix-sum THOSE via the broadcast
+    * self-join ([[graft.util.SmallPrefix]] — no window at all on the tiny
+    * frame), and finish with a range-partitioned within-range cumulative.
+    * Integer
     * sums are order-independent, so this reproduces the flat descending
     * cumulative bit-for-bit while the largest window task holds one range,
     * not the whole curve — the curve frame may be eval-sample-bounded by
@@ -261,13 +263,10 @@ object Selection {
     val ranged = per.crossJoin(broadcast(tot))
       .withColumn("__step", expr("((__tmx - __tmn) div 1024) + 1L"))
       .withColumn("__rng", expr("(threshold_micro - __tmn) div __step"))
-    val wRange = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__rng").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val rangeBase = ranged.groupBy(col("__rng"))
-      .agg(sum(col("__p")).as("__rp"), sum(col("__n")).as("__rn"))
-      .withColumn("__bp", coalesce(sum(col("__rp")).over(wRange), lit(0L)))
-      .withColumn("__bn", coalesce(sum(col("__rn")).over(wRange), lit(0L)))
+    val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
+        ranged.groupBy(col("__rng"))
+          .agg(sum(col("__p")).as("__rp"), sum(col("__n")).as("__rn")),
+        "__rng", Map("__rp" -> "__bp", "__rn" -> "__bn"), desc = true)
       .select(col("__rng"), col("__bp"), col("__bn"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__rng")).orderBy(col("threshold_micro").desc)

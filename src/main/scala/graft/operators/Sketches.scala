@@ -111,8 +111,10 @@ object Sketches {
       .groupBy(col("term"), col("exact_count"))
       .agg(min(col("cnt")).as("est_count"))
     val top = est.orderBy(col("est_count").desc, col("term").asc).limit(k)
-    val w = Window.orderBy(col("est_count").desc, col("term").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    graft.util.SmallPrefix.rankSmall(top, (b, a) =>
+        col(s"$b.est_count") > col(s"$a.est_count") ||
+          (col(s"$b.est_count") === col(s"$a.est_count") && col(s"$b.term") < col(s"$a.term")))
       .select(col("term"), col("rank"), col("est_count"), col("exact_count"))
+      .orderBy(col("rank"))
   }
 }

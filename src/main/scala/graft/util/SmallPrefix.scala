@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object SmallPrefix {
 
+  /** 1-based rank over a BROADCAST-SIZED frame (a top-k output):
+    * rank(a) = 1 + |{b : b strictly before a}| via the same broadcast
+    * non-equi self-join — replaces the empty-partitionSpec ranking window
+    * a `orderBy.limit(k)` tail used to need. `before(bAlias, aAlias)` must
+    * encode a STRICT total order (include an id tiebreaker), or two rows
+    * share a rank.
+    */
+  def rankSmall(
+      base: DataFrame,
+      before: (String, String) => Column,
+      out: String = "rank"): DataFrame = {
+    val keep = base.columns.toSeq
+    val a = base.as("__ra")
+    val b = base.withColumn("__one", lit(1)).as("__rb")
+    a.join(broadcast(b), before("__rb", "__ra"), "left")
+      .groupBy(keep.map(c => col(s"__ra.$c").as(c)): _*)
+      .agg((count(col("__rb.__one")) + lit(1L)).as(out))
+  }
+
   def exclusivePrefix(
       base: DataFrame,
       keyCol: String,
