@@ -92,7 +92,12 @@ object BenchSf1 {
       // cluster, maximal join volume for the corpus size), and the two
       // tuning curves (fixed query/eval sets against a 10x corpus)
       "layout_zorder", "layout_zorder_pruning", "layout_hilbert_pruning",
-      "sample_split_grouped", "sim_topk_ivf_recall", "text_classifier_pr_curve")
+      "sample_split_grouped", "sim_topk_ivf_recall", "text_classifier_pr_curve",
+      // r15: the composed end-to-end chain (adversarial like the grouped
+      // split — 10x duplication maximizes both the curate dedup stage's
+      // and the cluster stage's pair volume) and the two new perceptual
+      // families (banded self-joins must stay ~linear under 10x payloads)
+      "pipeline_e2e", "mm_near_dup_pairs", "mm_wav_near_dup_pairs")
       .map(n => n -> SparkEntry.queries(n)) :+
       ("dedup_clusters_distributed" -> ((s: SparkSession, dir: String) =>
         Dedup.connectedComponents(

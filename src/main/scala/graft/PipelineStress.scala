@@ -324,6 +324,45 @@ object PipelineStress {
     val bothKept = pairs.count { case (a, b) => curatedSet.contains(a) && curatedSet.contains(b) }
     assert(bothKept == 0, s"curate kept $bothKept verified near-dup pairs intact")
 
+    // the FULL pipeline_e2e chain at scale (r14 verdict #3's sf1 arm):
+    // curate → 0.5-Jaccard near-dup clusters over the survivors →
+    // leakage-safe grouped split → per-split shard deal → manifest. The
+    // scale assertions are the contract itself: zero near-dup pairs
+    // straddle two splits, the manifest's doc mass equals the curated
+    // survivor count exactly, and per-(split, shard) doc counts stay
+    // balanced to ±1.
+    t("pipeline_e2e", nDocs) {
+      val corpusE = docsLang.filter(col("doc_id") % 97 =!= 0)
+      val curatedDf = Curation.curate(
+        corpusE, docsLang.filter(col("doc_id") % 97 === 0),
+        minTokens = 30L, minQuality = 0.5,
+        langFracs = Map("l0" -> 0.9, "l1" -> 0.5), defaultFrac = 0.4)
+        .localCheckpoint(true)
+      val survivorText = corpusE.select(col("doc_id"), col("text"))
+        .join(curatedDf.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val e2ePairs = Dedup.ngramJaccardPairs(survivorText, 0.5).localCheckpoint(true)
+      val split = Sampling.assignSplitsGrouped(
+        curatedDf, Dedup.connectedComponents(e2ePairs)).localCheckpoint(true)
+      val man = graft.operators.Export
+        .shardAssignGrouped(split, 8, "split", tokensCol = Some("n_tokens"))
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .collect()
+      val sa = split.select(col("doc_id").as("id_a"), col("split").as("__sa"))
+      val sb = split.select(col("doc_id").as("id_b"), col("split").as("__sb"))
+      val straddling = e2ePairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .filter(col("__sa") =!= col("__sb")).count()
+      assert(straddling == 0,
+        s"grouped split must close the near-dup leakage channel, $straddling pairs straddle")
+      assert(man.map(_.getLong(2)).sum == curatedDf.count(),
+        "manifest doc mass must equal the curated survivor count")
+      man.groupBy(_.getString(0)).foreach { case (sp, rows) =>
+        val c = rows.map(_.getLong(2))
+        assert(c.max - c.min <= 1, s"split $sp shard counts must balance to ±1")
+      }
+      man.length.toLong
+    }
+
     // persisted IVF index: build once, then the probe that reads only its
     // nprobe'd lists — asserted identical to the in-plan operator
     val ivfPath = java.nio.file.Files.createTempDirectory("pstress_ivf").toString

@@ -86,13 +86,16 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("hierarchical samplers: pruned scans, broadcast range-base join, no cartesian") {
     for (name <- Seq("sample_token_budget", "sample_shuffle_order")) {
-      val plan = formatted(SparkEntry.queries(name)(spark, sf))
-      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-        s"$name: the range-base join must stay an equi join")
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = formatted(df)
+      // no cartesian and no unbounded one-task stage — machine-checked;
+      // the ≤1024-row range-base PREFIX is deliberately a broadcast
+      // non-equi self-join (SmallPrefix), so a blanket nested-loop ban
+      // would misfire on the tiny frame
+      assert(graft.util.PlanLint.lint(df).isEmpty,
+        s"$name: ${graft.util.PlanLint.lint(df).mkString("; ")}")
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         s"$name: the tiny range-base frame must broadcast, never shuffle the corpus side")
-      // the corpus window partitions by the range id — a flat single-task
-      // global window would show an empty partition spec over the corpus
       assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), name)
     }
     // token budget reads (doc_id, lang, text) only; shuffle order never text
@@ -346,8 +349,13 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("export shard deal: broadcast range-base, scan pruned to (doc_id, text)") {
-    val plan = formatted(SparkEntry.queries("export_shards")(spark, sf))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val df = SparkEntry.queries("export_shards")(spark, sf)
+    val plan = formatted(df)
+    // machine-checked (the range-base PREFIX is a deliberate tiny-frame
+    // broadcast non-equi self-join — see SmallPrefix — so no blanket
+    // nested-loop ban here)
+    assert(graft.util.PlanLint.lint(df).isEmpty,
+      graft.util.PlanLint.lint(df).mkString("; "))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"the 1024-row range-base frame must broadcast:\n${plan.take(1500)}")
     plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
