@@ -465,9 +465,16 @@ object Dedup {
     val internalCand = batchBuckets.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ref_id"), col("y.doc_id").as("doc_id"))
+    // the BATCH side of the store probe is micro-batch-bounded (16 bucket
+    // rows per offered doc) while the store side GROWS with the stream's
+    // life — broadcast the bounded side explicitly: a checkpointed store
+    // has no stats, so Spark would otherwise plan a sort-merge join that
+    // EXCHANGES the whole store every trigger (O(store) shuffle per epoch
+    // — the measured curate-stream slope floor); with the broadcast the
+    // store pays a scan and nothing else
     val cand0 = store match {
       case Some((_, sb)) => internalCand.unionByName(
-        sb.as("x").join(batchBuckets.as("y"), Seq("band", "bucket"))
+        sb.as("x").join(broadcast(batchBuckets.as("y")), Seq("band", "bucket"))
           .select(col("x.doc_id").as("ref_id"), col("y.doc_id").as("doc_id")))
       case None => internalCand
     }
@@ -484,8 +491,10 @@ object Dedup {
     // ref-side union would shingle those ids twice and double their na.
     // The (X_store, X_batch) candidate itself is legitimate and must
     // verify at jaccard 1.0 — it is HOW a replay rejects its own re-offer.
+    // candidate ref-ids are batch-driven (bounded) while refSrc carries the
+    // whole store — broadcast the id set so the store side is scan-only
     val refSh = shingles(
-      refSrc.join(candidates.select(col("ref_id").as("__cand_id")).distinct(),
+      refSrc.join(broadcast(candidates.select(col("ref_id").as("__cand_id")).distinct()),
         col(idCol) === col("__cand_id"), "left_semi")
         .dropDuplicates(Seq(idCol)), idCol, textCol)
     val docSh = shingles(
