@@ -2795,6 +2795,33 @@ object PipelineOracleSql {
        |SELECT doc_id, position, shard, shard_pos, n_tokens
        |FROM sa ORDER BY doc_id""".stripMargin
 
+  /** Group-scoped shard deal (mirrors `Export.shardAssignGrouped`,
+    * groupCol = lang, nShards = 4, seed 'shuffle'): the per-group rank by
+    * (scrambled hash, doc_id) — one PARTITIONED window here, which the
+    * engine's group-partitioned hierarchical rank must reproduce
+    * bit-for-bit — then the per-group round-robin deal.
+    */
+  def exportShardsGrouped: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ((list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, strlen('shuffle:' || CAST(doc_id AS VARCHAR)) + 1),
+       |        i -> CAST(ascii(substr('shuffle:' || CAST(doc_id AS VARCHAR), CAST(i AS INT), 1)) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 2147483647)
+       |      * 2654435761 + 12345) % 2147483647) AS hv
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS position
+       |  FROM h
+       |)
+       |SELECT p.doc_id, p.lang, position,
+       |  CAST((position - 1) % 4 AS BIGINT) AS shard,
+       |  CAST((position - 1) // 4 AS BIGINT) + 1 AS shard_pos,
+       |  CAST(len($Tok) AS BIGINT) AS n_tokens
+       |FROM p JOIN documents USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Per-shard export manifest (mirrors `Export.shardManifest`): doc/token
     * mass + the head-of-order doc id per shard. Sums carry the
     * CAST(... AS BIGINT) guard (DuckDB HUGEINT -> float64 trap).
@@ -3248,6 +3275,7 @@ object PipelineOracleSql {
     "layout_hilbert" -> layoutHilbert,
     "layout_hilbert_pruning" -> layoutHilbertPruning,
     "export_shards" -> exportShards,
+    "export_shards_grouped" -> exportShardsGrouped,
     "export_shards_balanced" -> exportShardsBalanced,
     "export_manifest" -> exportManifest,
     "sample_budget_stream" -> sampleBudgetStream,

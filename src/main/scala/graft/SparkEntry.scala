@@ -977,6 +977,15 @@ object SparkEntry {
         .select(col("doc_id"), col("position"), col("shard"),
           col("shard_pos"), col("n_tokens"))
         .orderBy(col("doc_id"))),
+    // GROUP-scoped deal: position/shard/shard_pos restart per language, so
+    // no shard file ever mixes two groups — the per-split export primitive
+    // pipeline_e2e composes, here on its own oracle
+    "export_shards_grouped" -> ((s, dir) =>
+      Export.shardAssignGrouped(
+          s.read.parquet(s"$dir/documents.parquet"), nShards = 4, groupCol = "lang")
+        .select(col("doc_id"), col("lang"), col("position"), col("shard"),
+          col("shard_pos"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
     // the export summary a training job plans from: per-shard doc/token
     // mass + the id at the head of each shard's order
     "export_manifest" -> ((s, dir) =>
