@@ -452,6 +452,11 @@ object Bench {
       "text_classifier_pr_curve" -> q("text_classifier_pr_curve"),
       "layout_hilbert_pruning" -> q("layout_hilbert_pruning"),
       "sample_split_leakage" -> q("sample_split_leakage"),
+      // r15: the composed end-to-end chain, the per-group shard deal it
+      // uses, and the WAV perceptual near-dup twin
+      "pipeline_e2e" -> q("pipeline_e2e"),
+      "export_shards_grouped" -> q("export_shards_grouped"),
+      "mm_wav_near_dup_pairs" -> q("mm_wav_near_dup_pairs"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -718,7 +723,9 @@ object Bench {
     // r14: the layout family + grouped split
     "layout_zorder", "layout_zorder_pruning", "sample_split_grouped",
     "sim_topk_ivf_recall", "text_classifier_pr_curve", "layout_hilbert_pruning",
-    "sample_split_leakage")
+    "sample_split_leakage",
+    // r15: the e2e chain + its per-group deal + the WAV near-dup twin
+    "pipeline_e2e", "export_shards_grouped", "mm_wav_near_dup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
