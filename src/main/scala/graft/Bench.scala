@@ -457,6 +457,8 @@ object Bench {
       "pipeline_e2e" -> q("pipeline_e2e"),
       "export_shards_grouped" -> q("export_shards_grouped"),
       "mm_wav_near_dup_pairs" -> q("mm_wav_near_dup_pairs"),
+      "mm_wav_near_dup_clusters" -> q("mm_wav_near_dup_clusters"),
+      "mm_wav_near_dup_keepers" -> q("mm_wav_near_dup_keepers"),
       "mm_near_dup_clusters" -> q("mm_near_dup_clusters"),
       "mm_near_dup_keepers" -> q("mm_near_dup_keepers"),
       "emb_pca_topk" -> q("emb_pca_topk"),
@@ -724,8 +726,9 @@ object Bench {
     "layout_zorder", "layout_zorder_pruning", "sample_split_grouped",
     "sim_topk_ivf_recall", "text_classifier_pr_curve", "layout_hilbert_pruning",
     "sample_split_leakage",
-    // r15: the e2e chain + its per-group deal + the WAV near-dup twin
-    "pipeline_e2e", "export_shards_grouped", "mm_wav_near_dup_pairs")
+    // r15: the e2e chain + its per-group deal + the WAV near-dup family
+    "pipeline_e2e", "export_shards_grouped", "mm_wav_near_dup_pairs",
+    "mm_wav_near_dup_clusters", "mm_wav_near_dup_keepers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

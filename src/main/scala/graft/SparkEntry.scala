@@ -2119,6 +2119,22 @@ object SparkEntry {
       Multimodal.nearDupPairsWav(
           Multimodal.encodeWav(mmTwinnedDocs(s, dir)))
         .orderBy(col("id_a"), col("id_b"))),
+    // decision layers over the audio pairs — full parity with the image
+    // and text dedup families: components, then keep the original of each
+    // group (originals outrank their +10M twins; ties -> smallest id)
+    "mm_wav_near_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Multimodal.nearDupPairsWav(Multimodal.encodeWav(mmTwinnedDocs(s, dir)))
+            .select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))),
+    "mm_wav_near_dup_keepers" -> ((s, dir) => {
+      val media = mmTwinnedDocs(s, dir)
+      Dedup.canonicalKeepers(media,
+          Multimodal.nearDupPairsWav(Multimodal.encodeWav(media))
+            .select(col("id_a"), col("id_b")),
+          when(col("doc_id") < 10000000L, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    }),
     "mm_decode_wav" -> ((s, dir) =>
       // real RIFF/PCM audio decode (chunk-walking parser) over payloads
       // whose sample stream is a pure function of the text — the audio
@@ -2338,7 +2354,7 @@ object SparkEntry {
     * ending at `wpairs(id_a, id_b, hamming)`.
     */
   private val WavPairsCte =
-    """WITH base AS MATERIALIZED (
+    """WITH RECURSIVE base AS MATERIALIZED (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000000,
@@ -3230,6 +3246,40 @@ object SparkEntry {
     "mm_wav_near_dup_pairs" ->
       s"""$WavPairsCte
         |SELECT id_a, id_b, hamming FROM wpairs ORDER BY id_a, id_b""".stripMargin,
+    "mm_wav_near_dup_clusters" ->
+      s"""$WavPairsCte,
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM wpairs
+        |  UNION SELECT id_b, id_a FROM wpairs),
+        |reach(nn, l) AS (
+        |  SELECT src, src FROM bidir
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.nn),
+        |cl AS (SELECT nn AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nn)
+        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+    "mm_wav_near_dup_keepers" ->
+      s"""$WavPairsCte,
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM wpairs
+        |  UNION SELECT id_b, id_a FROM wpairs),
+        |reach(nn, l) AS (
+        |  SELECT src, src FROM bidir
+        |  UNION
+        |  SELECT e.dst, r.l FROM reach r JOIN bidir e ON e.src = r.nn),
+        |cl AS (SELECT nn AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nn),
+        |m AS (
+        |  SELECT doc_id, cluster_id,
+        |    CASE WHEN doc_id < 10000000 THEN 1 ELSE 0 END AS prio
+        |  FROM cl),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY prio DESC, doc_id ASC) AS rn
+        |  FROM m)
+        |SELECT m.doc_id, m.cluster_id, k.keeper_id,
+        |  m.doc_id = k.keeper_id AS keep
+        |FROM m JOIN k ON k.cluster_id = m.cluster_id AND k.rn = 1
+        |ORDER BY m.doc_id""".stripMargin,
     "mm_near_dup_clusters" ->
       s"""$MmPairsCte,
         |bidir AS (
