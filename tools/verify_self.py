@@ -14,6 +14,7 @@ import datetime
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -38,7 +39,9 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {f[:-8]} AS SELECT * FROM read_parquet('{sf_dir}/{f}')")
     statuses = {}
+    oracle_secs = {}
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             statuses[name] = "NO SPARK DUMP"
@@ -60,7 +63,9 @@ def main() -> int:
                 hash_ok = False
         statuses[name] = "OK" if (rows_ok and schema_ok and hash_ok) else \
             f"FAIL rows={rows_ok}({len(ora)}/{len(got)}) schema={schema_ok} hash={hash_ok}"
-        print(f"{name}: {statuses[name]}", flush=True)
+        oracle_secs[name] = round(time.time() - t0, 1)
+        print(f"{name}: {statuses[name]} ({oracle_secs[name]}s oracle+compare)",
+              flush=True)
     failed = sorted(n for n, s in statuses.items() if s != "OK")
     doc = {
         "round": rnd,
@@ -78,6 +83,9 @@ def main() -> int:
                 "BENCH_SELF.json, so the round gate can never be silently "
                 "zeroed (r13 postmortem).",
         "queries": statuses,
+        "oracle_secs": oracle_secs,
+        "oracle_secs_top10": dict(sorted(
+            oracle_secs.items(), key=lambda kv: -kv[1])[:10]),
     }
     with open("VERIFY_SELF.json", "w") as f:
         json.dump(doc, f, indent=1)
