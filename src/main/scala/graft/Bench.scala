@@ -800,13 +800,14 @@ object Bench {
       def oneRep(): Rep = {
         spark.catalog.clearCache()
         System.gc()
+        val admWait = admitRep()
         val loadPre = loadAvg()
         val t0 = System.nanoTime()
         val n = try mk(spark).count() catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        val rep = Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog())
+        val rep = Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog(), admWait)
         if (name.startsWith("renko_14m")) {
           job2Hist ++= rep.phases.collect {
             case (p, v) if p.endsWith("job2 suffix+ckpt") => v
@@ -820,14 +821,16 @@ object Bench {
       val times =
         try (1 to reps).map(_ => oneRep())
         finally graft.util.StallDiag.stallThresholdSec = Double.PositiveInfinity
-      val best = times.minBy(_.sec)
-      val repStr = times.map(t => f"${t.sec}%.3f").mkString(" / ")
+      val clean = times.filter(_.ok)
+      val best = if (clean.nonEmpty) clean.minBy(_.sec) else times.minBy(_.sec)
+      val repStr = times.map(t =>
+        f"${t.sec}%.3f" + (if (t.ok) "" else "!INVALID")).mkString(" / ")
       System.err.println(
-        f"[bench] $name%-22s ${best.sec}%8.3f s  (reps: $repStr; ${best.rows} rows)")
+        f"[bench] $name%-22s ${headline(times)}%8.3f s  (reps: $repStr; ${best.rows} rows)")
       name -> times
     }
     val qs = results
-      .map { case (k, ts) => "\"" + k + "\":" + ts.map(_.sec).min }
+      .map { case (k, ts) => "\"" + k + "\":" + headline(ts) }
       .mkString("{", ",", "}")
     // stdout-line form of the metric map: the driver parses the LAST ~2000
     // chars of captured stdout, and sbt's own "[success] Total time ..."
@@ -845,7 +848,7 @@ object Bench {
     val qsParts = results
       .sortBy { case (k, _) => lineRank.getOrElse(k, linePriority.size) }
       .map { case (k, ts) =>
-        "\"" + k + "\":" + f"${ts.map(_.sec).min}%.3f"
+        "\"" + k + "\":" + f"${headline(ts)}%.3f"
       }
     // self-diagnosis block (r5 lesson: a contention-polluted artifact was
     // indistinguishable from a regression without a manual judge re-run):
@@ -864,8 +867,16 @@ object Bench {
             .map { case (p, s) => "\"" + p.trim + "\":" + f"$s%.3f" }
             .mkString("{", ",", "}"))
           .mkString("\"phases\":[", ",", "]")
+      // rep validity (false = threw / blew its budget; headline excludes
+      // it) + admission waits, present only when something actually happened
+      val okJ =
+        if (ts.forall(_.ok)) ""
+        else ts.map(_.ok).mkString(",\"ok\":[", ",", "]")
+      val admJ =
+        if (ts.forall(_.adm == 0.0)) ""
+        else ts.map(t => f"${t.adm}%.0f").mkString(",\"adm\":[", ",", "]")
       "\"" + k + "\":{" +
-        s""""reps":$repsJ,"load1":$loadJ,"runq":$runqJ""" + phasesJ + "}"
+        s""""reps":$repsJ,"load1":$loadJ,"runq":$runqJ""" + phasesJ + okJ + admJ + "}"
     }.mkString("{", ",", "}")
     val host = {
       // every step degrades to a default instead of crashing the bench:
@@ -884,7 +895,7 @@ object Bench {
       } catch { case _: Throwable => -1 }
       s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"java_procs":$javas}"""
     }
-    val total = results.map(_._2.map(_.sec).min).sum
+    val total = results.map(r => headline(r._2)).filter(_ >= 0).sum
     // numeric sf (parsed from ".../sf0.1") so the JSON field is a number
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -923,11 +934,54 @@ object Bench {
     spark.stop()
   }
 
-  /** One timed repetition plus the evidence needed to adjudicate it. */
+  /** One timed repetition plus the evidence needed to adjudicate it.
+    * `rows < 0` marks the rep INVALID (the query threw — including a blown
+    * churn/latency budget): an invalid rep never supplies the headline
+    * number. `adm` is the admission wait (s) spent letting an externally
+    * busy host drain before the rep started.
+    */
   private case class Rep(
       sec: Double, rows: Long,
       loadPre: (Double, String), loadPost: (Double, String),
-      phases: Seq[(String, Double)])
+      phases: Seq[(String, Double)],
+      adm: Double = 0.0) {
+    def ok: Boolean = rows >= 0
+  }
+
+  /** Clean-rep headline: the min over VALID reps only; -1 when every rep
+    * failed (a parse-visible failure, not a fast-looking masked one —
+    * r15 verdict #3: a blown churn budget must not be masked by best-rep
+    * selection).
+    */
+  private def headline(ts: Seq[Rep]): Double = {
+    val clean = ts.filter(_.ok)
+    if (clean.nonEmpty) clean.map(_.sec).min else -1.0
+  }
+
+  /** Rep admission (r15 verdict #2): an externally busy host inflates a
+    * rep uniformly and the artifact reads as a regression. Before each
+    * rep, if the INSTANTANEOUS run queue shows more active tasks than an
+    * idle bench JVM explains, wait (up to 20 s) for the burst to pass;
+    * the wait lands in the diag (`adm`). Instantaneous runq, not load1:
+    * the sweep's own just-finished 32-thread query keeps load1 elevated
+    * for a minute after the stage ends, while the run queue empties
+    * immediately — load1 would gate on our own echo.
+    */
+  private def admitRep(): Double = {
+    var waited = 0
+    while (waited < 20 && runningProcs() > 6) {
+      Thread.sleep(1000L)
+      waited += 1
+    }
+    waited.toDouble
+  }
+
+  private def runningProcs(): Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(3).split("/")(0).toInt
+      finally src.close()
+    } catch { case _: Throwable => 0 }
 
   /** (1-min loadavg, "running/total" run-queue field) from /proc/loadavg.
     * The open itself is inside the try: a non-Linux host degrades to the

@@ -287,6 +287,116 @@ object RenkoOracleSql {
        |  FROM bricks b)
        |ORDER BY symbol, oi, oj""".stripMargin
 
+  /** `renko_animate(mode)` oracle (reference renkodf.py:767-858): the
+    * ws-replay completed frame mode-projected (incl. the synthetic initial
+    * brick) + ONE forming brick per key reconstructed from the
+    * end-of-replay accumulators, + the per-key retention window.
+    *
+    * Forming-state reconstruction is relational, from CTEs the replay
+    * already built: the last emission's post-brick wick reset (`lr`, or
+    * `lr − dir·brick` after a reversal-only emission, or the anchor when
+    * nothing emitted), folded with the min/max price of the post-emission
+    * tick segment; volume = 1 + ticks since the last emission; price/ts =
+    * the key's last tick. The forming OPEN/HIGH/LOW then follow the
+    * reference's adjustment against the key's LAST completed brick:
+    * `nongap`-family modes re-open at the wick, `normal` clamps high/low to
+    * the last body, the rest re-open at the last body edge.
+    */
+  def animateOracle(mode: String, maxLen: Int = 0, keep: Int = 0,
+      src: String = eventsSrc): String = {
+    val (o, h, l) = modeSources(mode)
+    val nongapRule =
+      Set("nongap", "reverse-nongap", "fake-r-nongap").contains(mode)
+    def adj(wick: String, edge: String): String =
+      if (nongapRule) wick else edge
+    val oAdj =
+      s"""CASE WHEN lc.lc IS NULL THEN f.fprice
+         |     WHEN lc.lc > lc.lo AND f.fprice > lc.lc THEN ${adj("f.wmin", "lc.lc")}
+         |     WHEN lc.lc > lc.lo AND f.fprice < lc.lo THEN ${adj("f.wmax", "lc.lo")}
+         |     WHEN NOT (lc.lc > lc.lo) AND f.fprice < lc.lc THEN ${adj("f.wmax", "lc.lc")}
+         |     WHEN NOT (lc.lc > lc.lo) AND f.fprice > lc.lo THEN ${adj("f.wmin", "lc.lo")}
+         |     ELSE f.fprice END""".stripMargin
+    val hCol =
+      if (mode == "normal")
+        """CASE WHEN lc.lc > lc.lo AND f.fprice < lc.lo THEN lc.lo
+          |     WHEN lc.lc IS NOT NULL AND NOT (lc.lc > lc.lo) AND f.fprice < lc.lc THEN lc.lc
+          |     ELSE f.fprice END""".stripMargin
+      else "f.wmax"
+    val lCol =
+      if (mode == "normal")
+        """CASE WHEN lc.lc > lc.lo AND f.fprice > lc.lc THEN lc.lc
+          |     WHEN lc.lc IS NOT NULL AND NOT (lc.lc > lc.lo) AND f.fprice > lc.lo THEN lc.lo
+          |     ELSE f.fprice END""".stripMargin
+      else "f.wmin"
+    val retained =
+      if (maxLen == 0) "SELECT * FROM completed"
+      else
+        s"""SELECT * FROM (
+           |  SELECT c.*, count(*) OVER (PARTITION BY symbol) AS n,
+           |         row_number() OVER (PARTITION BY symbol ORDER BY oi DESC, oj DESC) AS rk
+           |  FROM completed c)
+           |WHERE n < $maxLen OR rk <= n - ${maxLen - keep}""".stripMargin
+    s"""WITH RECURSIVE ${wideCtes("", src, initLd = 1)},
+       |completed AS (
+       |  SELECT a.sym AS symbol, t.te AS timestamp, a.av AS open, a.av AS high,
+       |    a.av AS low, a.av AS close, 1::BIGINT AS volume, 1 AS direction,
+       |    1 AS is_reversal, -1::BIGINT AS oi, 0::BIGINT AS oj
+       |  FROM anchor a JOIN ticks t ON t.sym = a.sym AND t.i = 0
+       |  UNION ALL
+       |  SELECT b.sym, b.ets, $o, $h, $l, close, volume, direction, is_reversal, b.i, b.j
+       |  FROM bricks b
+       |),
+       |mxt AS (SELECT sym, max(i) AS mxi FROM ticks GROUP BY sym),
+       |lastp AS (
+       |  SELECT t.sym, t.te AS fts, t.price AS fprice, m.mxi
+       |  FROM ticks t JOIN mxt m ON m.sym = t.sym AND t.i = m.mxi),
+       |lastem AS (
+       |  SELECT sym, ei, lr, dir, nsame FROM (
+       |    SELECT e.*, row_number() OVER (PARTITION BY e.sym ORDER BY e.ei DESC) AS rn
+       |    FROM emx e) WHERE rn = 1),
+       |fstate AS (
+       |  SELECT p.sym, p.fts, p.fprice,
+       |    COALESCE(le.ei, 0::BIGINT) AS lei,
+       |    p.mxi - COALESCE(le.ei, 0::BIGINT) + 1 AS fvol,
+       |    CASE WHEN le.sym IS NULL THEN (SELECT t0.w0x FROM traj0 t0 WHERE t0.sym = p.sym)
+       |         WHEN le.nsame = 0 THEN le.lr - le.dir*$B
+       |         ELSE le.lr END AS wreset
+       |  FROM lastp p LEFT JOIN lastem le ON le.sym = p.sym),
+       |fseg AS (
+       |  SELECT f.sym, min(t.price) AS smn, max(t.price) AS smx
+       |  FROM fstate f JOIN ticks t ON t.sym = f.sym AND t.i > f.lei
+       |  GROUP BY f.sym),
+       |fwick AS (
+       |  SELECT f.*, least(f.wreset, COALESCE(s.smn, f.wreset)) AS wmin,
+       |    greatest(f.wreset, COALESCE(s.smx, f.wreset)) AS wmax
+       |  FROM fstate f LEFT JOIN fseg s ON s.sym = f.sym),
+       |lastc AS (
+       |  SELECT symbol, lo, lc FROM (
+       |    SELECT c.symbol, c.open AS lo, c.close AS lc,
+       |      row_number() OVER (PARTITION BY c.symbol ORDER BY c.oi DESC, c.oj DESC) AS rn
+       |    FROM completed c) WHERE rn = 1),
+       |forming AS (
+       |  SELECT f.sym AS symbol, f.fts AS timestamp,
+       |    $oAdj AS open,
+       |    $hCol AS high,
+       |    $lCol AS low,
+       |    f.fprice AS close, f.fvol AS volume,
+       |    CASE WHEN f.fprice > open THEN 1 WHEN f.fprice < open THEN -1 ELSE 0 END AS direction,
+       |    0 AS is_reversal
+       |  FROM fwick f LEFT JOIN lastc lc ON lc.symbol = f.sym)
+       |SELECT symbol, timestamp, open, high, low, close, volume, direction,
+       |  is_reversal, is_forming
+       |FROM (
+       |  SELECT symbol, timestamp, open, high, low, close, volume, direction,
+       |    is_reversal, 0 AS is_forming, oi, oj
+       |  FROM ($retained)
+       |  UNION ALL
+       |  SELECT symbol, timestamp, open, high, low, close, volume, direction,
+       |    is_reversal, 1, 9223372036854775807::BIGINT, 0::BIGINT
+       |  FROM forming)
+       |ORDER BY symbol, oi, oj""".stripMargin
+  }
+
   /** Checkpoint/resume splice: batch-compute the head (epoch-ns ≤ midpoint),
     * rehydrate state from the checkpoint's LAST brick (wick/renko reset to
     * its close — the reference's documented approximate splice), replay the
@@ -339,6 +449,12 @@ object RenkoOracleSql {
       "renko_by_user" -> modeOracle("wicks", src = eventsByUser),
       "renko_to_rws" -> toRwsOracle,
       "renko_ws_replay" -> wsReplayOracle,
-      "renko_ws_resume" -> wsResumeOracle)
+      "renko_ws_resume" -> wsResumeOracle,
+      // renko_animate graduated to the driver gate (VERDICT r15 #4):
+      // retention exercised on the single-series entry, the multi-key
+      // in-plan animate on the by-type entry
+      "renko_animate_wicks" -> animateOracle("wicks", maxLen = 500, keep = 250),
+      "renko_animate_nongap" -> animateOracle("nongap", src = eventsByType),
+      "renko_animate_fake_r_nongap" -> animateOracle("fake-r-nongap"))
   }
 }

@@ -87,6 +87,25 @@ object SparkEntry {
       .as[PriceEvent]
   }
 
+  /** events as a PriceEvent stream keyed by event_type (multi-key animate). */
+  private def priceEventsByType(s: SparkSession, dir: String): Dataset[PriceEvent] = {
+    ensureConf(s)
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    ev.select(
+        col("event_type").as("symbol"),
+        Renko.toEpochMicros(ev.schema("ts").dataType, col("ts"), "ns").as("timestamp"),
+        col("value").as("price"))
+      .as[PriceEvent]
+  }
+
+  /** Emission order for animate frames: the forming row sorts last within
+    * its key/timestamp (`is_forming` before the close*direction tiebreak).
+    */
+  private def animateOrdered(df: DataFrame): DataFrame =
+    df.orderBy(col("symbol"), col("timestamp"), col("is_forming"),
+      (col("close") * col("direction")).asc)
+
   private val EventBrick = 25.0
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -184,6 +203,25 @@ object SparkEntry {
       val tail = priceEvents(s, dir).filter(_.timestamp > cut)
       emissionOrdered(RenkoWS.replay(tail, EventBrick, initialState = init).toDF())
     }),
+    // renko_animate (reference renkodf.py:767-858) under the driver gate:
+    // the live-chart frame — completed bricks mode-projected + the forming
+    // brick from the end-of-replay accumulators — built from a
+    // bricksWithForming-shaped table and computed per key IN-PLAN
+    // (RenkoWS.animateView: every window partitioned by symbol, no driver
+    // collect). wicks exercises the maxLen/keep retention window; nongap
+    // runs MULTI-KEY (one animate frame per event_type in one plan)
+    "renko_animate_wicks" -> ((s, dir) =>
+      animateOrdered(RenkoWS.animateView(
+        RenkoWS.replayWithForming(priceEvents(s, dir), EventBrick).toDF(),
+        "wicks", maxLen = 500, keep = 250))),
+    "renko_animate_nongap" -> ((s, dir) =>
+      animateOrdered(RenkoWS.animateView(
+        RenkoWS.replayWithForming(priceEventsByType(s, dir), EventBrick).toDF(),
+        "nongap", maxLen = 0))),
+    "renko_animate_fake_r_nongap" -> ((s, dir) =>
+      animateOrdered(RenkoWS.animateView(
+        RenkoWS.replayWithForming(priceEvents(s, dir), EventBrick).toDF(),
+        "fake-r-nongap", maxLen = 0))),
 
     // --- relational operators (SURVEY §2.2-2.5), DuckDB-oracle-backed
     "q1_agg" -> ((s, dir) => {

@@ -64,9 +64,24 @@ object Export {
     * fixes an integer-division step, the coarse `__rng` key buckets the
     * token-DESC axis into ≤1024 monotone ranges (the PlanLint whitelist
     * bound), the per-range counts form a broadcast base frame, and the
-    * within-range window is partitioned by range — never a single task,
-    * and never the earlier (distinct-token-counts × 1024)-row base frame,
-    * which was corpus-coupled on long-document corpora.
+    * within-range window is partitioned by range — and never the earlier
+    * (distinct-token-counts × 1024)-row base frame, which was
+    * corpus-coupled on long-document corpora.
+    *
+    * Degenerate-span guard: when the token-count span is small (uniform or
+    * low-cardinality lengths — fixed-size chunks are the common case), a
+    * pure token-range key collapses to ONE range = one window task. Since a
+    * small span means every range holds EXACTLY one token count (step = 1),
+    * the hash high bits are a VALID refinement inside a range (rows with
+    * equal `__nt` are ordered by `__hv`, so a hash-bit prefix is a monotone
+    * coarsening of the sort key there), and the range key widens in-plan to
+    * `range * 2^b + (hash >> (31-b))` with `b = max(0, 10 − ceil(log2(span
+    * +1)))` — still ≤ 1024 combined ranges (so the base frame stays
+    * broadcast-bounded), but the worst partition is ~N/2^b rows (N/1024 for
+    * a fully uniform corpus, the bound the old (__nt, hash-bit) scheme
+    * had). When the span exceeds 512 the hash bits drop out (b = 0) and the
+    * key is the plain token range; a range then holds several token counts,
+    * which is exactly when hash bits would break the ordering.
     *
     * Output: input columns + (position — the token-desc global rank,
     * shard, shard_pos, n_tokens).
@@ -95,7 +110,13 @@ object Export {
     // construction) — the base frame is <= 1024 rows whatever the corpus
     val perDoc = perDoc0.crossJoin(broadcast(ntStats))
       .withColumn("__step", expr("((__ntmx - __ntmn) div 1024) + 1L"))
-      .withColumn("__rng", expr("(__nt - __ntmn) div __step"))
+      // hash sub-bucket bits: only when step = 1 (span <= 512 implies every
+      // range is a single token count, where hash order IS the sort order)
+      .withColumn("__b", expr(
+        "greatest(0, 10 - cast(ceil(log2(cast(__ntmx - __ntmn AS DOUBLE) + 1.0D)) AS INT))"))
+      .withColumn("__rng", expr(
+        "((__nt - __ntmn) div __step) * shiftleft(1L, __b) + " +
+          "(CASE WHEN __b = 0 THEN 0L ELSE cast(shiftright(__hv, 31 - __b) AS BIGINT) END)"))
     val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
         perDoc.groupBy(col("__rng")).agg(count(lit(1)).as("__rcnt")),
         "__rng", Map("__rcnt" -> "__base"))
@@ -113,7 +134,7 @@ object Export {
         when(pmod(round, lit(2L)) === lit(0L), inRound)
           .otherwise(lit(nShards.toLong - 1L) - inRound))
       .withColumn("shard_pos", round + lit(1L))
-      .drop("__hv", "__nt", "__rng", "__base", "__step", "__ntmn", "__ntmx")
+      .drop("__hv", "__nt", "__rng", "__base", "__step", "__b", "__ntmn", "__ntmx")
   }
 
   /** GROUP-scoped shard assignment — [[shardAssign]] with the deal keyed

@@ -465,10 +465,12 @@ object Multimodal {
       "dhash_hi", "dhash_lo", maxHamming)
 
   /** 64-bit energy-envelope contour hash of a PCM WAV payload — the AUDIO
-    * twin of [[dhashPpm]]: the signed 16-bit sample stream is cut into 65
-    * contiguous floor-boundary windows (window j = samples
+    * twin of [[dhashPpm]]: the signed 16-bit FRAME stream is cut into 65
+    * contiguous floor-boundary windows (window j = frames
     * [j·n div 65, (j+1)·n div 65)), each window's energy is the exact
-    * integer sum of absolute amplitudes, and bit b is set iff window b+1's
+    * integer sum of absolute amplitudes over EVERY channel of its frames
+    * (a stereo payload hashes its joint L+R loudness contour, not the
+    * first half of its interleaved samples), and bit b is set iff window b+1's
     * MEAN energy exceeds window b's — compared cross-multiplied
     * (e_{b+1}·n_b > e_b·n_{b+1}), exact integers, no division. Loudness-
     * contour shape, not absolute level, is what survives small edits: a
@@ -491,7 +493,7 @@ object Multimodal {
           batch.map { case (id, bytes) =>
             parseWav(if (bytes == null) Array.emptyByteArray else bytes) match {
               case Some((ch, _, _, data)) =>
-                val n = data.length / (ch * 2) // frames (mono fixtures: ch=1)
+                val n = data.length / (ch * 2) // frames
                 val e = new Array[Long](65)
                 val wn = new Array[Long](65)
                 var j = 0
@@ -502,8 +504,17 @@ object Multimodal {
                   var i = lo
                   var s = 0L
                   while (i < hi) {
-                    val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toLong
-                    s += math.abs(v)
+                    // frame energy = |sample| summed over ALL channels of
+                    // frame i (samples are frame-interleaved L R L R …) —
+                    // indexing 2*i alone would cover only the first n/ch
+                    // frames of a stereo payload
+                    var c = 0
+                    while (c < ch) {
+                      val o = 2 * (i * ch + c)
+                      val v = ((data(o) & 0xFF) | (data(o + 1) << 8)).toShort.toLong
+                      s += math.abs(v)
+                      c += 1
+                    }
                     i += 1
                   }
                   e(j) = s

@@ -258,11 +258,41 @@ object Selection {
     val tot = scored.agg(
       sum(when(lbl, 1L).otherwise(0L)).as("__tot"),
       min(col(scoreCol)).as("__tmn"), max(col(scoreCol)).as("__tmx"))
-    // coarse range id: 0..1023, monotone in threshold (integer division of
-    // exact integers; degenerate span -> single range 0)
-    val ranged = per.crossJoin(broadcast(tot))
-      .withColumn("__step", expr("((__tmx - __tmn) div 1024) + 1L"))
-      .withColumn("__rng", expr("(threshold_micro - __tmn) div __step"))
+    // coarse range id: 0..1023, monotone in threshold. Integral scores use
+    // exact integer division (degenerate span -> single range 0); FRACTIONAL
+    // scores — which the public API accepts, any orderable score column —
+    // bucket on clamped float division instead (`x div step` fails analysis
+    // on DOUBLE): only MONOTONICITY of the coarse key matters for
+    // correctness (the within-range cumulative + cross-range prefix are
+    // exact either way), so float rounding in the bucket id is harmless.
+    // NaN scores sort first in the descending cumulative, so they pin to
+    // the top range 1023.
+    import org.apache.spark.sql.types._
+    val integral = scored.schema(scoreCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType | _: DecimalType       => false
+      case other => throw new IllegalArgumentException(
+        s"prCurve: score column '$scoreCol' must be numeric, got $other")
+    }
+    val ranged0 = per.crossJoin(broadcast(tot))
+    val ranged =
+      if (integral) ranged0
+        .withColumn("__step", expr("((__tmx - __tmn) div 1024) + 1L"))
+        .withColumn("__rng", expr("(threshold_micro - __tmn) div __step"))
+      else {
+        val t = col("threshold_micro").cast("double")
+        // a NaN max (any NaN score) would poison every bucket id — fall
+        // back to the real-valued span (min is NaN only when ALL scores
+        // are, and those rows pin to 1023 before the division)
+        val stepD = greatest(
+          (nanvl(col("__tmx").cast("double"), col("__tmn").cast("double"))
+            - col("__tmn").cast("double")) / lit(1024.0),
+          lit(java.lang.Double.MIN_NORMAL))
+        ranged0.withColumn("__rng",
+          when(isnan(t), lit(1023L)).otherwise(
+            least(lit(1023L), greatest(lit(0L),
+              floor((t - col("__tmn").cast("double")) / stepD).cast("long")))))
+      }
     val rangeBase = graft.util.SmallPrefix.exclusivePrefix(
         ranged.groupBy(col("__rng"))
           .agg(sum(col("__p")).as("__rp"), sum(col("__n")).as("__rn")),

@@ -125,6 +125,132 @@ object RenkoWS {
       }
   }
 
+  /** Batch twin of [[bricksWithForming]]: replay every key's events and
+    * append ONE forming-state row per key (is_forming = 1) carrying the
+    * end-of-replay accumulators — exactly the rows a `bricksWithForming`
+    * stream sink holds after its last micro-batch, so [[animateView]] over
+    * this output IS the reference's `renko_animate` frame for the whole
+    * corpus (renkodf.py:767-858), per key, computed distributed.
+    */
+  def replayWithForming(
+      events: Dataset[PriceEvent],
+      brickSize: Double,
+      initialState: Map[String, WsState] = Map.empty): Dataset[FormingWsBrick] = {
+    val init = events.sparkSession.sparkContext.broadcast(initialState)
+    implicit val enc: Encoder[FormingWsBrick] = Encoders.product[FormingWsBrick]
+    events
+      .groupByKey(_.symbol)
+      .flatMapSortedGroups(col("timestamp")) { (sym: String, it: Iterator[PriceEvent]) =>
+        val (next, out) =
+          processSorted(sym, it.toArray.toIndexedSeq, init.value.get(sym), brickSize)
+        val completed = out.map(b => FormingWsBrick(
+          b.symbol, b.timestamp, b.open, b.high, b.low, b.close, b.volume,
+          b.direction, b.is_reversal, is_forming = 0,
+          b.normal_high, b.normal_low, b.nongap_open, b.reverse_nongap_open,
+          b.reverse_fake_nongap_open, b.reverse_high, b.reverse_low,
+          b.fake_high, b.fake_low))
+        val forming = FormingWsBrick(
+          sym, next.lastTs, next.lastPrice, next.wickMax, next.wickMin,
+          next.lastPrice, next.volume, 0, 0, is_forming = 1,
+          next.lastPrice, next.lastPrice, next.lastPrice, next.lastPrice,
+          next.lastPrice, next.lastPrice, next.lastPrice, next.lastPrice,
+          next.lastPrice)
+        (completed :+ forming).iterator
+      }
+  }
+
+  /** The reference `renko_animate(mode)` frame for EVERY key of a
+    * `bricksWithForming` table, computed entirely IN-PLAN — no driver-side
+    * collect of per-key state, so 10k symbols animate as one distributed
+    * query (every window below is partitioned by `symbol`).
+    *
+    * Per key: completed bricks mode-projected; the forming brick derived
+    * from the key's LATEST forming row via the reference's open/wick
+    * adjustment against the key's last completed brick (renkodf.py:795-853
+    * — `nongap`-family modes re-open at the wick, `normal` clamps high/low
+    * to the last body, others re-open at the last body edge); retention
+    * keeps the newest `n − (maxLen − keep)` completed rows per key once a
+    * key reaches `maxLen` (same visible window as the reference's
+    * destructive trim, applied as a view — see [[animate]]'s documented
+    * one-call deviation). Output: mode columns + `is_forming` (the forming
+    * row is last in emission order).
+    */
+  def animateView(
+      sink: DataFrame,
+      mode: String = "wicks",
+      maxLen: Int = 500,
+      keep: Int = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val completedMode = graft.operators.RenkoModes
+      .project(sink.filter(col("is_forming") === 0).drop("is_forming"), mode)
+
+    // per-key latest forming row (emission order within a ts: one forming
+    // row per micro-batch, the latest micro-batch wins)
+    val wF = Window.partitionBy(col("symbol")).orderBy(col("timestamp").desc)
+    val forming0 = sink.filter(col("is_forming") === 1)
+      .withColumn("__rn", row_number().over(wF)).filter(col("__rn") === 1)
+      .select(col("symbol"), col("timestamp"), col("close").as("__price"),
+        col("high").as("__wmax"), col("low").as("__wmin"), col("volume"))
+
+    // per-key last completed brick IN MODE projection (emission tie-break:
+    // bricks of one tick share a timestamp; close*direction is strictly
+    // monotone in emission order within the tick). Every column re-aliased:
+    // forming0 and lastC share the sink lineage, and a using-join on the
+    // common `symbol` attribute is a self-join reference conflict
+    val wL = Window.partitionBy(col("symbol"))
+      .orderBy(col("timestamp").desc, (col("close") * col("direction")).desc)
+    val lastC = completedMode
+      .withColumn("__rn", row_number().over(wL)).filter(col("__rn") === 1)
+      .select(col("symbol").as("__lsym"), col("open").as("__lo"),
+        col("close").as("__lc"))
+
+    val nongapRule =
+      Set("nongap", "reverse-nongap", "fake-r-nongap").contains(mode)
+    val p = col("__price")
+    val up = col("__lc") > col("__lo")
+    val oAdj =
+      if (nongapRule)
+        when(up && p > col("__lc"), col("__wmin"))
+          .when(up && p < col("__lo"), col("__wmax"))
+          .when(!up && p < col("__lc"), col("__wmax"))
+          .when(!up && p > col("__lo"), col("__wmin"))
+      else
+        when(up && p > col("__lc"), col("__lc"))
+          .when(up && p < col("__lo"), col("__lo"))
+          .when(!up && p < col("__lc"), col("__lc"))
+          .when(!up && p > col("__lo"), col("__lo"))
+    val o = coalesce(oAdj, p) // no adjustment (or no completed brick) -> price
+    val (h, l) =
+      if (mode == "normal")
+        (coalesce(when(up && p < col("__lo"), col("__lo"))
+          .when(!up && p < col("__lc"), col("__lc")), p),
+          coalesce(when(up && p > col("__lc"), col("__lc"))
+            .when(!up && p > col("__lo"), col("__lo")), p))
+      else (col("__wmax"), col("__wmin"))
+    val formingRow = forming0
+      .join(lastC, col("symbol") === col("__lsym"), "left")
+      .select(
+        col("symbol"), col("timestamp"),
+        o.as("open"), h.as("high"), l.as("low"), p.as("close"), col("volume"),
+        (when(p > o, 1).when(p < o, -1).otherwise(0)).as("direction"),
+        lit(0).as("is_reversal"), lit(1).as("is_forming"))
+
+    val retained =
+      if (maxLen == 0) completedMode
+      else {
+        // same self-join shape as lastC: alias the aggregate's key
+        val cnt = completedMode.groupBy(col("symbol")).agg(count(lit(1)).as("__n"))
+          .select(col("symbol").as("__csym"), col("__n"))
+        completedMode
+          .withColumn("__rk", row_number().over(wL))
+          .join(cnt, col("symbol") === col("__csym"))
+          .filter(col("__n") < lit(maxLen.toLong) ||
+            col("__rk") <= col("__n") - lit((maxLen - keep).toLong))
+          .drop("__rk", "__n", "__csym")
+      }
+    retained.withColumn("is_forming", lit(0)).unionByName(formingRow)
+  }
+
   // ------------------------------------------------------------- streaming
 
   /** Streaming renko over a streaming Dataset of events. Within each
@@ -210,23 +336,14 @@ object RenkoWS {
       sink: DataFrame,
       mode: String = "wicks",
       maxLen: Int = 500,
-      keep: Int = 250): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val completedWide = sink.filter(col("is_forming") === 0).drop("is_forming")
-    val latestForming = sink.filter(col("is_forming") === 1)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("symbol")).orderBy(col("timestamp").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("symbol"), col("timestamp"), col("close").as("price"),
-        col("high").as("wick_max"), col("low").as("wick_min"), col("volume"))
-      .collect()
-    val completedMode = graft.operators.RenkoModes.project(completedWide, mode)
-    if (latestForming.isEmpty) return completedMode
-    val f = latestForming(0)
-    val state = WsState(0.0, 0.0, 0, f.getAs[Double]("wick_min"), f.getAs[Double]("wick_max"),
-      f.getAs[Long]("volume"), f.getAs[Long]("timestamp"), f.getAs[Double]("price"))
-    animate(completedMode, state, mode, maxLen, keep)
-  }
+      keep: Int = 250): DataFrame =
+    // delegate to the distributed per-key view (no driver-side collect of
+    // per-key state — 10k symbols animate as one plan) and present it in
+    // the reference frame shape: emission order, forming row last per key
+    animateView(sink, mode, maxLen, keep)
+      .orderBy(col("symbol"), col("timestamp"), col("is_forming"),
+        col("close") * col("direction"))
+      .drop("is_forming")
 
   /** Rehydrate per-key initial state from a `to_rws` checkpoint table
     * (reference `renkodf.py:465,504-508`: brick_size from the table, wick

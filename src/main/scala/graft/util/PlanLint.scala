@@ -19,14 +19,16 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   *     product is always a bug.
   *  2. `global-window` — a [[WindowExec]] with an EMPTY partitionSpec
   *     moves its whole input to one task. Allowed only when the window's
-  *     child output carries a whitelisted marker column that names its row
-  *     bound ([[globalWindowWhitelist]]): today that is `__rng`, the
-  *     hierarchical range-base frame (`Layout.hierarchicalRank`,
-  *     `Sampling.shufflePosition`/`temperatureSample`,
-  *     `Selection.prCurve`) — ≤1024 rows by construction of the range key
-  *     (31-bit hash >> 21, z/hilbert value >> (width−10), or an
-  *     integer-division step of (span+1023) div 1024), a bound
-  *     PlanLintSpec pins with a property test, not prose.
+  *     input is provably bounded ([[bounded]]) — a limit, a grouping-free
+  *     aggregate, or an aggregate grouping by exactly a whitelisted
+  *     range-marker column ([[globalWindowWhitelist]]): today that is
+  *     `__rng`, the hierarchical range-base frame
+  *     (`Layout.hierarchicalRank`, `Sampling.shufflePosition`/
+  *     `temperatureSample`, `Selection.prCurve`) — ≤1024 rows by
+  *     construction of the range key (31-bit hash >> 21, z/hilbert
+  *     value >> (width−10), or an integer-division step of
+  *     (span div 1024) + 1), a bound PlanLintSpec pins with a property
+  *     test, not prose.
   *  3. `single-partition-exchange` — a [[ShuffleExchangeExec]] to
   *     [[SinglePartition]] whose input is not provably bounded (a
   *     grouping-free aggregate = one row per task, an explicit limit, a
@@ -61,16 +63,35 @@ object PlanLint {
       other +: (other.children.flatMap(nodes) ++ other.subqueries.flatMap(nodes))
   }
 
-  /** Is this subtree's row count provably bounded (not corpus-sized)? */
-  private def bounded(p: SparkPlan): Boolean =
-    p.output.exists(a => globalWindowWhitelist.contains(a.name)) ||
-      p.exists {
-        case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-        case _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec => true
-        case _: TakeOrderedAndProjectExec => true
-        case _: WindowGroupLimitExec => true
-        case _ => false
-      }
+  /** Is this subtree's row count provably bounded (not corpus-sized)?
+    *
+    * COMPOSITIONAL, not existential: a node is bounded iff it caps rows
+    * itself (a grouping-free aggregate, an explicit limit, a group-limit
+    * heap, an aggregate grouping by EXACTLY a whitelisted ≤1024-range
+    * marker) or ALL of its inputs are bounded. The earlier rule — "any
+    * descendant anywhere is an aggregate/limit, or the output merely
+    * CARRIES a `__rng` column" — let two regressions pass silently: a
+    * corpus-sized frame that projects `__rng` alongside per-doc rows
+    * (shufflePosition's tagged frame), and a join whose BROADCAST side has
+    * the bounding aggregate while the probe side streams the corpus. Now
+    * the marker only counts where it provably means "one row per range"
+    * (the `groupBy(__rng)` base-frame aggregate itself), and boundedness
+    * must hold on every path feeding the flagged operator.
+    */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+    case q: QueryStageExec        => bounded(q.plan)
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty ||
+        (a.groupingExpressions.size == 1 && a.groupingExpressions.forall(e =>
+          globalWindowWhitelist.contains(e.name))) ||
+        bounded(a.child)
+    case _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: WindowGroupLimitExec      => true
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(bounded)
+  }
 
   def lintPlan(plan: SparkPlan): Seq[Violation] = nodes(plan).flatMap {
     case c: CartesianProductExec =>

@@ -98,6 +98,52 @@ class ExportSpec extends SparkTestBase {
       rows(Export.shardAssignTokenBalanced(docs, 8)))
   }
 
+  test("token-balanced deal: UNIFORM token counts neither collapse to one window partition nor break the rank") {
+    import spark.implicits._
+    // every doc has the same token count — the token-range key alone is a
+    // single range, the degenerate case the hash sub-bucket bits exist for
+    val n = 3000
+    val docs = (0 until n).map(i => (i.toLong, s"doc $i", 128L))
+      .toDF("doc_id", "text", "n_tokens")
+    val bal = Export.shardAssignTokenBalanced(
+      docs, nShards = 8, tokensCol = Some("n_tokens"))
+    // rank contract: position is the 1-based rank under
+    // (n_tokens desc, scrambled hash asc, doc_id asc) — recompute the
+    // expected order with the same hash expressions, sorted in the test
+    val hv = pmod(
+      graft.functions.TextFunctions.polyHash(
+        concat(lit("shuffle"), lit(":"), col("doc_id").cast("string")))
+        * lit(2654435761L) + lit(12345L), lit(2147483647L))
+    val expected = docs.withColumn("__hv", hv)
+      .select("doc_id", "__hv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) } // n_tokens all equal
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val got = bal.select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "uniform corpus: position must still be the exact global rank")
+    // scale shape: the in-plan combined range key (range * 2^b + hash bits)
+    // must spread a zero-span corpus over ~1024 buckets, not 1
+    val perDoc = docs.withColumn("__hv", hv)
+      .withColumn("__nt", -col("n_tokens"))
+      .crossJoin(broadcast(docs.agg(
+        min(-col("n_tokens")).as("__ntmn"), max(-col("n_tokens")).as("__ntmx"))))
+      .withColumn("__step", expr("((__ntmx - __ntmn) div 1024) + 1L"))
+      .withColumn("__b", expr(
+        "greatest(0, 10 - cast(ceil(log2(cast(__ntmx - __ntmn AS DOUBLE) + 1.0D)) AS INT))"))
+      .withColumn("__rng", expr(
+        "((__nt - __ntmn) div __step) * shiftleft(1L, __b) + " +
+          "(CASE WHEN __b = 0 THEN 0L ELSE cast(shiftright(__hv, 31 - __b) AS BIGINT) END)"))
+    val buckets = perDoc.groupBy("__rng").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(buckets.map(_._1).forall(r => r >= 0 && r < 1024),
+      "combined key stays inside the <=1024-range broadcast bound")
+    assert(buckets.length > 512,
+      s"zero-span corpus must spread over the hash sub-buckets, got ${buckets.length}")
+    assert(buckets.map(_._2).max <= 32,
+      s"largest window partition must be ~N/1024, got ${buckets.map(_._2).max}")
+  }
+
   test("grouped deal: per-group rank equals the group's flat rank, shards never mix groups") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("grp", concat(lit("g"), pmod(col("doc_id"), lit(3L))))

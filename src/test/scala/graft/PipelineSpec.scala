@@ -709,6 +709,46 @@ class PipelineSpec extends SparkTestBase {
     assert(!badSig.getBoolean(1), "garbage payload must be invalid")
   }
 
+  test("multimodal WAV envelope hash: stereo frames sum energy across BOTH channels") {
+    import spark.implicits._
+    // hand-rolled RIFF builder (the fixtures from encodeWav are mono-only)
+    def wav(ch: Int, interleaved: Array[Short]): Array[Byte] = {
+      val dataLen = interleaved.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(8000)
+        .putInt(8000 * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      interleaved.foreach(out.putShort)
+      out.array()
+    }
+    // 650 frames; L is a rising ramp, R is loud ONLY in the front half —
+    // R's energy cliff at frame 325 flips the contour bit at the window-32
+    // boundary (the L-only ramp there rises, so the bit differs), proving
+    // the hash SEES the second channel
+    val n = 650
+    val left = Array.tabulate(n)(i => (i % 300).toShort)
+    val right = Array.tabulate(n)(i => if (i < n / 2) 20000.toShort else 0.toShort)
+    val stereo = wav(2, Array.tabulate(2 * n)(k => if (k % 2 == 0) left(k / 2) else right(k / 2)))
+    // a mono stream whose sample i carries |L_i| + |R_i| has the same
+    // per-window energies, hence the same contour hash — the documented
+    // per-frame contract
+    val monoSum = wav(1, Array.tabulate(n)(i =>
+      (math.abs(left(i).toInt) + math.abs(right(i).toInt)).toShort))
+    val monoLeftOnly = wav(1, left)
+    val sigs = operators.Multimodal.envelopeHashWav(
+        Seq((1L, stereo), (2L, monoSum), (3L, monoLeftOnly)).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sigs.values.forall(_._1), "all three payloads must parse")
+    assert(sigs(1L) == sigs(2L),
+      "stereo hash must equal the mono |L|+|R| hash (per-frame energy across channels)")
+    assert(sigs(1L) != sigs(3L),
+      "stereo hash must SEE the right channel (differs from the left-only contour)")
+  }
+
   test("multimodal P6 resize: nearest-neighbor kernel, round-trip decodable, identity at source dims") {
     import spark.implicits._
     def img(hdr: String, px: Array[Byte]) = hdr.getBytes("US-ASCII") ++ px

@@ -88,4 +88,45 @@ class PlanLintSpec extends SparkTestBase {
     assert(linted == SparkEntry.queries.size, s"linted $linted of ${SparkEntry.queries.size}")
     assert(bad.isEmpty, s"${bad.size} plan-lint violations:\n${bad.mkString("\n")}")
   }
+
+  test("bounded() is compositional: a corpus frame CARRYING __rng no longer passes; the groupBy(__rng) base frame does") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    // a real FileScan corpus: a Seq-backed frame collapses limits into the
+    // LocalTableScan leaf, which is not the regression class the lint guards
+    val corpus = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 211).as("v"))
+
+    // regression class 1 (was silent): a corpus-sized frame that merely
+    // PROJECTS a __rng column under a global window
+    val tagged = corpus.withColumn("__rng", col("v") % 16)
+      .withColumn("r", row_number().over(w))
+    assert(PlanLint.lint(tagged).exists(_.rule == "global-window"),
+      "a corpus frame projecting __rng must NOT whitelist a global window")
+
+    // regression class 2 (was silent): the bounding aggregate only on the
+    // BROADCAST side of a join, probe side streaming the corpus
+    val dim = corpus.groupBy().agg(max(col("v")).as("mx"))
+    val probe = corpus.crossJoin(broadcast(dim))
+      .withColumn("r", row_number().over(w))
+    assert(PlanLint.lint(probe).exists(_.rule == "global-window"),
+      "an aggregate on the broadcast side must not bound the probe side")
+
+    // the legitimate shape: the per-range base frame (groupBy __rng) stays
+    // whitelisted, including through a projection above it
+    val base = corpus.withColumn("__rng", col("v") % 16)
+      .groupBy(col("__rng")).agg(count(lit(1)).as("c"))
+      .withColumn("c2", col("c") + 1)
+      .withColumn("r", row_number().over(w.orderBy(col("__rng"))))
+    assert(PlanLint.lint(base).isEmpty,
+      s"groupBy(__rng) base frame must stay whitelisted: ${PlanLint.lint(base)}")
+
+    // grouping-free aggregates and limits still bound
+    val one = corpus.agg(sum(col("v")).as("s"))
+      .withColumn("r", row_number().over(w.orderBy(col("s"))))
+    assert(PlanLint.lint(one).isEmpty)
+    val lim = corpus.limit(50).withColumn("r", row_number().over(w))
+    assert(PlanLint.lint(lim).isEmpty)
+  }
 }

@@ -147,4 +147,47 @@ class SelectionSpec extends SparkTestBase {
       .orderBy(col("threshold_micro").desc).collect().toSeq
     assert(again == Selection.prCurve(scored).orderBy(col("threshold_micro").desc).collect().toSeq)
   }
+
+  test("prCurve: DOUBLE-typed scores (the pre-range-bucketing API surface) still work") {
+    import spark.implicits._
+    // same hand case, fractional scores — `x div step` fails analysis on
+    // DOUBLE, so the fractional path buckets on clamped float division
+    val scored = Seq(
+      (1L, true, 0.9), (2L, false, 0.8), (3L, true, 0.7),
+      (4L, true, 0.7), (5L, false, 0.6)
+    ).toDF("doc_id", "label", "score_micro")
+    val rows = Selection.prCurve(scored)
+      .orderBy(col("threshold_micro").desc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (0.9, 1L, 0L, 2L), (0.8, 1L, 1L, 2L), (0.7, 3L, 1L, 0L), (0.6, 3L, 2L, 0L)))
+
+    // larger pseudo-random double corpus vs an in-test flat cumulative
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 500).map(i =>
+      (i.toLong, rnd.nextBoolean(), rnd.nextInt(40) / 7.0 - 2.0))
+    val bigDf = big.toDF("doc_id", "label", "score_micro").repartition(9)
+    val got = Selection.prCurve(bigDf)
+      .orderBy(col("threshold_micro").desc)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val totalP = big.count(_._2).toLong
+    val want = big.map(_._3).distinct.sorted(Ordering[Double].reverse).map { t =>
+      val tp = big.count(x => x._3 >= t && x._2).toLong
+      val fp = big.count(x => x._3 >= t && !x._2).toLong
+      (t, tp, fp, totalP - tp)
+    }
+    assert(got == want, "double-score curve must match the flat descending cumulative")
+
+    // degenerate all-equal doubles: single threshold row, no div-by-zero
+    val flat = Seq((1L, true, 0.5), (2L, false, 0.5)).toDF("doc_id", "label", "score_micro")
+    val fr = Selection.prCurve(flat).collect()
+    assert(fr.length == 1 && fr.head.getLong(1) == 1L && fr.head.getLong(2) == 1L)
+
+    // a non-numeric score column fails loudly, not mid-plan
+    val bad = intercept[IllegalArgumentException] {
+      Selection.prCurve(
+        Seq((1L, true, "hi")).toDF("doc_id", "label", "score_micro"))
+    }
+    assert(bad.getMessage.contains("must be numeric"))
+  }
 }

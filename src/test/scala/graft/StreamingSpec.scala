@@ -165,6 +165,40 @@ class StreamingSpec extends SparkTestBase {
     sink.unpersist()
   }
 
+  test("animateView: MULTI-KEY in-plan animate == per-key driver-side animate, all 7 modes") {
+    import spark.implicits._
+    // three keys with shifted prices — distinct anchors, distinct brick
+    // trajectories, one distributed plan
+    val base = us30Events.collect().take(400)
+    val events = (0 until 3).flatMap { k =>
+      base.map(e => PriceEvent(s"K$k", e.timestamp, e.price + 7 * k))
+    }
+    val sink = RenkoWS.replayWithForming(events.toDS(), 5).toDF().cache()
+    for (mode <- RenkoModes.all; maxLen <- Seq(0, 60)) {
+      // full-column sort on BOTH sides: the forming row can share its
+      // timestamp with a completed brick, and the two paths must not rely
+      // on each plan breaking that tie the same way
+      val tieCols = Seq("timestamp", "open", "high", "low", "close",
+        "volume", "direction", "is_reversal").map(col)
+      val view = RenkoWS.animateView(sink, mode, maxLen = maxLen, keep = 30)
+        .drop("is_forming")
+      for (k <- 0 until 3) {
+        val got = view.filter(col("symbol") === s"K$k")
+          .orderBy(tieCols: _*).collect()
+        // the per-key reference path: driver-side state + RenkoWS.animate
+        val (state, _) = RenkoWS.processSorted(
+          s"K$k", events.filter(_.symbol == s"K$k").toIndexedSeq, None, 5)
+        val keyed = sink.filter(col("symbol") === s"K$k" && col("is_forming") === 0)
+          .drop("is_forming")
+        val want = RenkoWS.animate(RenkoModes.project(keyed, mode), state, mode,
+            maxLen = maxLen, keep = 30)
+          .orderBy(tieCols: _*).collect()
+        assertRowsEqual(got, want, s"animateView $mode maxLen=$maxLen key=K$k")
+      }
+    }
+    sink.unpersist()
+  }
+
   test("animate retention view: maxLen/keep window") {
     val events = us30Events.collect().toIndexedSeq
     val (state, _) = RenkoWS.processSorted("US30", events, None, 5)
