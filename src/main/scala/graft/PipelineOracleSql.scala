@@ -1564,6 +1564,114 @@ object PipelineOracleSql {
        |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
        |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** [[ivfTopKPq]] with the TRAINED codebook (mirrors
+    * `IvfIndex.writePq(pqTrainIters = iters)` + probe): per-subspace Lloyd
+    * seeded from the lowest-32 donors — L2 argmin assignment (ties to the
+    * lowest code), micro-quantized integer means (`floor(x·1e6 + 0.5)`
+    * summed as BIGINTs), emptied codewords keep their previous value —
+    * then the standard ADC + exact-rescore probe tail under the final
+    * codebook. The same replay structure as [[kmeansCtes]], one level
+    * deeper (per (subspace, codeword) instead of per centroid).
+    */
+  def ivfTopKPqTrained(iters: Int = 2): String = {
+    val steps = (1 to iters).map { t =>
+      s""", pe$t AS (
+         |  SELECT id, m, j FROM (
+         |    SELECT e.id, c.m, c.j,
+         |      row_number() OVER (PARTITION BY e.id, c.m ORDER BY
+         |        list_sum(list_transform(range(1, 9),
+         |          i -> (CAST(e.v[c.m*8 + i] AS DOUBLE) - c.w[i])
+         |             * (CAST(e.v[c.m*8 + i] AS DOUBLE) - c.w[i]))) ASC,
+         |        c.j ASC) AS r
+         |    FROM n e CROSS JOIN pqc${t - 1} c)
+         |  WHERE r = 1
+         |), pm$t AS (
+         |  SELECT pe.m, pe.j, CAST(u.i AS BIGINT) AS pos,
+         |    CAST(sum(CAST(floor(CAST(e.v[pe.m*8 + CAST(u.i AS INT)] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pe$t pe JOIN n e ON e.id = pe.id, unnest(range(1, 9)) AS u(i)
+         |  GROUP BY pe.m, pe.j, u.i
+         |), pg$t AS (
+         |  SELECT m, j, list(CAST(sx AS DOUBLE) / (cnt * 1e6) ORDER BY pos) AS w
+         |  FROM pm$t GROUP BY m, j
+         |), pqc$t AS (
+         |  SELECT p.m, p.j, coalesce(g.w, p.w) AS w
+         |  FROM pqc${t - 1} p LEFT JOIN pg$t g ON g.m = p.m AND g.j = p.j
+         |)""".stripMargin
+    }.mkString
+    s"""WITH n AS (
+       |  SELECT vec_id AS id, embedding AS v, $Nrm AS nrm, label FROM embeddings
+       |), cent AS (
+       |  SELECT id AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY id LIMIT 16
+       |), ca AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c)
+       |  WHERE crank = 1
+       |), qa AS (
+       |  SELECT id, cid FROM (
+       |    SELECT n.id, c.cid,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY
+       |        list_sum(list_transform(range(1, len(n.v)+1),
+       |          i -> CAST(n.v[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) DESC,
+       |        c.cid ASC) AS crank
+       |    FROM n CROSS JOIN cent c WHERE n.id < 10)
+       |  WHERE crank <= 4
+       |), ms AS (SELECT unnest(range(0, 8)) AS m),
+       |pqc0 AS (
+       |  SELECT ms.m, d.id AS j,
+       |    list_transform(range(1, 9), i -> CAST(d.v[ms.m*8 + i] AS DOUBLE)) AS w
+       |  FROM (SELECT id, v FROM n WHERE id < 32) d CROSS JOIN ms
+       |)$steps,
+       |enc AS (
+       |  SELECT id, m, j FROM (
+       |    SELECT e.id, c.m, c.j,
+       |      row_number() OVER (PARTITION BY e.id, c.m ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (CAST(e.v[c.m*8 + i] AS DOUBLE) - c.w[i])
+       |             * (CAST(e.v[c.m*8 + i] AS DOUBLE) - c.w[i]))) ASC,
+       |        c.j ASC) AS r
+       |    FROM n e CROSS JOIN pqc$iters c)
+       |  WHERE r = 1
+       |), rv AS (
+       |  SELECT enc.id, flatten(list(c.w ORDER BY enc.m)) AS rv
+       |  FROM enc JOIN pqc$iters c ON c.m = enc.m AND c.j = enc.j
+       |  GROUP BY enc.id
+       |), cwsq AS (
+       |  SELECT m, j, list_sum(list_transform(w, x -> x * x)) AS sq FROM pqc$iters
+       |), rn AS (
+       |  SELECT enc.id, sqrt(list_sum(list(cwsq.sq ORDER BY enc.m))) AS rnrm
+       |  FROM enc JOIN cwsq ON cwsq.j = enc.j AND cwsq.m = enc.m
+       |  GROUP BY enc.id
+       |), qs AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(qv.v)+1),
+       |      i -> CAST(qv.v[i] AS DOUBLE) * rv.rv[i])) / (qv.nrm * rn.rnrm), 9) AS qcos
+       |  FROM qa q JOIN ca c ON c.cid = q.cid AND c.id != q.id
+       |  JOIN n qv ON qv.id = q.id
+       |  JOIN rv ON rv.id = c.id JOIN rn ON rn.id = c.id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS qr
+       |    FROM qs) WHERE qr <= 40),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_sum(list_transform(range(1, len(q.v)+1),
+       |      i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (q.nrm * c.nrm), 9) AS cos_sim
+       |  FROM cand JOIN n q ON q.id = cand.query_id JOIN n c ON c.id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+       |  FROM s)
+       |SELECT query_id, "rank", neighbor_id, cos_sim FROM r
+       |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** Frame sampling metadata over the text-as-bytes payload (ASCII corpus:
     * byte == char): frameLen=32, stride=64, maxFrames=8.
     */
@@ -3158,6 +3266,7 @@ object PipelineOracleSql {
         |FROM embeddings e, unnest(range(1024, 1040)) AS u(p)
         |ORDER BY vec_id, pos""".stripMargin,
     "sim_topk_ivf_pq" -> ivfTopKPq,
+    "sim_topk_ivf_pq_trained" -> ivfTopKPqTrained(2),
     // the TVF auto-dispatches to the PQ probe — same replay
     "sim_topk_ivf_pq_tvf" -> ivfTopKPq,
     // filtered PQ serving: ADC candidates among matching rows only

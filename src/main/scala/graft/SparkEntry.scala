@@ -737,6 +737,17 @@ object SparkEntry {
       IvfIndex.probePq(s, path, emb.filter(col("vec_id") < 10), 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // TRAINED PQ codebook (VERDICT r15 #7): per-subspace deterministic
+    // Lloyd (2 iterations, donor-seeded, micro-quantized integer means —
+    // oracle-replayable) tightens the ADC estimate at the same candFactor;
+    // IvfIndexSpec pins recall@5 >= the untrained curve at the 8x cut
+    "sim_topk_ivf_pq_trained" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pqt_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.writePq(emb, path, pqTrainIters = 2)
+      IvfIndex.probePq(s, path, emb.filter(col("vec_id") < 10), 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // FILTERED PQ serving: the ADC candidate scan and the float rerank
     // both see only matching rows — completes filtered search across the
     // whole memory ladder (float / SQ8 / PQ)

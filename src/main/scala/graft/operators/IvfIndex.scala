@@ -220,6 +220,7 @@ object IvfIndex {
       vecCol: String = "embedding",
       filesPerList: Int = 1,
       trainIters: Int = 0,
+      pqTrainIters: Int = 0,
       keepCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -231,7 +232,9 @@ object IvfIndex {
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val codebook = pqCodebook(emb, numSubspaces, ksub, idCol, vecCol)
+    val codebook =
+      if (pqTrainIters <= 0) pqCodebook(emb, numSubspaces, ksub, idCol, vecCol)
+      else pqCodebookTrained(emb, numSubspaces, ksub, pqTrainIters, idCol, vecCol)
     codebook.zipWithIndex.flatMap { case (words, m) =>
       words.zipWithIndex.map { case (w, j) => (m, j, w.toSeq) }
     }.toSeq.toDF("m", "j", "w")
@@ -333,6 +336,57 @@ object IvfIndex {
       s"dims ($dims) must divide evenly into $numSubspaces subspaces")
     val dsub = dims / numSubspaces
     Array.tabulate(numSubspaces)(m => donors.map(_.slice(m * dsub, (m + 1) * dsub)))
+  }
+
+  /** TRAINED PQ codebook (VERDICT r15 #7): per-subspace Lloyd iterations
+    * seeded from the [[pqCodebook]] donors. Assignment is the SAME native
+    * L2-argmin the encoder uses ([[graft.functions.expressions.PqEncode]],
+    * ties to the lowest code), updates are the same micro-quantized integer
+    * means as [[Clustering.kmeansTrain]] (`floor(x·1e6 + 0.5)` summed as
+    * longs, one hash aggregate whose shuffle carries M·ksub sub-vector
+    * partials — never the exploded rows×dims), and an emptied codeword
+    * keeps its previous value — all deterministic, pure functions of the
+    * corpus, so the DuckDB oracle replays the construction exactly. A
+    * trained codebook tightens the ADC estimate, so a fixed `candFactor`
+    * rerank sees more of each query's true neighborhood (recall ≥ the
+    * untrained curve at equal cut; IvfIndexSpec pins it).
+    */
+  private[graft] def pqCodebookTrained(
+      emb: DataFrame,
+      numSubspaces: Int,
+      ksub: Int,
+      iters: Int,
+      idCol: String,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    var cb = pqCodebook(emb, numSubspaces, ksub, idCol, vecCol)
+    val dsub = cb.head.head.length
+    val base = emb.filter(col(vecCol).isNotNull).select(col(vecCol).as("v"))
+    for (_ <- 0 until iters) {
+      val rows = base
+        .withColumn("codes",
+          graft.functions.expressions.PqEncodeExpression.pqEncodeNative(col("v"), cb))
+        .select(posexplode(col("codes")).as(Seq("m", "j")), col("v"))
+        .select(col("m"), col("j").cast("int").as("j"),
+          slice(col("v"), col("m") * dsub + 1, lit(dsub)).as("sv"))
+        .groupBy(col("m"), col("j"))
+        .agg(
+          graft.functions.expressions.VectorSumAgg.vectorMicroSum(col("sv")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.clone())
+      rows.foreach { r =>
+        val m = r.getInt(0)
+        val j = r.getInt(1)
+        val sx = r.getSeq[Long](2)
+        val n = r.getLong(3)
+        val w = new Array[Double](dsub)
+        var i = 0
+        while (i < dsub) { w(i) = sx(i).toDouble / (n * 1e6); i += 1 }
+        next(m)(j) = w
+      }
+      cb = next
+    }
+    cb
   }
 
   /** The built-in-composed twin of [[graft.functions.expressions.PqEncode]]

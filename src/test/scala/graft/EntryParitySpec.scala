@@ -21,10 +21,10 @@ class EntryParitySpec extends AnyFunSuite {
       s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
   }
 
-  test("query count matches the documented count (README/COVERAGE say 203)") {
+  test("query count matches the documented count (README/COVERAGE say 204)") {
     // Bump this alongside README.md and COVERAGE.md when adding a query —
     // the docs are the audit trail and must not drift from the code.
     assert(SparkEntry.queries.size == 203,
-      s"documented 203 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
+      s"documented 204 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 }
