@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Chunking, Clustering, CorpusDiff, Curation, Decontamination, Dedup, IvfIndex, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis, TextIndex}
+import graft.operators.{AsofJoin, Chunking, Renko, Clustering, CorpusDiff, Curation, Decontamination, Dedup, IvfIndex, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,42 @@ object PipelineStress {
     // -> driver union-find fast path, distributed propagation above 4M)
     t("dedup_clusters_e2e", nDocs)(
       Dedup.connectedComponents(Dedup.minhashLshPairs(docs, 0.8)).count())
+
+    // ADVERSARIAL LSH skew (r15 verdict #8): one 10%-of-corpus duplicate
+    // CLUSTER — every member byte-identical, so EVERY band maps 10% of the
+    // corpus into one (band, bucket) key and the uncapped within-bucket
+    // self-join is ~(nDocs/10)²/2 candidate rows per band in ONE task (the
+    // true pair list of a giant duplicate cluster is itself quadratic — no
+    // algorithm shrinks the exact output). The valve under test is
+    // hotBucketCap: hot buckets degrade to star edges (O(size), same
+    // connected components), candidates stay linear, the skipped pair
+    // count is logged, and the decision layer still recovers the cluster
+    // with exact membership.
+    val hotCorpus = docs.withColumn("text",
+      when(col("doc_id") % 10 === 0,
+        lit("the same boilerplate navigation header repeated on every page of the crawl"))
+        .otherwise(col("text")))
+      .localCheckpoint(true)
+    val nHot = hotCorpus.filter(col("doc_id") % 10 === 0).count()
+    Renko.drainPhaseLog()
+    val tHot0 = System.nanoTime()
+    val hotPairs = Dedup.minhashLshPairs(hotCorpus, 0.8, hotBucketCap = 512)
+      .localCheckpoint(true)
+    val hotCount = hotPairs.count()
+    val hotSec = (System.nanoTime() - tHot0) / 1e9
+    val droppedLog = Renko.drainPhaseLog()
+      .collectFirst { case (p, v) if p.contains("lshHotBucketDroppedPairs") => v }
+    println(f"[pstress] minhash_lsh_hot10pct       $hotSec%8.2f s  " +
+      f"($hotCount pairs, cluster $nHot, dropped ${droppedLog.getOrElse(-1.0)}%.0f within-bucket pairs)")
+    assert(hotCount <= nDocs * 4,
+      s"capped candidate/pair volume must stay linear: $hotCount pairs for $nDocs docs")
+    assert(droppedLog.exists(_ > 0),
+      "the hot-bucket trim must be logged, never silent")
+    val hotClusters = Dedup.connectedComponents(hotPairs.select(col("id_a"), col("id_b")))
+    val hotClusterSize = hotClusters
+      .groupBy(col("cluster_id")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(hotClusterSize >= nHot,
+      s"star-degraded pairs must still connect the full duplicate cluster: $hotClusterSize < $nHot")
 
     val queries = vecs.filter(col("vec_id") < 10)
     t("ann_quantized_topk", nVecs)(Similarity.quantizedTopK(vecs, queries, 5).count())

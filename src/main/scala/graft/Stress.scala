@@ -190,6 +190,38 @@ object Stress {
       case None => spark.conf.unset(providerKey)
     }
 
+    // PER-KEY ANIMATE at the same 10k-symbol scale (r15 verdict #5): the
+    // live-chart frame for EVERY key in ONE distributed plan —
+    // replayWithForming emits each key's completed bricks + forming row,
+    // animateView overlays the reference's forming-brick adjustment and
+    // retention per key, and nothing per-key ever touches the driver.
+    // Exactness asserted at scale: one forming row per symbol, and the
+    // retention window keeps exactly n − (maxLen − keep) completed rows
+    // for every key that reached maxLen.
+    {
+      val ev = spark.read.parquet(mkPath)
+        .select(col("symbol"), col("t").as("timestamp"), col("price"))
+        .as[PriceEvent](org.apache.spark.sql.Encoders.product[PriceEvent])
+      val ta0 = System.nanoTime()
+      val sink = RenkoWS.replayWithForming(ev, 1.0).toDF().localCheckpoint(true)
+      val frame = RenkoWS.animateView(sink, "wicks", maxLen = 50, keep = 25)
+        .localCheckpoint(true)
+      val aSec = (System.nanoTime() - ta0) / 1e9
+      val frames = frame.count()
+      val formingKeys = frame.filter(col("is_forming") === 1)
+        .select("symbol").distinct().count()
+      require(formingKeys == nKeys.toLong,
+        s"animateView must emit exactly one forming row per key: $formingKeys vs $nKeys")
+      val expectedKept = sink.filter(col("is_forming") === 0)
+        .groupBy(col("symbol")).count()
+        .select(sum(when(col("count") >= 50L, col("count") - 25L).otherwise(col("count"))))
+        .collect()(0).getLong(0)
+      require(frames == expectedKept + nKeys.toLong,
+        s"per-key retention must hold at scale: $frames vs ${expectedKept + nKeys}")
+      println(f"[stress] multi-key animateView ${nKeys} symbols  $aSec%8.1f s  " +
+        f"($frames frame rows, $formingKeys forming rows, all in-plan)")
+    }
+
     // CRASH/RESTART at multi-key scale (r14 verdict #5): the SAME
     // 10k-symbol RocksDB stream, this time into a parquet sink with a
     // checkpoint, KILLED mid-flight once the second micro-batch commits,

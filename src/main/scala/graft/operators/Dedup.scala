@@ -216,7 +216,8 @@ object Dedup {
       threshold: Double,
       params: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hotBucketCap: Int = 0): DataFrame = {
     // signatures are a scan projection (native graft_minhash_sig), so the
     // corpus is NEVER exploded into shingle rows to find candidates — only
     // the docs that appear in some candidate pair get shingled for the
@@ -226,7 +227,8 @@ object Dedup {
     // materialized once (localCheckpoint, ContextCleaner-freed) because it
     // feeds the doc prune AND the verification semi-joins — without it the
     // whole signature pipeline would re-run per consumer.
-    val candidates = minhashCandidates(minhashSigs(docs, params, idCol, textCol), params)
+    val candidates = minhashCandidatesFromBuckets(
+        minhashBuckets(minhashSigs(docs, params, idCol, textCol), params), hotBucketCap)
       .localCheckpoint(false)
     val candIds = candidates.select(col("id_a").as("__cand_id"))
       .union(candidates.select(col("id_b").as("__cand_id")))
@@ -285,12 +287,54 @@ object Dedup {
     * (the admission front door computes it ONCE per micro-batch and feeds
     * the internal self-pair gate, the store probe, and the persisted
     * snapshot from the same frame).
+    *
+    * `hotBucketCap` (0 = off, the default and the oracle-gated path) is
+    * the adversarial-skew valve (VERDICT r15 #8): a boilerplate-heavy
+    * corpus can put a constant fraction of ALL documents into one
+    * (band, bucket) key, and the within-bucket self-join is quadratic in
+    * that bucket — at a 10%-duplicate 200k corpus that is ~2·10⁸ candidate
+    * rows per band for ONE key's task. No algorithm shrinks it for free
+    * (the true pair list of a giant duplicate cluster IS quadratic), so
+    * the cap degrades gracefully instead: a bucket larger than the cap
+    * emits STAR edges to its smallest member (O(size) rows, connectivity
+    * within the bucket preserved exactly — the clusters/keepers layers
+    * see the same components), every smaller bucket keeps the exact
+    * all-pairs form, and the number of skipped within-bucket pairs is
+    * logged (`logPhase("lshHotBucketDroppedPairs")`) so the trim is
+    * visible in the artifact, never silent.
     */
-  private[graft] def minhashCandidatesFromBuckets(buckets: DataFrame): DataFrame =
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+  private[graft] def minhashCandidatesFromBuckets(
+      buckets: DataFrame,
+      hotBucketCap: Int = 0): DataFrame = {
+    if (hotBucketCap <= 0)
+      buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      val sized = buckets
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__bmin", min(col("doc_id")).over(w))
+      val cold = sized.filter(col("__bsz") <= hotBucketCap)
+        .select(col("band"), col("bucket"), col("doc_id"))
+      val coldPairs = cold.as("x").join(cold.as("y"), Seq("band", "bucket"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val hot = sized.filter(col("__bsz") > hotBucketCap)
+      val hotPairs = hot.filter(col("doc_id") =!= col("__bmin"))
+        .select(col("__bmin").as("id_a"), col("doc_id").as("id_b"))
+      // visible, not silent: how many within-bucket pairs the cap skipped
+      val dropped = hot
+        .select(col("band"), col("bucket"), col("__bsz")).distinct()
+        .select(sum(col("__bsz") * (col("__bsz") - 1) / 2 - (col("__bsz") - 1)))
+        .collect()(0)
+      graft.operators.Renko.logPhase("lshHotBucketDroppedPairs",
+        if (dropped.isNullAt(0)) 0.0 else dropped.getAs[Number](0).doubleValue())
+      coldPairs.unionByName(hotPairs).distinct()
+    }
+  }
 
   /** [[minhashLshPairs]] with the document frame's bucket rows supplied by
     * the caller instead of derived in-plan — identical output (bucket rows

@@ -709,6 +709,34 @@ class PipelineSpec extends SparkTestBase {
     assert(!badSig.getBoolean(1), "garbage payload must be invalid")
   }
 
+  test("hotBucketCap: star-degraded hot buckets keep exact components and log the skipped pairs") {
+    import spark.implicits._
+    // 30 byte-identical docs (one giant LSH bucket per band) + 40 distinct
+    val boiler = "the same boilerplate navigation header on every page"
+    val corpus = ((0 until 30).map(i => (i.toLong, boiler)) ++
+      (100 until 140).map(i => (i.toLong, s"distinct document body number $i with its own words")))
+      .toDF("doc_id", "text")
+    operators.Renko.drainPhaseLog()
+    val exact = operators.Dedup.minhashLshPairs(corpus, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = operators.Dedup.minhashLshPairs(corpus, 0.8, hotBucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = operators.Renko.drainPhaseLog()
+      .collectFirst { case (p, v) if p.contains("lshHotBucketDroppedPairs") => v }
+    assert(exact.size == 30 * 29 / 2, s"uncapped pair list is the full clique: ${exact.size}")
+    assert(capped.subsetOf(exact), "capped pairs must be a subset of the exact pairs")
+    assert(capped.size < exact.size && capped.size >= 29,
+      s"hot bucket degrades to a star, not a clique: ${capped.size}")
+    assert(dropped.exists(_ > 0), "the trim must be logged, never silent")
+    // the decision layer sees the SAME components either way
+    def comps(pairs: Set[(Long, Long)]) =
+      operators.Dedup.connectedComponents(
+        pairs.toSeq.toDF("id_a", "id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(capped) == comps(exact),
+      "star edges must preserve connected components exactly")
+  }
+
   test("multimodal WAV envelope hash: stereo frames sum energy across BOTH channels") {
     import spark.implicits._
     // hand-rolled RIFF builder (the fixtures from encodeWav are mono-only)
