@@ -182,11 +182,6 @@ object Bench {
       val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
         store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
       Renko.logPhase("curate stages", (System.nanoTime() - tEp0) / 1e9)
-      // pin the epoch's bucket side once (same floor fix as the
-      // CORRECTNESS fold — adm/fin come back already pinned)
-      val tAb0 = System.nanoTime()
-      val abQ = admBuckets.localCheckpoint(true)
-      Renko.logPhase("curate abQ", (System.nanoTime() - tAb0) / 1e9)
       // the store is re-pinned to ONE frame per side each epoch — the fold
       // analog of the production stream's single parquet store scan per
       // trigger. A union-of-pins store grows a plan branch (≈6 AQE jobs)
@@ -197,13 +192,16 @@ object Bench {
       // superseded pins are released immediately (fin stays — it is the
       // fold's output).
       val tSt0 = System.nanoTime()
+      // the bucket side pins ONCE per epoch, directly into the union
+      // frame (the old epoch-pin-then-union-pin materialized every bucket
+      // row twice per epoch — one eager checkpoint job saved per epoch)
       val next = store match {
         case Some((sd, sb)) =>
           val nd = sd.unionByName(adm).localCheckpoint(true)
-          val nb = sb.unionByName(abQ).localCheckpoint(true)
-          Seq(sd, sb, adm, abQ).foreach(graft.util.LocalCkpt.release)
+          val nb = sb.unionByName(admBuckets).localCheckpoint(true)
+          Seq(sd, sb, adm).foreach(graft.util.LocalCkpt.release)
           (nd, nb)
-        case None => (adm, abQ)
+        case None => (adm, admBuckets.localCheckpoint(true))
       }
       store = Some(next)
       Renko.logPhase("curate storePin", (System.nanoTime() - tSt0) / 1e9)

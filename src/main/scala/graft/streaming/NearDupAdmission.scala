@@ -108,8 +108,10 @@ object NearDupAdmission {
     val rejects = Dedup.minhashAdmissionPairsPrebucketed(
         store, batch, batchBuckets, threshold, idCol, textCol)
       .select(col("doc_id").as(idCol))
-    // no distinct: anti-join semantics ignore right-side multiplicity
-    (batch.join(rejects, Seq(idCol), "left_anti"), batchBuckets)
+    // no distinct: anti-join semantics ignore right-side multiplicity;
+    // rejects is batch-bounded, so the anti-join broadcasts at plan time
+    // (not via a late AQE conversion paying a stage-job first)
+    (batch.join(broadcast(rejects), Seq(idCol), "left_anti"), batchBuckets)
   }
 
   /** The admitted docs' bucket rows: the batch bucket table filtered to the
