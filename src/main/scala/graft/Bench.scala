@@ -298,6 +298,10 @@ object Bench {
       "renko_wicks" -> q("renko_wicks"),
       "renko_multi_series" -> q("renko_multi_series"),
       "renko_ws_replay" -> q("renko_ws_replay"),
+      // r16: the animate frame (driver-gated this round) — retention +
+      // single-key, and the multi-key in-plan variant
+      "renko_animate_wicks" -> q("renko_animate_wicks"),
+      "renko_animate_nongap" -> q("renko_animate_nongap"),
       "dedup_exact" -> q("dedup_exact"),
       "dedup_ngram_jaccard" -> q("dedup_ngram_jaccard"),
       "dedup_minhash_lsh" -> q("dedup_minhash_lsh"),
@@ -389,6 +393,7 @@ object Bench {
       "text_gopher_rules" -> q("text_gopher_rules"),
       "emb_kmeans" -> q("emb_kmeans"),
       "sim_topk_ivf_trained" -> q("sim_topk_ivf_trained"),
+      "sim_topk_ivf_pq_trained" -> q("sim_topk_ivf_pq_trained"),
       "text_bm25_appended" -> q("text_bm25_appended"),
       "text_bm25_streamed" -> q("text_bm25_streamed"),
       "text_bm25_deleted" -> q("text_bm25_deleted"),

@@ -89,16 +89,20 @@ object PipelineOracleSql {
       val slice = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
       s"  SELECT doc_id, $b AS band, concat_ws('_', $b, $slice) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n")
+    // sh feeds the size + shared-shingle joins, and sig feeds SIXTEEN
+    // per-band bucket selects — MATERIALIZED, or DuckDB re-inlines the
+    // tokenize+hash chain per consumer (the per-oracle-timing class of
+    // fix; measured on dedup_admission_replay: 34.9 s -> 0.3 s at sf0.01)
     s"""tok AS (
        |  SELECT doc_id, $Tok AS w FROM $src
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
        |  FROM tok WHERE len(w) >= 3
        |), hh AS (
        |  SELECT doc_id, s, ${ph("s")} AS h
        |  FROM sh
-       |), sig AS (
+       |), sig AS MATERIALIZED (
        |  SELECT doc_id,
        |$sigCols
        |  FROM hh GROUP BY doc_id
@@ -159,12 +163,18 @@ object PipelineOracleSql {
     * plain staged CTEs.
     */
   def admissionReplay: String =
+    // psym (and the signature chain under it) is referenced by FIVE
+    // NOT-EXISTS probes across the staged epochs — without MATERIALIZED,
+    // DuckDB re-inlines the whole LSH+verify chain per probe (measured
+    // 34.9 s -> 0.3 s at sf0.01 with the hints; the same class of fix as
+    // the round-16 renko-oracle rewrite, caught by verify_self's new
+    // per-oracle timings)
     s"""$minhashPrefix, cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |shared AS (
+       |shared AS MATERIALIZED (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
@@ -173,7 +183,7 @@ object PipelineOracleSql {
        |  SELECT id_a, id_b FROM shared
        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-       |psym AS (
+       |psym AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM p
        |  UNION ALL SELECT id_b AS a, id_a AS b FROM p),
        |e AS (SELECT doc_id FROM documents),

@@ -24,7 +24,7 @@ class EntryParitySpec extends AnyFunSuite {
   test("query count matches the documented count (README/COVERAGE say 204)") {
     // Bump this alongside README.md and COVERAGE.md when adding a query —
     // the docs are the audit trail and must not drift from the code.
-    assert(SparkEntry.queries.size == 203,
+    assert(SparkEntry.queries.size == 204,
       s"documented 204 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 }
