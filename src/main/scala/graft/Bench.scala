@@ -377,6 +377,9 @@ object Bench {
       "dedup_semantic" -> q("dedup_semantic"),
       "export_shards" -> q("export_shards"),
       "export_shards_balanced" -> q("export_shards_balanced"),
+      "export_jsonl_manifest" -> q("export_jsonl_manifest"),
+      "source_jsonl_ingest" -> q("source_jsonl_ingest"),
+      "source_jsonl_quarantine" -> q("source_jsonl_quarantine"),
       "text_decontaminate_spans" -> q("text_decontaminate_spans"),
       "text_decontaminate_spans_verified" -> q("text_decontaminate_spans_verified"),
       "text_contamination_provenance" -> q("text_contamination_provenance"),

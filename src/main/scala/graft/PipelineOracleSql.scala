@@ -2944,6 +2944,23 @@ object PipelineOracleSql {
     * mass + the head-of-order doc id per shard. Sums carry the
     * CAST(... AS BIGINT) guard (DuckDB HUGEINT -> float64 trap).
     */
+  /** Raw-ingest good side (mirrors `RawIngest.ingestJsonl` over
+    * `SparkEntry.writeJsonlDump`): every record except the planted corrupt
+    * lines (doc_id % 13 == 5 is REPLACED by a truncated line in the dump)
+    * round-trips byte-exactly through JSON escaping.
+    */
+  def sourceJsonlIngest: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 13 <> 5 ORDER BY doc_id""".stripMargin
+
+  /** Quarantine summary of the same ingest: the planted corrupt lines are
+    * pure ASCII, so character length equals byte length on both engines.
+    */
+  def sourceJsonlQuarantine: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_bad,
+      |  CAST(sum(length('{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "text": ')) AS BIGINT) AS bad_bytes
+      |FROM documents WHERE doc_id % 13 = 5""".stripMargin
+
   def exportManifest: String =
     s"""WITH $exportBaseCtes
        |SELECT shard,
@@ -3397,6 +3414,11 @@ object PipelineOracleSql {
     "export_shards_grouped" -> exportShardsGrouped,
     "export_shards_balanced" -> exportShardsBalanced,
     "export_manifest" -> exportManifest,
+    // the JSONL-written export reads its manifest back from the shard
+    // bytes; equality with the assignment-side manifest IS the check
+    "export_jsonl_manifest" -> exportManifest,
+    "source_jsonl_ingest" -> sourceJsonlIngest,
+    "source_jsonl_quarantine" -> sourceJsonlQuarantine,
     "sample_budget_stream" -> sampleBudgetStream,
     "text_lm_score" -> lmScore,
     "text_length_quantiles" -> lengthQuantiles,

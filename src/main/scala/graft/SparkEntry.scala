@@ -1040,6 +1040,56 @@ object SparkEntry {
     "export_manifest" -> ((s, dir) =>
       Export.shardManifest(s.read.parquet(s"$dir/documents.parquet"), nShards = 8)
         .orderBy(col("shard"))),
+    // the export ACTUALLY WRITTEN as trainer-consumable JSONL shards
+    // (partitionBy(shard) layout), then read back through the raw-ingest
+    // path: the manifest is recomputed from the shard BYTES, so it equals
+    // the assignment-side manifest only if the deal, the JSON encoding,
+    // and the shard layout all round-tripped — same oracle as
+    // export_manifest
+    "export_jsonl_manifest" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_shards_${Integer.toHexString(dir.hashCode)}"
+      Export.shardAssign(docs, nShards = 8)
+        .select(
+          to_json(struct(col("doc_id"), col("shard"), col("shard_pos"),
+            col("n_tokens"))).as("value"),
+          col("shard").as("shard_dir"))
+        .write.mode("overwrite").partitionBy("shard_dir").text(path)
+      val sch = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("shard", org.apache.spark.sql.types.LongType)
+        .add("shard_pos", org.apache.spark.sql.types.LongType)
+        .add("n_tokens", org.apache.spark.sql.types.LongType)
+      val (good, _) = graft.sources.RawIngest.ingestJsonl(s, path, sch)
+      good.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min_by(col("doc_id"), col("shard_pos")).as("first_doc"))
+        .orderBy(col("shard"))
+    }),
+    // RAW JSONL INGEST (SURVEY §2.7, beyond-reference source): the corpus
+    // round-trips through the dump format web-scale pipelines start from —
+    // one JSON object per line, with a deterministically truncated
+    // (malformed) line REPLACING every doc_id % 13 == 5 record. Declared-
+    // schema parse (no inference pass over the corpus), PERMISSIVE with
+    // quarantine; the good side must carry the FULL text byte-exactly back
+    // through JSON escaping
+    "source_jsonl_ingest" -> ((s, dir) => {
+      val (good, _) = graft.sources.RawIngest.ingestJsonl(
+        s, writeJsonlDump(s, dir), docJsonSchema)
+      good.orderBy(col("doc_id"))
+    }),
+    // the quarantine side of the same ingest: nothing undecodable is ever
+    // dropped silently — count + byte mass replay from the planted lines,
+    // and the source_file guard pins that every quarantined row kept its
+    // file provenance
+    "source_jsonl_quarantine" -> ((s, dir) => {
+      val (_, quar) = graft.sources.RawIngest.ingestJsonl(
+        s, writeJsonlDump(s, dir), docJsonSchema)
+      quar.filter(col("source_file") =!= lit(""))
+        .agg(count(lit(1)).as("n_bad"),
+          sum(length(col("raw"))).cast("long").as("bad_bytes"))
+    }),
     // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
     // src2 0.35x, src3 dropped, everything else 0.5x
     "sample_mixture" -> ((s, dir) =>
@@ -2242,6 +2292,39 @@ object SparkEntry {
     for (i <- 1 to 10)
       TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
     TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+    path
+  }
+
+  /** The declared-record shape of the JSONL dump fixture (the documents
+    * table's columns — see [[writeJsonlDump]] / the source_jsonl_* entries).
+    */
+  private[graft] val docJsonSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("lang", org.apache.spark.sql.types.StringType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+
+  /** Render the documents table as a JSONL dump under a tmp path: one JSON
+    * object per line, except every doc_id % 13 == 5 line is REPLACED by a
+    * deterministically truncated (malformed) line — the quarantine fixture
+    * behind the source_jsonl_* entries. 4 files, so `input_file_name`
+    * provenance is live in the quarantine output.
+    */
+  private[graft] def writeJsonlDump(s: SparkSession, dir: String): String = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
+    docs.repartition(4, col("doc_id"))
+      .select(
+        when(col("doc_id") % 13 === 5,
+          concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+            lit(", \"text\": ")))
+          .otherwise(to_json(struct(
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))))
+          .as("value"))
+      .write.mode("overwrite").text(path)
     path
   }
 
