@@ -91,6 +91,45 @@ object PipelineStress {
     t("minhash_signatures", nDocs)(
       Dedup.minhashSigs(docs, Dedup.MinHashParams(), "doc_id", "text").count())
 
+    // raw JSONL ingest at scale: render the corpus as a dump (every 13th
+    // doc replaced by a malformed line), ingest through the declared-
+    // schema/quarantine path, and pin BIT-EXACT text round-trip via an
+    // order-free checksum — not just row counts
+    {
+      val dumpDir = s"${System.getProperty("java.io.tmpdir")}/graft_pstress_jsonl"
+      val sch = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+      t("jsonl_dump_write", nDocs) {
+        docs.repartition(32, col("doc_id"))
+          .select(when(col("doc_id") % 13 === 5, concat(lit("{\"doc_id\": "),
+              col("doc_id").cast("string"), lit(", \"text\": ")))
+            .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+          .write.mode("overwrite").text(dumpDir)
+        nDocs
+      }
+      val (good, quar) = graft.sources.RawIngest.ingestJsonl(spark, dumpDir, sch)
+      t("jsonl_ingest_good", nDocs) {
+        // mod-prime checksum: ANSI-safe sum (each term < 1e9, so ~1e10
+        // rows fit in a long), order-free, collision-resistant enough
+        val ck = sum(pmod(xxhash64(col("doc_id"), col("text")), lit(1000000007L)))
+        val r = good.agg(count(lit(1)), ck).head
+        val want = docs.filter(col("doc_id") % 13 =!= 5)
+          .agg(count(lit(1)), ck).head
+        assert(r.getLong(0) == want.getLong(0),
+          s"ingest good count ${r.getLong(0)} != ${want.getLong(0)}")
+        assert(r.getLong(1) == want.getLong(1),
+          "ingest text checksum mismatch: JSON round-trip not bit-exact")
+        r.getLong(0)
+      }
+      t("jsonl_ingest_quarantine", nDocs) {
+        val q = quar.filter(col("source_file") =!= "").count()
+        val want = docs.filter(col("doc_id") % 13 === 5).count()
+        assert(q == want, s"quarantine count $q != $want")
+        q
+      }
+    }
+
     // benchmark split: every 97th doc is "benchmark"; its planted dup (if
     // any) in the corpus side must be flagged
     val bench = docs.filter(col("doc_id") % 97 === 0)
