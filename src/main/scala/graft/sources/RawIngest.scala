@@ -118,11 +118,11 @@ object RawIngest {
         "__rec",
         from_json(col("raw"), withCorrupt(schema),
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
-    val bad = col("__rec").isNull || col(s"__rec.$CorruptCol").isNotNull
+    val bad = col("__rec").isNull || col("__rec").getField(CorruptCol).isNotNull
     parsed.select(
       Seq(bad.as("is_quarantined"), col("source_file"), col("raw")) ++
         schema.fieldNames.map(f =>
-          when(bad, lit(null)).otherwise(col(s"__rec.$f")).as(f)): _*)
+          when(bad, lit(null)).otherwise(col("__rec").getField(f)).as(f)): _*)
   }
 
   private def withCorrupt(schema: StructType): StructType = {
@@ -132,9 +132,11 @@ object RawIngest {
   }
 
   private def split(parsed: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
-    val bad = col("__rec").isNull || col(s"__rec.$CorruptCol").isNotNull
+    // getField, not col("__rec.name"): a declared field whose NAME contains
+    // a dot (legal in JSON) would otherwise parse as a nested path
+    val bad = col("__rec").isNull || col("__rec").getField(CorruptCol).isNotNull
     val good = parsed.filter(!bad)
-      .select(schema.fieldNames.map(f => col(s"__rec.$f").as(f)).toIndexedSeq: _*)
+      .select(schema.fieldNames.map(f => col("__rec").getField(f).as(f)).toIndexedSeq: _*)
     val quarantine = parsed.filter(bad).select(col("source_file"), col("raw"))
     (good, quarantine)
   }

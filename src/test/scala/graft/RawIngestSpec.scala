@@ -101,6 +101,16 @@ class RawIngestSpec extends SparkTestBase {
     assert(good.head.getLong(0) === 1L)
   }
 
+  test("a declared field name containing a dot resolves as a FIELD, not a nested path") {
+    val dir = tmpDir("dotted")
+    writeLines(dir, "a.jsonl", Seq("""{"id": 1, "meta.lang": "en"}"""))
+    val dotted = new StructType().add("id", LongType).add("meta.lang", StringType)
+    val (good, quar) = RawIngest.ingestJsonl(spark, dir, dotted)
+    assert(quar.count() === 0L)
+    val r = good.head
+    assert(r.getLong(0) === 1L && r.getString(1) === "en")
+  }
+
   test("reserved corrupt column in the declared schema is rejected loudly") {
     val bad = schema.add(RawIngest.CorruptCol, StringType)
     val e = intercept[IllegalArgumentException] {
