@@ -97,7 +97,12 @@ object BenchSf1 {
       // split — 10x duplication maximizes both the curate dedup stage's
       // and the cluster stage's pair volume) and the two new perceptual
       // families (banded self-joins must stay ~linear under 10x payloads)
-      "pipeline_e2e", "mm_near_dup_pairs", "mm_wav_near_dup_pairs")
+      "pipeline_e2e", "mm_near_dup_pairs", "mm_wav_near_dup_pairs",
+      // r16: the raw-dump boundary at 10x — ingest is a single scan-local
+      // pass, so the ratio must track the data ratio with no join/window
+      // surprise; the JSONL shard export round-trip prices the text-sink
+      // write + re-parse at 10x corpus
+      "source_jsonl_ingest", "export_jsonl_manifest")
       .map(n => n -> SparkEntry.queries(n)) :+
       ("dedup_clusters_distributed" -> ((s: SparkSession, dir: String) =>
         Dedup.connectedComponents(
