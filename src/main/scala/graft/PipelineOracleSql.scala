@@ -2944,6 +2944,14 @@ object PipelineOracleSql {
     * mass + the head-of-order doc id per shard. Sums carry the
     * CAST(... AS BIGINT) guard (DuckDB HUGEINT -> float64 trap).
     */
+  def exportManifest: String =
+    s"""WITH $exportBaseCtes
+       |SELECT shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min_by(doc_id, shard_pos) AS first_doc
+       |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Raw-ingest good side (mirrors `RawIngest.ingestJsonl` over
     * `SparkEntry.writeJsonlDump`): every record except the planted corrupt
     * lines (doc_id % 13 == 5 is REPLACED by a truncated line in the dump)
@@ -2955,19 +2963,12 @@ object PipelineOracleSql {
 
   /** Quarantine summary of the same ingest: the planted corrupt lines are
     * pure ASCII, so character length equals byte length on both engines.
+    * The corrupt-prefix literal mirrors `SparkEntry.jsonlDumpLine`.
     */
   def sourceJsonlQuarantine: String =
     """SELECT CAST(count(*) AS BIGINT) AS n_bad,
       |  CAST(sum(length('{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "text": ')) AS BIGINT) AS bad_bytes
       |FROM documents WHERE doc_id % 13 = 5""".stripMargin
-
-  def exportManifest: String =
-    s"""WITH $exportBaseCtes
-       |SELECT shard,
-       |  CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |  min_by(doc_id, shard_pos) AS first_doc
-       |FROM sa GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Token-balanced snake shard deal (mirrors
     * `Export.shardAssignTokenBalanced`, nShards=8, seed 'shuffle'): rank by

@@ -101,10 +101,12 @@ object PipelineStress {
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("text", org.apache.spark.sql.types.StringType)
       t("jsonl_dump_write", nDocs) {
+        // the corrupt-line render is SparkEntry.jsonlDumpLine — one
+        // definition for the entries, this arm, and the DuckDB oracle's
+        // literal, so the plant rate/prefix cannot drift between them
         docs.repartition(32, col("doc_id"))
-          .select(when(col("doc_id") % 13 === 5, concat(lit("{\"doc_id\": "),
-              col("doc_id").cast("string"), lit(", \"text\": ")))
-            .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+          .select(SparkEntry.jsonlDumpLine(
+            Seq(col("doc_id"), col("text"))).as("value"))
           .write.mode("overwrite").text(dumpDir)
         nDocs
       }

@@ -2306,25 +2306,41 @@ object SparkEntry {
       .add("source", org.apache.spark.sql.types.StringType)
       .add("n_chars", org.apache.spark.sql.types.LongType)
 
-  /** Render the documents table as a JSONL dump under a tmp path: one JSON
-    * object per line, except every doc_id % 13 == 5 line is REPLACED by a
-    * deterministically truncated (malformed) line — the quarantine fixture
-    * behind the source_jsonl_* entries. 4 files, so `input_file_name`
-    * provenance is live in the quarantine output.
+  /** One JSONL dump line per document — EXCEPT every doc_id % 13 == 5,
+    * which renders as a deterministically truncated (malformed) line: the
+    * quarantine fixture. Shared by the source_jsonl_* entries, the
+    * PipelineStress ingest arm, and (as a string literal) the
+    * sourceJsonlQuarantine oracle, so the plant rate and corrupt prefix
+    * cannot drift between the three.
     */
+  private[graft] def jsonlDumpLine(
+      payload: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    when(col("doc_id") % 13 === 5,
+      concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+        lit(", \"text\": ")))
+      .otherwise(to_json(struct(payload: _*)))
+
+  /** Render the documents table as a JSONL dump under a tmp path (via
+    * [[jsonlDumpLine]]) — 4 files, so `input_file_name` provenance is live
+    * in the quarantine output. The content is a pure function of `dir`, so
+    * the write runs once per (JVM, dir): the ingest AND quarantine entries
+    * (and every Bench rep of each) share one fixture build instead of
+    * re-rendering the corpus per call.
+    */
+  private val jsonlDumpBuilt =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   private[graft] def writeJsonlDump(s: SparkSession, dir: String): String = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
-    docs.repartition(4, col("doc_id"))
-      .select(
-        when(col("doc_id") % 13 === 5,
-          concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
-            lit(", \"text\": ")))
-          .otherwise(to_json(struct(
-            col("doc_id"), col("text"), col("lang"), col("source"),
-            col("n_chars"))))
-          .as("value"))
-      .write.mode("overwrite").text(path)
+    if (jsonlDumpBuilt.add(path)) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(4, col("doc_id"))
+        .select(jsonlDumpLine(Seq(
+          col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(path)
+    }
     path
   }
 

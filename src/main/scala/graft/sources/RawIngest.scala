@@ -68,6 +68,15 @@ object RawIngest {
     * with a header row should filter it upstream or quarantine it: a
     * header is exactly a line that fails to parse as data when the
     * declared schema has any non-string column).
+    *
+    * Line-based by design, like everything in this module: the raw scan
+    * splits on newlines, which is what makes a 100 TB dump splittable
+    * without coordination. The price is that an RFC-4180 record with a
+    * newline INSIDE a quoted field is not supported — each physical
+    * fragment fails the parse and lands in quarantine (visible, never
+    * silently dropped). Corpora with embedded-newline text belong in
+    * JSONL (where `\n` is escaped) — that is also what dumps actually
+    * ship as.
     */
   def ingestCsv(
       spark: SparkSession,
@@ -110,6 +119,13 @@ object RawIngest {
       path: String,
       schema: StructType,
       maxFilesPerTrigger: Int = 1000): DataFrame = {
+    // the stream flattens declared fields NEXT TO the scan columns, so the
+    // three injected names must stay unambiguous (batch ingest has no such
+    // collision: its good side carries only declared names)
+    val reserved = Seq("is_quarantined", "source_file", "raw")
+    val clash = schema.fieldNames.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"declared schema must not contain the stream-output column(s) ${clash.mkString(", ")}")
     val parsed = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(path)

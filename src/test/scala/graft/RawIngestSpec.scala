@@ -42,13 +42,12 @@ class RawIngestSpec extends SparkTestBase {
     assert(g.map(r => (r.get(0), r.get(1))).toSeq ===
       Seq((1L, "alpha"), (4L, null), (5L, "gamma")))
     val q = quar.orderBy(col("raw")).collect()
-    assert(q.length === 2 || q.length === 3)
-    // exact quarantine membership: the two unparseable-as-object shapes +
-    // the truncated line (Jackson may or may not salvage the array — pin
-    // what Spark 4 actually does: array-where-object-declared quarantines)
+    // exact quarantine membership (pins Spark 4's behavior: an array where
+    // an object was declared quarantines, it does not parse as all-null)
+    assert(q.length === 3)
     val raws = q.map(_.getString(1)).toSet
-    assert(raws.contains("""{"id": 2, "text": "beta"""))
-    assert(raws.contains("not json at all"))
+    assert(raws === Set(
+      """{"id": 2, "text": "beta""", "[1, 2, 3]", "not json at all"))
     // provenance: every quarantined row names its real source file
     assert(q.forall(r => r.getString(0).nonEmpty))
     assert(q.exists(_.getString(0).endsWith("a.jsonl")))
@@ -117,6 +116,23 @@ class RawIngestSpec extends SparkTestBase {
       RawIngest.ingestJsonl(spark, tmpDir("reserved"), bad)
     }
     assert(e.getMessage.contains(RawIngest.CorruptCol))
+  }
+
+  test("streaming twin rejects declared fields that collide with its output columns") {
+    for (name <- Seq("raw", "source_file", "is_quarantined")) {
+      val bad = schema.add(name, StringType)
+      val e = intercept[IllegalArgumentException] {
+        RawIngest.ingestJsonlStream(spark, tmpDir("clash"), bad)
+      }
+      assert(e.getMessage.contains(name))
+    }
+    // batch ingest has no such collision: its good side carries only the
+    // declared names, so a field named "raw" is fine there
+    val dir = tmpDir("rawfield")
+    writeLines(dir, "a.jsonl", Seq("""{"id": 1, "raw": "r"}"""))
+    val rawSchema = new StructType().add("id", LongType).add("raw", StringType)
+    val (good, quar) = RawIngest.ingestJsonl(spark, dir, rawSchema)
+    assert(quar.count() === 0L && good.head.getString(1) === "r")
   }
 
   test("CSV twin: delimiter, quarantine, and quoted-field round-trip") {
