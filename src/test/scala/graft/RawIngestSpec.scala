@@ -135,6 +135,27 @@ class RawIngestSpec extends SparkTestBase {
     assert(quar.count() === 0L && good.head.getString(1) === "r")
   }
 
+  test("blank lines quarantine (auditable, never silently dropped) and an empty dump yields empty outputs") {
+    val dir = tmpDir("blank")
+    // a blank interior line is undecodable and must surface in quarantine,
+    // not vanish; a CRLF-ending line is TOLERATED (trailing \r is JSON
+    // whitespace to the parser), so dumps with Windows line endings ingest
+    // cleanly instead of quarantining wholesale
+    writeLines(dir, "a.jsonl", Seq(
+      """{"id": 1, "text": "a"}""",
+      "",
+      """{"id": 2, "text": "b"}""" + "\r"))
+    val (good, quar) = RawIngest.ingestJsonl(spark, dir, schema)
+    assert(good.orderBy(col("id")).collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val raws = quar.collect().map(_.getString(1)).toSet
+    assert(raws === Set(""))
+
+    val empty = tmpDir("empty")
+    writeLines(empty, "a.jsonl", Seq(""))
+    val (g2, q2) = RawIngest.ingestJsonl(spark, empty, schema)
+    assert(g2.count() === 0L && q2.count() <= 1L)
+  }
+
   test("CSV twin: delimiter, quarantine, and quoted-field round-trip") {
     val dir = tmpDir("csv")
     writeLines(dir, "a.csv", Seq(
