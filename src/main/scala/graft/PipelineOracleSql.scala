@@ -128,6 +128,54 @@ object PipelineOracleSql {
        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The boilerplate line the capped-LSH entry plants on doc_id % 10 == 3
+    * (one shared literal, so the Scala entry and this oracle cannot
+    * drift).
+    */
+  val LshBoilerLine: String =
+    "the same boilerplate navigation header repeated on every page of the crawl"
+
+  /** Hot-bucket-capped MinHash LSH, cap 16, with the skip count riding the
+    * output (mirrors `Dedup.minhashLshPairsCappedAudit` over the
+    * adversarial %10==3 boilerplate corpus): buckets larger than the cap
+    * contribute star edges to their min member only, every smaller bucket
+    * keeps the exact all-pairs form, and `skipped_pairs` replays the exact
+    * number of within-bucket pairs the cap declined to enumerate.
+    */
+  def minhashLshCapped: String = {
+    val src = "(SELECT doc_id, CASE WHEN doc_id % 10 = 3 " +
+      s"THEN '$LshBoilerLine' ELSE text END AS text FROM documents) adv"
+    s"""WITH ${minhashCtes(src)}, bsz AS MATERIALIZED (
+       |  SELECT band, bucket, count(*) AS sz, min(doc_id) AS bmin
+       |  FROM buckets GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |    FROM buckets x JOIN buckets y
+       |      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |    JOIN bsz ON bsz.band = x.band AND bsz.bucket = x.bucket AND bsz.sz <= 16
+       |    UNION ALL
+       |    SELECT bsz.bmin AS id_a, b.doc_id AS id_b
+       |    FROM buckets b JOIN bsz ON bsz.band = b.band AND bsz.bucket = b.bucket
+       |    WHERE bsz.sz > 16 AND b.doc_id <> bsz.bmin)
+       |), skip AS (
+       |  SELECT CAST(coalesce(sum(sz*(sz-1)//2 - (sz-1)), 0) AS BIGINT) AS skipped_pairs
+       |  FROM bsz WHERE sz > 16
+       |), szd AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.id_a = a.doc_id AND cand.id_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard,
+       |  skipped_pairs
+       |FROM shared JOIN szd sa ON sa.doc_id = id_a JOIN szd sb ON sb.doc_id = id_b
+       |CROSS JOIN skip
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Incremental admission dedup at threshold 0.8: batch docs
     * (`doc_id % 4 = 3`, an SF-independent split) banded-joined against the
     * corpus snapshot (the rest), exact-Jaccard verified (mirrors
@@ -2970,6 +3018,14 @@ object PipelineOracleSql {
       |  CAST(sum(length('{"doc_id": ' || CAST(doc_id AS VARCHAR) || ', "text": ')) AS BIGINT) AS bad_bytes
       |FROM documents WHERE doc_id % 13 = 5""".stripMargin
 
+  /** The reprocess loop's end state (mirrors `source_jsonl_reprocess`):
+    * after the BOM repair re-admits the recoverable quarantine, the merged
+    * corpus IS the documents table — nothing lost, nothing duplicated.
+    */
+  def sourceJsonlReprocess: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Token-balanced snake shard deal (mirrors
     * `Export.shardAssignTokenBalanced`, nShards=8, seed 'shuffle'): rank by
     * (n_tokens DESC, scrambled hash, doc_id) — one flat window here, the
@@ -3194,6 +3250,7 @@ object PipelineOracleSql {
     "text_top_terms_cms" -> cmsTopTerms,
     "dedup_blocks_stream" -> blockDedupStream,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_lsh_capped" -> minhashLshCapped,
     "dedup_simhash" -> simhashPairs,
     "sim_topk_lsh" -> lshTopK,
     "dedup_cosine_neardup" -> cosineNearDup,
@@ -3350,6 +3407,9 @@ object PipelineOracleSql {
     "dedup_admission_replay" -> admissionReplay,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_e2e" -> pipelineE2e,
+    // the resumable staged form restarts into the SAME answer: its oracle
+    // IS pipeline_e2e's
+    "pipeline_e2e_resume" -> pipelineE2e,
     "pipeline_curate_classified" -> pipelineCurateClassified,
     "pipeline_curate_gopher" -> pipelineCurateGopher,
     "pipeline_curate_funnel" -> pipelineCurateFunnel,
@@ -3419,6 +3479,7 @@ object PipelineOracleSql {
     // bytes; equality with the assignment-side manifest IS the check
     "export_jsonl_manifest" -> exportManifest,
     "source_jsonl_ingest" -> sourceJsonlIngest,
+    "source_jsonl_reprocess" -> sourceJsonlReprocess,
     "source_jsonl_quarantine" -> sourceJsonlQuarantine,
     "sample_budget_stream" -> sampleBudgetStream,
     "text_lm_score" -> lmScore,

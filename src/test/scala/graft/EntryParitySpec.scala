@@ -21,10 +21,10 @@ class EntryParitySpec extends AnyFunSuite {
       s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
   }
 
-  test("query count matches the documented count (README/COVERAGE say 207)") {
+  test("query count matches the documented count (README/COVERAGE say 210)") {
     // Bump this alongside README.md and COVERAGE.md when adding a query —
     // the docs are the audit trail and must not drift from the code.
-    assert(SparkEntry.queries.size == 207,
-      s"documented 207 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 210,
+      s"documented 210 queries but SparkEntry.queries has ${SparkEntry.queries.size}")
   }
 }

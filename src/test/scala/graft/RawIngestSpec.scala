@@ -156,6 +156,32 @@ class RawIngestSpec extends SparkTestBase {
     assert(g2.count() === 0L && q2.count() <= 1L)
   }
 
+  test("reprocessQuarantine: a repaired recoverable corruption re-admits; unrecoverable rows keep provenance") {
+    val dir = tmpDir("reproc")
+    // BOM-prefixed lines: the classic recoverable dump corruption (shards
+    // concatenated with their U+FEFF prefixes intact) — the parser rejects
+    // them, the repair is a one-character strip of `raw`
+    writeLines(dir, "a.jsonl", Seq(
+      """{"id": 1, "text": "a"}""",
+      "﻿" + """{"id": 2, "text": "b"}""",
+      """{"id": 3, "text"""))  // truncated: NOT recoverable by the BOM fix
+    val (good, quar) = RawIngest.ingestJsonl(spark, dir, schema)
+    assert(good.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(quar.count() === 2L, "BOM line and truncated line both quarantine")
+    // upstream fix: strip the BOM, re-parse QUARANTINE-ONLY (never the dump)
+    val repaired = quar.withColumn("raw",
+      regexp_replace(col("raw"), "^﻿", ""))
+    val (fixedGood, still) = RawIngest.reprocessQuarantine(repaired, schema)
+    assert(fixedGood.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "b")))
+    val s = still.collect()
+    assert(s.length === 1 && s.head.getString(1).startsWith("""{"id": 3"""))
+    assert(s.head.getString(0).endsWith("a.jsonl"), "still-bad rows keep file provenance")
+    // the merged corpus equals the uncorrupted ideal
+    assert(good.unionByName(fixedGood).orderBy(col("id"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("CSV twin: delimiter, quarantine, and quoted-field round-trip") {
     val dir = tmpDir("csv")
     writeLines(dir, "a.csv", Seq(
