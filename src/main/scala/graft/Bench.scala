@@ -26,6 +26,40 @@ object Bench {
         + (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / lit(1000.0) - lit(0.5)) * lit(2.0)
         ).as("close"))
 
+  // ---- rep admission calibration (VERDICT r16 #1) -------------------
+  // The runq gate (r15) still admitted reps inflated 1.3-2x by external
+  // load three rounds running: a drained run QUEUE does not mean free
+  // CPUs — the contending processes may be runnable again the instant the
+  // rep starts. The calibration probe measures what actually matters: a
+  // fixed ~100 ms reference computation (one spin thread per core, so
+  // partial-core contention shows up, unlike a 1-thread probe on a
+  // 32-core host) is timed at sweep start (min-of-5, the quiet base) and
+  // re-timed before every rep. A rep admitted while the probe runs >1.5x
+  // its base is stamped calib-dirty; the headline comes only from
+  // calib-clean AND budget-clean reps, and an entry with NO clean rep is
+  // listed in the parsed line's top-level "contended" array — the
+  // artifact self-reports pollution instead of requiring a three-artifact
+  // forensic.
+  @volatile private var calibBase: Double = -1.0
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+  private def calibOnce(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { k =>
+      val th = new Thread(() => {
+        var h = 1469598103934665603L ^ k
+        var i = 0
+        while (i < 30000000) { h ^= i; h *= 1099511628211L; i += 1 }
+        acc.addAndGet(h)
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    calibSink ^= acc.get()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   // memoized serving stores for the *_probe entries: built ONCE (untimed,
   // in main before the measurement loop) so the probe-only timings never
   // absorb construction cost — the un-suffixed serving entries keep timing
@@ -130,6 +164,53 @@ object Bench {
     "text_bm25_streamed_probe" -> Seq("lex_str"),
     "search_hybrid_rrf_served_probe" -> Seq("ivf_plain", "lex_plain"),
     "serving_mixed_churn" -> Seq("ivf_churn", "lex_churn"))
+
+  /** serving_mixed_churn's probe mix (16 graft_ann + 16 graft_bm25 with
+    * rotating nprobe/terms) — ONE definition shared by the timed churn
+    * phase and the untimed quiet twin, so the budget's base and the
+    * measured phase can never drift apart.
+    */
+  private def churnProbeSqls(
+      s: SparkSession, sfDir: String, ivf: String, lex: String): Seq[String] = {
+    s.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 8)
+      .createOrReplaceTempView("bench_churn_q")
+    val terms = Seq("dup,vector", "join,slow", "data,query", "dup,join")
+    (0 until 16).map(i =>
+      s"""SELECT query_id, rank, neighbor_id, cos_sim
+         |FROM graft_ann('$ivf', 'bench_churn_q', 5, ${2 + i % 3})
+         |ORDER BY query_id, rank""".stripMargin) ++
+      (0 until 16).map(i =>
+        s"SELECT doc_id, rank, bm25 FROM graft_bm25('$lex', '${terms(i % 4)}', 10) ORDER BY rank")
+  }
+
+  @volatile private var churnQuietP50: Double = -1.0
+
+  /** The churn entry's quiet twin, measured ONCE per sweep, untimed, in
+    * main's prep (r16 verdict #2): the same 32 probes at the same
+    * concurrency against the pre-churn store with NO churn ops. Its p50
+    * prices the host + planner floor and is the p95 <= 3x budget base for
+    * every rep; it also pays the cold metadata/planning cost, so the
+    * budget can only be conservative.
+    */
+  private def measureChurnQuiet(s: SparkSession, sfDir: String): Unit = {
+    GraftExtensions.registerTvfs(s)
+    val sqls = churnProbeSqls(s, sfDir,
+      store(s, sfDir, "ivf_churn"), store(s, sfDir, "lex_churn"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(sqls.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val quiet = Await.result(Future.sequence(sqls.map(q => Future {
+        val t0 = System.nanoTime()
+        s.sql(q).count()
+        (System.nanoTime() - t0) / 1e9
+      })), 10.minutes).sorted
+      churnQuietP50 = medianOf(quiet)
+      System.err.println(
+        f"[bench] churn quiet twin p50 $churnQuietP50%.3f s (untimed, once per sweep)")
+    } finally pool.shutdown()
+  }
 
   /** The events_funnel_stream fold at an ARBITRARY epoch count — the
     * microbatch-floor characterization (r12 verdict: the 26x gap over the
@@ -305,6 +386,7 @@ object Bench {
       "dedup_exact" -> q("dedup_exact"),
       "dedup_ngram_jaccard" -> q("dedup_ngram_jaccard"),
       "dedup_minhash_lsh" -> q("dedup_minhash_lsh"),
+      "dedup_minhash_lsh_capped" -> q("dedup_minhash_lsh_capped"),
       "dedup_simhash" -> q("dedup_simhash"),
       "sim_topk_bruteforce" -> q("sim_topk_bruteforce"),
       "sim_topk_lsh" -> q("sim_topk_lsh"),
@@ -380,6 +462,7 @@ object Bench {
       "export_jsonl_manifest" -> q("export_jsonl_manifest"),
       "source_jsonl_ingest" -> q("source_jsonl_ingest"),
       "source_jsonl_quarantine" -> q("source_jsonl_quarantine"),
+      "source_jsonl_reprocess" -> q("source_jsonl_reprocess"),
       "text_decontaminate_spans" -> q("text_decontaminate_spans"),
       "text_decontaminate_spans_verified" -> q("text_decontaminate_spans_verified"),
       "text_contamination_provenance" -> q("text_contamination_provenance"),
@@ -461,6 +544,7 @@ object Bench {
       // r15: the composed end-to-end chain, the per-group shard deal it
       // uses, and the WAV perceptual near-dup twin
       "pipeline_e2e" -> q("pipeline_e2e"),
+      "pipeline_e2e_resume" -> q("pipeline_e2e_resume"),
       "export_shards_grouped" -> q("export_shards_grouped"),
       "mm_wav_near_dup_pairs" -> q("mm_wav_near_dup_pairs"),
       "mm_wav_near_dup_clusters" -> q("mm_wav_near_dup_clusters"),
@@ -550,39 +634,30 @@ object Bench {
       // their plan captured. Phases: p50/p95/max over the 32 probes +
       // the churn ops' own span. Bit-level churn atomicity (probe == pre-
       // or post-append twin, never a blend) is pinned in ExtensionsSpec.
+      //
+      // r16 verdict #2: the rep times the CHURN PHASE ONLY. The quiet
+      // twin (same 32 probes, no churn) is measured ONCE per sweep,
+      // untimed, in main's prep — it had been running inside every timed
+      // rep, so the headline carried quiet-calibration cost and drifted
+      // with its planning noise (4.55 → 7.35 → 10.69 s across rounds on a
+      // healthy plan). The p95 <= 3x quiet-p50 budget is unchanged; a
+      // post-rep cool-down barrier in the rep loop keeps one rep's
+      // runaway churn from echoing into the next.
       "serving_mixed_churn" -> (s => {
         GraftExtensions.registerTvfs(s)
         val ivf = store(s, sfDir, "ivf_churn")
         val lex = store(s, sfDir, "lex_churn")
         val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
         val docs = s.read.parquet(s"$sfDir/documents.parquet")
-        emb.filter(col("vec_id") < 8).createOrReplaceTempView("bench_churn_q")
-        val terms = Seq("dup,vector", "join,slow", "data,query", "dup,join")
-        val sqls = (0 until 16).map(i =>
-          s"""SELECT query_id, rank, neighbor_id, cos_sim
-             |FROM graft_ann('$ivf', 'bench_churn_q', 5, ${2 + i % 3})
-             |ORDER BY query_id, rank""".stripMargin) ++
-          (0 until 16).map(i =>
-            s"SELECT doc_id, rank, bm25 FROM graft_bm25('$lex', '${terms(i % 4)}', 10) ORDER BY rank")
+        val sqls = churnProbeSqls(s, sfDir, ivf, lex)
+        val quietP50 = churnQuietP50
+        require(quietP50 > 0,
+          "serving_mixed_churn quiet twin not measured (main prep must run it)")
         val pool = java.util.concurrent.Executors.newFixedThreadPool(sqls.size + 1)
         try {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration._
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          // QUIET twin first (r14 verdict #6): the same 32 probes at the
-          // same concurrency with NO churn ops — its p50 prices the host +
-          // planner floor this rep, and the churn phase below must keep
-          // p95 within 3x of it. Running the quiet twin FIRST means it
-          // pays the cold metadata/planning cost, so the budget can only
-          // be conservative. A violation fails the entry: the two serving
-          // defects this entry has already caught both showed up exactly
-          // here first.
-          val quiet = Await.result(Future.sequence(sqls.map(q => Future {
-            val t0 = System.nanoTime()
-            s.sql(q).count()
-            (System.nanoTime() - t0) / 1e9
-          })), 10.minutes).sorted
-          val quietP50 = medianOf(quiet)
           val churn = Future {
             val t0 = System.nanoTime()
             val k = churnSlice.getAndIncrement() % 16
@@ -734,7 +809,9 @@ object Bench {
     "sample_split_leakage",
     // r15: the e2e chain + its per-group deal + the WAV near-dup family
     "pipeline_e2e", "export_shards_grouped", "mm_wav_near_dup_pairs",
-    "mm_wav_near_dup_clusters", "mm_wav_near_dup_keepers")
+    "mm_wav_near_dup_clusters", "mm_wav_near_dup_keepers",
+    // r17: the resumable chain, the capped-LSH audit, the reprocess loop
+    "pipeline_e2e_resume", "dedup_minhash_lsh_capped", "source_jsonl_reprocess")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -759,6 +836,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
     Renko.fromTicks(synthTicks(spark, 200000L, 2), 1.0,
       symbolCol = Some("symbol"), tsUnit = "us").count()
+    // pin the calibration probe's quiet base AFTER warmup (JIT settled):
+    // min-of-5, so one scheduler hiccup cannot inflate the base and make
+    // every later rep look clean
+    calibBase = (1 to 5).map(_ => calibOnce()).min
+    System.err.println(f"[bench] calib base $calibBase%.3f s (${Runtime.getRuntime.availableProcessors()} spin threads)")
 
     // optional comma-separated headline filter (local iteration only; the
     // driver sets no filter and measures everything)
@@ -771,6 +853,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap(_._2).distinct
       .foreach(k => store(spark, sfDir, k))
+    // the churn entry's quiet twin, once per sweep, untimed (r16 #2)
+    if (only.forall(_.contains("serving_mixed_churn")))
+      measureChurnQuiet(spark, sfDir)
     val results = headline(sfDir)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, mk) =>
@@ -806,14 +891,25 @@ object Bench {
       def oneRep(): Rep = {
         spark.catalog.clearCache()
         System.gc()
-        val admWait = admitRep()
+        val (admWait, calibRatio, calibOk) = admitRep()
         val loadPre = loadAvg()
         val t0 = System.nanoTime()
         val n = try mk(spark).count() catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        val rep = Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog(), admWait)
+        var rep = Rep(sec, n, loadPre, loadAvg(), Renko.drainPhaseLog(), admWait,
+          calibRatio, calibOk)
+        // cool-down barrier after each churn rep (r16 verdict #2): rep N's
+        // runaway churn (compaction sweeps, deferred deletes, GC debt)
+        // must not echo into rep N+1 — reap and drain BEFORE the next rep
+        // is admitted; the wait lands in this rep's diag (`cool`)
+        if (name == "serving_mixed_churn") {
+          System.gc()
+          var c = 0
+          while (c < 30 && runningProcs() > 4) { Thread.sleep(1000L); c += 1 }
+          rep = rep.copy(cool = c.toDouble)
+        }
         if (name.startsWith("renko_14m")) {
           job2Hist ++= rep.phases.collect {
             case (p, v) if p.endsWith("job2 suffix+ckpt") => v
@@ -827,10 +923,14 @@ object Bench {
       val times =
         try (1 to reps).map(_ => oneRep())
         finally graft.util.StallDiag.stallThresholdSec = Double.PositiveInfinity
-      val clean = times.filter(_.ok)
-      val best = if (clean.nonEmpty) clean.minBy(_.sec) else times.minBy(_.sec)
+      val clean = times.filter(_.clean)
+      val best =
+        if (clean.nonEmpty) clean.minBy(_.sec)
+        else if (times.exists(_.ok)) times.filter(_.ok).minBy(_.sec)
+        else times.minBy(_.sec)
       val repStr = times.map(t =>
-        f"${t.sec}%.3f" + (if (t.ok) "" else "!INVALID")).mkString(" / ")
+        f"${t.sec}%.3f" + (if (!t.ok) "!INVALID"
+        else if (!t.calibOk) "!CONTENDED" else "")).mkString(" / ")
       System.err.println(
         f"[bench] $name%-22s ${headline(times)}%8.3f s  (reps: $repStr; ${best.rows} rows)")
       name -> times
@@ -881,8 +981,21 @@ object Bench {
       val admJ =
         if (ts.forall(_.adm == 0.0)) ""
         else ts.map(t => f"${t.adm}%.0f").mkString(",\"adm\":[", ",", "]")
+      // per-rep calibration ratios ride every entry (the admission gate's
+      // evidence); the boolean verdicts only when one failed, cool-down
+      // waits only when one happened
+      val calibJ =
+        if (calibBase <= 0) ""
+        else ts.map(t => f"${t.calib}%.2f").mkString(",\"calib\":[", ",", "]")
+      val calibOkJ =
+        if (ts.forall(_.calibOk)) ""
+        else ts.map(_.calibOk).mkString(",\"calib_ok\":[", ",", "]")
+      val coolJ =
+        if (ts.forall(_.cool == 0.0)) ""
+        else ts.map(t => f"${t.cool}%.0f").mkString(",\"cool\":[", ",", "]")
       "\"" + k + "\":{" +
-        s""""reps":$repsJ,"load1":$loadJ,"runq":$runqJ""" + phasesJ + okJ + admJ + "}"
+        s""""reps":$repsJ,"load1":$loadJ,"runq":$runqJ""" + phasesJ + okJ + admJ +
+        calibJ + calibOkJ + coolJ + "}"
     }.mkString("{", ",", "}")
     val host = {
       // every step degrades to a default instead of crashing the bench:
@@ -909,7 +1022,12 @@ object Bench {
     // it under the hard length budget, dropping later (non-baseline) map
     // entries first; `covered` records how many of the measured queries the
     // line itself carries so a truncated map is visible, not silent
-    val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"""
+    // entries whose every valid rep failed the calibration gate: the
+    // artifact names them itself (r16 verdict #1 — "the entry must carry
+    // a visible contended flag in the parsed JSON"); empty on a quiet run
+    val contJ = results.filter { case (_, ts) => contendedOf(ts) }
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,"contended":$contJ,"""
     val tail = s""","covered":"N/${qsParts.size}","queries_full":"BENCH_SELF.json"}"""
     val fixed = head.length + """"queries":{}""".length + tail.length + 8
     var used = 0
@@ -931,7 +1049,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(selfPath, "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"host":$host,"diag":$diag}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"contended":$contJ,"calib_base":$calibBase,"host":$host,"diag":$diag}""")
       finally w.close()
     } catch {
       case e: Throwable =>
@@ -944,42 +1062,74 @@ object Bench {
     * `rows < 0` marks the rep INVALID (the query threw — including a blown
     * churn/latency budget): an invalid rep never supplies the headline
     * number. `adm` is the admission wait (s) spent letting an externally
-    * busy host drain before the rep started.
+    * busy host drain before the rep started; `calib` is the admission
+    * calibration probe's final ratio vs its sweep-start base and
+    * `calibOk` whether it cleared the 1.5x gate (r16 verdict #1) — a
+    * calib-dirty rep may still run (bounded wait exhausted) but can only
+    * supply the headline when NO clean rep exists, and then the entry is
+    * flagged contended in the parsed artifact. `cool` is the post-rep
+    * cool-down wait (churn entry only).
     */
   private case class Rep(
       sec: Double, rows: Long,
       loadPre: (Double, String), loadPost: (Double, String),
       phases: Seq[(String, Double)],
-      adm: Double = 0.0) {
+      adm: Double = 0.0,
+      calib: Double = 1.0,
+      calibOk: Boolean = true,
+      cool: Double = 0.0) {
     def ok: Boolean = rows >= 0
+    def clean: Boolean = ok && calibOk
   }
 
-  /** Clean-rep headline: the min over VALID reps only; -1 when every rep
-    * failed (a parse-visible failure, not a fast-looking masked one —
-    * r15 verdict #3: a blown churn budget must not be masked by best-rep
-    * selection).
+  /** Clean-rep headline: the min over VALID + CALIB-CLEAN reps; falls back
+    * to the valid-rep min when no clean rep exists (the entry is then in
+    * the `contended` list — self-reported pollution, r16 verdict #1); -1
+    * when every rep failed (a parse-visible failure, not a fast-looking
+    * masked one — r15 verdict #3).
     */
   private def headline(ts: Seq[Rep]): Double = {
-    val clean = ts.filter(_.ok)
-    if (clean.nonEmpty) clean.map(_.sec).min else -1.0
+    val clean = ts.filter(_.clean)
+    if (clean.nonEmpty) clean.map(_.sec).min
+    else {
+      val valid = ts.filter(_.ok)
+      if (valid.nonEmpty) valid.map(_.sec).min else -1.0
+    }
   }
 
-  /** Rep admission (r15 verdict #2): an externally busy host inflates a
-    * rep uniformly and the artifact reads as a regression. Before each
-    * rep, if the INSTANTANEOUS run queue shows more active tasks than an
-    * idle bench JVM explains, wait (up to 20 s) for the burst to pass;
-    * the wait lands in the diag (`adm`). Instantaneous runq, not load1:
-    * the sweep's own just-finished 32-thread query keeps load1 elevated
-    * for a minute after the stage ends, while the run queue empties
-    * immediately — load1 would gate on our own echo.
+  /** An entry whose every valid rep was calib-dirty: its headline is
+    * load-inflated and the artifact must say so itself.
     */
-  private def admitRep(): Double = {
+  private def contendedOf(ts: Seq[Rep]): Boolean =
+    ts.exists(_.ok) && !ts.exists(_.clean)
+
+  /** Rep admission (r15 verdict #2 + r16 verdict #1): an externally busy
+    * host inflates a rep uniformly and the artifact reads as a
+    * regression. Two gates before each rep, sharing one bounded wait
+    * budget (every second waited lands in the diag `adm`):
+    *  1. instantaneous run-queue drain (up to 20 s) — not load1: the
+    *     sweep's own just-finished 32-thread query keeps load1 elevated
+    *     for a minute while the run queue empties immediately, so load1
+    *     would gate on our own echo;
+    *  2. the calibration probe — the fixed reference computation re-timed
+    *     until it runs within 1.5x of its sweep-start base (up to 30 s
+    *     total). The runq can read empty while contending processes are
+    *     between timeslices; the probe measures the CPU the rep will
+    *     actually get. Returns (waited, finalRatio, ratio <= 1.5).
+    */
+  private def admitRep(): (Double, Double, Boolean) = {
     var waited = 0
     while (waited < 20 && runningProcs() > 6) {
       Thread.sleep(1000L)
       waited += 1
     }
-    waited.toDouble
+    var ratio = if (calibBase > 0) calibOnce() / calibBase else 1.0
+    while (waited < 30 && ratio > 1.5) {
+      Thread.sleep(1000L)
+      waited += 1
+      ratio = if (calibBase > 0) calibOnce() / calibBase else 1.0
+    }
+    (waited.toDouble, ratio, ratio <= 1.5)
   }
 
   private def runningProcs(): Int =

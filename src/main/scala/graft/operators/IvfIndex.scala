@@ -458,6 +458,12 @@ object IvfIndex {
       epochId: Option[String] = None,
       maxLiveTrees: Int = 0,
       sweepGraceMs: Long = 0L): Unit = {
+    // an EMPTY append is a no-op, never an epoch: a zero-row epoch
+    // directory has no parquet footers, so every later probe/compaction
+    // that opens it dies on schema inference — a data-dependent poison
+    // pill planted by whatever upstream filter happened to match nothing
+    // (an empty micro-batch, an ingest slice past the corpus end)
+    if (emb.isEmpty) return
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
@@ -534,6 +540,9 @@ object IvfIndex {
       path: String,
       idCol: String = "vec_id",
       epochId: Option[String] = None): Unit = {
+    // empty tombstone set: no-op (same footer-less-directory poison as an
+    // empty append — see the guard there)
+    if (ids.isEmpty) return
     val spark = ids.sparkSession
     val epoch = epochId.getOrElse(
       f"${rawTombstoneEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")

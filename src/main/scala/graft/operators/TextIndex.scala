@@ -179,6 +179,11 @@ object TextIndex {
       epochId: Option[String] = None,
       maxLiveTrees: Int = 0,
       sweepGraceMs: Long = 0L): Unit = {
+    // an EMPTY append is a no-op, never an epoch: a zero-row epoch
+    // directory has no parquet footers, so every later probe/compaction
+    // that opens it dies on schema inference — a data-dependent poison
+    // pill planted by whatever upstream filter happened to match nothing
+    if (docs.isEmpty) return
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = liveNBuckets(spark, path)
@@ -227,6 +232,9 @@ object TextIndex {
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    // empty tombstone set: no-op (same footer-less-directory poison as an
+    // empty append — see the guard there)
+    if (docs.isEmpty) return
     val spark = docs.sparkSession
     val epoch =
       f"${rawTombstones(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}"

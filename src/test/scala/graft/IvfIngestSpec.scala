@@ -123,4 +123,33 @@ class IvfIngestSpec extends SparkTestBase {
     assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want,
       "replay of the newest batch after auto-compaction must not double-serve")
   }
+
+  test("empty append/delete are no-ops: no epoch dir, probes unchanged, later compaction survives") {
+    // the data-dependent poison pill this guards: an upstream slice that
+    // matches NOTHING (ingest range past the corpus end, empty micro-batch)
+    // used to write a zero-row epoch directory with no parquet footers —
+    // unreadable by every later probe/compaction
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfing-empty").toString
+    IvfIndex.write(emb, path, nlist = 16)
+    val want = rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4))
+    val epochsBefore = Option(new java.io.File(s"$path/epochs").listFiles())
+      .map(_.length).getOrElse(0)
+    IvfIndex.append(emb.filter(col("vec_id") < -1), path)          // empty
+    IvfIndex.delete(emb.filter(col("vec_id") < -1).select("vec_id"), path)
+    IvfIngest.ingestBatch(emb.filter(col("vec_id") < -1), path,
+      batchId = 99L, maxLiveTrees = 2)                              // empty, compaction dial armed
+    val epochsAfter = Option(new java.io.File(s"$path/epochs").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(epochsAfter == epochsBefore, "an empty batch must not create an epoch")
+    assert(!new java.io.File(s"$path/tombstones").exists() ||
+      new java.io.File(s"$path/tombstones").listFiles().isEmpty,
+      "an empty delete must not create a tombstone epoch")
+    assert(rows(IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4)) == want)
+    // a real append + forced compaction after the empty ops still works
+    IvfIngest.ingestBatch(emb.filter(col("vec_id") < 20), path,
+      batchId = 100L, maxLiveTrees = 2)
+    IvfIndex.probe(spark, path, queries, k = 5, nprobe = 4).count()
+  }
 }

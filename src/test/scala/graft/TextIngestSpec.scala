@@ -111,6 +111,32 @@ class TextIngestSpec extends SparkTestBase {
       "replay of the newest batch after auto-compaction must not double-serve")
   }
 
+  test("empty append/delete are no-ops: no epoch dir, probes unchanged, later compaction survives") {
+    // the poison pill this guards: a slice matching NOTHING used to write
+    // a footer-less zero-row epoch dir — unreadable by probe/compaction
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-texting-empty").toString
+    TextIndex.write(docs, path)
+    val want = rows(TextIndex.bm25TopK(spark, path, terms, k = 20))
+    val epochsBefore = Option(new java.io.File(s"$path/epochs").listFiles())
+      .map(_.length).getOrElse(0)
+    TextIndex.append(docs.filter(col("doc_id") < -1), path)        // empty
+    TextIndex.delete(docs.filter(col("doc_id") < -1), path)
+    TextIngest.ingestBatch(docs.filter(col("doc_id") < -1), path,
+      batchId = 99L, maxLiveTrees = 2)
+    val epochsAfter = Option(new java.io.File(s"$path/epochs").listFiles())
+      .map(_.length).getOrElse(0)
+    assert(epochsAfter == epochsBefore, "an empty batch must not create an epoch")
+    assert(!new java.io.File(s"$path/tombstones").exists() ||
+      new java.io.File(s"$path/tombstones").listFiles().isEmpty,
+      "an empty delete must not create a tombstone epoch")
+    assert(rows(TextIndex.bm25TopK(spark, path, terms, k = 20)) == want)
+    // a real append + forced compaction after the empty ops still works
+    TextIngest.ingestBatch(docs.filter(col("doc_id") < 20), path,
+      batchId = 100L, maxLiveTrees = 2)
+    TextIndex.bm25TopK(spark, path, terms, k = 20).count()
+  }
+
   test("keepCols at bootstrap: streamed epochs carry metadata, filtered probes work") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("lang"))
