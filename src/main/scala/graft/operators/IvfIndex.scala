@@ -458,12 +458,6 @@ object IvfIndex {
       epochId: Option[String] = None,
       maxLiveTrees: Int = 0,
       sweepGraceMs: Long = 0L): Unit = {
-    // an EMPTY append is a no-op, never an epoch: a zero-row epoch
-    // directory has no parquet footers, so every later probe/compaction
-    // that opens it dies on schema inference — a data-dependent poison
-    // pill planted by whatever upstream filter happened to match nothing
-    // (an empty micro-batch, an ingest slice past the corpus end)
-    if (emb.isEmpty) return
     val spark = emb.sparkSession
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
@@ -503,6 +497,16 @@ object IvfIndex {
     val epoch = epochId.getOrElse(
       f"${rawEpochs(spark, path).size}%08d-${java.util.UUID.randomUUID.toString.take(8)}")
     clustered.write.mode("overwrite").partitionBy("cid").parquet(s"$path/epochs/$epoch/lists")
+    // an EMPTY append must be a NO-OP, never an epoch: a zero-row epoch
+    // directory has no parquet footers, so every later probe/compaction
+    // that opens it dies on schema inference — a data-dependent poison
+    // pill planted by whatever upstream filter happened to match nothing
+    // (an empty micro-batch, an ingest slice past the corpus end).
+    // Detected AFTER the write by one FS listing (a zero-row partitioned
+    // write leaves no cid= dirs), so the common non-empty path pays no
+    // extra Spark job — an up-front isEmpty cost a scheduling round per
+    // append, measured ~0.2 s x 11 ops per epoch-store build.
+    if (dropEpochIfRowless(spark, s"$path/epochs/$epoch", "lists", "cid=")) return
     graft.util.IndexMetaCache.stamp(spark, path)
     // auto-compaction dial (same as the streaming ingesters'): once more
     // than `maxLiveTrees` trees serve, fold all but the newest epoch into
@@ -540,8 +544,11 @@ object IvfIndex {
       path: String,
       idCol: String = "vec_id",
       epochId: Option[String] = None): Unit = {
-    // empty tombstone set: no-op (same footer-less-directory poison as an
-    // empty append — see the guard there)
+    // empty tombstone set: no-op — never a pointless epoch (unlike the
+    // appends' free post-write detection, a coalesce(1) write of an empty
+    // frame DOES emit a footer-valid zero-row part file, so the guard
+    // here is an up-front isEmpty; deletes are rare enough that the one
+    // scheduling round does not matter)
     if (ids.isEmpty) return
     val spark = ids.sparkSession
     val epoch = epochId.getOrElse(
@@ -550,6 +557,22 @@ object IvfIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/tombstones/$epoch")
     graft.util.IndexMetaCache.stamp(spark, path)
+  }
+
+  /** Delete `root` (an epoch/tombstone directory) when its `sub` payload
+    * directory contains no entry starting with `prefix` — the signature of
+    * a ZERO-ROW write (only `_SUCCESS`, no partition dirs / part files),
+    * which would poison later schema inference. Returns true when dropped.
+    * Pure FS metadata — no Spark job.
+    */
+  private[operators] def dropEpochIfRowless(
+      spark: SparkSession, root: String, sub: String, prefix: String): Boolean = {
+    val payload = new Path(if (sub.isEmpty) root else s"$root/$sub")
+    val fs = payload.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRows = fs.exists(payload) &&
+      fs.listStatus(payload).exists(_.getPath.getName.startsWith(prefix))
+    if (!hasRows) fs.delete(new Path(root), true)
+    !hasRows
   }
 
   /** Every tombstone epoch directory name, committed or not. */

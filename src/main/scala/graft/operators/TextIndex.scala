@@ -179,11 +179,6 @@ object TextIndex {
       epochId: Option[String] = None,
       maxLiveTrees: Int = 0,
       sweepGraceMs: Long = 0L): Unit = {
-    // an EMPTY append is a no-op, never an epoch: a zero-row epoch
-    // directory has no parquet footers, so every later probe/compaction
-    // that opens it dies on schema inference — a data-dependent poison
-    // pill planted by whatever upstream filter happened to match nothing
-    if (docs.isEmpty) return
     val spark = docs.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = liveNBuckets(spark, path)
@@ -202,6 +197,14 @@ object TextIndex {
     val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol, metaCols)
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
+    // an EMPTY append must be a NO-OP, never an epoch: a zero-row epoch
+    // directory has no parquet footers, so every later probe/compaction
+    // that opens it dies on schema inference — a data-dependent poison
+    // pill planted by whatever upstream filter happened to match nothing.
+    // Detected AFTER the write by one FS listing (a zero-row partitioned
+    // write leaves no bucket= dirs, and the meta commit below never
+    // happens), so the common non-empty path pays no extra Spark job.
+    if (IvfIndex.dropEpochIfRowless(spark, root, "postings", "bucket=")) return
     meta.coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     graft.util.IndexMetaCache.stamp(spark, path)
     // auto-compaction dial (same as the streaming ingesters'): once more
@@ -232,8 +235,11 @@ object TextIndex {
       path: String,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    // empty tombstone set: no-op (same footer-less-directory poison as an
-    // empty append — see the guard there)
+    // empty tombstone set: no-op — never a pointless epoch (unlike the
+    // appends' free post-write detection, a coalesce(1) write of an empty
+    // frame DOES emit a footer-valid zero-row part file, so the guard
+    // here is an up-front isEmpty; deletes are rare enough that the one
+    // scheduling round does not matter)
     if (docs.isEmpty) return
     val spark = docs.sparkSession
     val epoch =
