@@ -178,12 +178,19 @@ object IvfIndex {
     cents.toSeq.toDF("cid", "cv", "cnrm")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val q = Similarity.quantize(emb, idCol, vecCol)
+    // SQ8 columns are a PURE PROJECTION of the vector (graft_quantize) —
+    // attached inline (r17; was a self-join of the corpus with its own
+    // quantized projection on id: a full corpus exchange at scale, paid
+    // for columns the scan can compute in place — guide §2.4)
+    val qq = graft.functions.expressions.QuantizeExpression.quantizeNative(col("v"))
     val assigned = emb
       .select(col(idCol).as("id") +: col(vecCol).as("v") +:
         l2Norm(col(vecCol)).as("nrm") +: keepCols.map(col): _*)
-      .join(q.select(col("id"), col("scale"), col("qvec"),
-        l2Norm(col("qvec")).as("qnrm")), Seq("id"))
+      .withColumn("__q", qq)
+      .withColumn("scale", col("__q").getField("scale"))
+      .withColumn("qvec", col("__q").getField("qvec"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+      .drop("__q")
       .withColumn("cid", Similarity.centroidAssignExpr(cents))
     val clustered =
       if (filesPerList <= 1) assigned.repartition(col("cid"))
@@ -462,7 +469,13 @@ object IvfIndex {
     val cents = readCentroids(spark, path)
     val roots = listRoots(spark, path)
     require(roots.nonEmpty, s"no index lists at $path — build with write() first")
-    val baseFields = spark.read.parquet(roots.head).schema.fieldNames.toSet
+    // cached keyed by the head tree's immutable lists dir (r17): the list
+    // schema is frozen for the index's life, so the per-append partition
+    // discovery + footer read runs once, not once per append
+    val baseFields = graft.util.IndexMetaCache
+      .getOrCompute(spark, roots.head, "ivf.baseFields") {
+        spark.read.parquet(roots.head).schema.fieldNames.toSet
+      }
     // metadata columns the build persisted (write's keepCols): everything
     // beyond the engine's own list schema — appended rows must carry them
     // too, or probe-time predicates would see nulls for this epoch
@@ -472,12 +485,18 @@ object IvfIndex {
       .select(col(idCol).as("id") +: col(vecCol).as("v") +:
         l2Norm(col(vecCol)).as("nrm") +: metaCols.map(col): _*)
     val withQ =
-      if (baseFields.contains("qvec"))
-        base.join(
-          Similarity.quantize(emb, idCol, vecCol)
-            .select(col("id"), col("scale"), col("qvec"), l2Norm(col("qvec")).as("qnrm")),
-          Seq("id"))
-      else if (baseFields.contains("codes")) {
+      if (baseFields.contains("qvec")) {
+        // inline projection, not a self-join on id — same r17 fix as
+        // [[writeQuantized]] (the appended batch would otherwise pay a
+        // corpus exchange for scan-computable columns)
+        val qq = graft.functions.expressions.QuantizeExpression.quantizeNative(col("v"))
+        base
+          .withColumn("__q", qq)
+          .withColumn("scale", col("__q").getField("scale"))
+          .withColumn("qvec", col("__q").getField("qvec"))
+          .withColumn("qnrm", l2Norm(col("qvec")))
+          .drop("__q")
+      } else if (baseFields.contains("codes")) {
         val codebook = readPqCodebook(spark, path)
         base
           .withColumn("codes",
@@ -881,8 +900,10 @@ object IvfIndex {
           .filter(col("cid").isin(probedCids: _*))
       } else {
         // leaf schema is identical across every tree's cid dirs — cached
-        // per index state so repeated probes skip the footer-read job
-        val sch = graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.leafSchema") {
+        // keyed by the HEAD TREE's immutable lists dir (r17; was the index
+        // root, which every append/delete re-signatured), so mutations no
+        // longer force the next probe to re-pay the footer-read job
+        val sch = graft.util.IndexMetaCache.getOrCompute(spark, roots.head, "ivf.leafSchema") {
           ss.read.parquet(dirs.head).schema
         }
         pre(ss.read.schema(sch).parquet(dirs: _*))
@@ -904,7 +925,11 @@ object IvfIndex {
     */
   private def readPqCodebook(
       spark: SparkSession, path: String): Array[Array[Array[Double]]] =
-    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.pq") {
+    // keyed by the pq SUBDIRECTORY, not the index root: the codebook is
+    // frozen across appends/deletes/compactions (only a rebuild rewrites
+    // pq/, which rotates this key's FS signature), so index mutations no
+    // longer force the next probe to re-pay the codebook collect job (r17)
+    graft.util.IndexMetaCache.getOrCompute(spark, s"$path/pq", "ivf.pq") {
       val rows = spark.read.parquet(s"$path/pq").orderBy(col("m"), col("j")).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       rows.groupBy(_._1).toSeq.sortBy(_._1)
@@ -919,7 +944,11 @@ object IvfIndex {
     */
   private def readCentroids(
       spark: SparkSession, path: String): Array[(Long, Array[Double], Double)] =
-    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.centroids") {
+    // keyed by the centroids SUBDIRECTORY, not the index root (r17): the
+    // quantizer is frozen across appends/deletes/compactions and only a
+    // rebuild rewrites centroids/ — so an append/delete no longer forces
+    // the next probe (or the next append's assignment) to re-collect it
+    graft.util.IndexMetaCache.getOrCompute(spark, s"$path/centroids", "ivf.centroids") {
       spark.read.parquet(s"$path/centroids").orderBy(col("cid")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     }
@@ -1050,14 +1079,18 @@ object IvfIndex {
     listFields(spark, path).map(_.name).toSet
 
   private def listFields(
-      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] =
-    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.listFields") {
-      val roots = listRoots(spark, path)
-      require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+      spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
+    val roots = listRoots(spark, path)
+    require(roots.nonEmpty, s"no index lists at $path — build with write() first")
+    // keyed by the head tree's immutable lists dir (r17; was the index
+    // root): the list schema is frozen for the index's life, so appends/
+    // deletes no longer force the TVF's next planning to re-read footers
+    graft.util.IndexMetaCache.getOrCompute(spark, roots.head, "ivf.listFields") {
       graft.util.ProbePlanning.withDriverListing(spark) { ss =>
         ss.read.parquet(roots.head).schema.fields.toSeq
       }
     }
+  }
 
   /** The metadata columns a probe's output carries, WITH their stored
     * types — what the serving TVF needs to declare its output schema

@@ -96,21 +96,26 @@ object TextIndex {
       textCol: String,
       keepCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     requireKeepCols(keepCols)
-    val tok = docs.select(
-      col(idCol).cast("long").as("doc_id") +:
-        tokens(col(textCol)).as("toks") +: keepCols.map(col): _*)
     // batch stats at build time: the probe must not touch the corpus
-    val meta = tok.agg(
+    val meta = docs.agg(
         count(lit(1)).as("n_docs"),
-        sum(size(col("toks")).cast("long")).as("sum_dl"))
+        sum(size(tokens(col(textCol))).cast("long")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
-    // keepCols are per-DOC metadata; grouping by them alongside the doc
-    // key is the identity on the group structure
-    val postings = tok
-      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-        explode(col("toks")).as("term") +: keepCols.map(col): _*)
-      .groupBy(col("doc_id") +: col("dl") +: col("term") +: keepCols.map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+    // per-document term frequencies fused into the scan (graft_token_counts,
+    // r17): the old explode(tokens) → groupBy(doc_id, dl, term) → count()
+    // formulation paid a cluster-wide exchange for an aggregation whose
+    // group key contains the row's own doc_id — per-document work by
+    // construction. The build now keeps exactly ONE exchange (the bucket
+    // repartition in clusterForWrite), and its shuffled rows are already
+    // tf-compacted. Bit-identical posting rows (TokenCountsSpec pins the
+    // equivalence, whitespace edges included); keepCols are per-DOC
+    // metadata and ride the projection unchanged.
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id") +:
+        explode(graft.functions.expressions.TokenCountsExpression
+          .tokenCountsNative(col(textCol))).as("kv") +: keepCols.map(col): _*)
+      .select(col("doc_id") +: col("kv.dl").as("dl") +: col("kv.term").as("term") +:
+        keepCols.map(col) :+ col("kv.tf").as("tf"): _*)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     (meta, postings)
   }
@@ -189,11 +194,16 @@ object TextIndex {
     if (fs.exists(metaPath)) fs.delete(metaPath, true)
     // metadata columns the build persisted (write's keepCols): appended
     // epochs must carry them too, or probe-time predicates would see
-    // nulls for this epoch's docs
-    val metaCols = (spark.read
-      .parquet(treePostings(path, liveTrees(spark, path).head))
-      .schema.fieldNames.toSet -- Set("doc_id", "dl", "term", "tf", "bucket"))
-      .toSeq.sorted
+    // nulls for this epoch's docs. Cached keyed by the head tree's
+    // immutable postings dir (r17; was re-read per append — a partition
+    // discovery job + footer read per epoch for a schema frozen at build)
+    val headTree = treePostings(path, liveTrees(spark, path).head)
+    val metaCols = graft.util.IndexMetaCache
+      .getOrCompute(spark, headTree, "lex.appendMetaCols") {
+        (spark.read.parquet(headTree)
+          .schema.fieldNames.toSet -- Set("doc_id", "dl", "term", "tf", "bucket"))
+          .toSeq.sorted
+      }
     val (meta, postings) = postingRows(docs, nBuckets, idCol, textCol, metaCols)
     clusterForWrite(postings, nBuckets, filesPerBucket)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/postings")
@@ -494,12 +504,17 @@ object TextIndex {
   /** Bucket count of the build, read from any live tree's meta (every
     * tree carries it; the base pair may have been compacted away).
     */
-  private def liveNBuckets(spark: SparkSession, path: String): Int =
-    graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.nBuckets") {
-      val trees = liveTrees(spark, path)
-      require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-      spark.read.parquet(treeMeta(path, trees.head)).collect().head.getAs[Int]("n_buckets")
+  private def liveNBuckets(spark: SparkSession, path: String): Int = {
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    // keyed by the head tree's immutable meta dir (r17; was the index
+    // root): the bucket count is frozen at build time, so appends no
+    // longer re-pay this collect job once per mutation
+    val headMeta = treeMeta(path, trees.head)
+    graft.util.IndexMetaCache.getOrCompute(spark, headMeta, "lex.nBuckets") {
+      spark.read.parquet(headMeta).collect().head.getAs[Int]("n_buckets")
     }
+  }
 
   private def rawEpochs(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(s"$path/epochs")
@@ -638,7 +653,11 @@ object TextIndex {
     // metadata of the tree root, not a data column — drop it).
     val sch =
       if (predicate.isEmpty && metaCols.isEmpty) PostingsDataSchema
-      else graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.postingsSchema") {
+      // keyed by the head tree's immutable postings dir (r17; was the
+      // index root): the posting schema is frozen at build time, so
+      // appends/deletes no longer force the footer re-read at probe time
+      else graft.util.IndexMetaCache.getOrCompute(
+        spark, treePostings(path, trees.head), "lex.postingsSchema") {
         graft.util.ProbePlanning.withDriverListing(spark) { ss =>
           org.apache.spark.sql.types.StructType(
             ss.read.parquet(treePostings(path, trees.head)).schema
@@ -692,11 +711,14 @@ object TextIndex {
     */
   def metaColFields(
       spark: SparkSession, path: String): Seq[org.apache.spark.sql.types.StructField] = {
-    val fields = graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.treeFields") {
-      val trees = liveTrees(spark, path)
-      require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    val trees = liveTrees(spark, path)
+    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+    // keyed by the head tree's immutable postings dir (r17; was the index
+    // root) — same rationale as lex.postingsSchema above
+    val headTree = treePostings(path, trees.head)
+    val fields = graft.util.IndexMetaCache.getOrCompute(spark, headTree, "lex.treeFields") {
       graft.util.ProbePlanning.withDriverListing(spark) { ss =>
-        ss.read.parquet(treePostings(path, trees.head)).schema.fields.toSeq
+        ss.read.parquet(headTree).schema.fields.toSeq
       }
     }
     fields.filter(f => !ReservedPostingCols.contains(f.name)).sortBy(_.name)

@@ -129,6 +129,41 @@ class VectorExprSpec extends SparkTestBase {
     }
   }
 
+  test("graft_token_counts == explode(tokens)+groupBy posting rows: corpus + whitespace edges + null") {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.expressions.TokenCountsExpression.tokenCountsNative
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val edges = (Seq("\ta b c d", "a b c\t", "  a b c  ", "a\t\tb\nc", "",
+      " ", "\t", "a b", "x y x y x y x y", "a  b   c    d") :+ null)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(corpus, edges)) {
+      // the TextIndex.postingRows formulation this expression replaced
+      val grouped = df
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val native = df
+        .select(col("doc_id"), explode(tokenCountsNative(col("text"))).as("kv"))
+        .select(col("doc_id"), col("kv.dl").as("dl"), col("kv.term").as("term"),
+          col("kv.tf").as("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(native.nonEmpty && native == grouped)
+    }
+    // the null doc is dropped by both paths (explode of a null array)
+    val nullIds = edges.filter(col("text").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val natIds = edges
+      .select(col("doc_id"), explode(tokenCountsNative(col("text"))).as("kv"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(nullIds.nonEmpty && natIds.intersect(nullIds).isEmpty)
+  }
+
   test("graft_nearest_centroid == unrolled struct-argmax: nlist 16 & 64 + degenerate rows") {
     import graft.operators.Similarity
     import spark.implicits._
