@@ -101,7 +101,15 @@ object Curation {
       case None => Decontamination.overlapReport(
         surv.select(col("doc_id"), col("text")), bench)
     }
+    // LAZY-pinned (r17): `clean` embeds the decontamination gram anti-join
+    // and feeds TWO consumers — the LSH pair scan and the dedup anti-join
+    // below — so the unpinned plan re-ran the annotate + gram stages once
+    // per consumer (the funnel twin already pins for the same reason, and
+    // measured FASTER than this chain while computing five extra stage
+    // aggregates). One-shot callers rely on the ContextCleaner to reap the
+    // blocks, matching the funnel's discipline.
     val clean = surv.join(overlap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
     // 3: near-dup removal — pairs have id_a < id_b, so dropping every id_b
     // keeps the lowest-id member of each verified pair
     val pairs = Dedup.minhashLshPairs(
