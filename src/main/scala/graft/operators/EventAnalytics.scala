@@ -131,14 +131,23 @@ object EventAnalytics {
   /** The funnel table of a (u, level, tp) state frame: one row per step,
     * n_users = users at level >= step.
     */
-  def funnelCounts(state: DataFrame, steps: Seq[String]): DataFrame =
-    steps.indices.map { i =>
-      val k = i + 1
-      state.filter(col("level") >= lit(k.toLong))
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(k.toLong).as("step"), lit(steps(i)).as("event_type"),
-          col("n_users"))
-    }.reduce(_.unionByName(_))
+  def funnelCounts(state: DataFrame, steps: Seq[String]): DataFrame = {
+    // ONE aggregate pass + explode (r17; was a union of one filtered
+    // aggregate per step — k scans of the state and k exchange branches
+    // for counts a single pass produces: in the epoch folds each epoch
+    // paid the k-branch subtree, the dominant stage-job count of the
+    // events_funnel_stream_ep10 floor). count(when(cond,1)) counts
+    // exactly the rows the old filter kept; row order is array order,
+    // identical to the old union order (step 1..k).
+    val aggs = steps.indices.map(i =>
+      count(when(col("level") >= lit((i + 1).toLong), lit(1))).as(s"__c$i"))
+    val rows = steps.indices.map(i =>
+      struct(lit((i + 1).toLong).as("step"), lit(steps(i)).as("event_type"),
+        col(s"__c$i").as("n_users")))
+    state.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.event_type"), col("__r.n_users"))
+  }
 
   /** The empty (u, level, tp) frontier frame. */
   def emptyState(spark: org.apache.spark.sql.SparkSession): DataFrame = {

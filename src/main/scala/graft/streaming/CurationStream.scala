@@ -233,6 +233,12 @@ object CurationStream {
       .partitionBy(col(langCol)).orderBy(col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tFin0 = System.nanoTime()
+    // EAGER by necessity (r17 note: a lazy pin here is a correctness
+    // race, not an optimization — the epoch folds release adm's blocks
+    // right after re-pinning their store, BEFORE the collect that would
+    // materialize a lazy fin, and fin's plan reads adm's checkpointed
+    // RDD; eager materialization inside this call is what makes the
+    // callers' release-after-write discipline safe)
     val fin = adm
       .select(col("doc_id"), col(langCol), col("pred_lang"),
         col("n_tokens"), col("quality_score"))
