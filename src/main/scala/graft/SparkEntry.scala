@@ -2353,10 +2353,18 @@ object SparkEntry {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path)
+    // per-mutation phase marks ride the bench diag (r17): the entry's cost
+    // IS the build — the breakdown shows whether a regression is one slow
+    // mutation or a uniform floor
+    def timed(tag: String)(op: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      op
+      graft.operators.Renko.logPhase(tag, (System.nanoTime() - t0) / 1e9)
+    }
+    timed("lexEp write")(TextIndex.write(docs.filter(col("doc_id") % 11 === 0), path))
     for (i <- 1 to 10)
-      TextIndex.append(docs.filter(col("doc_id") % 11 === i), path)
-    TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path)
+      timed(s"lexEp append$i")(TextIndex.append(docs.filter(col("doc_id") % 11 === i), path))
+    timed("lexEp delete")(TextIndex.delete(docs.filter(col("doc_id") % 7 === 3), path))
     path
   }
 
@@ -2470,17 +2478,24 @@ object SparkEntry {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    def timed(tag: String)(op: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      op
+      graft.operators.Renko.logPhase(tag, (System.nanoTime() - t0) / 1e9)
+    }
     val n = emb.count()
     val half = n / 2
-    IvfIndex.write(emb.filter(col("vec_id") < half), path)
+    timed("ivfEp write")(IvfIndex.write(emb.filter(col("vec_id") < half), path))
     val step = math.max(1L, (n - half + 9) / 10)
     for (i <- 0 until 10) {
       val lo = half + i * step
       val hi = if (i == 9) n else math.min(n, lo + step)
       if (lo < hi)
-        IvfIndex.append(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
+        timed(s"ivfEp append$i")(
+          IvfIndex.append(emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path))
     }
-    IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path)
+    timed("ivfEp delete")(
+      IvfIndex.delete(emb.filter(col("vec_id") % 7 === 3).select("vec_id"), path))
     path
   }
 

@@ -55,10 +55,18 @@ object IndexMetaCache {
   private[graft] val MaxPaths = 64
 
   /** All kinds computed for one path under one FS signature. A signature
-    * change discards the instance wholesale.
+    * change discards the instance wholesale. Values are held as
+    * single-evaluation memos (r17): 32 concurrent cold probes of one store
+    * — the serving_mixed_churn / quiet-twin workload — previously ALL
+    * missed and ALL ran the compute (up to 32 duplicate collect jobs per
+    * kind flooding the scheduler); now the first caller computes under the
+    * memo's monitor and the rest block on the same value. A compute that
+    * throws is not cached (Scala lazy-val retry semantics), matching the
+    * old behavior.
     */
+  private final class Memo(f: () => Any) { lazy val value: Any = f() }
   private final class PathEntry(val sig: String) {
-    val kinds = scala.collection.concurrent.TrieMap.empty[String, Any]
+    val kinds = scala.collection.concurrent.TrieMap.empty[String, Memo]
     @volatile var lastUsed: Long = 0L
   }
 
@@ -114,26 +122,33 @@ object IndexMetaCache {
   /** `f`'s result for (`path`, `kind`), recomputed only when the index's
     * FS signature changed since the cached value was stored — and when it
     * has, EVERY kind cached for `path` under the old signature is dropped
-    * in the same step. Thread-safe; concurrent misses may compute twice
-    * (last write wins — `f` must be pure, which index-metadata reads are).
+    * in the same step. Thread-safe; concurrent misses on the same (path,
+    * kind) share ONE in-flight computation (`f` must be pure, which
+    * index-metadata reads are).
     */
   def getOrCompute[T](spark: SparkSession, path: String, kind: String)(f: => T): T = {
     val sig = signature(spark, path)
     val entry = cache.get(path) match {
       case Some(pe) if pe.sig == sig => pe
       case _ =>
-        val pe = new PathEntry(sig)
-        cache.put(path, pe) // replaces the stale group: old kinds all die here
-        pe
+        // putIfAbsent, not put: of N concurrent first-callers only one may
+        // install the group, or each would install its own and N-1 memos
+        // would be computed then discarded
+        val fresh = new PathEntry(sig)
+        cache.putIfAbsent(path, fresh) match {
+          case Some(existing) if existing.sig == sig => existing
+          case Some(stale) =>
+            // stale group under the old signature: replace it (old kinds
+            // all die here); a concurrent replace is last-writer-wins and
+            // both writers hold the NEW signature
+            cache.put(path, fresh)
+            fresh
+          case None => fresh
+        }
     }
     entry.lastUsed = ticks.incrementAndGet()
-    val v = entry.kinds.get(kind) match {
-      case Some(cached) => cached
-      case None =>
-        val computed = f
-        entry.kinds.put(kind, computed)
-        computed
-    }
+    val memo = entry.kinds.getOrElseUpdate(kind, new Memo(() => f))
+    val v = memo.value
     if (cache.size > MaxPaths) evictLru()
     v.asInstanceOf[T]
   }
