@@ -31,17 +31,28 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, s), via the native
+  /** Distinct word-3-gram shingles per doc: (doc_id, n, s), via the native
     * one-walk `graft_word_shingles` expression — the shingle stage is the
     * hot scan stage of every dedup pipeline, and the built-in-function
     * formulation runs interpreted (HOFs are CodegenFallback). Docs with
     * fewer than 3 tokens produce an empty array, which the explode drops —
     * same rows as the previous size(w) >= 3 filter. Exact string-level
     * equivalence with `wordShingles` is pinned by VectorExprSpec.
+    *
+    * `n` is the doc's DISTINCT shingle-set size, computed scan-locally as
+    * `size` of the (already-distinct) shingle array (r17): every Jaccard
+    * verification needs per-doc set sizes, and deriving them here replaces
+    * a doc-keyed count aggregate plus its join-back onto the pair table —
+    * two exchanges per verification — with 8 bytes riding each shingle
+    * row. Exactly equal to the old `count(*) group by doc_id` over the
+    * exploded rows because the array is distinct by construction.
     */
   private def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.expressions.ShingleExpression.wordShinglesNative(col(textCol), 3)).as("s"))
+        graft.functions.expressions.ShingleExpression
+          .wordShinglesNative(col(textCol), 3).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).cast("long").as("n"),
+        explode(col("__sh")).as("s"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (word 3-grams).
     * Output: (id_a, id_b, jaccard DOUBLE) for jaccard >= threshold.
@@ -99,7 +110,10 @@ object Dedup {
       sh: DataFrame,
       threshold: Double,
       candidates: Option[DataFrame]): DataFrame = {
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc set sizes ride the shingle rows (scan-local `n`, see
+    // [[shingles]]) — no doc-keyed size aggregate and no join-back of it
+    // (r17: two exchanges removed per verification; values bit-identical
+    // because the shingle array is distinct per doc)
     // with a candidate set, prune the shingle table to involved docs BEFORE
     // the self-join — verification then touches only the candidates' rows
     // instead of re-materializing the full pairwise expansion
@@ -109,19 +123,19 @@ object Dedup {
           sh.join(c.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
       case None => (sh, sh)
     }
-    val a = aSh.select(col("doc_id").as("id_a"), col("s"))
-    val b = bSh.select(col("doc_id").as("id_b"), col("s"))
+    val a = aSh.select(col("doc_id").as("id_a"), col("s"), col("n").as("na"))
+    val b = bSh.select(col("doc_id").as("id_b"), col("s"), col("n").as("nb"))
     val sharedAll = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
     val sharedPairs = candidates match {
       case Some(c) => sharedAll.join(c, Seq("id_a", "id_b"), "left_semi")
       case None => sharedAll
     }
-    val shared = sharedPairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    // na/nb are constant within a (id_a, id_b) group — max() is exact
+    val shared = sharedPairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
     shared
-      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }
@@ -173,7 +187,6 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = shingles(docs, idCol, textCol)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)
     val prefix = sh
@@ -184,7 +197,8 @@ object Dedup {
       // strategy is pinned to a shuffle hash join instead of left to stats
       .join(freq.hint("SHUFFLE_HASH"), Seq("s"))
       .withColumn("r", row_number().over(w))
-      .join(sz, Seq("doc_id"))
+      // per-doc sizes already ride the shingle rows (`n`, see shingles) —
+      // the former doc-keyed size aggregate + join-back is gone (r17)
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
       .select(col("doc_id"), col("s"), col("n"))
     val candidates = prefix.as("x").join(prefix.as("y"), Seq("s"))
@@ -510,16 +524,17 @@ object Dedup {
     val batchSh = shingles(
       batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
         col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
-    val szA = corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-      .select(col("doc_id").as("dup_of"), col("na"))
-    val szB = batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-    val shared = corpusSh.select(col("doc_id").as("dup_of"), col("s"))
-      .join(batchSh.select(col("doc_id"), col("s")), Seq("s"))
+    // per-doc set sizes ride the shingle rows (scan-local `n`, see
+    // [[shingles]]) — the two doc-keyed size aggregates and their
+    // join-backs are gone (r17); na/nb constant per group, max() exact
+    val shared = corpusSh.select(col("doc_id").as("dup_of"), col("s"), col("n").as("na"))
+      .join(batchSh.select(col("doc_id"), col("s"), col("n").as("nb")), Seq("s"))
       .join(candidates, Seq("dup_of", "doc_id"), "left_semi")
-      .groupBy(col("doc_id"), col("dup_of")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("dup_of"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
-    shared.join(szA, Seq("dup_of")).join(szB, Seq("doc_id"))
+    shared
       .select(col("doc_id"), col("dup_of"), jac.as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }
@@ -588,16 +603,17 @@ object Dedup {
     val docSh = shingles(
       batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
         col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
-    val szA = refSh.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-      .select(col("doc_id").as("ref_id"), col("na"))
-    val szB = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-    val shared = refSh.select(col("doc_id").as("ref_id"), col("s"))
-      .join(docSh.select(col("doc_id"), col("s")), Seq("s"))
+    // per-doc set sizes ride the shingle rows (scan-local `n`, see
+    // [[shingles]]) — the two doc-keyed size aggregates and their
+    // join-backs are gone (r17); na/nb constant per group, max() exact
+    val shared = refSh.select(col("doc_id").as("ref_id"), col("s"), col("n").as("na"))
+      .join(docSh.select(col("doc_id"), col("s"), col("n").as("nb")), Seq("s"))
       .join(candidates, Seq("ref_id", "doc_id"), "left_semi")
-      .groupBy(col("doc_id"), col("ref_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("ref_id"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
-    shared.join(szA, Seq("ref_id")).join(szB, Seq("doc_id"))
+    shared
       .select(col("ref_id"), col("doc_id"), jac.as("jaccard"))
       .filter(col("jaccard") >= lit(threshold))
   }

@@ -236,9 +236,30 @@ object TextAnalysis {
       window: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    winnowedFingerprintPairsSized(docs, k, window, idCol, textCol)
+      .select(col("doc_id"), col("fp"))
+
+  /** [[winnowedFingerprintPairs]] plus the doc's fingerprint-set size as a
+    * scan-local column: (doc_id, n, fp), n = `size` of the
+    * already-distinct fingerprint array (r17). Every containment
+    * computation needs per-doc set sizes, and deriving them at the explode
+    * replaces a doc-keyed count aggregate plus two corpus-sized join-backs
+    * of it with 8 bytes riding each fingerprint row — exactly equal to
+    * `count(*) group by doc_id` over the exploded rows because the array
+    * is distinct by construction.
+    */
+  private def winnowedFingerprintPairsSized(
+      docs: DataFrame,
+      k: Int,
+      window: Int,
+      idCol: String,
+      textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        explode(graft.functions.expressions.WinnowExpression.winnowNative(col(textCol), k, window)).as("fp"))
+        graft.functions.expressions.WinnowExpression
+          .winnowNative(col(textCol), k, window).as("__fps"))
+      .select(col("doc_id"), size(col("__fps")).cast("long").as("n"),
+        explode(col("__fps")).as("fp"))
 
   /** The relational formulation of `winnowedFingerprintPairs` — same rows,
     * built from built-in functions only (explode + two windows). Quadratic
@@ -313,7 +334,7 @@ object TextAnalysis {
       textCol: String = "text",
       prefixSlack: Int = 8,
       broadcastVerifyMaxBytes: Long = 64L * 1024 * 1024): DataFrame = {
-    val (cand, fps, sz) =
+    val (cand, fps) =
       winnowCandidates(docs, minContainment, k, window, idCol, textCol, prefixSlack)
     winnowVerify(cand, fps, minContainment, broadcastVerifyMaxBytes)
   }
@@ -331,16 +352,19 @@ object TextAnalysis {
       window: Int,
       idCol: String,
       textCol: String,
-      prefixSlack: Int): (DataFrame, DataFrame, DataFrame) = {
+      prefixSlack: Int): (DataFrame, DataFrame) = {
     require(prefixSlack >= 1, s"prefixSlack must be >= 1, got $prefixSlack")
-    // the fingerprint table feeds the frequency/size aggregates AND the
-    // join sides — materialize it once (localCheckpoint, ContextCleaner-
-    // freed; same rationale as the shingle/candidate tables in Dedup) so
-    // the native winnow scan over the full corpus runs once
-    val fps = winnowedFingerprintPairs(docs, k, window, idCol, textCol)
+    // the fingerprint table feeds the frequency aggregate AND the join
+    // sides — materialize it once (localCheckpoint, ContextCleaner-freed;
+    // same rationale as the shingle/candidate tables in Dedup) so the
+    // native winnow scan over the full corpus runs once. Per-doc set
+    // sizes ride the rows (`n`, scan-local — see the Sized variant): the
+    // former doc-keyed size aggregate and its TWO corpus-sized join-backs
+    // (onto the prefix rows and onto the full side of the candidate join)
+    // are gone (r17)
+    val fps = winnowedFingerprintPairsSized(docs, k, window, idCol, textCol)
       .localCheckpoint(false)
     val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val sz = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("fp").asc)
     // rarest-first prefix per doc (deterministic (df, fp) global order);
@@ -349,7 +373,6 @@ object TextAnalysis {
     val pref = fps
       .join(dfreq.hint("SHUFFLE_HASH"), Seq("fp"))
       .withColumn("rk", row_number().over(w))
-      .join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .filter(col("rk") <=
         least(col("n"),
           col("n") - ceil(lit(minContainment) * col("n")) + lit(prefixSlack)))
@@ -366,7 +389,7 @@ object TextAnalysis {
     // did exactly that — it picked the 20M-row fingerprint side of the fp
     // join as the broadcast build and died in BroadcastExchange instead of
     // running the sort-merge this join actually is.
-    val full = fps.join(sz.hint("SHUFFLE_HASH"), Seq("doc_id"))
+    val full = fps
     val cand = pref.hint("SHUFFLE_MERGE").as("p")
       .join(full.hint("SHUFFLE_MERGE").as("f"), Seq("fp"))
       .filter(col("p.n") < col("f.n") ||
@@ -378,7 +401,7 @@ object TextAnalysis {
         least(lit(prefixSlack.toLong), ceil(lit(minContainment) * col("ns"))))
       .select(col("id_s"), col("id_l"))
       .localCheckpoint(false)
-    (cand, fps, sz)
+    (cand, fps)
   }
 
   /** Exact-verification tail of [[winnowNearDupPairs]]. */
