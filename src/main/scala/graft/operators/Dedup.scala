@@ -117,10 +117,13 @@ object Dedup {
     // with a candidate set, prune the shingle table to involved docs BEFORE
     // the self-join — verification then touches only the candidates' rows
     // instead of re-materializing the full pairwise expansion
+    // no distinct on the id projections: left_semi ignores right-side
+    // multiplicity, and the pair table is already pair-distinct — the
+    // dedup aggregate was one exchange + stage per prune for nothing (r17)
     val (aSh, bSh) = candidates match {
       case Some(c) =>
-        (sh.join(c.select(col("id_a").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"),
-          sh.join(c.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+        (sh.join(c.select(col("id_a").as("doc_id")), Seq("doc_id"), "left_semi"),
+          sh.join(c.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_semi"))
       case None => (sh, sh)
     }
     val a = aSh.select(col("doc_id").as("id_a"), col("s"), col("n").as("na"))
@@ -244,9 +247,9 @@ object Dedup {
     val candidates = minhashCandidatesFromBuckets(
         minhashBuckets(minhashSigs(docs, params, idCol, textCol), params), hotBucketCap)
       .localCheckpoint(false)
+    // no distinct: left_semi ignores right-side multiplicity (r17)
     val candIds = candidates.select(col("id_a").as("__cand_id"))
       .union(candidates.select(col("id_b").as("__cand_id")))
-      .distinct()
     val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
     jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
   }
@@ -386,9 +389,9 @@ object Dedup {
     val (cand, dropped) = cappedCandidatesWithDropped(
       minhashBuckets(minhashSigs(docs, params, idCol, textCol), params), hotBucketCap)
     val candidates = cand.localCheckpoint(false)
+    // no distinct: left_semi ignores right-side multiplicity (r17)
     val candIds = candidates.select(col("id_a").as("__cand_id"))
       .union(candidates.select(col("id_b").as("__cand_id")))
-      .distinct()
     val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
     jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
       .crossJoin(broadcast(dropped))
@@ -408,9 +411,9 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val candidates = minhashCandidatesFromBuckets(docBuckets)
       .localCheckpoint(false)
+    // no distinct: left_semi ignores right-side multiplicity (r17)
     val candIds = candidates.select(col("id_a").as("__cand_id"))
       .union(candidates.select(col("id_b").as("__cand_id")))
-      .distinct()
     val candDocs = docs.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
     jaccardOfSharedShingles(shingles(candDocs, idCol, textCol), threshold, Some(candidates))
   }
@@ -518,11 +521,13 @@ object Dedup {
       .select(col("x.doc_id").as("dup_of"), col("y.doc_id").as("doc_id"))
       .distinct()
       .localCheckpoint(false)
+    // no distinct on the id projections: left_semi ignores right-side
+    // multiplicity, and `candidates` is already pair-distinct (r17)
     val corpusSh = shingles(
-      corpus.join(candidates.select(col("dup_of").as("__cand_id")).distinct(),
+      corpus.join(candidates.select(col("dup_of").as("__cand_id")),
         col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
     val batchSh = shingles(
-      batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
+      batch.join(candidates.select(col("doc_id").as("__cand_id")),
         col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
     // per-doc set sizes ride the shingle rows (scan-local `n`, see
     // [[shingles]]) — the two doc-keyed size aggregates and their
@@ -596,12 +601,17 @@ object Dedup {
     // verify at jaccard 1.0 — it is HOW a replay rejects its own re-offer.
     // candidate ref-ids are batch-driven (bounded) while refSrc carries the
     // whole store — broadcast the id set so the store side is scan-only
+    // no distinct on the id projections: left_semi ignores right-side
+    // multiplicity, and `candidates` is already pair-distinct — the
+    // per-prune dedup aggregate was one exchange + stage per epoch (r17);
+    // the ref-id broadcast builds its hash set from the (slightly
+    // duplicated) pair rows directly
     val refSh = shingles(
-      refSrc.join(broadcast(candidates.select(col("ref_id").as("__cand_id")).distinct()),
+      refSrc.join(broadcast(candidates.select(col("ref_id").as("__cand_id"))),
         col(idCol) === col("__cand_id"), "left_semi")
         .dropDuplicates(Seq(idCol)), idCol, textCol)
     val docSh = shingles(
-      batch.join(candidates.select(col("doc_id").as("__cand_id")).distinct(),
+      batch.join(candidates.select(col("doc_id").as("__cand_id")),
         col(idCol) === col("__cand_id"), "left_semi"), idCol, textCol)
     // per-doc set sizes ride the shingle rows (scan-local `n`, see
     // [[shingles]]) — the two doc-keyed size aggregates and their

@@ -421,8 +421,10 @@ object TextAnalysis {
     // with a 500-word vocabulary ~ a >150 MB long-array relation that blew
     // an 8 GiB heap). Above the threshold the same aggregate flows through
     // a shuffle-hash join — identical output, bounded per-partition memory.
+    // no distinct: the left_semi prune below ignores right-side
+    // multiplicity, and `cand` is already pair-distinct (r17)
     val docsInCand = cand.select(col("id_s").as("doc_id"))
-      .unionByName(cand.select(col("id_l").as("doc_id"))).distinct()
+      .unionByName(cand.select(col("id_l").as("doc_id")))
     // the candidate sets are consumed by the sizing decision AND both
     // probe joins — materialize them once (the sizing sum then reads the
     // pinned 1-row-per-suspect frame instead of running its own
