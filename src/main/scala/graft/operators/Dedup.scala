@@ -910,14 +910,18 @@ object Dedup {
       textCol: String,
       hashFn: Column => Column): DataFrame = {
     val grams = spanGrams(docs, k, idCol, textCol, hashFn)
-    val trueDup = confirmedSpanGroups(grams).select(col("h"), col("g"))
-    val dupCounts = grams.join(trueDup, Seq("h", "g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_n"))
-    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
-      .join(dupCounts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_pos"),
-        coalesce(col("dup_n"), lit(0L)).as("n_dup_pos"),
-        (coalesce(col("dup_n"), lit(0L)).cast("double")
+    // ONE pass over the gram stream (r17): flag confirmed-duplicate
+    // occurrences with a left join ((h, g) is unique in the confirmed
+    // groups, so row count is preserved) and take both counts in a single
+    // per-doc aggregate — the old two doc-keyed aggregates + their outer
+    // join re-scanned the unpinned gram explode once per branch
+    val trueDup = confirmedSpanGroups(grams)
+      .select(col("h"), col("g"), lit(1L).as("is_dup"))
+    grams.join(trueDup, Seq("h", "g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("is_dup")).as("n_dup_pos"))
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+        (col("n_dup_pos").cast("double")
           / col("n_pos").cast("double")).as("dup_frac"))
   }
 
