@@ -45,7 +45,11 @@ object Dedup {
     * a doc-keyed count aggregate plus its join-back onto the pair table —
     * two exchanges per verification — with 8 bytes riding each shingle
     * row. Exactly equal to the old `count(*) group by doc_id` over the
-    * exploded rows because the array is distinct by construction.
+    * exploded rows because the array is distinct by construction —
+    * PROVIDED doc ids are unique in `docs` (every caller's contract; the
+    * stream admission path dropDuplicates its ids before reaching here).
+    * With duplicate ids the old aggregate summed shingle rows across
+    * copies while `n` stays per-copy; both are degenerate on such input.
     */
   private def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -341,7 +341,8 @@ object TextAnalysis {
 
   /** The candidate gate of [[winnowNearDupPairs]], exposed so scale
     * harnesses (PipelineStress) can measure candidate-set growth directly:
-    * returns (candidates (id_s, id_l), fingerprint table, per-doc sizes).
+    * returns (candidates (id_s, id_l), fingerprint table); per-doc
+    * fingerprint-set sizes ride the fingerprint rows as column `n`.
     * At a fixed duplication rate the candidate count should grow ~linearly
     * with corpus size — superlinear growth is the gate degenerating.
     */
