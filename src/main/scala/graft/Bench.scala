@@ -262,6 +262,12 @@ object Bench {
       val batch = corpus.filter(pmod(col("doc_id"), lit(epochs.toLong)) === lit(e.toLong))
       val (adm, admBuckets, fin) = graft.streaming.CurationStream.curateBatchWithBuckets(
         store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+      // the curated record is a PROJECTION over the epoch's admission
+      // checkpoint (r18: cum_tokens rides that one pin) — copy the
+      // budget-bounded sliver into its own pin before the store re-pin
+      // releases the epoch's blocks below; one single-stage job over
+      // pinned blocks, replacing the old full window-checkpoint action
+      val finQ = fin.localCheckpoint(true)
       Renko.logPhase("curate stages", (System.nanoTime() - tEp0) / 1e9)
       // the store is re-pinned to ONE frame per side each epoch — the fold
       // analog of the production stream's single parquet store scan per
@@ -287,10 +293,14 @@ object Bench {
       store = Some(next)
       Renko.logPhase("curate storePin", (System.nanoTime() - tSt0) / 1e9)
       val tC0 = System.nanoTime()
-      consumed = consumed ++ fin.groupBy("lang").agg(max("cum_tokens").as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // budget state off the pinned sliver in ONE single-stage collect —
+      // the rows are budget-bounded by construction (cum_tokens < budget +
+      // n_tokens per stratum), so the driver-side max replaces a
+      // groupBy+collect exchange round per epoch (r18)
+      consumed = consumed ++ finQ.select(col("lang"), col("cum_tokens")).collect()
+        .groupBy(_.getString(0)).map { case (l, rs) => l -> rs.map(_.getLong(1)).max }
       Renko.logPhase("curate consumed", (System.nanoTime() - tC0) / 1e9)
-      fin.withColumn("epoch", lit(e))
+      finQ.withColumn("epoch", lit(e))
     }
     perEpoch.reduce(_.unionByName(_)).orderBy(col("doc_id"))
   }
@@ -760,11 +770,13 @@ object Bench {
   }
 
   /** Names the length-budgeted stdout line must carry FIRST (the driver's
-    * BENCH_rN round-over-round diff only sees what fits): the baseline
-    * renko_14m workloads, then one entry per operator family added since
-    * round 8 — previously these fell past the budget and regressions in
-    * them were invisible to the driver artifact. Everything else follows
-    * in run order; the full map is always in BENCH_SELF.json.
+    * BENCH_rN round-over-round diff only sees what fits). Since r18 only
+    * the first six entries (the baseline renko_14m workloads — the
+    * vs-BASELINE anchor) are pinned; everything else rides the line in
+    * DESCENDING-COST order so the expensive entries always make the cut
+    * (r17 verdict #6). The rest of this list is kept for the historical
+    * record of what the pre-r18 priority order was; the full map is
+    * always in BENCH_SELF.json.
     */
   private val linePriority: Seq[String] = Seq(
     "renko_14m_1series", "renko_14m_32series", "renko_14m_pushdown_1of32",
@@ -932,11 +944,11 @@ object Bench {
         f"${t.sec}%.3f" + (if (!t.ok) "!INVALID"
         else if (!t.calibOk) "!CONTENDED" else "")).mkString(" / ")
       System.err.println(
-        f"[bench] $name%-22s ${headline(times)}%8.3f s  (reps: $repStr; ${best.rows} rows)")
+        f"[bench] $name%-22s ${headlineOf(name, times)}%8.3f s  (reps: $repStr; ${best.rows} rows)")
       name -> times
     }
     val qs = results
-      .map { case (k, ts) => "\"" + k + "\":" + headline(ts) }
+      .map { case (k, ts) => "\"" + k + "\":" + headlineOf(k, ts) }
       .mkString("{", ",", "}")
     // stdout-line form of the metric map: the driver parses the LAST ~2000
     // chars of captured stdout, and sbt's own "[success] Total time ..."
@@ -947,14 +959,22 @@ object Bench {
     // always make the cut) at 3-dp precision until the budget is reached;
     // every query at full precision is in BENCH_SELF.json regardless.
     val lineBudget = 1600
-    // priority entries first (baseline workloads + the post-r8 families),
-    // the rest in run order — so what the budget drops is the long tail of
-    // stable early-round queries, not the newest operators
-    val lineRank = linePriority.zipWithIndex.toMap
+    // the six baseline renko_14m workloads first (the driver's
+    // vs-BASELINE anchor must always make the cut), then EVERYTHING ELSE
+    // BY DESCENDING COST (r18, r17 verdict #6): the driver's per-query
+    // round-over-round diff only sees what fits the line budget, and
+    // run-order/priority-order truncation dropped 10 of the 12 most
+    // expensive queries — exactly the ones optimization rounds touch —
+    // so its geomean measured the noise floor of sub-second entries.
+    // Additions-only: same keys, same values, same budget; only the
+    // ordering (hence which entries survive truncation) changes.
+    val baselineFirst = linePriority.take(6)
+    val lineRank = baselineFirst.zipWithIndex.toMap
     val qsParts = results
-      .sortBy { case (k, _) => lineRank.getOrElse(k, linePriority.size) }
+      .sortBy { case (k, ts) =>
+        (lineRank.getOrElse(k, baselineFirst.size), -headlineOf(k, ts)) }
       .map { case (k, ts) =>
-        "\"" + k + "\":" + f"${headline(ts)}%.3f"
+        "\"" + k + "\":" + f"${headlineOf(k, ts)}%.3f"
       }
     // self-diagnosis block (r5 lesson: a contention-polluted artifact was
     // indistinguishable from a regression without a manual judge re-run):
@@ -1014,7 +1034,7 @@ object Bench {
       } catch { case _: Throwable => -1 }
       s"""{"cpus":${Runtime.getRuntime.availableProcessors()},"java_procs":$javas}"""
     }
-    val total = results.map(r => headline(r._2)).filter(_ >= 0).sum
+    val total = results.map(r => headlineOf(r._1, r._2)).filter(_ >= 0).sum
     // numeric sf (parsed from ".../sf0.1") so the JSON field is a number
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -1087,13 +1107,23 @@ object Bench {
     * the `contended` list — self-reported pollution, r16 verdict #1); -1
     * when every rep failed (a parse-visible failure, not a fast-looking
     * masked one — r15 verdict #3).
+    *
+    * serving_mixed_churn reports the MEDIAN of its clean reps instead
+    * (r18, measurement fix per r17 verdict #2/#4): the entry times a
+    * 33-thread concurrent mutate+probe workload whose wall time is
+    * scheduling-dominated and high-variance by nature — its min-of-reps
+    * drifted 1.7x between same-plan sweeps, so the round-over-round diff
+    * read pure scheduler luck. The per-rep times still ride the printed
+    * line and BENCH_SELF diag, so the old min remains auditable.
     */
-  private def headline(ts: Seq[Rep]): Double = {
+  private def headlineOf(name: String, ts: Seq[Rep]): Double = {
+    def pick(xs: Seq[Double]): Double =
+      if (name == "serving_mixed_churn") medianOf(xs.sorted) else xs.min
     val clean = ts.filter(_.clean)
-    if (clean.nonEmpty) clean.map(_.sec).min
+    if (clean.nonEmpty) pick(clean.map(_.sec))
     else {
       val valid = ts.filter(_.ok)
-      if (valid.nonEmpty) valid.map(_.sec).min else -1.0
+      if (valid.nonEmpty) pick(valid.map(_.sec)) else -1.0
     }
   }
 

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object BenchSf1 {
 
-  private def prepare(spark: SparkSession, base: String, out: String): Unit = {
+  private[graft] def prepare(spark: SparkSession, base: String, out: String): Unit = {
     // _PREPARED_V2: r14 added the events table (layout family) — a v1
     // prepare dir must be refreshed
     val p = new org.apache.hadoop.fs.Path(s"$out/_PREPARED_V2")

@@ -50,8 +50,10 @@ object SparkEntry {
 
   /** One epoch of the curate-stream folds, PINNED: the epoch's bucket
     * table is localCheckpointed before joining the growing store — it is
-    * the one LAZY output of `curateBatchWithBuckets` (adm and fin come
-    * back already pinned by `curateBatchStages`), anchored on the epoch's
+    * the one LAZY output of `curateBatchWithBuckets` that joins the store
+    * (adm rides the epoch's admission pin; fin is a projection over the
+    * same pin — nothing here releases, so the view stays valid through
+    * the final union), anchored on the epoch's
     * LSH decision, so an unpinned store side re-executed every prior
     * epoch's signature work once per later epoch (r13 microbatch-floor
     * fix). Returns (new store, fin unchanged).
@@ -2001,13 +2003,18 @@ object SparkEntry {
       val bg = Decontamination.benchGramsOf(bench).localCheckpoint(true)
       var store: Option[(DataFrame, DataFrame)] = None
       var consumed = Map.empty[String, Long]
+      // the gate thresholds appear twice below (the stage call and the
+      // single-pass level expression) — bind them once
+      val minTokens = 30L
+      val minQuality = 0.5
       val perEpoch = (0 until 3).map { e =>
         val batch = corpus.filter(pmod(col("doc_id"), lit(3L)) === lit(e.toLong))
         val st = graft.streaming.CurationStream.curateBatchStages(
-          store, consumed, batch, bench, budget = 2000L, benchGrams = Some(bg))
+          store, consumed, batch, bench, budget = 2000L,
+          minTokens = minTokens, minQuality = minQuality, benchGrams = Some(bg))
         // pin the epoch's bucket side before it joins the growing store
-        // (st.admitted/st.curated are already pinned by curateBatchStages;
-        // the bucket table is the one lazy multi-epoch dependency) — same
+        // (st.admitted/st.curated ride the epoch's admission pin; the
+        // bucket table is the one lazy multi-epoch dependency) — same
         // r13 floor fix as the other folds
         val abQ = st.admittedBuckets.localCheckpoint(true)
         store = Some(store match {
@@ -2019,9 +2026,29 @@ object SparkEntry {
         })
         consumed = consumed ++ st.curated.groupBy("lang").agg(max("cum_tokens").as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        Seq(
-          "00_input" -> st.annotated,
-          "10_quality_floor" -> st.survivors,
+        // fused input/floor stage stats (r18): 00_input and 10_quality_floor
+        // aggregate the SAME annotated frame (the floor is a scan-local
+        // predicate over its own columns), so one conditional-aggregate
+        // pass replaces the two branches that each re-ran the annotate
+        // subtree inside the final action (guide §2.3/§2.4). The three
+        // deeper stages aggregate PINNED epoch frames — cheap block scans,
+        // kept as-is (joining annotated against its own checkpointed
+        // descendants trips Catalyst's conflicting-attribute check, so a
+        // full 5-stage level fusion is not expressible here).
+        val fl = col("n_tokens") >= minTokens && col("quality_score") >= minQuality
+        val inputAndFloor = st.annotated.agg(
+            count(lit(1)).as("__c0"),
+            coalesce(sum(col("n_tokens")), lit(0L)).as("__t0"),
+            count(when(fl, lit(1))).as("__c1"),
+            coalesce(sum(when(fl, col("n_tokens"))), lit(0L)).as("__t1"))
+          .select(explode(array(
+            struct(lit("00_input").as("stage"),
+              col("__c0").as("n_docs"), col("__t0").as("n_tokens")),
+            struct(lit("10_quality_floor").as("stage"),
+              col("__c1").as("n_docs"), col("__t1").as("n_tokens")))).as("__r"))
+          .select(lit(e).as("epoch"), col("__r.stage"),
+            col("__r.n_docs"), col("__r.n_tokens"))
+        val pinnedStages = Seq(
           "20_decontaminated" -> st.clean,
           "30_dedup_admitted" -> st.admitted,
           "40_budget_admitted" -> st.curated)
@@ -2031,6 +2058,7 @@ object SparkEntry {
               .select(lit(e).as("epoch"), lit(name).as("stage"),
                 col("n_docs"), col("n_tokens"))
           }.reduce(_ unionAll _)
+        inputAndFloor.unionByName(pinnedStages)
       }
       perEpoch.reduce(_.unionByName(_)).orderBy(col("epoch"), col("stage"))
     }),

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * Both are built as relational chains on the user key: every join and
   * aggregate shuffles on `user_id` only (the natural key that also
-  * bounds state), never on time, and no per-user event list is ever
-  * collected — at 100 TB a user's history stays distributed and each
-  * funnel step is one filtered pass with the type predicate pushed to
-  * the scan.
+  * bounds state), never on time, and no per-user ALL-HISTORY event list
+  * is ever collected — at 100 TB a user's history stays distributed and
+  * each batch funnel step is one filtered pass with the type predicate
+  * pushed to the scan. (The streaming [[funnelDelta]] groups one
+  * MICRO-BATCH of one user's step-typed events into a sorted array —
+  * batch-bounded by the stream's trigger, never all-history.)
   */
 object EventAnalytics {
 
@@ -91,6 +93,24 @@ object EventAnalytics {
     * (u, level, tp) row per user whose level changed, at their furthest
     * in-batch step — the store delta of [[funnelIncremental]], exposed so
     * a persisted stream writes only touched users per epoch.
+    *
+    * Physical shape (r18): ONE pass — the batch's step-typed events are
+    * grouped per user into a time-sorted array and each user's frontier
+    * is advanced by a single left-to-right walk seeded at the carried
+    * (level, tp). The walk IS min-time chaining: at level L it takes the
+    * FIRST event of type steps(L) strictly after tp (= the minimum such
+    * time, since the walk is time-ascending and chain times only grow),
+    * and an event can never satisfy two steps (advancing sets tp to its
+    * own time, and the next advance needs t strictly greater). Same-time
+    * ties across types cannot advance twice either (strict >), so the
+    * within-tie sort order (t, et) is immaterial. The previous k-pass
+    * join chain re-scanned the batch once per step and re-shuffled per
+    * step (~3k exchanges per micro-batch — the events_funnel_stream
+    * per-epoch floor); this is one user-key aggregate plus one state
+    * join. The per-group array holds one MICRO-BATCH of one user's
+    * step-typed events (batch-bounded by contract), never all-history —
+    * the batch [[funnel]] keeps the join chain for unbounded inputs.
+    * EventAnalyticsSpec pins fold == batch equivalence.
     */
   def funnelDelta(
       state: DataFrame,
@@ -103,29 +123,36 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val ev = batch.select(col(userCol).cast("long").as("u"),
       col(typeCol).as("et"), tsCol.cast("long").as("t"))
-    // step 1 seed: users with no carried state at all (level-0 frontier)
-    var reached = ev.filter(col("et") === steps.head)
-      .join(state.select(col("u")), Seq("u"), "left_anti")
-      .groupBy(col("u")).agg(min(col("t")).as("tp"))
-      .select(col("u"), lit(1L).as("level"), col("tp"))
-    var advanced = reached
-    for (k <- 2 to steps.length) {
-      // step-k seed: carried users waiting at exactly k-1, plus users the
-      // batch just advanced to k-1
-      val seed = state.filter(col("level") === lit((k - 1).toLong))
-        .select(col("u"), col("tp"))
-        .unionByName(reached.filter(col("level") === lit((k - 1).toLong))
-          .select(col("u"), col("tp")))
-      reached = ev.filter(col("et") === steps(k - 1))
-        .join(seed, Seq("u"))
-        .filter(col("t") > col("tp"))
-        .groupBy(col("u")).agg(min(col("t")).as("tp"))
-        .select(col("u"), lit(k.toLong).as("level"), col("tp"))
-      advanced = advanced.unionByName(reached)
-    }
-    advanced.groupBy(col("u"))
-      .agg(max(struct(col("level"), col("tp"))).as("b"))
-      .select(col("u"), col("b.level").as("level"), col("b.tp").as("tp"))
+      .filter(col("et").isin(steps.map(x => x: Any): _*))
+    val byUser = ev.groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("t"), col("et")))).as("__evs"))
+    val stepsArr = array(steps.map(lit): _*)
+    val nSteps = lit(steps.length.toLong)
+    // left join: a touched user may be new (no carried row) — seed at
+    // (0, MIN_VALUE) so step 1 has no time constraint, exactly the old
+    // level-0 frontier. The join keys on u, the aggregate's own output
+    // partitioning, so only the state side exchanges.
+    val seeded = byUser.join(state, Seq("u"), "left")
+      .select(col("u"), col("__evs"),
+        coalesce(col("level"), lit(0L)).as("__lv0"),
+        coalesce(col("tp"), lit(Long.MinValue)).as("__tp0"))
+    val walked = seeded.withColumn("__b",
+      aggregate(col("__evs"),
+        struct(col("__lv0").as("level"), col("__tp0").as("tp")),
+        (acc, e) => {
+          val lv = acc.getField("level")
+          val tp = acc.getField("tp")
+          // least() keeps element_at in bounds at the top level (ANSI);
+          // the lv < nSteps conjunct forbids advancing past the last step
+          val advance = lv < nSteps &&
+            e.getField("et") === element_at(stepsArr, least(lv + 1L, nSteps).cast("int")) &&
+            e.getField("t") > tp
+          when(advance,
+            struct((lv + 1L).as("level"), e.getField("t").as("tp")))
+            .otherwise(struct(lv.as("level"), tp.as("tp")))
+        }))
+    walked.filter(col("__b.level") > col("__lv0"))
+      .select(col("u"), col("__b.level").as("level"), col("__b.tp").as("tp"))
   }
 
   /** The funnel table of a (u, level, tp) state frame: one row per step,

@@ -602,8 +602,17 @@ object IvfIndex {
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
   }
 
-  /** Committed tombstone epochs, minus any a compaction already applied. */
-  private def liveTombstoneEpochs(spark: SparkSession, path: String): Seq[String] = {
+  /** Committed tombstone epochs, minus any a compaction already applied.
+    * Cached keyed by the mutable root — same invalidate-per-mutation
+    * rationale as [[listRootsWithIds]] (probes read the [[probePlan]]
+    * bundle instead).
+    */
+  private def liveTombstoneEpochs(spark: SparkSession, path: String): Seq[String] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.liveTombstoneEpochs") {
+      liveTombstoneEpochsNow(spark, path)
+    }
+
+  private def liveTombstoneEpochsNow(spark: SparkSession, path: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
     rawTombstoneEpochs(spark, path)
@@ -612,8 +621,11 @@ object IvfIndex {
   }
 
   /** The union of live tombstoned ids, or None when nothing is deleted. */
-  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val epochs = liveTombstoneEpochs(spark, path)
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    readTombstonesOf(spark, path, liveTombstoneEpochs(spark, path))
+
+  private def readTombstonesOf(
+      spark: SparkSession, path: String, epochs: Seq[String]): Option[DataFrame] = {
     if (epochs.isEmpty) None
     else Some(spark.read.parquet(epochs.map(e => s"$path/tombstones/$e"): _*)
       .select(col("id")).distinct())
@@ -829,8 +841,24 @@ object IvfIndex {
 
   /** (id, path) of every live list tree: the base `lists` plus committed
     * epochs, minus anything a committed compaction replaced.
+    *
+    * Cached keyed by the MUTABLE index root (r18): the listing is a
+    * function of the tree set, so it must invalidate per mutation — which
+    * the root's FS signature does (every writer stamps) — but between
+    * mutations a multi-tree epoch store was paying full epoch listings,
+    * per-epoch commit-marker exists checks and compact-manifest reads on
+    * every probe-planning call (the r17 re-key moved this walk out of the
+    * cached block; epochs probes regressed ~20–40%). One signature walk
+    * per call remains, as it must — which is why the probe path reads the
+    * [[probePlan]] bundle instead of calling this repeatedly.
     */
-  private def listRootsWithIds(spark: SparkSession, path: String): Seq[(String, String)] = {
+  private def listRootsWithIds(spark: SparkSession, path: String): Seq[(String, String)] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.listRootsWithIds") {
+      listRootsWithIdsNow(spark, path)
+    }
+
+  private def listRootsWithIdsNow(
+      spark: SparkSession, path: String): Seq[(String, String)] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
     // base live iff its lists `_SUCCESS` exists — the marker every builder
@@ -843,6 +871,19 @@ object IvfIndex {
       .filterNot(dead)
       .map(e => e -> s"$path/epochs/$e/lists")
   }
+
+  /** Everything a probe's PLANNING needs — live list roots and the live
+    * tombstone epochs — as ONE root-keyed cache entry, so a probe pays
+    * exactly ONE FS-signature walk (r18: per-kind keys each re-derive the
+    * signature per call; multiple planning lookups per probe measured as
+    * the epochs-probe floor). Mutations invalidate through the root
+    * signature (every writer stamps).
+    */
+  private def probePlan(
+      spark: SparkSession, path: String): (Seq[(String, String)], Seq[String]) =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "ivf.probePlan") {
+      (listRootsWithIdsNow(spark, path), liveTombstoneEpochsNow(spark, path))
+    }
 
   /** Live tree ids (base + committed epochs) — the streaming ingester's
     * liveness/auto-compaction probe.
@@ -879,7 +920,10 @@ object IvfIndex {
   private def readLists(
       spark: SparkSession, path: String, probedCids: Seq[Long],
       predicate: Option[Column] = None): DataFrame = {
-    val roots = listRoots(spark, path)
+    // roots + tombstone epochs from the ONE root-keyed bundle (r18): the
+    // probe pays a single FS-signature walk for all its planning facts
+    val (rootsWithIds, tombEpochs) = probePlan(spark, path)
+    val roots = rootsWithIds.map(_._2)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = for {
       r <- roots
@@ -906,14 +950,23 @@ object IvfIndex {
         val sch = graft.util.IndexMetaCache.getOrCompute(spark, roots.head, "ivf.leafSchema") {
           ss.read.parquet(dirs.head).schema
         }
-        pre(ss.read.schema(sch).parquet(dirs: _*))
+        // the pruned-scan RELATION is cached per index state (r18):
+        // resolving `read.parquet(dirs)` lists every pruned cid directory
+        // on the driver, re-paid by every probe of an UNCHANGED index.
+        // Listing METADATA only, never rows; keyed by the pruned dir set,
+        // dropped wholesale on any mutation via the root FS signature
+        val rel = graft.util.IndexMetaCache.getOrCompute(
+          spark, path, "ivf.scan:" + graft.util.IndexMetaCache.digestOf(dirs)) {
+          ss.read.schema(sch).parquet(dirs: _*)
+        }
+        pre(rel)
           .withColumn("cid",
             regexp_extract(input_file_name(), "cid=(\\d+)", 1).cast("long"))
       }
     }
     // live deletes mask list rows at probe time (small id set, broadcast
     // anti-join over the already-pruned slice)
-    readTombstones(spark, path) match {
+    readTombstonesOf(spark, path, tombEpochs) match {
       case Some(ts) => all.join(broadcast(ts), Seq("id"), "left_anti")
       case None => all
     }

@@ -269,9 +269,16 @@ object TextIndex {
   }
 
   /** Committed, un-retired tombstone epochs (retired ones are named in a
-    * compact manifest and swept).
+    * compact manifest and swept). Cached keyed by the mutable root — same
+    * invalidate-per-mutation rationale as [[liveTrees]] (probes read the
+    * [[probePlan]] bundle instead).
     */
-  private def liveTombstones(spark: SparkSession, path: String): Seq[String] = {
+  private def liveTombstones(spark: SparkSession, path: String): Seq[String] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.liveTombstones") {
+      liveTombstonesNow(spark, path)
+    }
+
+  private def liveTombstonesNow(spark: SparkSession, path: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
     rawTombstones(spark, path)
@@ -280,8 +287,11 @@ object TextIndex {
   }
 
   /** One row per tombstoned doc (a doc deleted twice counts once). */
-  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val ts = liveTombstones(spark, path)
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    readTombstonesOf(spark, path, liveTombstones(spark, path))
+
+  private def readTombstonesOf(
+      spark: SparkSession, path: String, ts: Seq[String]): Option[DataFrame] = {
     if (ts.isEmpty) None
     else Some(
       spark.read.parquet(ts.map(e => s"$path/tombstones/$e"): _*)
@@ -305,12 +315,17 @@ object TextIndex {
       spark, path, "lex.sumMetas:" + java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(trees.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8)))) {
-      val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
-        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
-          max(col("n_buckets")).as("b"))
-        .collect().head
-      (r.getLong(0), r.getLong(1), r.getInt(2))
+      sumMetasNow(spark, path, trees)
     }
+
+  private def sumMetasNow(
+      spark: SparkSession, path: String, trees: Seq[String]): (Long, Long, Int) = {
+    val r = spark.read.parquet(trees.map(t => treeMeta(path, t)): _*)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"),
+        max(col("n_buckets")).as("b"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
 
   /** (deleted docs, deleted token mass) of the live tombstone set — the
     * sums coalesce to 0 so an empty tombstone epoch (a [[delete]] call with
@@ -490,8 +505,23 @@ object TextIndex {
     * meta carries `_SUCCESS` — the marker [[write]] lands last — so a
     * half-built base (crash mid-bootstrap) is invisible, mirroring
     * [[committedEpochs]].
+    *
+    * Cached keyed by the MUTABLE index root (r18): the listing is a
+    * function of the tree set, so it MUST invalidate per mutation — which
+    * the root's FS signature does (every writer stamps) — but between
+    * mutations a multi-tree epoch store was paying 2 full epoch listings,
+    * per-epoch `_SUCCESS` exists checks and compact-manifest reads on
+    * EVERY probe-planning call (the r17 re-key moved this walk out of the
+    * cached block; epochs probes regressed ~40%). One signature walk per
+    * call remains, as it must — which is why the probe path reads the
+    * [[probePlan]] bundle instead of calling this repeatedly.
     */
-  private[graft] def liveTrees(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def liveTrees(spark: SparkSession, path: String): Seq[String] =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.liveTrees") {
+      liveTreesNow(spark, path)
+    }
+
+  private def liveTreesNow(spark: SparkSession, path: String): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = mergedIds(spark, path)
     val base =
@@ -500,6 +530,21 @@ object TextIndex {
       else Seq.empty
     base ++ committedEpochs(spark, path).filterNot(dead)
   }
+
+  /** Everything bm25TopK's PLANNING needs — live trees, the all-tree meta
+    * sums, the live tombstone epochs — as ONE root-keyed cache entry, so a
+    * probe pays exactly ONE FS-signature walk (r18: the per-kind keys each
+    * re-derive the signature per call; three planning lookups per probe
+    * measured as the epochs-probe floor). Mutations invalidate through the
+    * root signature (every writer stamps).
+    */
+  private def probePlan(spark: SparkSession, path: String)
+      : (Seq[String], (Long, Long, Int), Seq[String]) =
+    graft.util.IndexMetaCache.getOrCompute(spark, path, "lex.probePlan") {
+      val trees = liveTreesNow(spark, path)
+      require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
+      (trees, sumMetasNow(spark, path, trees), liveTombstonesNow(spark, path))
+    }
 
   /** Bucket count of the build, read from any live tree's meta (every
     * tree carries it; the base pair may have been compacted away).
@@ -603,16 +648,16 @@ object TextIndex {
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     // live-tree metas (base + committed epochs, compaction-aware): n_docs
     // and sum_dl are additive, so ONE multi-root read sums them — probe
-    // planning cost stays flat in the number of live epochs
-    val trees = liveTrees(spark, path)
-    require(trees.nonEmpty, s"no live index trees at $path — build with write() first")
-    val (nDocsAll, sumDlAll, nBuckets) = sumMetas(spark, path, trees)
+    // planning cost stays flat in the number of live epochs. All three
+    // planning facts come from the ONE root-keyed bundle (r18), so the
+    // probe pays a single FS-signature walk
+    val (trees, (nDocsAll, sumDlAll, nBuckets), tombEpochs) = probePlan(spark, path)
     // live tombstones shrink the corpus stats exactly (tombstones carry
     // the dl captured at delete time, so no postings read is needed); the
     // subtraction rides the probe's own job (see `stats` below) instead of
     // a planning-time collect — planning pays exactly one Spark job (the
     // meta sum) whether or not deletes are live
-    val tombstones = readTombstones(spark, path)
+    val tombstones = readTombstonesOf(spark, path, tombEpochs)
     // bucket of each query term via the SAME Catalyst expression classes
     // the build partitioned with (`pmod(xxhash64(term), n_buckets)`),
     // evaluated on the driver — identical arithmetic by construction, and
@@ -664,12 +709,23 @@ object TextIndex {
               .filterNot(_.name == "bucket"))
         }
       }
+    // the pruned-scan RELATION is cached per index state (r18): resolving
+    // `read.parquet(dirs)` lists every pruned directory on the driver —
+    // ~0.15-0.2 s per probe on a 12-tree epoch store, re-paid by every
+    // probe of an UNCHANGED index. The cache stores file-listing METADATA
+    // (a resolved relation), never rows; the key digests the pruned dir
+    // set (different term mixes probe different buckets) and the whole
+    // per-path group drops on any mutation via the root FS signature
     val masked =
       if (prunedDirs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else graft.util.ProbePlanning.withDriverListing(spark) { ss =>
-        ss.read.schema(sch).parquet(prunedDirs: _*)
+      else graft.util.IndexMetaCache.getOrCompute(
+        spark, path,
+        "lex.scan:" + graft.util.IndexMetaCache.digestOf(prunedDirs ++ sch.fieldNames)) {
+        graft.util.ProbePlanning.withDriverListing(spark) { ss =>
+          ss.read.schema(sch).parquet(prunedDirs: _*)
+        }
       }.filter(col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = tombstones match {
         case Some(t) =>

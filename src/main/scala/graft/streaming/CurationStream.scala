@@ -88,12 +88,14 @@ object CurationStream {
       admittedBuckets: DataFrame,
       curated: DataFrame,
       // frees every checkpoint block this decision pinned (the eager
-      // adm/fin pins AND the lazy internal ones — the decontaminated
-      // frame, the gate keep sets). Call ONLY when no frame of this epoch
-      // will be read again: localCheckpoint truncates lineage, so a
-      // released block cannot be recomputed. The production stream calls
-      // it after its side writes; the batch folds (which union stage
-      // frames across epochs) never do.
+      // admission pin — which `admitted` AND `curated` are projections of
+      // (r18: cum_tokens rides the admission checkpoint, so the decision
+      // is ONE eager action per epoch) — and the lazy internal ones: the
+      // decontaminated frame, the gate keep sets). Call ONLY when no
+      // frame of this epoch will be read again: localCheckpoint truncates
+      // lineage, so a released block cannot be recomputed. The production
+      // stream calls it after its side writes; the batch folds (which
+      // union stage frames across epochs) never do.
       release: () => Unit)
 
   /** [[curateBatch]] plus the admitted docs' LSH bucket rows (semi-joined
@@ -212,41 +214,43 @@ object CurationStream {
       NearDupAdmission.admitBatchWithBuckets(store, clean, dedupThreshold, params)
     graft.operators.Renko.logPhase("curate cAdmBuild", (System.nanoTime() - tAc0) / 1e9)
     pins += batchBuckets // the admission's lazy bucket-table pin
-    val tAdm0 = System.nanoTime()
-    val adm = graft.util.StallDiag.watch(
-      batch.sparkSession, "curate adm", graft.operators.Renko.logPhase) {
-      admLazy.localCheckpoint(true)
-    }
-    graft.operators.Renko.logPhase("curate admCkpt", (System.nanoTime() - tAdm0) / 1e9)
-    pins += adm
     // 4: budget gate over the survivors, resuming from `consumed`; within
-    // the batch admission order is doc_id order (deterministic). Computed
-    // directly on the pinned admitted frame: adm already carries n_tokens
-    // from the annotate stage — the SAME size(tokens(text)) the standalone
-    // BudgetAdmission.admitBatch derives — so the gate is one window over
-    // adm instead of a re-tokenize plus a doc_id join (r14 floor trim;
-    // CurationStreamSpec pins stream == batch twin)
+    // the batch admission order is doc_id order (deterministic). The
+    // running total rides the ADMISSION checkpoint itself (r18): adm
+    // already carries n_tokens from the annotate stage — the SAME
+    // size(tokens(text)) the standalone BudgetAdmission.admitBatch
+    // derives — so cum_tokens is ONE window column appended to the
+    // admission plan before its single eager pin, instead of a second
+    // eager checkpoint action per epoch over the already-pinned adm (the
+    // window sees exactly the admitted rows either way; CurationStreamSpec
+    // pins stream == batch twin).
     val baseCol = consumed.foldRight(lit(0L): org.apache.spark.sql.Column) {
       case ((s, c), rest) => when(col(langCol) === s, lit(c)).otherwise(rest)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col("doc_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val tFin0 = System.nanoTime()
-    // EAGER by necessity (r17 note: a lazy pin here is a correctness
-    // race, not an optimization — the epoch folds release adm's blocks
-    // right after re-pinning their store, BEFORE the collect that would
-    // materialize a lazy fin, and fin's plan reads adm's checkpointed
-    // RDD; eager materialization inside this call is what makes the
-    // callers' release-after-write discipline safe)
-    val fin = adm
-      .select(col("doc_id"), col(langCol), col("pred_lang"),
-        col("n_tokens"), col("quality_score"))
-      .withColumn("cum_tokens", baseCol + sum(col("n_tokens")).over(w))
+    val tAdm0 = System.nanoTime()
+    // EAGER by necessity (r17 note, unchanged by the fusion: a lazy pin
+    // here is a correctness race — the epoch folds release this epoch's
+    // blocks right after re-pinning their store, BEFORE the collect that
+    // would materialize a lazy frame; eager materialization inside this
+    // call is what makes the callers' release-after-write discipline safe)
+    val admFull = graft.util.StallDiag.watch(
+      batch.sparkSession, "curate adm", graft.operators.Renko.logPhase) {
+      admLazy.withColumn("cum_tokens", baseCol + sum(col("n_tokens")).over(w))
+        .localCheckpoint(true)
+    }
+    graft.operators.Renko.logPhase("curate admCkpt", (System.nanoTime() - tAdm0) / 1e9)
+    pins += admFull
+    val adm = admFull.drop("cum_tokens")
+    // the curated record is a cheap projection over the SAME pinned
+    // blocks (valid until release() — every caller either unions it into
+    // its output before releasing, or writes it out first)
+    val fin = admFull
       .filter(col("cum_tokens") - col("n_tokens") < lit(budget))
-      .localCheckpoint(true)
-    graft.operators.Renko.logPhase("curate finCkpt", (System.nanoTime() - tFin0) / 1e9)
-    pins += fin
+      .select(col("doc_id"), col(langCol), col("pred_lang"),
+        col("n_tokens"), col("quality_score"), col("cum_tokens"))
     CurateStages(annotated, heur, surv, clean, adm,
       NearDupAdmission.bucketsOfAdmitted(batchBuckets, adm), fin,
       () => pins.foreach(graft.util.LocalCkpt.release))

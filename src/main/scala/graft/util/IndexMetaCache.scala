@@ -98,6 +98,15 @@ object IndexMetaCache {
         .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** Fixed-width digest of a string sequence — for cache KINDS whose
+    * identity includes a variable-length part (a pruned directory set, a
+    * tree subset) so key size stays bounded.
+    */
+  private[graft] def digestOf(parts: Seq[String]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** Writer-side commit stamp: rotate a uniquely-named marker file under
     * `<path>/_state/`, guaranteeing the commit changes [[signature]]'s
     * entry set even when every data write reused names, lengths AND mtime
